@@ -1,0 +1,66 @@
+"""Query registry: every implemented operator/pipeline (SURVEY.md §2) with its
+DuckDB oracle twin. `__ray_entry__.py` re-exports these for the driver.
+
+Each query callable takes ``sf_dir`` and returns a Dataset / DataFrame /
+Table; computed column names match the oracle SQL exactly (driver hashes
+values under sorted column names).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from .core import geom, sqlgen
+from .pipelines import flagship
+
+QUERIES: dict[str, Callable[[str], Any]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, fn: Callable[[str], Any], sql: str | None = None) -> None:
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLES[name] = sql
+
+
+# ---------------------------------------------------------------- geocode/cells
+register(
+    "geocode_cells",
+    lambda sf: flagship.geocoded_pages(sf).select_columns(
+        ["page_key", "url", "lon_milli", "lat_milli", "cell_id"]),
+    f"""{sqlgen.pages_prefix()}
+SELECT page_key, url, lon_milli, lat_milli,
+       {sqlgen.cell_expr(geom.BASE_ZOOM)} AS cell_id
+FROM pages""",
+)
+
+register(
+    "cell_agg",
+    flagship.cell_aggregates,
+    f"""{sqlgen.pages_prefix()}
+SELECT {sqlgen.cell_expr(geom.BASE_ZOOM)} AS cell_id,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars_sum,
+       CAST(COUNT(*) AS BIGINT) AS doc_count,
+       CAST(SUM(LENGTH(text)) AS DOUBLE) / COUNT(*) AS mean_chars
+FROM pages
+GROUP BY 1""",
+)
+
+
+def _pyramid_oracle(z_base: int = geom.BASE_ZOOM, z_min: int = 0) -> str:
+    levels = []
+    for z in range(z_base, z_min - 1, -1):
+        levels.append(f"""
+SELECT {sqlgen.cell_expr(z)} AS cell_id,
+       CAST({z} AS INTEGER) AS z,
+       CAST({sqlgen.x_expr(z)} AS INTEGER) AS x,
+       CAST({sqlgen.y_expr(z)} AS INTEGER) AS y,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars_sum,
+       CAST(COUNT(*) AS BIGINT) AS doc_count,
+       CAST(SUM(LENGTH(text)) AS DOUBLE) / COUNT(*) AS agg_value
+FROM pages GROUP BY 1, 2, 3, 4""")
+    return sqlgen.pages_prefix() + "\n" + "\nUNION ALL\n".join(levels)
+
+
+register("tile_pyramid", flagship.tile_pyramid, _pyramid_oracle())

@@ -1,0 +1,87 @@
+"""Two-stage (partial → final) grouped aggregation with hot-key salting.
+
+Analogue of PyOFS's per-cell time means (`wcofs.py:420-453` `data_average`,
+`hf_radar.py:136-173` nan-aware mean, `wcofs.py:1234-1279` ensemble mean —
+SURVEY.md A1–A3), built the way a 100 TB shuffle has to be built
+(SURVEY.md §7.3, north_rule "explicit two-stage shuffle"):
+
+1. **partial**: inside stateless ``map_batches``, collapse each Arrow batch to
+   one row per key with ``pyarrow.Table.group_by`` — sums/counts only, in
+   fixed int64 where exactness matters. A 64 Ki-row batch over ~2k hot cells
+   shrinks ~30×, so the wide exchange moves partials, not rows.
+2. **final**: ``ds.groupby(keys).aggregate(Sum(...))`` over the partials.
+   Derived ratios (means) are computed *after* the final sum, so results are
+   reduction-order-invariant (ints) — bit-stable vs the DuckDB oracle.
+
+Salting: the partial stage already neutralizes skew *within* a batch (a batch
+contributes ≤1 row per key regardless of how hot the key is), which is exactly
+the salted-combiner effect — the implicit salt is the block id. For
+float-valued payloads at extreme skew, ``salt_mod`` adds an explicit
+``salt = page_key % salt_mod`` to the partial key so one hot cell's partials
+spread over ``salt_mod`` reducers before the tiny second pass.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def partial_group_sums(
+    batch: pa.Table,
+    keys: Sequence[str],
+    int_sum_cols: Sequence[str] = (),
+    salt_col: str | None = None,
+    salt_mod: int = 0,
+) -> pa.Table:
+    """Collapse one batch to per-key partial sums + count (vectorized)."""
+    cols = list(keys) + [c for c in int_sum_cols if c in batch.column_names]
+    t = batch.select(cols)
+    group_keys = list(keys)
+    if salt_col is not None and salt_mod > 1:
+        salt = pc.cast(pc.subtract(batch[salt_col], pc.multiply(
+            pc.divide(batch[salt_col], salt_mod), salt_mod)), pa.int64())
+        t = t.append_column("_salt", salt)
+        group_keys = group_keys + ["_salt"]
+    aggs = [(c, "sum") for c in int_sum_cols] + [(keys[0], "count")]
+    g = t.group_by(group_keys).aggregate(aggs)
+    out_cols: dict[str, pa.Array] = {}
+    for k in keys:
+        out_cols[k] = g[k]
+    for c in int_sum_cols:
+        out_cols[f"{c}_sum"] = g[f"{c}_sum"].cast(pa.int64())
+    out_cols["doc_count"] = g[f"{list(keys)[0]}_count"].cast(pa.int64())
+    return pa.table(out_cols)
+
+
+def two_stage_cell_agg(
+    ds: ray.data.Dataset,
+    keys: Sequence[str] = ("cell_id",),
+    int_sum_cols: Sequence[str] = ("n_chars",),
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """rows → one row per key with ``doc_count`` and ``<col>_sum`` columns.
+
+    Partial combine in map_batches, then a small groupby-sum shuffle.
+    """
+    keys = list(keys)
+    partial = ds.map_batches(
+        lambda b: partial_group_sums(b, keys, int_sum_cols),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    sum_aggs = [Sum(f"{c}_sum", alias_name=f"{c}_sum") for c in int_sum_cols]
+    sum_aggs.append(Sum("doc_count", alias_name="doc_count"))
+    return partial.groupby(keys).aggregate(*sum_aggs)
+
+
+def add_mean_column(batch: pa.Table, sum_col: str, count_col: str, out: str) -> pa.Table:
+    """mean = int_sum / count, computed once after the final reduce —
+    deterministic (single IEEE division, no float accumulation)."""
+    mean = pc.divide(pc.cast(batch[sum_col], pa.float64()), pc.cast(batch[count_col], pa.float64()))
+    return batch.append_column(out, mean)

@@ -1,0 +1,88 @@
+"""XYZ tile-pyramid materialization — raster↔vector for the web-page corpus.
+
+Analogue of PyOFS raster writes + overview pyramids (`wcofs.py:645-711`
+`write_raster` with `build_overviews`, levels from
+`PyOFS/__init__.py:202-209`; SURVEY.md K1/A7) and of grid re-interpolation
+(`wcofs.py:1791-1827` `interpolate_grid`, SURVEY.md J3):
+
+- **vector→raster**: per-cell aggregates at the base zoom (from
+  `stages.agg.two_stage_cell_agg`) become tile rows ``(z, x, y, cell_id,
+  doc_count, sum cols, agg_value)``.
+- **overview cascade**: each coarser zoom is a ``map_batches`` partial
+  re-key to the parent cell + a small groupby-sum — a cascade of shrinking
+  shuffles, never touching the original rows again (the `Resampling.average`
+  overview analogue, kept exact by carrying int sums + counts, means derived
+  at the end).
+- **raster→vector**: `tiles_to_cells` unpacks tile rows back to cell records.
+
+Partitioning assumption: the level-z shuffle keys on ``parent cell`` — each
+level has ≤ 1/4 the groups of the previous, so the cascade cost is a geometric
+series dominated by the base zoom.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..core import geom
+from .agg import add_mean_column
+
+
+def _rekey_to_parent(batch: pa.Table, dz: int, sum_cols: Sequence[str]) -> pa.Table:
+    cell = batch["cell_id"].to_numpy(zero_copy_only=False)
+    parent = geom.parent_cell(cell, dz)
+    t = batch.set_column(batch.column_names.index("cell_id"), "cell_id", pa.array(parent, pa.int64()))
+    # partial combine within the batch before the shuffle
+    g = t.select(["cell_id", *sum_cols]).group_by("cell_id").aggregate([(c, "sum") for c in sum_cols])
+    return pa.table({"cell_id": g["cell_id"],
+                     **{c: g[f"{c}_sum"].cast(pa.int64()) for c in sum_cols}})
+
+
+def _attach_zxy(batch: pa.Table) -> pa.Table:
+    z, x, y = geom.unpack_cell(batch["cell_id"].to_numpy(zero_copy_only=False))
+    return (batch.append_column("z", pa.array(z.astype("int32")))
+                 .append_column("x", pa.array(x.astype("int32")))
+                 .append_column("y", pa.array(y.astype("int32"))))
+
+
+def build_pyramid(
+    base_cells: ray.data.Dataset,
+    z_base: int = geom.BASE_ZOOM,
+    z_min: int = 0,
+    sum_cols: Sequence[str] = ("n_chars_sum", "doc_count"),
+    value_sum: str = "n_chars_sum",
+) -> ray.data.Dataset:
+    """Per-cell base aggregates → all pyramid levels z_base..z_min, with
+    ``agg_value = value_sum / doc_count`` per tile (exact int sums).
+
+    Each level is **materialized** before feeding the next: levels are tiny
+    (≤ #distinct cells rows, shrinking 4× per zoom-out) and Ray Data would
+    otherwise re-execute the shared upstream lineage once per level when the
+    final union runs. The full-size input is streamed exactly once (into
+    ``base_cells``); only per-cell partials are ever pinned.
+    """
+    levels = [base_cells.select_columns(["cell_id", *sum_cols]).materialize()]
+    cur = levels[0]
+    for z in range(z_base - 1, z_min - 1, -1):
+        cur = (cur.map_batches(lambda b: _rekey_to_parent(b, 1, sum_cols),
+                               batch_format="pyarrow", zero_copy_batch=True)
+                  .groupby("cell_id")
+                  .aggregate(*[Sum(c, alias_name=c) for c in sum_cols])
+                  .materialize())
+        levels.append(cur)
+    tiles = levels[0].union(*levels[1:])
+    tiles = tiles.map_batches(_attach_zxy, batch_format="pyarrow", zero_copy_batch=True)
+    return tiles.map_batches(
+        lambda b: add_mean_column(b, value_sum, "doc_count", "agg_value"),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tiles_to_cells(tiles: ray.data.Dataset) -> ray.data.Dataset:
+    """raster→vector: tile rows back to per-cell records (pass-through of the
+    packed id plus unpacked coordinates — the `wcofs.py:713-835` record
+    builder analogue, minus Python-per-record loops)."""
+    return tiles.select_columns(["cell_id", "z", "x", "y", "doc_count", "agg_value"])

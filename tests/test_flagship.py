@@ -1,0 +1,61 @@
+"""End-to-end tests of the flagship slices vs the DuckDB oracle (sf0.001) —
+the same comparison the driver performs (rows + schema + exact values)."""
+
+from __future__ import annotations
+
+import pyarrow.compute as pc
+
+from pyofs_ray.core import geom
+from pyofs_ray.pipelines import flagship
+from pyofs_ray.registry import ORACLES, QUERIES
+from pyofs_ray.sources.pages import pages_dataset
+
+from .conftest import SF_SMOKE, assert_matches_oracle
+
+
+def test_pages_schema_and_byte_identity(duck_smoke):
+    ds = pages_dataset(SF_SMOKE, with_html=True)
+    t = ds.take_batch(100, batch_format="pyarrow")
+    assert set(t.column_names) == {"url", "warc_ts", "html", "text", "lang"}
+    # byte-identity invariant: text passes through untouched per url
+    src = duck_smoke.sql(
+        "SELECT text FROM documents WHERE doc_id = 0").fetchone()[0]
+    row = duck_smoke.sql("SELECT 1").fetchone()  # connection sanity
+    assert row == (1,)
+    first = t.filter(pc.equal(t["url"], "https://h0.example.com/p/0"))
+    if first.num_rows:
+        assert first["text"][0].as_py() == src
+
+
+def test_geocode_cells_oracle(duck_smoke):
+    assert_matches_oracle(QUERIES["geocode_cells"](SF_SMOKE), duck_smoke,
+                          ORACLES["geocode_cells"])
+
+
+def test_cell_agg_oracle(duck_smoke):
+    assert_matches_oracle(QUERIES["cell_agg"](SF_SMOKE), duck_smoke,
+                          ORACLES["cell_agg"])
+
+
+def test_tile_pyramid_oracle(duck_smoke):
+    assert_matches_oracle(QUERIES["tile_pyramid"](SF_SMOKE), duck_smoke,
+                          ORACLES["tile_pyramid"])
+
+
+def test_tile_pyramid_root_totals():
+    tiles = flagship.tile_pyramid(SF_SMOKE, z_base=5).to_pandas()
+    root = tiles[tiles.z == 0]
+    assert len(root) == 1
+    base = tiles[tiles.z == 5]
+    assert root.doc_count.iloc[0] == base.doc_count.sum()
+    assert root.n_chars_sum.iloc[0] == base.n_chars_sum.sum()
+    zs = sorted(tiles.z.unique())
+    assert zs == list(range(0, 6))
+
+
+def test_entry_smoke():
+    import __ray_entry__ as e
+    ds = e.entry()
+    assert ds.count() > 0
+    cols = set(ds.schema().names)
+    assert {"z", "x", "y", "cell_id", "doc_count", "agg_value"} <= cols

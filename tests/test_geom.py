@@ -1,0 +1,68 @@
+"""Unit tests for fixed-point geodesy kernels (pure numpy, no Ray needed)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyofs_ray.core import geom
+
+
+def test_geocode_ranges():
+    k = np.arange(0, 100_000, dtype=np.int64)
+    lon, lat = geom.geocode_key(k)
+    assert lon.min() >= -geom.LON_OFFSET and lon.max() < geom.LON_OFFSET
+    assert lat.min() >= -geom.LAT_OFFSET and lat.max() <= geom.LAT_OFFSET
+
+
+def test_geocode_skew_host0():
+    k = np.arange(0, 10_000, dtype=np.int64)
+    h = geom.host_of_key(k)
+    assert (h == 0).mean() > 0.69  # 70% hot host by construction
+
+
+def test_geocode_matches_scalar_oracle():
+    # independent scalar re-implementation (python ints, mathematical mod)
+    for k in [0, 1, 7, 97, 12345, 999_983]:
+        h = 0 if k % 10 < 7 else k % 97
+        clon = (h * 73939 + 11243) % 360000
+        clat = (h * 41387 + 7321) % 170000
+        jlon = (k * 7919 + 13) % 4001 - 2000
+        jlat = (k * 6563 + 17) % 4001 - 2000
+        lon = (clon + jlon) % 360000 - 180000
+        lat = min(max(clat + jlat, 0), 170000) - 85000
+        glon, glat = geom.geocode_key(np.array([k], dtype=np.int64))
+        assert (glon[0], glat[0]) == (lon, lat), k
+
+
+def test_cell_pack_roundtrip():
+    rng = np.random.default_rng(42)
+    lon = rng.integers(-180000, 180000, 1000).astype(np.int64)
+    lat = rng.integers(-85000, 85001, 1000).astype(np.int64)
+    for zoom in (0, 1, 5, 10, 20):
+        x, y = geom.cell_xy(lon, lat, zoom)
+        n = 1 << zoom
+        assert x.min() >= 0 and x.max() < n and y.min() >= 0 and y.max() < n
+        cid = geom.pack_cell(zoom, x, y)
+        z2, x2, y2 = geom.unpack_cell(cid)
+        assert (z2 == zoom).all() and (x2 == x).all() and (y2 == y).all()
+
+
+def test_parent_cell_halves():
+    lon = np.array([-180000, -1, 0, 179999], dtype=np.int64)
+    lat = np.array([85000, 0, -85000, 42], dtype=np.int64)
+    c10 = geom.cell_of(lon, lat, 10)
+    c9 = geom.cell_of(lon, lat, 9)
+    assert (geom.parent_cell(c10, 1) == c9).all()
+    assert (geom.parent_cell(c10, 10) == geom.cell_of(lon, lat, 0)).all()
+
+
+def test_edge_cells_clamped():
+    # south pole edge (lat=-85000) must clamp y to n-1, not n
+    lon = np.array([179999], dtype=np.int64)
+    lat = np.array([-85000], dtype=np.int64)
+    x, y = geom.cell_xy(lon, lat, 10)
+    assert y[0] == (1 << 10) - 1
+
+
+def test_overview_levels():
+    assert geom.overview_levels(3) == [3, 2, 1, 0]
