@@ -49,5 +49,18 @@ def tile_pyramid(sf_dir: str, z_base: int = geom.BASE_ZOOM, z_min: int = 0) -> r
     return build_pyramid(base, z_base=z_base, z_min=z_min)
 
 
+def polygon_cell_agg(sf_dir: str, zoom: int = geom.BASE_ZOOM) -> ray.data.Dataset:
+    """PIP inner join → per-(polygon, cell) doc_count / n_chars_sum — the
+    mask-then-average composition of SURVEY.md J1→A1 as one streaming plan."""
+    from ..stages.agg import two_stage_cell_agg
+    from ..stages.pip import pip_join
+
+    ds = geocoded_pages(sf_dir, zoom).select_columns(
+        ["cell_id", "n_chars", "lon_milli", "lat_milli"])
+    joined = pip_join(ds, mode="inner")
+    return two_stage_cell_agg(joined, keys=("polygon_id", "cell_id"),
+                              int_sum_cols=("n_chars",))
+
+
 def flagship(sf_dir: str, z_base: int = geom.BASE_ZOOM) -> ray.data.Dataset:
     return tile_pyramid(sf_dir, z_base=z_base)

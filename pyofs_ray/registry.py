@@ -11,8 +11,9 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from .core import geom, sqlgen
+from .core import geom, sqlgen, sqlgen_pip
 from .pipelines import flagship
+from .stages.pip import pip_join
 
 QUERIES: dict[str, Callable[[str], Any]] = {}
 ORACLES: dict[str, str] = {}
@@ -64,3 +65,46 @@ FROM pages GROUP BY 1, 2, 3, 4""")
 
 
 register("tile_pyramid", flagship.tile_pyramid, _pyramid_oracle())
+
+
+# ------------------------------------------------------------ PIP join (J1/J2)
+def _pip_rows(sf_dir: str, mode: str):
+    ds = flagship.geocoded_pages(sf_dir).select_columns(
+        ["page_key", "url", "lon_milli", "lat_milli"])
+    return pip_join(ds, mode=mode)
+
+
+register(
+    "pip_join_inner",
+    lambda sf: _pip_rows(sf, "inner"),
+    f"{sqlgen.pages_prefix()}\n{sqlgen_pip.pip_inner_select()}",
+)
+
+register(
+    "pip_semi",
+    lambda sf: _pip_rows(sf, "semi"),
+    f"""{sqlgen.pages_prefix()}
+SELECT page_key, url, lon_milli, lat_milli FROM pages
+WHERE {sqlgen_pip.any_inside_expr()}""",
+)
+
+register(
+    "pip_anti",
+    lambda sf: _pip_rows(sf, "anti"),
+    f"""{sqlgen.pages_prefix()}
+SELECT page_key, url, lon_milli, lat_milli FROM pages
+WHERE NOT {sqlgen_pip.any_inside_expr()}""",
+)
+
+# polygon join → per-(polygon, cell) aggregate: the J1→A1 composition the
+# reference runs as mask-then-average (`wcofs.py:671-683` → `:420-453`).
+register(
+    "pip_cell_agg",
+    flagship.polygon_cell_agg,
+    f"""{sqlgen.pages_prefix()}
+SELECT polygon_id, {sqlgen.cell_expr(geom.BASE_ZOOM)} AS cell_id,
+       CAST(COUNT(*) AS BIGINT) AS doc_count,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars_sum
+FROM ({sqlgen_pip.pip_inner_select(cols=("page_key", "text", "lon_milli", "lat_milli"))})
+GROUP BY 1, 2""",
+)

@@ -1,0 +1,97 @@
+"""Unit tests for the PIP kernel (edge conventions, pruning equivalence) and
+e2e oracle parity of the join modes."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyofs_ray.core import geom
+from pyofs_ray.registry import ORACLES, QUERIES
+from pyofs_ray.sources.fixtures import Polygon, study_polygons
+from pyofs_ray.stages.pip import PolygonIndex
+
+from .conftest import SF_SMOKE, assert_matches_oracle
+
+
+def _square(cx=0, cy=0, r=1000, pid="sq"):
+    xs = np.array([cx - r, cx + r, cx + r, cx - r], np.int64)
+    ys = np.array([cy - r, cy - r, cy + r, cy + r], np.int64)
+    return Polygon(pid, xs, ys)
+
+
+def test_square_inside_outside():
+    idx = PolygonIndex([_square()])
+    lon = np.array([0, 999, -999, 1001, -1001, 5000], np.int64)
+    lat = np.array([0, 999, 999, 0, 0, 5000], np.int64)
+    got = idx.contains(0, lon, lat)
+    assert got.tolist() == [True, True, True, False, False, False]
+
+
+def test_boundary_half_open_rule():
+    # CCW square [-1000,1000]^2: left edge in, right edge out; bottom in, top out
+    idx = PolygonIndex([_square()])
+    lon = np.array([-1000, 1000, 0, 0], np.int64)
+    lat = np.array([0, 0, -1000, 1000], np.int64)
+    got = idx.contains(0, lon, lat)
+    assert got[0] == True and got[1] == False  # noqa: E712
+    assert got[2] == True and got[3] == False  # noqa: E712
+
+
+def test_concave_star_has_gaps():
+    # a 5-point star around origin: point on outer spike ray but between arms
+    polys = [p for p in study_polygons() if p.polygon_id.startswith("star")]
+    assert polys, "fixture must include a concave star"
+    p = polys[0]
+    idx = PolygonIndex([p])
+    cx = int((p.xs.min() + p.xs.max()) // 2)
+    cy = int((p.ys.min() + p.ys.max()) // 2)
+    # sample a ring inside the bbox; concavity → some points inside bbox but
+    # outside the polygon
+    ang = np.linspace(0, 2 * np.pi, 64, endpoint=False)
+    r = int((p.xs.max() - p.xs.min()) * 0.4)
+    lon = (cx + r * np.cos(ang)).astype(np.int64)
+    lat = (cy + r * np.sin(ang)).astype(np.int64)
+    got = idx.contains(0, lon, lat)
+    assert got.any() and (~got).any()
+
+
+def test_nested_polygons_both_match():
+    polys = {p.polygon_id: p for p in study_polygons()}
+    idx = PolygonIndex([polys["nest_outer"], polys["nest_inner"]])
+    cx = int(polys["nest_inner"].xs.mean())
+    cy = int(polys["nest_inner"].ys.mean())
+    lon = np.array([cx], np.int64)
+    lat = np.array([cy], np.int64)
+    assert idx.contains(0, lon, lat)[0] and idx.contains(1, lon, lat)[0]
+
+
+def test_candidate_pruning_equals_bruteforce():
+    polys = study_polygons()
+    idx = PolygonIndex(polys)
+    rng = np.random.default_rng(7)
+    lon = rng.integers(-geom.LON_OFFSET, geom.LON_OFFSET, 2000).astype(np.int64)
+    lat = rng.integers(-geom.LAT_OFFSET, geom.LAT_OFFSET + 1, 2000).astype(np.int64)
+    cands = set(idx.candidates(lon, lat))
+    for pi in range(len(polys)):
+        hits = idx.contains(pi, lon, lat)
+        if hits.any():
+            assert pi in cands, f"pruning dropped polygon {pi} with hits"
+
+
+def test_antimeridian_rings_clamped_in_range():
+    for p in study_polygons():
+        assert p.xs.min() >= -geom.LON_OFFSET and p.xs.max() < geom.LON_OFFSET
+        assert p.ys.min() >= -geom.LAT_OFFSET and p.ys.max() <= geom.LAT_OFFSET
+
+
+def test_pip_modes_oracle(duck_smoke):
+    for name in ("pip_join_inner", "pip_semi", "pip_anti", "pip_cell_agg"):
+        assert_matches_oracle(QUERIES[name](SF_SMOKE), duck_smoke, ORACLES[name])
+
+
+def test_pip_semi_anti_partition(duck_smoke):
+    semi = QUERIES["pip_semi"](SF_SMOKE).count()
+    anti = QUERIES["pip_anti"](SF_SMOKE).count()
+    total = duck_smoke.sql("SELECT COUNT(*) FROM documents").fetchone()[0]
+    assert semi + anti == total
+    assert semi > 0, "fixture polygons must hit the hot cluster"
