@@ -1,0 +1,265 @@
+"""Relational operator coverage over the driver's TPC-H-ish tables.
+
+These exercise the generic operators from SURVEY.md §2 that aren't spatial:
+predicate filters (M9/M10), per-batch derived columns (M6-style), grouped
+aggregates with partial combine (A1/A5), broadcast joins (J2/J6 pattern),
+sort / top-k (O1/O3), distinct (O6) and time-bucket keys (M13).
+
+Exactness convention for money/measure columns: every value that will be
+summed is first scaled to an int64 (``round(x * 100)`` cents) inside
+``map_batches``; sums are exact int64 and ratios are derived once at the
+end — reduction-order-invariant, so results hash-equal the DuckDB oracle
+(which applies the identical ``CAST(ROUND(x*100) AS BIGINT)`` scaling).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..stages.agg import two_stage_cell_agg
+from ..stages.join import broadcast_join
+
+
+def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    return pc.cast(pc.round(pc.multiply(arr, pa.scalar(100.0))), pa.int64())
+
+
+# --------------------------------------------------------------- Q1 pricing
+def q1_pricing(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q1-style pricing summary (filter + two-stage grouped agg)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"])
+
+    cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b["l_shipdate"], cutoff))
+        qty_c = _cents(b["l_quantity"])
+        ep_c = _cents(b["l_extendedprice"])
+        disc_c = _cents(b["l_discount"])  # 0..100 (percent as int)
+        disc_price = pc.multiply(ep_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "qty_c": qty_c, "ep_c": ep_c, "disc_price_s": disc_price,
+        })
+
+    agg = two_stage_cell_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        keys=("l_returnflag", "l_linestatus"),
+        int_sum_cols=("qty_c", "ep_c", "disc_price_s"),
+        count_name="count_order")
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = pc.cast(b["count_order"], pa.float64())
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "sum_qty": pc.divide(pc.cast(b["qty_c_sum"], pa.float64()), 100.0),
+            "sum_base_price": pc.divide(pc.cast(b["ep_c_sum"], pa.float64()), 100.0),
+            "sum_disc_price": pc.divide(pc.cast(b["disc_price_s_sum"], pa.float64()), 10000.0),
+            "avg_qty": pc.divide(pc.divide(pc.cast(b["qty_c_sum"], pa.float64()), 100.0), n),
+            "count_order": b["count_order"],
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+       (CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0) / COUNT(*) AS avg_qty,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------------------- broadcast join + rollup
+def segment_revenue(sf_dir: str) -> ray.data.Dataset:
+    """orders ⋈ customer (broadcast small side) → revenue per market segment."""
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+    import pyarrow.parquet as pq
+    cust_tbl = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_mktsegment"]).rename_columns(
+        ["o_custkey", "c_mktsegment"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": b["o_custkey"],
+                         "price_c": _cents(b["o_totalprice"])})
+
+    joined = broadcast_join(orders.map_batches(prep, batch_format="pyarrow"),
+                            cust_tbl, keys=["o_custkey"])
+    agg = two_stage_cell_agg(joined, keys=("c_mktsegment",),
+                             int_sum_cols=("price_c",), count_name="order_count")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": b["c_mktsegment"],
+            "revenue": pc.divide(pc.cast(b["price_c_sum"], pa.float64()), 100.0),
+            "order_count": b["order_count"],
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SEGMENT_REVENUE_SQL = """
+SELECT c_mktsegment,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# ------------------------------------------------------------- sort / top-k
+def topk_orders(sf_dir: str, k: int = 25) -> ray.data.Dataset:
+    """Top-k orders by total price (deterministic tie-break on key) —
+    SURVEY.md O1/O3 sorted-keys + first-record semantics."""
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+
+
+TOPK_ORDERS_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
+"""
+
+
+# --------------------------------------------------------------- distinct
+def distinct_langs(sf_dir: str) -> ray.data.Dataset:
+    """Distinct (lang, source) pairs — SURVEY.md O6 (`numpy.unique`)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "source"])
+    # partial distinct per batch, then a tiny global groupby
+    partial = ds.map_batches(
+        lambda b: b.group_by(["lang", "source"]).aggregate([]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return partial.groupby(["lang", "source"]).count().select_columns(["lang", "source"])
+
+
+DISTINCT_LANGS_SQL = "SELECT DISTINCT lang, source FROM documents"
+
+
+# ------------------------------------------------------------ time buckets
+def events_daily(sf_dir: str) -> ray.data.Dataset:
+    """events rolled up per (day, event_type) — SURVEY.md M13 time-bucket
+    keys + A2 nan-aware aggregation (nulls dropped from value sums)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b["ts"], unit="day")
+        val_c = pc.cast(pc.round(pc.multiply(
+            pc.fill_null(b["value"], 0.0), pa.scalar(100.0))), pa.int64())
+        return pa.table({"day": day, "event_type": b["event_type"], "val_c": val_c})
+
+    agg = two_stage_cell_agg(ds.map_batches(prep, batch_format="pyarrow"),
+                             keys=("day", "event_type"),
+                             int_sum_cols=("val_c",), count_name="n_events")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": b["day"], "event_type": b["event_type"],
+            "value_sum": pc.divide(pc.cast(b["val_c_sum"], pa.float64()), 100.0),
+            "n_events": b["n_events"],
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+EVENTS_DAILY_SQL = """
+SELECT date_trunc('day', ts) AS day, event_type,
+       CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+# ------------------------------------- bucketed hash join (both sides large)
+def priority_revenue(sf_dir: str) -> ray.data.Dataset:
+    """lineitem ⋈ orders on orderkey via the explicit bucketed hash join
+    (one shuffle on key % B — the pattern for large×large joins, SURVEY.md
+    §7.3), rolled up per order priority."""
+    from ..stages.join import bucketed_hash_join
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_extendedprice"])
+    li = li.map_batches(lambda b: pa.table({
+        "l_orderkey": b["l_orderkey"], "ep_c": _cents(b["l_extendedprice"])}),
+        batch_format="pyarrow")
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_orderpriority"])
+    orders = orders.map_batches(lambda b: pa.table({
+        "l_orderkey": b["o_orderkey"], "o_orderpriority": b["o_orderpriority"]}),
+        batch_format="pyarrow")
+    joined = bucketed_hash_join(li, orders, key="l_orderkey", num_buckets=64)
+    agg = two_stage_cell_agg(joined, keys=("o_orderpriority",),
+                             int_sum_cols=("ep_c",), count_name="n_items")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "revenue": pc.divide(pc.cast(b["ep_c_sum"], pa.float64()), 100.0),
+            "n_items": b["n_items"],
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+PRIORITY_REVENUE_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+# ------------------------------------------------- per-station mean (A5)
+def user_event_means(sf_dir: str) -> ray.data.Dataset:
+    """Per-user mean event value — the per-station time-mean analogue
+    (`data_buoy.py:161-183`), two-stage with exact int sums."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["value"]))
+        return pa.table({"user_id": b["user_id"],
+                         "val_c": pc.cast(pc.round(pc.multiply(b["value"], pa.scalar(100.0))), pa.int64())})
+
+    agg = two_stage_cell_agg(ds.map_batches(prep, batch_format="pyarrow"),
+                             keys=("user_id",), int_sum_cols=("val_c",),
+                             count_name="n_events")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "mean_value": pc.divide(
+                pc.divide(pc.cast(b["val_c_sum"], pa.float64()), 100.0),
+                pc.cast(b["n_events"], pa.float64())),
+            "n_events": b["n_events"],
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+USER_EVENT_MEANS_SQL = """
+SELECT user_id,
+       (CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0) / COUNT(*) AS mean_value,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events WHERE value IS NOT NULL
+GROUP BY user_id
+"""

@@ -11,8 +11,9 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from .core import geom, sqlgen, sqlgen_pip
-from .pipelines import flagship
+from .core import geom, sqlgen, sqlgen_knn, sqlgen_pip
+from .pipelines import flagship, relational
+from .stages.knn import knn_join
 from .stages.pip import pip_join
 
 QUERIES: dict[str, Callable[[str], Any]] = {}
@@ -98,6 +99,20 @@ WHERE NOT {sqlgen_pip.any_inside_expr()}""",
 
 # polygon join → per-(polygon, cell) aggregate: the J1→A1 composition the
 # reference runs as mask-then-average (`wcofs.py:671-683` → `:420-453`).
+# ----------------------------------------------------------------- kNN (J4)
+def _knn_rows(sf_dir: str, kernel: str = "rings"):
+    ds = flagship.geocoded_pages(sf_dir).select_columns(
+        ["page_key", "url", "lon_milli", "lat_milli"])
+    return knn_join(ds, k=3, kernel=kernel).select_columns(
+        ["page_key", "url", "station_id", "d2", "rank"])
+
+
+register(
+    "knn_stations",
+    _knn_rows,
+    f"WITH {sqlgen.PAGES_CTE},\n{sqlgen_knn.stations_cte()}\n{sqlgen_knn.knn_select(3)}",
+)
+
 register(
     "pip_cell_agg",
     flagship.polygon_cell_agg,
@@ -108,3 +123,13 @@ SELECT polygon_id, {sqlgen.cell_expr(geom.BASE_ZOOM)} AS cell_id,
 FROM ({sqlgen_pip.pip_inner_select(cols=("page_key", "text", "lon_milli", "lat_milli"))})
 GROUP BY 1, 2""",
 )
+
+
+# --------------------------------------------------- relational coverage
+register("rel_q1_pricing", relational.q1_pricing, relational.Q1_SQL)
+register("rel_segment_revenue", relational.segment_revenue, relational.SEGMENT_REVENUE_SQL)
+register("rel_topk_orders", relational.topk_orders, relational.TOPK_ORDERS_SQL)
+register("rel_distinct_langs", relational.distinct_langs, relational.DISTINCT_LANGS_SQL)
+register("rel_events_daily", relational.events_daily, relational.EVENTS_DAILY_SQL)
+register("rel_user_event_means", relational.user_event_means, relational.USER_EVENT_MEANS_SQL)
+register("rel_priority_revenue", relational.priority_revenue, relational.PRIORITY_REVENUE_SQL)

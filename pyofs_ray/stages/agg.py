@@ -35,6 +35,7 @@ def partial_group_sums(
     batch: pa.Table,
     keys: Sequence[str],
     int_sum_cols: Sequence[str] = (),
+    count_name: str = "doc_count",
     salt_col: str | None = None,
     salt_mod: int = 0,
 ) -> pa.Table:
@@ -54,7 +55,7 @@ def partial_group_sums(
         out_cols[k] = g[k]
     for c in int_sum_cols:
         out_cols[f"{c}_sum"] = g[f"{c}_sum"].cast(pa.int64())
-    out_cols["doc_count"] = g[f"{list(keys)[0]}_count"].cast(pa.int64())
+    out_cols[count_name] = g[f"{list(keys)[0]}_count"].cast(pa.int64())
     return pa.table(out_cols)
 
 
@@ -62,21 +63,22 @@ def two_stage_cell_agg(
     ds: ray.data.Dataset,
     keys: Sequence[str] = ("cell_id",),
     int_sum_cols: Sequence[str] = ("n_chars",),
+    count_name: str = "doc_count",
     batch_size: int = 65536,
 ) -> ray.data.Dataset:
-    """rows → one row per key with ``doc_count`` and ``<col>_sum`` columns.
+    """rows → one row per key with ``<count_name>`` and ``<col>_sum`` columns.
 
     Partial combine in map_batches, then a small groupby-sum shuffle.
     """
     keys = list(keys)
     partial = ds.map_batches(
-        lambda b: partial_group_sums(b, keys, int_sum_cols),
+        lambda b: partial_group_sums(b, keys, int_sum_cols, count_name),
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
     )
     sum_aggs = [Sum(f"{c}_sum", alias_name=f"{c}_sum") for c in int_sum_cols]
-    sum_aggs.append(Sum("doc_count", alias_name="doc_count"))
+    sum_aggs.append(Sum(count_name, alias_name=count_name))
     return partial.groupby(keys).aggregate(*sum_aggs)
 
 

@@ -1,0 +1,97 @@
+"""Join stages: broadcast hash join (small side) and bucketed hash join
+(both sides large).
+
+Analogues: PyOFS's model↔obs co-registration (SURVEY.md J6,
+`validation/data_assimilation_validation.py:119-249`) and study-area /
+station lookups (J2) — every reference join has one small side held in
+class-attribute caches; here the small side is ``ray.put`` once and joined
+per batch with pyarrow's hash join (no shuffle at all). When both sides are
+genuinely large, ``bucketed_hash_join`` runs the portable explicit pattern:
+add ``bucket = key % B`` to both sides, union with a side tag, group by
+bucket, and join each bucket pairwise inside ``map_groups`` — one shuffle,
+B-way parallel, hot keys manageable by raising B (document per call).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+class BroadcastJoiner:
+    """Actor: join each streaming batch against a broadcast small table."""
+
+    def __init__(self, small_ref, keys: Sequence[str], join_type: str = "inner"):
+        small = ray.get(small_ref)
+        self.small = small.combine_chunks() if isinstance(small, pa.Table) else pa.Table.from_pandas(small)
+        self.keys = list(keys)
+        self.join_type = join_type
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.join_type in ("semi", "anti"):
+            jt = "left semi" if self.join_type == "semi" else "left anti"
+            return batch.join(self.small.select(self.keys), keys=self.keys, join_type=jt)
+        return batch.join(self.small, keys=self.keys, join_type=self.join_type)
+
+
+def broadcast_join(ds: ray.data.Dataset, small: pa.Table, keys: Sequence[str],
+                   join_type: str = "inner", concurrency=(2, 8),
+                   batch_size: int = 65536) -> ray.data.Dataset:
+    ref = ray.put(small)
+    return ds.map_batches(
+        BroadcastJoiner,
+        fn_constructor_kwargs={"small_ref": ref, "keys": keys, "join_type": join_type},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+        zero_copy_batch=True,
+    )
+
+
+def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
+                       key: str, num_buckets: int = 64,
+                       suffix: str = "_r") -> ray.data.Dataset:
+    """Explicit partitioned hash join on an int64 key (both sides large).
+
+    One groupby shuffle on ``(key % num_buckets)``; each bucket's left/right
+    rows meet in a single ``map_groups`` pandas merge. Skewed keys: raise
+    ``num_buckets`` (same key always lands in one bucket; the *bucket* is the
+    scheduling unit, so B should be ≳ cluster cores).
+    """
+
+    def _pa_schema(ds: ray.data.Dataset) -> pa.Schema:
+        s = ds.schema()
+        return s.base_schema if hasattr(s, "base_schema") else s
+
+    ls, rs = _pa_schema(left), _pa_schema(right)
+    lcols, rcols = list(ls.names), list(rs.names)
+    # union needs one schema: pad each side with the other's columns as nulls
+    all_fields = [pa.field(n, ls.field(n).type if n in lcols else rs.field(n).type)
+                  for n in lcols + [c for c in rcols if c not in lcols]]
+
+    def tag(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            bucket = pa.array(b[key].to_numpy(zero_copy_only=False).astype(np.int64) % num_buckets)
+            cols = {}
+            for f in all_fields:
+                cols[f.name] = (b[f.name] if f.name in b.column_names
+                                else pa.nulls(len(b), f.type))
+            t = pa.table(cols)
+            return t.append_column("_bucket", bucket).append_column(
+                "_side", pa.array(np.full(len(b), side, np.int8)))
+        return fn
+
+    both = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow"))
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g._side == 0][lcols]
+        r = g[g._side == 1][rcols]
+        return l.merge(r, on=key, how="inner", suffixes=("", suffix))
+
+    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")

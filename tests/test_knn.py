@@ -1,0 +1,64 @@
+"""kNN kernel tests: ring index == brute force, tie-break determinism,
+k > station count, and e2e oracle parity."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyofs_ray.core import geom
+from pyofs_ray.registry import ORACLES, QUERIES, _knn_rows
+from pyofs_ray.sources.fixtures import stations
+from pyofs_ray.stages.knn import StationIndex
+
+from .conftest import SF_SMOKE, assert_matches_oracle
+
+
+def _rand_points(n=3000, seed=11):
+    rng = np.random.default_rng(seed)
+    lon = rng.integers(-geom.LON_OFFSET, geom.LON_OFFSET, n).astype(np.int64)
+    lat = rng.integers(-geom.LAT_OFFSET, geom.LAT_OFFSET + 1, n).astype(np.int64)
+    return lon, lat
+
+
+def test_rings_equal_bruteforce():
+    idx = StationIndex(stations())
+    lon, lat = _rand_points()
+    for k in (1, 3, 5):
+        br_r, br_c, br_d, br_k = idx.topk_brute(lon, lat, k)
+        rg_r, rg_c, rg_d, rg_k = idx.topk_rings(lon, lat, k)
+        import pandas as pd
+        a = pd.DataFrame({"r": br_r, "c": br_c, "d": br_d, "k": br_k}).sort_values(["r", "k"]).reset_index(drop=True)
+        b = pd.DataFrame({"r": rg_r, "c": rg_c, "d": rg_d, "k": rg_k}).sort_values(["r", "k"]).reset_index(drop=True)
+        assert a.equals(b), f"ring/brute mismatch at k={k}"
+
+
+def test_tie_break_by_station_id():
+    # two stations exactly equidistant from the midpoint → lower id wins rank 1
+    rows = [
+        {"station_id": "stB", "lon_milli": 1000, "lat_milli": 0},
+        {"station_id": "stA", "lon_milli": -1000, "lat_milli": 0},
+    ]
+    idx = StationIndex(rows)
+    r, c, d, k = idx.topk_brute(np.array([0], np.int64), np.array([0], np.int64), 2)
+    assert idx.ids[c[0]] == "stA" and idx.ids[c[1]] == "stB"
+    assert d[0] == d[1] == 1000 * 1000
+    r2, c2, d2, k2 = idx.topk_rings(np.array([0], np.int64), np.array([0], np.int64), 2)
+    assert (c == c2).all()
+
+
+def test_k_exceeds_station_count():
+    rows = stations()[:2]
+    idx = StationIndex(rows)
+    lon, lat = _rand_points(50)
+    r, c, d, k = idx.topk_rings(lon, lat, 10)
+    assert k.max() == 2  # clamped to available stations
+
+
+def test_knn_oracle(duck_smoke):
+    assert_matches_oracle(QUERIES["knn_stations"](SF_SMOKE), duck_smoke,
+                          ORACLES["knn_stations"])
+
+
+def test_knn_brute_kernel_matches_oracle(duck_smoke):
+    assert_matches_oracle(_knn_rows(SF_SMOKE, kernel="brute"), duck_smoke,
+                          ORACLES["knn_stations"])

@@ -1,0 +1,34 @@
+"""Oracle-parity tests for the relational operator coverage (sf0.001)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyofs_ray.registry import ORACLES, QUERIES
+
+from .conftest import SF_SMOKE, assert_matches_oracle
+
+REL = ["rel_q1_pricing", "rel_segment_revenue", "rel_topk_orders",
+       "rel_distinct_langs", "rel_events_daily", "rel_user_event_means",
+       "rel_priority_revenue", "knn_stations"]
+
+
+@pytest.mark.parametrize("name", REL)
+def test_relational_oracle(name, duck_smoke):
+    assert_matches_oracle(QUERIES[name](SF_SMOKE), duck_smoke, ORACLES[name])
+
+
+def test_broadcast_join_semi_anti():
+    import pyarrow as pa
+    import ray.data
+
+    from pyofs_ray.stages.join import broadcast_join
+
+    left = ray.data.from_arrow(pa.table({"k": [1, 2, 3, 4], "v": ["a", "b", "c", "d"]}))
+    small = pa.table({"k": [2, 4], "w": ["x", "y"]})
+    semi = broadcast_join(left, small, keys=["k"], join_type="semi").to_pandas()
+    anti = broadcast_join(left, small, keys=["k"], join_type="anti").to_pandas()
+    assert sorted(semi.k) == [2, 4]
+    assert sorted(anti.k) == [1, 3]
+    inner = broadcast_join(left, small, keys=["k"], join_type="inner").to_pandas()
+    assert sorted(inner.columns) == ["k", "v", "w"] and len(inner) == 2
