@@ -1,0 +1,82 @@
+"""Corpus-quality pipelines: text analysis, dedup, similarity search —
+the training-data-pipeline operator set over `documents` / `embeddings`."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from ..stages import ann, dedup
+from ..stages.text import fingerprint, lang_id, text_stats
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+def doc_text_stats(sf_dir: str) -> ray.data.Dataset:
+    return (_docs(sf_dir)
+            .map_batches(text_stats, batch_format="pyarrow", zero_copy_batch=True)
+            .select_columns(["doc_id", "n_chars", "n_tokens", "n_punct",
+                             "n_digits", "token_ratio", "punct_ratio"]))
+
+
+def doc_lang_id(sf_dir: str) -> ray.data.Dataset:
+    return (_docs(sf_dir)
+            .map_batches(lang_id, batch_format="pyarrow", zero_copy_batch=True)
+            .select_columns(["doc_id", "lang_pred", "lang_score"]))
+
+
+def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    return (_docs(sf_dir)
+            .map_batches(fingerprint, batch_format="pyarrow", zero_copy_batch=True)
+            .select_columns(["doc_id", "text_hash"]))
+
+
+def dedup_exact(sf_dir: str) -> ray.data.Dataset:
+    return dedup.exact_dedup(_docs(sf_dir))
+
+
+def minhash_pairs(sf_dir: str) -> pd.DataFrame:
+    return dedup.minhash_dedup_pairs(_docs(sf_dir), threshold=0.8)
+
+
+def simhash_pairs(sf_dir: str) -> pd.DataFrame:
+    return dedup.simhash_dup_pairs(_docs(sf_dir), max_hamming=3)
+
+
+NUM_QUERIES = 8
+TOPK = 5
+
+
+def _query_vectors(sf_dir: str) -> pa.Table:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return t.filter(pa.compute.less(t["vec_id"], NUM_QUERIES)).combine_chunks()
+
+
+def ann_topk(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return ann.ann_topk_brute(ds, _query_vectors(sf_dir), k=TOPK)
+
+
+def ann_topk_lsh(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return ann.ann_topk_lsh(ds, _query_vectors(sf_dir), k=TOPK)
+
+
+ANN_TOPK_SQL = f"""
+SELECT query_id, vec_id, rank FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                      e.vec_id ASC) AS rank
+  FROM embeddings e
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {NUM_QUERIES}) q
+  WHERE e.vec_id != q.vec_id
+) WHERE rank <= {TOPK}
+"""

@@ -133,3 +133,29 @@ register("rel_distinct_langs", relational.distinct_langs, relational.DISTINCT_LA
 register("rel_events_daily", relational.events_daily, relational.EVENTS_DAILY_SQL)
 register("rel_user_event_means", relational.user_event_means, relational.USER_EVENT_MEANS_SQL)
 register("rel_priority_revenue", relational.priority_revenue, relational.PRIORITY_REVENUE_SQL)
+
+
+# -------------------------------------------- corpus-quality (text / dedup / ann)
+from .core import sqlgen_text  # noqa: E402
+from .pipelines import corpus  # noqa: E402
+
+register(
+    "text_stats",
+    corpus.doc_text_stats,
+    f"SELECT doc_id, {sqlgen_text.text_stats_select()} FROM documents",
+)
+register("lang_id", corpus.doc_lang_id, sqlgen_text.lang_id_query())
+register("doc_fingerprint", corpus.doc_fingerprint,
+         "SELECT doc_id, md5(text) AS text_hash FROM documents")
+register(
+    "dedup_exact",
+    corpus.dedup_exact,
+    """SELECT md5(text) AS text_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS dup_count
+FROM documents GROUP BY md5(text)""",
+)
+register("ann_topk", corpus.ann_topk, corpus.ANN_TOPK_SQL)
+register("ann_topk_lsh", corpus.ann_topk_lsh)          # rows-only (approximate)
+register("minhash_pairs", corpus.minhash_pairs)        # rows-only (LSH recall)
+register("simhash_pairs", corpus.simhash_pairs)        # rows-only (sketch)

@@ -1,0 +1,189 @@
+"""Similarity search over the embeddings table (`list<float>` column).
+
+Brute-force cosine top-k is the exact baseline — one numpy matmul per batch
+against a broadcast query matrix (the `ray.put` small-side pattern). The
+scale path is random-hyperplane LSH bucketing: H fixed deterministic
+hyperplanes → sign-bit bucket per vector; a query probes its own bucket plus
+all Hamming-1 neighbors (multi-probe), then ranks candidates exactly.
+Recall is probabilistic, precision exact (candidates re-ranked by true
+cosine); the oracle-checked output carries ranks only — float similarity
+values are reduction-order-dependent and are excluded from exact compare
+(ranks are stable because random embeddings have similarity gaps ≫ ulp).
+
+PyOFS lineage: the nearest/bilinear point-sample interpolation (SURVEY.md
+J3/J4, `wcofs.py:1791-1827`, `particle_contour.py:249-298`) is the same
+"find closest reference vectors, weighted-combine" shape, lifted from 2-D
+grids to d-dim embeddings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..core.hashing import splitmix64
+
+
+def _embedding_matrix(b: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = b[col].combine_chunks() if isinstance(b[col], pa.ChunkedArray) else b[col]
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norm = np.sqrt((m * m).sum(axis=1, keepdims=True))
+    norm[norm == 0] = 1.0
+    return m / norm
+
+
+class BruteForceTopK:
+    """Actor: per batch, cosine top-k of every base vector against the
+    broadcast query matrix → rows (query_id, vec_id, rank)."""
+
+    def __init__(self, queries_ref, k: int = 5):
+        qtab = ray.get(queries_ref)
+        self.qids = qtab["vec_id"].to_numpy(zero_copy_only=False)
+        self.qmat = _normalize(_embedding_matrix(qtab))
+        self.k = k
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        vids = b["vec_id"].to_numpy(zero_copy_only=False)
+        m = _normalize(_embedding_matrix(b))
+        sims = m @ self.qmat.T  # (batch, Q)
+        # partial top-k per query WITHIN the batch: only Q×k rows leave each
+        # batch (k+ties-exact via (-sim, vec_id) lexsort), not batch×Q.
+        k = min(self.k + 1, len(vids))  # +1 headroom for self-exclusion later
+        out_q, out_v, out_s = [], [], []
+        for qi in range(sims.shape[1]):
+            order = np.lexsort((vids, -sims[:, qi]))[:k]
+            out_q.append(np.full(len(order), self.qids[qi], np.int64))
+            out_v.append(vids[order])
+            out_s.append(sims[order, qi])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "sim": pa.array(np.concatenate(out_s)),
+        })
+
+
+def ann_topk_brute(ds: ray.data.Dataset, queries: pa.Table, k: int = 5,
+                   exclude_self: bool = True) -> pd.DataFrame:
+    """Exact top-k (per query) over the full base set.
+
+    Per-batch sims stream into a per-query top-k reduce on the driver —
+    the result is Q×k rows (tiny); the base set is never materialized.
+    """
+    ref = ray.put(queries)
+    sims = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k},
+        batch_format="pyarrow", concurrency=(2, 8), num_cpus=1,
+        zero_copy_batch=True)
+
+    def topk_group(g: pd.DataFrame) -> pd.DataFrame:
+        if exclude_self:
+            g = g[g.vec_id != g.query_id]
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["query_id", "vec_id", "rank"]]
+
+    return (sims.groupby("query_id")
+                .map_groups(topk_group, batch_format="pandas")
+                .to_pandas())
+
+
+# ---------------------------------------------------------------- LSH path
+NUM_PLANES = 5  # few planes + deep multi-probe: tuned for low-similarity corpora
+
+
+def _hyperplanes(dim: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes from splitmix64 bits."""
+    n = NUM_PLANES * dim
+    u = splitmix64(np.arange(n, dtype=np.uint64) + np.uint64(0xABCDEF))
+    # uniform in [-1, 1)
+    vals = (u.astype(np.float64) / 2**64) * 2 - 1
+    return vals.reshape(NUM_PLANES, dim)
+
+
+def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (m @ planes.T) > 0  # (n, H)
+    keys = np.zeros(len(m), dtype=np.int64)
+    for h in range(planes.shape[0]):
+        keys |= bits[:, h].astype(np.int64) << h
+    return keys
+
+
+class LSHBucketer:
+    def __init__(self, dim: int):
+        self.planes = _hyperplanes(dim)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        m = _normalize(_embedding_matrix(b))
+        keys = _bucket_of(m, self.planes)
+        return b.append_column("bucket", pa.array(keys))
+
+
+def ann_topk_lsh(ds: ray.data.Dataset, queries: pa.Table, k: int = 5,
+                 dim: int | None = None, exclude_self: bool = True) -> pd.DataFrame:
+    """LSH-bucketed approximate top-k: each query probes its bucket + all
+    Hamming-1 buckets; candidates ranked by exact cosine."""
+    if dim is None:
+        dim = len(queries["embedding"][0].as_py())
+    planes = _hyperplanes(dim)
+    qmat = _normalize(_embedding_matrix(queries))
+    qids = queries["vec_id"].to_numpy(zero_copy_only=False)
+    qbuckets = _bucket_of(qmat, planes)
+    probe: dict[int, list[int]] = {}
+    for qi, bkt in enumerate(qbuckets):
+        wanted = {int(bkt)}
+        for h in range(NUM_PLANES):            # Hamming-1 probes
+            wanted.add(int(bkt) ^ (1 << h))
+            for h2 in range(h + 1, NUM_PLANES):  # Hamming-2 probes
+                wanted.add(int(bkt) ^ (1 << h) ^ (1 << h2))
+        for w in wanted:
+            probe.setdefault(w, []).append(qi)
+    probe_ref = ray.put((probe, qmat, qids))
+
+    class Probe:
+        def __init__(self):
+            self.planes = planes
+            self.probe, self.qmat, self.qids = ray.get(probe_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            m = _normalize(_embedding_matrix(b))
+            keys = _bucket_of(m, self.planes)
+            vids = b["vec_id"].to_numpy(zero_copy_only=False)
+            out_q, out_v, out_s = [], [], []
+            for bkt in np.unique(keys):
+                qis = self.probe.get(int(bkt))
+                if not qis:
+                    continue
+                sel = keys == bkt
+                sims = m[sel] @ self.qmat[qis].T  # (n_sel, n_q)
+                out_q.append(np.repeat(self.qids[qis], sel.sum()))
+                out_v.append(np.tile(vids[sel], len(qis)))
+                out_s.append(sims.T.ravel())
+            if not out_q:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "sim": pa.array([], pa.float64())})
+            return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                             "vec_id": pa.array(np.concatenate(out_v)),
+                             "sim": pa.array(np.concatenate(out_s))})
+
+    sims = ds.map_batches(Probe, batch_format="pyarrow",
+                          concurrency=(2, 8), num_cpus=1, zero_copy_batch=True)
+
+    def topk_group(g: pd.DataFrame) -> pd.DataFrame:
+        if exclude_self:
+            g = g[g.vec_id != g.query_id]
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+        return g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))[
+            ["query_id", "vec_id", "rank"]]
+
+    return (sims.groupby("query_id")
+                .map_groups(topk_group, batch_format="pandas").to_pandas())

@@ -1,0 +1,87 @@
+"""Tests for text analysis, dedup family, and similarity search."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from pyofs_ray.registry import ORACLES, QUERIES
+from pyofs_ray.stages import ann, dedup
+
+from .conftest import SF_SMOKE, assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", ["text_stats", "lang_id", "doc_fingerprint",
+                                  "dedup_exact", "ann_topk"])
+def test_corpus_oracle(name, duck_smoke):
+    assert_matches_oracle(QUERIES[name](SF_SMOKE), duck_smoke, ORACLES[name])
+
+
+def _dup_corpus() -> ray.data.Dataset:
+    """Synthetic corpus with injected near-duplicates (deterministic)."""
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest looking for tasty snacks ")
+    rows = []
+    for i in range(40):
+        rows.append({"doc_id": i, "text": f"unique document {i} " + base[: 30 + i] + f" tail{i**2}"})
+    # exact dup pair
+    rows.append({"doc_id": 100, "text": base * 3})
+    rows.append({"doc_id": 101, "text": base * 3})
+    # near dup (one word changed)
+    rows.append({"doc_id": 102, "text": (base * 3).replace("lazy", "sleepy", 1)})
+    # unrelated long doc
+    rows.append({"doc_id": 103, "text": "zz " .join(str(i * 7919) for i in range(200))})
+    return ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+
+def test_exact_dedup_groups():
+    out = dedup.exact_dedup(_dup_corpus()).to_pandas()
+    dup = out[out.dup_count > 1]
+    assert len(dup) == 1 and dup.doc_id.iloc[0] == 100 and dup.dup_count.iloc[0] == 2
+    assert out.dup_count.sum() == 44
+
+
+def test_minhash_finds_near_dups_exact_precision():
+    pairs = dedup.minhash_dedup_pairs(_dup_corpus(), threshold=0.8)
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (100, 101) in got           # exact dup certain
+    assert (100, 102) in got and (101, 102) in got  # near dup j≈0.97
+    # precision: verified Jaccard really ≥ threshold
+    assert (pairs.jaccard >= 0.8).all()
+    # no unrelated short docs paired with the dup cluster
+    assert not any(a < 100 and b >= 100 for a, b in got)
+
+
+def test_simhash_near_dups():
+    pairs = dedup.simhash_dup_pairs(_dup_corpus(), max_hamming=3)
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (100, 101) in got
+    assert pairs[(pairs.id_a == 100) & (pairs.id_b == 101)].hamming.iloc[0] == 0
+
+
+def test_shingle_jaccard_kernel():
+    a = dedup._shingle_hashes("abcdefghij")
+    b = dedup._shingle_hashes("abcdefghij")
+    c = dedup._shingle_hashes("zzzzzzzzzz")
+    assert dedup.jaccard(a, b) == 1.0
+    assert dedup.jaccard(a, c) < 0.2
+
+
+def test_ann_lsh_recall_vs_brute():
+    ds = ray.data.read_parquet(f"{SF_SMOKE}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    from pyofs_ray.pipelines.corpus import _query_vectors
+    q = _query_vectors(SF_SMOKE)
+    brute = ann.ann_topk_brute(ds, q, k=5)
+    lsh = ann.ann_topk_lsh(ds, q, k=5)
+    bset = set(map(tuple, brute[["query_id", "vec_id"]].to_numpy()))
+    lset = set(map(tuple, lsh[["query_id", "vec_id"]].to_numpy()))
+    recall = len(bset & lset) / len(bset)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+    # rank-1 neighbors especially should mostly survive multi-probe
+    b1 = set(map(tuple, brute[brute["rank"] == 1][["query_id", "vec_id"]].to_numpy()))
+    l1 = set(map(tuple, lsh[["query_id", "vec_id"]].to_numpy()))
+    assert len(b1 & l1) / len(b1) >= 0.5
