@@ -64,3 +64,42 @@ def polygon_cell_agg(sf_dir: str, zoom: int = geom.BASE_ZOOM) -> ray.data.Datase
 
 def flagship(sf_dir: str, z_base: int = geom.BASE_ZOOM) -> ray.data.Dataset:
     return tile_pyramid(sf_dir, z_base=z_base)
+
+
+# --------------------------------------------------- checkpointed execution
+def day_units() -> list[str]:
+    """The fixture corpus spans 30 days from 2024-01-01 (warc_ts derivation
+    in sources/pages.py); at 100 TB units are input shards / key ranges."""
+    import numpy as np
+    base = np.datetime64("2024-01-01")
+    return [f"day={base + np.timedelta64(i, 'D')}" for i in range(30)]
+
+
+def run_flagship_checkpointed(sf_dir: str, out_dir: str,
+                              zoom: int = geom.BASE_ZOOM,
+                              fail_after: int | None = None) -> dict:
+    """Flagship per-cell aggregate, partitioned by warc_ts day, with a
+    commit-per-partition manifest and resume (north_rule; the
+    `write_daily_average.py` skip-existing analogue)."""
+    import numpy as np
+
+    from ..stages.agg import two_stage_cell_agg
+    from ..state.manifest import run_partitioned
+
+    def build(unit: str) -> ray.data.Dataset:
+        day = np.datetime64(unit.split("=", 1)[1], "us")
+        nxt = day + np.timedelta64(1, "D")
+
+        def filt(b: pa.Table) -> pa.Table:
+            ts = b["warc_ts"]
+            keep = pc.and_(pc.greater_equal(ts, pa.scalar(day)),
+                           pc.less(ts, pa.scalar(nxt)))
+            return b.filter(keep).select(["cell_id", "n_chars"])
+
+        ds = geocoded_pages(sf_dir, zoom).map_batches(
+            filt, batch_format="pyarrow", zero_copy_batch=True)
+        return two_stage_cell_agg(ds, keys=("cell_id",), int_sum_cols=("n_chars",))
+
+    return run_partitioned(out_dir, day_units(), build,
+                           lineage=lambda u: f"{sf_dir}/documents.parquet→geocode→cellagg[{u}]",
+                           fail_after=fail_after)

@@ -159,3 +159,14 @@ register("ann_topk", corpus.ann_topk, corpus.ANN_TOPK_SQL)
 register("ann_topk_lsh", corpus.ann_topk_lsh)          # rows-only (approximate)
 register("minhash_pairs", corpus.minhash_pairs)        # rows-only (LSH recall)
 register("simhash_pairs", corpus.simhash_pairs)        # rows-only (sketch)
+
+
+# -------------------------------- compositing / stencil / validation (A4/J5/J6/A6)
+from .pipelines import validation  # noqa: E402
+
+register("latest_page_per_cell", validation.latest_page_per_cell,
+         validation.LATEST_PAGE_SQL)
+register("cell_gradients", validation.cell_gradients,
+         validation.cell_gradients_sql())
+register("coregistration_metrics", validation.coregistration_metrics,
+         validation.coregistration_sql())

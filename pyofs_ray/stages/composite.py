@@ -1,0 +1,96 @@
+"""Ordering-sensitive compositing and neighbor-stencil operators.
+
+- **last_per_cell** — the overlap-compositing mosaic (SURVEY.md A4,
+  `viirs.py:660-667`, `abi.py:645-652`): later scenes overwrite earlier
+  pixels. Under parallelism block arrival order is meaningless, so the
+  "latest" row is selected by an explicit total order ``(warc_ts, page_key)``
+  — argmax is associative under a total order, so a per-batch partial
+  reduce + a small final reduce is exact regardless of scheduling.
+
+- **neighbor_grad** — the finite-difference stencil (SURVEY.md J5/M7,
+  geostrophic `∂ζ/∂ξ` from `particle_contour.py:1171-1220`,
+  `wcofs.py:371-396`): per-cell central differences via *message passing* —
+  each cell emits ±value contributions keyed by its east/west (north/south)
+  neighbors, one groupby-sum collects them. Two addends per target cell,
+  and IEEE addition of two terms is commutative, so the result is bit-stable
+  without any ordering constraint.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..core import geom
+
+
+def last_per_cell(ds: ray.data.Dataset, keys=("cell_id",),
+                  order_cols=("warc_ts", "page_key"),
+                  payload_cols=("page_key", "warc_ts", "lang")) -> ray.data.Dataset:
+    """One row per cell: the payload of the max-(order_cols) row."""
+    keys = list(keys)
+    order_cols = list(order_cols)
+    payload_cols = list(payload_cols)
+    take_cols = keys + sorted(set(order_cols + payload_cols) - set(keys))
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = b.select(take_cols).to_pandas()
+        df = df.sort_values(keys + order_cols, kind="mergesort")
+        return df.groupby(keys, as_index=False, sort=False).tail(1)
+
+    cand = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="mergesort")
+        return g.tail(1)
+
+    return cand.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
+        final, batch_format="pandas")
+
+
+def neighbor_grad(cells: ray.data.Dataset, value_sum: str = "n_chars_sum",
+                  count: str = "doc_count") -> ray.data.Dataset:
+    """Central x/y differences of the per-cell mean value.
+
+    Input: per-cell aggregate (cell_id, value_sum, count). Output: one row
+    per cell having both neighbors on an axis: (cell_id, grad_x?, grad_y?)
+    — cells missing a neighbor pair get NaN for that axis.
+    """
+
+    def emit(b: pa.Table) -> pa.Table:
+        cell = b["cell_id"].to_numpy(zero_copy_only=False)
+        z, x, y = geom.unpack_cell(cell)
+        v = (b[value_sum].to_numpy(zero_copy_only=False).astype(np.float64)
+             / b[count].to_numpy(zero_copy_only=False))
+        n = np.int64(1) << z
+        targets, contrib, axis = [], [], []
+        # v(x,y) contributes +v to grad_x of (x-1,y) and -v to grad_x of (x+1,y)
+        for dx, dy, sign in ((-1, 0, 1.0), (1, 0, -1.0), (0, -1, 1.0), (0, 1, -1.0)):
+            tx, ty = x + dx, y + dy
+            ok = (tx >= 0) & (tx < n) & (ty >= 0) & (ty < n)
+            targets.append(geom.pack_cell(0, tx[ok], ty[ok]) | (z[ok] << geom.CELL_Z_SHIFT))
+            contrib.append(sign * v[ok])
+            axis.append(np.full(ok.sum(), 0 if dy == 0 else 1, np.int8))
+        return pa.table({
+            "cell_id": pa.array(np.concatenate(targets)),
+            "axis": pa.array(np.concatenate(axis)),
+            "contrib": pa.array(np.concatenate(contrib)),
+        })
+
+    emitted = cells.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"cell_id": [g.cell_id.iloc[0]], "grad_x": [np.nan], "grad_y": [np.nan]}
+        any_axis = False
+        for ax, col in ((0, "grad_x"), (1, "grad_y")):
+            sel = g[g.axis == ax]
+            if len(sel) == 2:  # both neighbors present (sum of 2 is exact-commutative)
+                out[col] = [sel.contrib.sum()]
+                any_axis = True
+        if not any_axis:  # no complete neighbor pair on either axis
+            return pd.DataFrame({"cell_id": [], "grad_x": [], "grad_y": []})
+        return pd.DataFrame(out)
+
+    return emitted.groupby("cell_id").map_groups(combine, batch_format="pandas")
