@@ -26,44 +26,81 @@ def _attach_n_chars(batch: pa.Table) -> pa.Table:
     return batch.append_column("n_chars", n)
 
 
-def geocoded_pages(sf_dir: str, zoom: int = geom.BASE_ZOOM) -> ray.data.Dataset:
+def geocoded_pages(sf_dir: str, zoom: int = geom.BASE_ZOOM, replicate: int = 1,
+                   override_num_blocks: int | None = None) -> ray.data.Dataset:
     """pages + page_key/lon/lat/cell_id + n_chars; html projected away."""
-    ds = pages_dataset(sf_dir, with_html=False)
+    ds = pages_dataset(sf_dir, with_html=False, replicate=replicate,
+                       override_num_blocks=override_num_blocks)
     ds = geocode(ds, zoom=zoom)
     return ds.map_batches(_attach_n_chars, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def cell_aggregates(sf_dir: str, zoom: int = geom.BASE_ZOOM) -> ray.data.Dataset:
+def cell_aggregates(sf_dir: str, zoom: int = geom.BASE_ZOOM,
+                    replicate: int = 1,
+                    override_num_blocks: int | None = None) -> ray.data.Dataset:
     """Per-cell doc_count / n_chars_sum / mean_chars at the base zoom —
     the two-stage (partial → final) shuffle of SURVEY.md A1."""
-    ds = geocoded_pages(sf_dir, zoom)
+    ds = geocoded_pages(sf_dir, zoom, replicate, override_num_blocks)
     ds = ds.select_columns(["cell_id", "n_chars"])
     agg = two_stage_cell_agg(ds, keys=("cell_id",), int_sum_cols=("n_chars",))
     return agg.map_batches(lambda b: add_mean_column(b, "n_chars_sum", "doc_count", "mean_chars"),
                            batch_format="pyarrow", zero_copy_batch=True)
 
 
-def tile_pyramid(sf_dir: str, z_base: int = geom.BASE_ZOOM, z_min: int = 0) -> ray.data.Dataset:
+def tile_pyramid(sf_dir: str, z_base: int = geom.BASE_ZOOM, z_min: int = 0,
+                 replicate: int = 1,
+                 override_num_blocks: int | None = None) -> ray.data.Dataset:
     """Full pyramid of tile rows (z, x, y, cell_id, doc_count, agg_value)."""
-    base = cell_aggregates(sf_dir, z_base).select_columns(["cell_id", "n_chars_sum", "doc_count"])
+    base = cell_aggregates(sf_dir, z_base, replicate, override_num_blocks).select_columns(
+        ["cell_id", "n_chars_sum", "doc_count"])
     return build_pyramid(base, z_base=z_base, z_min=z_min)
 
 
-def polygon_cell_agg(sf_dir: str, zoom: int = geom.BASE_ZOOM) -> ray.data.Dataset:
+def polygon_cell_agg(sf_dir: str, zoom: int = geom.BASE_ZOOM, replicate: int = 1,
+                     override_num_blocks: int | None = None) -> ray.data.Dataset:
     """PIP inner join → per-(polygon, cell) doc_count / n_chars_sum — the
     mask-then-average composition of SURVEY.md J1→A1 as one streaming plan."""
     from ..stages.agg import two_stage_cell_agg
     from ..stages.pip import pip_join
 
-    ds = geocoded_pages(sf_dir, zoom).select_columns(
+    ds = geocoded_pages(sf_dir, zoom, replicate, override_num_blocks).select_columns(
         ["cell_id", "n_chars", "lon_milli", "lat_milli"])
     joined = pip_join(ds, mode="inner")
     return two_stage_cell_agg(joined, keys=("polygon_id", "cell_id"),
                               int_sum_cols=("n_chars",))
 
 
-def flagship(sf_dir: str, z_base: int = geom.BASE_ZOOM) -> ray.data.Dataset:
-    return tile_pyramid(sf_dir, z_base=z_base)
+def flagship(sf_dir: str, z_base: int = geom.BASE_ZOOM, replicate: int = 1,
+             override_num_blocks: int | None = None) -> ray.data.Dataset:
+    """The headline end-to-end pipeline (BASELINE.json metric): pages →
+    geocode/cell-encode → PIP semi-join against the study polygons → two-
+    stage per-cell aggregate → full tile pyramid — one linear streaming
+    plan; the corpus is read and geocoded exactly once."""
+    from ..stages.pip import pip_join
+
+    ds = geocoded_pages(sf_dir, z_base, replicate, override_num_blocks)
+    ds = ds.select_columns(["cell_id", "n_chars", "lon_milli", "lat_milli"])
+    ds = pip_join(ds, mode="semi").select_columns(["cell_id", "n_chars"])
+    base = two_stage_cell_agg(ds, keys=("cell_id",), int_sum_cols=("n_chars",))
+    return build_pyramid(base, z_base=z_base, z_min=0)
+
+
+def flagship_from_pages(pages_dir: str, z_base: int = geom.BASE_ZOOM,
+                        override_num_blocks: int | None = None) -> ray.data.Dataset:
+    """Headline pipeline over a materialized pages parquet layout (the real
+    deployment shape): read(url, text) → geocode → PIP semi-join → two-stage
+    cell agg → pyramid. Column pruning at the read; html never loaded."""
+    from ..sources.pages import pages_from_parquet
+    from ..stages.pip import pip_join
+
+    ds = pages_from_parquet(pages_dir, columns=["url", "text"],
+                            override_num_blocks=override_num_blocks)
+    ds = geocode(ds, zoom=z_base)
+    ds = ds.map_batches(_attach_n_chars, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.select_columns(["cell_id", "n_chars", "lon_milli", "lat_milli"])
+    ds = pip_join(ds, mode="semi").select_columns(["cell_id", "n_chars"])
+    base = two_stage_cell_agg(ds, keys=("cell_id",), int_sum_cols=("n_chars",))
+    return build_pyramid(base, z_base=z_base, z_min=0)
 
 
 # --------------------------------------------------- checkpointed execution

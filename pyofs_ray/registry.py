@@ -170,3 +170,27 @@ register("cell_gradients", validation.cell_gradients,
          validation.cell_gradients_sql())
 register("coregistration_metrics", validation.coregistration_metrics,
          validation.coregistration_sql())
+
+
+# ------------------------------------- multimodal + tracking (rows-only checks)
+def _media_features(sf_dir: str):
+    import ray.data as _rd
+
+    from .stages.multimodal import decode_media, synth_media_batch
+
+    ds = _rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    media = ds.map_batches(synth_media_batch, batch_format="pyarrow",
+                           batch_size=256)
+    return decode_media(media)
+
+
+def _particle_track(sf_dir: str):
+    from .stages.tracking import RankineVortexField, circle_seeds, track
+
+    return track(circle_seeds(64, radius=500.0),
+                 field=RankineVortexField(radius=1000.0, period=3600.0),
+                 dt=30.0, steps=20, snapshot_every=5, order=4)
+
+
+register("media_features", _media_features)     # rows-only (binary decode)
+register("particle_track", _particle_track)     # rows-only (iterative state)

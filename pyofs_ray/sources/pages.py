@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data
 
 
@@ -50,7 +51,75 @@ def _derive_pages(batch: pa.Table, with_html: bool) -> pa.Table:
     return pa.table(cols)
 
 
-def pages_dataset(sf_dir: str, with_html: bool = False) -> ray.data.Dataset:
-    """Read `documents` and derive the pages table (streaming, no shuffle)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+REPLICA_STRIDE = 10_000_000  # page_key offset between replicas
+
+
+def pages_dataset(sf_dir: str, with_html: bool = False, replicate: int = 1,
+                  override_num_blocks: int | None = None) -> ray.data.Dataset:
+    """Read `documents` and derive the pages table (streaming, no shuffle).
+
+    ``replicate=R`` synthesizes an R×-larger corpus deterministically: each
+    replica re-keys ``doc_id + i*REPLICA_STRIDE``, which shifts hosts,
+    timestamps and geocodes — a legitimate larger sample of the same
+    distribution. Used by bench.py so throughput measures compute, not
+    fixed overhead on a 5k-row fixture; oracle-checked queries always run
+    replicate=1.
+    """
+    if replicate > 1:
+        import math
+
+        import pyarrow.parquet as pq
+
+        base = pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text", "lang"]).combine_chunks()
+        base_ref = ray.put(base)  # broadcast the (small) fixture table once
+        idx = base.column_names.index("doc_id")
+        per_task = max(1, math.ceil(32_768 / max(len(base), 1)))
+
+        def derive_replica_ids(b: pa.Table) -> pa.Table:
+            t = ray.get(base_ref)
+            parts = [
+                _derive_pages(t.set_column(idx, "doc_id",
+                                           pc.add(t["doc_id"],
+                                                  pa.scalar(int(i) * REPLICA_STRIDE, pa.int64()))),
+                              with_html)
+                for i in b["id"].to_pylist()
+            ]
+            return pa.concat_tables(parts)
+
+        # one small task per few replica ids — natural wide parallelism with
+        # bounded task outputs (no generator buffering pathologies)
+        ids = ray.data.range(replicate,
+                             override_num_blocks=max(1, replicate // per_task))
+        return ids.map_batches(derive_replica_ids, batch_format="pyarrow",
+                               batch_size=per_task)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"],
+                               override_num_blocks=override_num_blocks)
     return ds.map_batches(lambda b: _derive_pages(b, with_html), batch_format="pyarrow")
+
+
+def materialize_pages_parquet(sf_dir: str, out_dir: str, replicate: int = 1,
+                              num_files: int = 64) -> str:
+    """Write the derived pages corpus to a partitioned parquet layout once
+    (the shape a real deployment reads: WARC-derived parquet shards).
+    Idempotent: returns immediately if the layout exists."""
+    import os
+
+    done = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(done):
+        return out_dir
+    ds = pages_dataset(sf_dir, replicate=replicate)
+    ds.repartition(num_files).write_parquet(out_dir)
+    with open(done, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def pages_from_parquet(pages_dir: str, columns: list[str] | None = None,
+                       override_num_blocks: int | None = None) -> ray.data.Dataset:
+    """Read a materialized pages corpus (column-pruned at the source)."""
+    return ray.data.read_parquet(
+        pages_dir, columns=columns,
+        file_extensions=["parquet"],
+        override_num_blocks=override_num_blocks)

@@ -59,16 +59,33 @@ def partial_group_sums(
     return pa.table(out_cols)
 
 
+def auto_partitions() -> int:
+    """Shuffle partition count for *partial-combined* (key-bounded) data.
+
+    Ray's groupby inherits the upstream block count, so a 64-block read of a
+    tiny table pays a 64×64 shuffle of near-empty partitions (~5 s of pure
+    task scheduling). Partial outputs are bounded by key cardinality, not
+    input rows — coalesce them to a CPU-scaled count before the exchange.
+    Scales with the cluster: ~CPU/4 reduce partitions (hundreds on a
+    256-node cluster, each holding |keys|/N rows).
+    """
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, cpus // 4)
+
+
 def two_stage_cell_agg(
     ds: ray.data.Dataset,
     keys: Sequence[str] = ("cell_id",),
     int_sum_cols: Sequence[str] = ("n_chars",),
     count_name: str = "doc_count",
     batch_size: int = 65536,
+    agg_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """rows → one row per key with ``<count_name>`` and ``<col>_sum`` columns.
 
-    Partial combine in map_batches, then a small groupby-sum shuffle.
+    Partial combine in map_batches, coalesce the (key-bounded) partials,
+    then a small groupby-sum shuffle.
     """
     keys = list(keys)
     partial = ds.map_batches(
@@ -77,6 +94,7 @@ def two_stage_cell_agg(
         batch_size=batch_size,
         zero_copy_batch=True,
     )
+    partial = partial.repartition(agg_partitions or auto_partitions())
     sum_aggs = [Sum(f"{c}_sum", alias_name=f"{c}_sum") for c in int_sum_cols]
     sum_aggs.append(Sum(count_name, alias_name=count_name))
     return partial.groupby(keys).aggregate(*sum_aggs)

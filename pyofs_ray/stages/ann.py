@@ -91,7 +91,9 @@ def ann_topk_brute(ds: ray.data.Dataset, queries: pa.Table, k: int = 5,
         g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
         return g[["query_id", "vec_id", "rank"]]
 
-    return (sims.groupby("query_id")
+    from .agg import auto_partitions
+    return (sims.repartition(auto_partitions())
+                .groupby("query_id")
                 .map_groups(topk_group, batch_format="pandas")
                 .to_pandas())
 
@@ -185,5 +187,7 @@ def ann_topk_lsh(ds: ray.data.Dataset, queries: pa.Table, k: int = 5,
         return g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))[
             ["query_id", "vec_id", "rank"]]
 
-    return (sims.groupby("query_id")
+    from .agg import auto_partitions
+    return (sims.repartition(auto_partitions())
+                .groupby("query_id")
                 .map_groups(topk_group, batch_format="pandas").to_pandas())

@@ -40,7 +40,10 @@ def last_per_cell(ds: ray.data.Dataset, keys=("cell_id",),
         df = df.sort_values(keys + order_cols, kind="mergesort")
         return df.groupby(keys, as_index=False, sort=False).tail(1)
 
+    from .agg import auto_partitions
+
     cand = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    cand = cand.repartition(auto_partitions())
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(order_cols, kind="mergesort")
@@ -79,7 +82,10 @@ def neighbor_grad(cells: ray.data.Dataset, value_sum: str = "n_chars_sum",
             "contrib": pa.array(np.concatenate(contrib)),
         })
 
+    from .agg import auto_partitions
+
     emitted = cells.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+    emitted = emitted.repartition(auto_partitions())
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         out = {"cell_id": [g.cell_id.iloc[0]], "grad_x": [np.nan], "grad_y": [np.nan]}

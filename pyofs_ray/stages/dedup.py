@@ -50,7 +50,10 @@ def exact_dedup(ds: ray.data.Dataset, id_col: str = "doc_id",
             "cnt": g[f"{id_col}_count"].cast(pa.int64()),
         })
 
+    from .agg import auto_partitions
+
     agg = (ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+             .repartition(auto_partitions())
              .groupby("text_hash")
              .aggregate(Min("min_id", alias_name="doc_id"),
                         Sum("cnt", alias_name="dup_count")))

@@ -86,8 +86,11 @@ def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
                 "_side", pa.array(np.full(len(b), side, np.int8)))
         return fn
 
+    from .agg import auto_partitions
+
     both = left.map_batches(tag(0), batch_format="pyarrow").union(
         right.map_batches(tag(1), batch_format="pyarrow"))
+    both = both.repartition(max(auto_partitions(), num_buckets // 4))
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g._side == 0][lcols]

@@ -1,0 +1,132 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, decoded and
+feature-extracted in actor-pool stages.
+
+The Ray-side plumbing (schema, batch sizing, actor signature, output layout)
+is real and tested; the *codec* itself is pluggable because image/audio
+libraries are not in this container:
+
+- ``decoder="pil"`` / ``"ffmpeg"`` raise ``NotImplementedError`` with the
+  exact dependency needed (clearly-marked stubs);
+- ``decoder="fake"`` (default in tests) parses the deterministic FAKE1
+  container produced by ``synth_media_batch`` — a 16-byte header
+  ``b"FAKE1" + width:u32 + height:u32 + seed:u24`` followed by row-major
+  u8 pixels — so decode → resize → feature-extract run real vectorized
+  numpy on real bytes.
+
+Scale notes: media bytes are huge relative to metadata (SURVEY.md §7.4
+"very wide rows"), so stages keep ``batch_size`` small (256 default), never
+shuffle the binary column, and emit compact fixed-size features; the decode
+pool's ``concurrency × num_cpus`` is the knob that sizes codec throughput
+to the node.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+MAGIC = b"FAKE1"
+HEADER = len(MAGIC) + 4 + 4 + 3
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("media_type", pa.string()),      # "image/fake" in fixtures
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+    ("payload", pa.binary()),
+])
+
+
+def synth_media_batch(b: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Deterministic media fixture: one FAKE1 image per input row, sized by
+    the row id (heavy-tailed: every 17th row is 8× larger)."""
+    ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    payloads = []
+    ws, hs = [], []
+    for i in ids:
+        w = 16 + int(i % 13) * 4
+        h = 12 + int(i % 7) * 4
+        if i % 17 == 0:
+            w, h = w * 8, h * 2
+        seed = int(i) % (1 << 24)
+        # pixel[r, c] = (r * 31 + c * 7 + seed) mod 256 — pure arithmetic
+        r = np.arange(h, dtype=np.uint32)[:, None] * 31
+        c = np.arange(w, dtype=np.uint32)[None, :] * 7
+        px = ((r + c + seed) % 256).astype(np.uint8)
+        head = MAGIC + int(w).to_bytes(4, "little") + int(h).to_bytes(4, "little") \
+            + seed.to_bytes(3, "little")
+        payloads.append(head + px.tobytes())
+        ws.append(w)
+        hs.append(h)
+    return pa.table({
+        "media_id": pa.array(ids),
+        "media_type": pa.array(["image/fake"] * len(ids)),
+        "width": pa.array(np.array(ws, np.int32)),
+        "height": pa.array(np.array(hs, np.int32)),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+
+
+def _decode_fake(payload: bytes) -> np.ndarray:
+    if payload[:5] != MAGIC:
+        raise ValueError("not a FAKE1 container")
+    w = int.from_bytes(payload[5:9], "little")
+    h = int.from_bytes(payload[9:13], "little")
+    px = np.frombuffer(payload, dtype=np.uint8, offset=HEADER, count=w * h)
+    return px.reshape(h, w)
+
+
+class MediaDecoder:
+    """Actor-pool stage: payload → decoded features (mean/std/histogram) and
+    an optional ``resize`` to a fixed thumbnail for downstream models."""
+
+    def __init__(self, decoder: str = "fake", resize: tuple[int, int] | None = (8, 8)):
+        if decoder == "pil":
+            raise NotImplementedError(
+                "image decode requires Pillow, not available in this container; "
+                "use decoder='fake' (FAKE1 fixture codec) or install PIL")
+        if decoder == "ffmpeg":
+            raise NotImplementedError(
+                "audio/video decode requires ffmpeg bindings, not available here")
+        if decoder != "fake":
+            raise ValueError(f"unknown decoder {decoder!r}")
+        self.resize = resize
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        payloads = b["payload"].to_pylist()
+        means = np.empty(len(payloads), np.float64)
+        stds = np.empty(len(payloads), np.float64)
+        thumbs = []
+        for i, p in enumerate(payloads):
+            img = _decode_fake(p)
+            means[i] = img.mean()
+            stds[i] = img.std()
+            if self.resize:
+                th, tw = self.resize
+                ry = np.linspace(0, img.shape[0] - 1, th).astype(np.int64)
+                rx = np.linspace(0, img.shape[1] - 1, tw).astype(np.int64)
+                thumbs.append(img[np.ix_(ry, rx)].astype(np.float32).ravel())
+        out = pa.table({
+            "media_id": b["media_id"],
+            "px_mean": pa.array(means),
+            "px_std": pa.array(stds),
+        })
+        if self.resize:
+            out = out.append_column(
+                "thumb", pa.array(list(thumbs), pa.list_(pa.float32())))
+        return out
+
+
+def decode_media(ds: ray.data.Dataset, decoder: str = "fake",
+                 resize: tuple[int, int] | None = (8, 8),
+                 batch_size: int = 256, concurrency=(2, 8)) -> ray.data.Dataset:
+    """Decode/feature-extract a media Dataset (small batches: wide rows)."""
+    return ds.map_batches(
+        MediaDecoder,
+        fn_constructor_kwargs={"decoder": decoder, "resize": resize},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -32,12 +32,19 @@ from ..core import geom
 from .agg import add_mean_column
 
 
-def _rekey_to_parent(batch: pa.Table, dz: int, sum_cols: Sequence[str]) -> pa.Table:
+def _emit_all_levels(batch: pa.Table, z_base: int, z_min: int,
+                     sum_cols: Sequence[str]) -> pa.Table:
+    """Per base cell, emit one partial row per pyramid level (parent rekey),
+    combined within the batch — the whole cascade becomes ONE shuffle whose
+    input is ≤ (#levels × #base cells) pre-combined rows."""
     cell = batch["cell_id"].to_numpy(zero_copy_only=False)
-    parent = geom.parent_cell(cell, dz)
-    t = batch.set_column(batch.column_names.index("cell_id"), "cell_id", pa.array(parent, pa.int64()))
-    # partial combine within the batch before the shuffle
-    g = t.select(["cell_id", *sum_cols]).group_by("cell_id").aggregate([(c, "sum") for c in sum_cols])
+    parts = []
+    for dz in range(0, z_base - z_min + 1):
+        key = cell if dz == 0 else geom.parent_cell(cell, dz)
+        parts.append(pa.table({"cell_id": pa.array(key, pa.int64()),
+                               **{c: batch[c] for c in sum_cols}}))
+    t = pa.concat_tables(parts)
+    g = t.group_by("cell_id").aggregate([(c, "sum") for c in sum_cols])
     return pa.table({"cell_id": g["cell_id"],
                      **{c: g[f"{c}_sum"].cast(pa.int64()) for c in sum_cols}})
 
@@ -59,22 +66,21 @@ def build_pyramid(
     """Per-cell base aggregates → all pyramid levels z_base..z_min, with
     ``agg_value = value_sum / doc_count`` per tile (exact int sums).
 
-    Each level is **materialized** before feeding the next: levels are tiny
-    (≤ #distinct cells rows, shrinking 4× per zoom-out) and Ray Data would
-    otherwise re-execute the shared upstream lineage once per level when the
-    final union runs. The full-size input is streamed exactly once (into
-    ``base_cells``); only per-cell partials are ever pinned.
+    Single-shuffle cascade: every batch of base cells emits its partial rows
+    for ALL levels (rekeyed to each ancestor, combined within the batch),
+    then one groupby-sum finishes every level at once. A naive level-by-level
+    cascade costs (#levels) sequential shuffles with fixed per-exchange
+    latency; here the exchange volume is the same geometric series but paid
+    in one all-to-all. ``cell_id`` embeds z, so one key spans the pyramid.
     """
-    levels = [base_cells.select_columns(["cell_id", *sum_cols]).materialize()]
-    cur = levels[0]
-    for z in range(z_base - 1, z_min - 1, -1):
-        cur = (cur.map_batches(lambda b: _rekey_to_parent(b, 1, sum_cols),
-                               batch_format="pyarrow", zero_copy_batch=True)
-                  .groupby("cell_id")
-                  .aggregate(*[Sum(c, alias_name=c) for c in sum_cols])
-                  .materialize())
-        levels.append(cur)
-    tiles = levels[0].union(*levels[1:])
+    from .agg import auto_partitions
+
+    emitted = base_cells.select_columns(["cell_id", *sum_cols]).map_batches(
+        lambda b: _emit_all_levels(b, z_base, z_min, sum_cols),
+        batch_format="pyarrow", zero_copy_batch=True)
+    tiles = (emitted.repartition(auto_partitions())
+             .groupby("cell_id")
+             .aggregate(*[Sum(c, alias_name=c) for c in sum_cols]))
     tiles = tiles.map_batches(_attach_zxy, batch_format="pyarrow", zero_copy_batch=True)
     return tiles.map_batches(
         lambda b: add_mean_column(b, value_sum, "doc_count", "agg_value"),

@@ -1,0 +1,154 @@
+"""Particle / contour advection — the iterative dataflow-with-state operator
+(SURVEY.md §2.7, `main/tracking/particle_contour.py`).
+
+Reference semantics re-created Ray-Data-first:
+
+- the **velocity field** (the reference's synthetic Rankine vortex,
+  `particle_contour.py:118-192`, and interpolated NetCDF cubes) lives in an
+  actor pool — built once per actor in ``__init__`` (ST4);
+- **particles are the Dataset**: rows (particle_id, x, y); each RK step is
+  one ``map_batches`` pass through the field actors (P1,
+  `particle_contour.py:596-648` Particle.step / `:761-811` vectorized
+  contour step);
+- the **driver loop** plays `track_contour` (`:997-1028`): N fine steps,
+  snapshot every coarse interval, snapshots unioned into one output
+  Dataset (P3);
+- seeds come from deterministic circle/rectangle generators (P4,
+  `:853-966`).
+
+NaN-velocity → zero-vector matches `particle_contour.py:617-621`.
+RK orders 1/2/4 supported (reference `order=4` default, `:1077`).
+
+State lives in the rows, not the actors — actors hold only the immutable
+field, so actor failure/rebuild is deterministic and steps are pure
+functions: the whole loop is resumable from any snapshot.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+class RankineVortexField:
+    """Synthetic rotational field: solid-body core, 1/r tail (the
+    `particle_contour.py:118-192` RankineVortex analogue, planar meters)."""
+
+    def __init__(self, center=(0.0, 0.0), radius: float = 1000.0,
+                 period: float = 3600.0):
+        self.cx, self.cy = center
+        self.radius = radius
+        self.omega = 2 * math.pi / period
+
+    def velocity(self, x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        dx, dy = x - self.cx, y - self.cy
+        r = np.sqrt(dx * dx + dy * dy)
+        vmag = np.where(r <= self.radius, self.omega * r,
+                        self.omega * self.radius**2 / np.where(r == 0, 1, r))
+        theta = np.arctan2(dy, dx)
+        u = -vmag * np.sin(theta)
+        v = vmag * np.cos(theta)
+        return np.nan_to_num(u), np.nan_to_num(v)
+
+
+class AdvectStep:
+    """Actor: one RK step of every particle batch through the held field."""
+
+    def __init__(self, field=None, dt: float = 60.0, order: int = 4):
+        self.field = field if field is not None else RankineVortexField()
+        self.dt = dt
+        if order not in (1, 2, 4):
+            raise ValueError("RK order must be 1, 2 or 4")
+        self.order = order
+
+    def _vel(self, x, y):
+        u, v = self.field.velocity(x, y)
+        return np.nan_to_num(u), np.nan_to_num(v)  # NaN → zero vector
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        x = b["x"].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = b["y"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dt = self.dt
+        if self.order == 1:
+            u, v = self._vel(x, y)
+            nx, ny = x + u * dt, y + v * dt
+        elif self.order == 2:
+            u1, v1 = self._vel(x, y)
+            u2, v2 = self._vel(x + u1 * dt / 2, y + v1 * dt / 2)
+            nx, ny = x + u2 * dt, y + v2 * dt
+        else:
+            u1, v1 = self._vel(x, y)
+            u2, v2 = self._vel(x + u1 * dt / 2, y + v1 * dt / 2)
+            u3, v3 = self._vel(x + u2 * dt / 2, y + v2 * dt / 2)
+            u4, v4 = self._vel(x + u3 * dt, y + v3 * dt)
+            nx = x + (u1 + 2 * u2 + 2 * u3 + u4) * dt / 6
+            ny = y + (v1 + 2 * v2 + 2 * v3 + v4) * dt / 6
+        return (b.drop_columns(["x", "y"])
+                 .append_column("x", pa.array(nx))
+                 .append_column("y", pa.array(ny)))
+
+
+def circle_seeds(n: int, center=(0.0, 0.0), radius: float = 500.0) -> pa.Table:
+    """Equally-spaced ring of seed particles (P4 `circle_of_points`)."""
+    ang = 2 * np.pi * np.arange(n) / n
+    return pa.table({
+        "particle_id": pa.array(np.arange(n, dtype=np.int64)),
+        "x": pa.array(center[0] + radius * np.cos(ang)),
+        "y": pa.array(center[1] + radius * np.sin(ang)),
+    })
+
+
+def track(seeds: pa.Table, field=None, dt: float = 60.0, steps: int = 60,
+          snapshot_every: int = 10, order: int = 4,
+          use_actors: bool = False, concurrency=(1, 4)) -> ray.data.Dataset:
+    """Driver loop: advect the particle Dataset ``steps`` times, snapshot
+    every ``snapshot_every`` steps; returns the unioned snapshot Dataset
+    (step, particle_id, x, y).
+
+    ``use_actors=True`` holds the field in an actor pool (the ST4 pattern —
+    required when the field is a large interpolated cube); the default runs
+    the stepper as stateless tasks, correct for cheap closed-form fields
+    (the per-step map_batches would otherwise respawn an actor pool every
+    iteration of the driver loop).
+    """
+    ds = ray.data.from_arrow(seeds)
+    snaps = []
+
+    def stamp(step: int):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.append_column("step", pa.array(np.full(len(b), step, np.int64)))
+        return fn
+
+    stepper = AdvectStep(field=field, dt=dt, order=order)
+    snaps.append(ds.map_batches(stamp(0), batch_format="pyarrow").materialize())
+    for s in range(1, steps + 1):
+        if use_actors:
+            stepped = ds.map_batches(
+                AdvectStep,
+                fn_constructor_kwargs={"field": field, "dt": dt, "order": order},
+                batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
+        else:
+            stepped = ds.map_batches(stepper, batch_format="pyarrow")
+        ds = stepped.materialize()  # pin each step: the loop re-enters the same data
+        if s % snapshot_every == 0:
+            snaps.append(ds.map_batches(stamp(s), batch_format="pyarrow").materialize())
+    out = snaps[0]
+    if len(snaps) > 1:
+        out = out.union(*snaps[1:])
+    return out
+
+
+def contour_measures(snapshot: pa.Table) -> dict:
+    """area (shoelace) + perimeter of an ordered particle ring — the
+    `utilities.py:357-380` / `particle_contour.py:834-841` analogue."""
+    import pandas as pd
+    df = snapshot.to_pandas().sort_values("particle_id")
+    x = df.x.to_numpy()
+    y = df.y.to_numpy()
+    x2, y2 = np.roll(x, -1), np.roll(y, -1)
+    area = 0.5 * abs(float(np.sum(x * y2 - x2 * y)))
+    perim = float(np.sum(np.sqrt((x2 - x) ** 2 + (y2 - y) ** 2)))
+    return {"area": area, "perimeter": perim}
