@@ -92,12 +92,13 @@ def run_bench() -> dict:
     headline(pages_dir)
     headline_sec = time.perf_counter() - t0
 
-    from pyofs_ray.registry import QUERIES
     qtimes = {}
-    for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        _consume(QUERIES[name](SF_DIR))
-        qtimes[name] = round(time.perf_counter() - t0, 3)
+    if os.environ.get("GRAFT_HEADLINE_ONLY") != "1":
+        from pyofs_ray.registry import QUERIES
+        for name in BENCH_QUERIES:
+            t0 = time.perf_counter()
+            _consume(QUERIES[name](SF_DIR))
+            qtimes[name] = round(time.perf_counter() - t0, 3)
 
     ray.shutdown()
     return {
@@ -124,8 +125,11 @@ def run_scaling() -> dict:
     lo_n = int(os.environ.get("GRAFT_SCALE_LO", "2"))
     hi_n = int(os.environ.get("GRAFT_SCALE_HI", "8"))
 
+    scale_rep = os.environ.get("GRAFT_SCALE_REPLICATE", "2000")
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1",
+                   GRAFT_BENCH_REPLICATE=scale_rep)
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])

@@ -93,10 +93,9 @@ def flagship_from_pages(pages_dir: str, z_base: int = geom.BASE_ZOOM,
     from ..sources.pages import pages_from_parquet
     from ..stages.pip import pip_join
 
-    ds = pages_from_parquet(pages_dir, columns=["url", "text"],
+    ds = pages_from_parquet(pages_dir, columns=["url", "n_chars"],
                             override_num_blocks=override_num_blocks)
     ds = geocode(ds, zoom=z_base)
-    ds = ds.map_batches(_attach_n_chars, batch_format="pyarrow", zero_copy_batch=True)
     ds = ds.select_columns(["cell_id", "n_chars", "lon_milli", "lat_milli"])
     ds = pip_join(ds, mode="semi").select_columns(["cell_id", "n_chars"])
     base = two_stage_cell_agg(ds, keys=("cell_id",), int_sum_cols=("n_chars",))

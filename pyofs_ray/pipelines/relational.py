@@ -263,3 +263,47 @@ SELECT user_id,
 FROM events WHERE value IS NOT NULL
 GROUP BY user_id
 """
+
+
+# ----------------------------------------- 10-minute rounding (M13 analogue)
+def events_ten_min(sf_dir: str) -> ray.data.Dataset:
+    """Events bucketed to 10-minute windows (`round_to_ten_minutes`,
+    `PyOFS/__init__.py:136-151`) — time-bucket key = floor(ts, 10min)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b["ts"].cast(pa.int64())  # µs since epoch
+        ten = 600_000_000
+        bucket = pc.multiply(pc.divide(t, ten), ten).cast(pa.timestamp("us"))
+        return pa.table({"bucket": bucket, "event_type": b["event_type"]})
+
+    return two_stage_cell_agg(ds.map_batches(prep, batch_format="pyarrow"),
+                              keys=("bucket", "event_type"), int_sum_cols=(),
+                              count_name="n_events")
+
+
+EVENTS_TEN_MIN_SQL = """
+SELECT to_timestamp((epoch_us(ts) // 600000000) * 600000000 / 1000000)::TIMESTAMP AS bucket,
+       event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------- quality filter (M11 analogue)
+def quality_filter(sf_dir: str) -> ray.data.Dataset:
+    """DOP-threshold analogue (`hf_radar.py:567-587`): drop documents whose
+    quality metrics fall outside thresholds; returns surviving doc ids with
+    the metrics that justified them."""
+    from ..stages.text import text_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def filt(b: pa.Table) -> pa.Table:
+        b = text_stats(b)
+        keep = pc.and_(pc.greater_equal(b["n_tokens"], 20),
+                       pc.less(b["punct_ratio"], 0.05))
+        return b.filter(keep).select(["doc_id", "n_tokens", "punct_ratio"])
+
+    return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)

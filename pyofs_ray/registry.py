@@ -194,3 +194,30 @@ def _particle_track(sf_dir: str):
 
 register("media_features", _media_features)     # rows-only (binary decode)
 register("particle_track", _particle_track)     # rows-only (iterative state)
+
+register("rel_events_ten_min", relational.events_ten_min,
+         relational.EVENTS_TEN_MIN_SQL)
+
+from .core.sqlgen_text import text_stats_select as _tss  # noqa: E402
+
+register(
+    "quality_filter", relational.quality_filter,
+    """SELECT doc_id, n_tokens, punct_ratio FROM (
+  SELECT doc_id, """ + _tss() + """
+  FROM documents
+) WHERE n_tokens >= 20 AND punct_ratio < 0.05""",
+)
+
+
+# --------------------------------------------------- bilinear interp (J3)
+from .stages.interp import bilinear_cells, bilinear_sql  # noqa: E402
+
+
+def _bilinear(sf_dir: str):
+    ds = flagship.geocoded_pages(sf_dir).select_columns(
+        ["lon_milli", "lat_milli", "n_chars"])
+    return bilinear_cells(ds)
+
+
+register("bilinear_cells", _bilinear,
+         f"{sqlgen.pages_prefix()},{bilinear_sql()}")

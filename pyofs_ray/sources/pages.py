@@ -110,6 +110,12 @@ def materialize_pages_parquet(sf_dir: str, out_dir: str, replicate: int = 1,
     if os.path.exists(done):
         return out_dir
     ds = pages_dataset(sf_dir, replicate=replicate)
+    # ingest-time enrichment: store n_chars so length-only pipelines can
+    # prune the text column at the read (PyOFS stores derived variables the
+    # same way); text itself stays byte-identical in the layout.
+    ds = ds.map_batches(
+        lambda b: b.append_column("n_chars", pc.utf8_length(b["text"]).cast(pa.int64())),
+        batch_format="pyarrow", zero_copy_batch=True)
     ds.repartition(num_files).write_parquet(out_dir)
     with open(done, "w") as f:
         f.write("ok")

@@ -81,7 +81,7 @@ def ann_topk_brute(ds: ray.data.Dataset, queries: pa.Table, k: int = 5,
     sims = ds.map_batches(
         BruteForceTopK,
         fn_constructor_kwargs={"queries_ref": ref, "k": k},
-        batch_format="pyarrow", concurrency=(2, 8), num_cpus=1,
+        batch_format="pyarrow", concurrency=(1, 8), num_cpus=1,
         zero_copy_batch=True)
 
     def topk_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -178,7 +178,7 @@ def ann_topk_lsh(ds: ray.data.Dataset, queries: pa.Table, k: int = 5,
                              "sim": pa.array(np.concatenate(out_s))})
 
     sims = ds.map_batches(Probe, batch_format="pyarrow",
-                          concurrency=(2, 8), num_cpus=1, zero_copy_batch=True)
+                          concurrency=(1, 8), num_cpus=1, zero_copy_batch=True)
 
     def topk_group(g: pd.DataFrame) -> pd.DataFrame:
         if exclude_self:

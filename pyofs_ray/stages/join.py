@@ -39,7 +39,7 @@ class BroadcastJoiner:
 
 
 def broadcast_join(ds: ray.data.Dataset, small: pa.Table, keys: Sequence[str],
-                   join_type: str = "inner", concurrency=(2, 8),
+                   join_type: str = "inner", concurrency=(1, 8),
                    batch_size: int = 65536) -> ray.data.Dataset:
     ref = ray.put(small)
     return ds.map_batches(

@@ -148,7 +148,7 @@ class KNNJoiner:
 
 
 def knn_join(ds: ray.data.Dataset, station_rows: list[dict] | None = None, k: int = 3,
-             kernel: str = "rings", concurrency=(2, 8), batch_size: int = 65536) -> ray.data.Dataset:
+             kernel: str = "rings", concurrency=(1, 8), batch_size: int = 65536) -> ray.data.Dataset:
     ref = ray.put(station_rows if station_rows is not None else fixture_stations())
     return ds.map_batches(
         KNNJoiner,

@@ -120,7 +120,7 @@ class MediaDecoder:
 
 def decode_media(ds: ray.data.Dataset, decoder: str = "fake",
                  resize: tuple[int, int] | None = (8, 8),
-                 batch_size: int = 256, concurrency=(2, 8)) -> ray.data.Dataset:
+                 batch_size: int = 256, concurrency=(1, 8)) -> ray.data.Dataset:
     """Decode/feature-extract a media Dataset (small batches: wide rows)."""
     return ds.map_batches(
         MediaDecoder,

@@ -132,16 +132,50 @@ class PIPJoiner:
         return batch.filter(pa.array(keep))
 
 
+# Per-worker-process index memo for the stateless-task fast path: Ray reuses
+# worker processes across tasks and datasets within a session, so the index is
+# built once per worker without paying an actor-pool spawn per pipeline.
+_INDEX_MEMO: dict[str, PolygonIndex] = {}
+
+
+def _memo_index(polygons_ref) -> PolygonIndex:
+    key = polygons_ref.hex()
+    idx = _INDEX_MEMO.get(key)
+    if idx is None:
+        idx = PolygonIndex(ray.get(polygons_ref))
+        _INDEX_MEMO.clear()  # keep at most one (bounded memory)
+        _INDEX_MEMO[key] = idx
+    return idx
+
+
 def pip_join(ds: ray.data.Dataset, polygons: list[Polygon] | None = None,
-             mode: str = "inner", concurrency=(2, 8), batch_size: int = 65536) -> ray.data.Dataset:
-    """Join a geocoded pages Dataset against the polygon set (actor pool)."""
+             mode: str = "inner", compute: str = "tasks",
+             concurrency=(1, 8), batch_size: int = 65536) -> ray.data.Dataset:
+    """Join a geocoded pages Dataset against the polygon set.
+
+    ``compute="tasks"`` (default): stateless tasks with a per-worker memoized
+    index — right when the index is cheap to build (broadcast table is
+    small); no actor pool to spawn per pipeline run. ``compute="actors"``:
+    the ST1/ST2 actor-pool pattern — required when the index build itself is
+    expensive (say 10⁵+ polygons) and worth pinning to few processes.
+    """
     ref = ray.put(polygons if polygons is not None else study_polygons())
-    return ds.map_batches(
-        PIPJoiner,
-        fn_constructor_kwargs={"polygons_ref": ref, "mode": mode},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
-        zero_copy_batch=True,
-    )
+    if compute == "actors":
+        return ds.map_batches(
+            PIPJoiner,
+            fn_constructor_kwargs={"polygons_ref": ref, "mode": mode},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+            zero_copy_batch=True,
+        )
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        joiner = PIPJoiner.__new__(PIPJoiner)
+        joiner.index = _memo_index(ref)
+        joiner.mode = mode
+        return joiner(batch)
+
+    return ds.map_batches(join_batch, batch_format="pyarrow",
+                          batch_size=batch_size, zero_copy_batch=True)

@@ -32,3 +32,21 @@ def test_broadcast_join_semi_anti():
     assert sorted(anti.k) == [1, 3]
     inner = broadcast_join(left, small, keys=["k"], join_type="inner").to_pandas()
     assert sorted(inner.columns) == ["k", "v", "w"] and len(inner) == 2
+
+
+def test_new_query_oracles(duck_smoke):
+    for name in ("rel_events_ten_min", "quality_filter", "bilinear_cells"):
+        assert_matches_oracle(QUERIES[name](SF_SMOKE), duck_smoke, ORACLES[name])
+
+
+def test_bilinear_weights_sum_to_q2():
+    import numpy as np
+
+    from pyofs_ray.core import geom
+    from pyofs_ray.stages.interp import Q, _axis_corners
+
+    lon = np.array([-180000, -1, 0, 179999, 42_500], np.int64)
+    i0, w0, w1 = _axis_corners(lon + geom.LON_OFFSET, 10, geom.LON_RANGE, 0)
+    assert ((w0 + w1) == Q).all()
+    n = 1 << 10
+    assert i0.min() >= 0 and i0.max() <= n - 2
