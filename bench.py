@@ -84,9 +84,9 @@ def run_bench() -> dict:
             with open(os.path.join(root, fn), "rb") as f:
                 while f.read(1 << 24):
                     pass
-    # warm the Ray worker pool (process spawn + imports), untimed
-    from pyofs_ray.pipelines.flagship import flagship
-    _consume(flagship(SF_DIR, replicate=1))
+    # steady-state: one untimed full headline pass warms the worker pool,
+    # the parquet reader path and the page cache end-to-end
+    headline(pages_dir)
 
     t0 = time.perf_counter()
     headline(pages_dir)

@@ -28,8 +28,14 @@ from ..core import geom
 
 def last_per_cell(ds: ray.data.Dataset, keys=("cell_id",),
                   order_cols=("warc_ts", "page_key"),
-                  payload_cols=("page_key", "warc_ts", "lang")) -> ray.data.Dataset:
-    """One row per cell: the payload of the max-(order_cols) row."""
+                  payload_cols=("page_key", "warc_ts", "lang"),
+                  final_mode: str = "small") -> ray.data.Dataset:
+    """One row per cell: the payload of the max-(order_cols) row.
+
+    ``final_mode="small"`` (default) finishes with a coalesced vectorized
+    pass — right when distinct keys fit one task (≲10⁷ cells).
+    ``"grouped"`` shuffles candidates by key instead (unbounded keys).
+    """
     keys = list(keys)
     order_cols = list(order_cols)
     payload_cols = list(payload_cols)
@@ -43,14 +49,23 @@ def last_per_cell(ds: ray.data.Dataset, keys=("cell_id",),
     from .agg import auto_partitions
 
     cand = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    cand = cand.repartition(auto_partitions())
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_cols, kind="mergesort")
-        return g.tail(1)
+    # candidates are key-bounded (≤ |keys| rows per input batch). The final
+    # reduce is the same vectorized sort+tail, applied once more per
+    # candidate partition and then across partitions — argmax under a total
+    # order is associative, so two passes suffice and no per-group Python
+    # function runs (map_groups costs ~0.5 ms/group; cells can be millions).
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(keys + order_cols, kind="mergesort")
+        return df.groupby(keys, as_index=False, sort=False).tail(1)
 
-    return cand.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
+    if final_mode == "grouped":
+        return (cand.repartition(auto_partitions())
+                    .groupby(keys[0] if len(keys) == 1 else keys)
+                    .map_groups(lambda g: final(g), batch_format="pandas"))
+    cand = cand.repartition(auto_partitions()).map_batches(
         final, batch_format="pandas")
+    return cand.repartition(1).map_batches(final, batch_format="pandas")
 
 
 def neighbor_grad(cells: ray.data.Dataset, value_sum: str = "n_chars_sum",
