@@ -78,11 +78,12 @@ def flagship(sf_dir: str, z_base: int = geom.BASE_ZOOM, replicate: int = 1,
     plan; the corpus is read and geocoded exactly once."""
     from ..stages.pip import pip_join
 
+    from ..stages.tiles import pyramid_from_rows
+
     ds = geocoded_pages(sf_dir, z_base, replicate, override_num_blocks)
     ds = ds.select_columns(["cell_id", "n_chars", "lon_milli", "lat_milli"])
     ds = pip_join(ds, mode="semi").select_columns(["cell_id", "n_chars"])
-    base = two_stage_cell_agg(ds, keys=("cell_id",), int_sum_cols=("n_chars",))
-    return build_pyramid(base, z_base=z_base, z_min=0)
+    return pyramid_from_rows(ds, z_base=z_base, z_min=0)
 
 
 def flagship_from_pages(pages_dir: str, z_base: int = geom.BASE_ZOOM,
@@ -93,13 +94,14 @@ def flagship_from_pages(pages_dir: str, z_base: int = geom.BASE_ZOOM,
     from ..sources.pages import pages_from_parquet
     from ..stages.pip import pip_join
 
+    from ..stages.tiles import pyramid_from_rows
+
     ds = pages_from_parquet(pages_dir, columns=["url", "n_chars"],
                             override_num_blocks=override_num_blocks)
     ds = geocode(ds, zoom=z_base)
     ds = ds.select_columns(["cell_id", "n_chars", "lon_milli", "lat_milli"])
     ds = pip_join(ds, mode="semi").select_columns(["cell_id", "n_chars"])
-    base = two_stage_cell_agg(ds, keys=("cell_id",), int_sum_cols=("n_chars",))
-    return build_pyramid(base, z_base=z_base, z_min=0)
+    return pyramid_from_rows(ds, z_base=z_base, z_min=0)
 
 
 # --------------------------------------------------- checkpointed execution

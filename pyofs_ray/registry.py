@@ -221,3 +221,11 @@ def _bilinear(sf_dir: str):
 
 register("bilinear_cells", _bilinear,
          f"{sqlgen.pages_prefix()},{bilinear_sql()}")
+
+
+# -------------------------------------------- windows / sessions (streaming-shaped)
+from .pipelines import windows  # noqa: E402
+
+register("events_sessionize", windows.sessionize, windows.SESSIONIZE_SQL)
+register("top_order_per_customer", windows.top_order_per_customer,
+         windows.TOP_ORDER_PER_CUSTOMER_SQL)

@@ -87,6 +87,56 @@ def build_pyramid(
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def pyramid_from_rows(ds: ray.data.Dataset, z_base: int = geom.BASE_ZOOM,
+                      z_min: int = 0, value_col: str = "n_chars",
+                      batch_size: int = 65536,
+                      agg_partitions: int | None = None) -> ray.data.Dataset:
+    """Raw (cell_id, value) rows → the COMPLETE tile pyramid in ONE shuffle.
+
+    The per-batch partial combines rows per base cell, rekeys the combined
+    partials to every ancestor level, and combines again — so the single
+    groupby receives ≤ (#levels × #cells-per-batch) pre-reduced rows and
+    produces base + all overview levels at once. This replaces base-agg +
+    per-level cascade (N all-to-alls) with one exchange: in this Ray
+    version each extra all-to-all in a plan costs seconds of fixed
+    scheduling wall regardless of data volume, and at cluster scale each
+    is a full barrier.
+    """
+    from .agg import auto_partitions, partial_group_sums
+
+    sum_cols = [f"{value_col}_sum", "doc_count"]
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = partial_group_sums(b, ["cell_id"], [value_col])
+        return _emit_all_levels(g, z_base, z_min, sum_cols)
+
+    emitted = ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=batch_size, zero_copy_batch=True)
+    # Final combine: the partial stream is bounded by the GRID, not the
+    # corpus — ≤ (4/3)·4^z_base rows total (≈1.4M at z=10) no matter how
+    # many documents flowed in. A single coalesced Arrow group_by therefore
+    # replaces the sort-based all-to-all (which costs seconds of fixed wall
+    # per exchange in this Ray version) and stays scale-correct for
+    # z_base ≤ ~12; pass agg_partitions to shuffle-reduce instead for
+    # finer grids where one task can't hold the cell table.
+    if agg_partitions:
+        tiles = (emitted.repartition(agg_partitions)
+                 .groupby("cell_id")
+                 .aggregate(*[Sum(c, alias_name=c) for c in sum_cols]))
+    else:
+        def combine(b: pa.Table) -> pa.Table:
+            g = b.group_by("cell_id").aggregate([(c, "sum") for c in sum_cols])
+            return pa.table({"cell_id": g["cell_id"],
+                             **{c: g[f"{c}_sum"].cast(pa.int64()) for c in sum_cols}})
+
+        tiles = emitted.repartition(1).map_batches(
+            combine, batch_format="pyarrow", zero_copy_batch=True)
+    tiles = tiles.map_batches(_attach_zxy, batch_format="pyarrow", zero_copy_batch=True)
+    return tiles.map_batches(
+        lambda b: add_mean_column(b, sum_cols[0], "doc_count", "agg_value"),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def tiles_to_cells(tiles: ray.data.Dataset) -> ray.data.Dataset:
     """raster→vector: tile rows back to per-cell records (pass-through of the
     packed id plus unpacked coordinates — the `wcofs.py:713-835` record
