@@ -80,3 +80,11 @@ SELECT query_id, vec_id, rank FROM (
   WHERE e.vec_id != q.vec_id
 ) WHERE rank <= {TOPK}
 """
+
+
+def embedding_dup_pairs(sf_dir: str):
+    """Embedding-cosine near-dup pairs over the embeddings table (the corpus
+    has no true dups at τ=0.95 — injected-dup behavior is unit-tested)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return ann.embedding_dup_pairs(ds, threshold=0.95)

@@ -229,3 +229,19 @@ from .pipelines import windows  # noqa: E402
 register("events_sessionize", windows.sessionize, windows.SESSIONIZE_SQL)
 register("top_order_per_customer", windows.top_order_per_customer,
          windows.TOP_ORDER_PER_CUSTOMER_SQL)
+
+
+# ---------------------------------------- byte-identity audit (north_rule)
+def _pages_passthrough(sf_dir: str):
+    """text must be byte-identical per url after flowing through the full
+    geocode pipeline (north_rule invariant; `input_hint`)."""
+    ds = flagship.geocoded_pages(sf_dir)
+    return ds.select_columns(["url", "text"])
+
+
+register(
+    "pages_passthrough",
+    _pages_passthrough,
+    f"{sqlgen.pages_prefix()}\nSELECT url, text FROM pages",
+)
+register("embedding_dup_pairs", corpus.embedding_dup_pairs)  # rows-only (LSH)

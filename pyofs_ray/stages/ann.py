@@ -119,6 +119,53 @@ def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return keys
 
 
+def embedding_dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
+                        dim: int | None = None) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold).
+
+    Scale path: vectors land in sign-LSH buckets (near-identical vectors
+    agree on every plane with prob → 1), pairs are enumerated within each
+    bucket and **exactly verified** by true cosine — precision exact, recall
+    the standard LSH guarantee (high for genuine near-dups; each pair is
+    caught if it shares any of the probed buckets).
+    """
+    if dim is None:
+        first = ds.take_batch(1, batch_format="pyarrow")
+        dim = len(first["embedding"][0].as_py())
+    planes = _hyperplanes(dim)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        m = _normalize(_embedding_matrix(b))
+        keys = _bucket_of(m, planes)
+        return pa.table({"vec_id": b["vec_id"], "bucket": pa.array(keys),
+                         "embedding": b["embedding"]})
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64),
+                                 "cosine": pd.Series([], dtype=float)})
+        g = g.sort_values("vec_id")
+        ids = g.vec_id.to_numpy()
+        m = _normalize(np.stack(g.embedding.to_numpy()).astype(np.float64))
+        sims = m @ m.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = sims[ii, jj] >= threshold
+        return pd.DataFrame({"id_a": ids[ii[keep]], "id_b": ids[jj[keep]],
+                             "cosine": sims[ii[keep], jj[keep]]})
+
+    pairs = (ds.map_batches(bucketize, batch_format="pyarrow")
+               .groupby("bucket")
+               .map_groups(pairs_of_bucket, batch_format="pandas")
+               .to_pandas())
+    if pairs.empty:  # no bucket produced a pair → typed empty result
+        return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                             "id_b": pd.Series([], dtype=np.int64),
+                             "cosine": pd.Series([], dtype=float)})
+    return (pairs.drop_duplicates(["id_a", "id_b"])
+                 .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
 class LSHBucketer:
     def __init__(self, dim: int):
         self.planes = _hyperplanes(dim)

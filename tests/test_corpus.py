@@ -85,3 +85,26 @@ def test_ann_lsh_recall_vs_brute():
     b1 = set(map(tuple, brute[brute["rank"] == 1][["query_id", "vec_id"]].to_numpy()))
     l1 = set(map(tuple, lsh[["query_id", "vec_id"]].to_numpy()))
     assert len(b1 & l1) / len(b1) >= 0.5
+
+
+def test_embedding_dup_pairs_finds_injected_dups():
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(50, 16)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(50)]
+    # inject near-dups: 100 ≈ 3 (tiny noise), 101 == 7 exactly
+    rows.append({"vec_id": 100, "embedding": (base[3] + 1e-4).tolist()})
+    rows.append({"vec_id": 101, "embedding": base[7].tolist()})
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    from pyofs_ray.stages.ann import embedding_dup_pairs
+    pairs = embedding_dup_pairs(ds, threshold=0.99)
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (3, 100) in got and (7, 101) in got
+    assert (pairs.cosine >= 0.99).all()
+    # random 16-d vectors never reach cos 0.99
+    assert all(a >= 100 or b >= 100 for a, b in got)
+
+
+def test_windows_oracles(duck_smoke):
+    from .conftest import assert_matches_oracle
+    for name in ("events_sessionize", "top_order_per_customer", "pages_passthrough"):
+        assert_matches_oracle(QUERIES[name](SF_SMOKE), duck_smoke, ORACLES[name])
