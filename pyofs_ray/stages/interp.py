@@ -39,8 +39,10 @@ def _axis_corners(pos_milli: np.ndarray, z: int, rng: int, off: int):
     n = np.int64(1) << z
     g = (pos_milli.astype(np.int64) + off) * n * Q // rng
     s = g + Q * n - Q // 2
-    i0 = np.clip(s // Q - n, 0, n - 2)
+    i0 = np.clip(s // Q - n, 0, max(n - 2, 0))
     f = np.clip(s - (i0 + n) * Q, 0, Q)
+    if n == 1:  # degenerate single-cell grid: all weight to cell 0; the
+        f = np.zeros_like(f)  # zero-weight phantom corner is filtered out
     return i0, Q - f, f
 
 
