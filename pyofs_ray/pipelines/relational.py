@@ -307,3 +307,29 @@ def quality_filter(sf_dir: str) -> ray.data.Dataset:
         return b.filter(keep).select(["doc_id", "n_tokens", "punct_ratio"])
 
     return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------- watermark / NRT clamp (§2.9)
+def events_watermark(sf_dir: str) -> ray.data.Dataset:
+    """Near-real-time watermark clamp (the VIIRS/HFR `utcnow() − 2h` delay,
+    `viirs.py:42,501-505`, SURVEY.md §2.9): drop events newer than
+    max(ts) − 1 hour, then count per type. The watermark is a tiny
+    driver-side aggregate broadcast into the filter."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+    wm = np.datetime64(ds.max("ts"), "us") - np.timedelta64(1, "h")
+
+    def filt(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less_equal(b["ts"], pa.scalar(wm)))
+
+    return two_stage_cell_agg(ds.map_batches(filt, batch_format="pyarrow"),
+                              keys=("event_type",), int_sum_cols=(),
+                              count_name="n_events")
+
+
+EVENTS_WATERMARK_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+WHERE ts <= (SELECT MAX(ts) FROM events) - INTERVAL 1 HOUR
+GROUP BY event_type
+"""

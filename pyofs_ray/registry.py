@@ -245,3 +245,5 @@ register(
     f"{sqlgen.pages_prefix()}\nSELECT url, text FROM pages",
 )
 register("embedding_dup_pairs", corpus.embedding_dup_pairs)  # rows-only (LSH)
+register("events_watermark", relational.events_watermark,
+         relational.EVENTS_WATERMARK_SQL)

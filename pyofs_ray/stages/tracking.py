@@ -141,6 +141,26 @@ def track(seeds: pa.Table, field=None, dt: float = 60.0, steps: int = 60,
     return out
 
 
+def resample_contour(snapshot: pa.Table, n_out: int) -> pa.Table:
+    """Arc-length re-parameterization of an ordered particle ring to
+    ``n_out`` equally-spaced vertices — `particle_contour.py:1031-1062`
+    (`interpolate_contour`: cumulative perimeter + linear interp). Runs
+    per contour inside ``groupby(contour_id).map_groups`` at scale (the
+    whole ring must sit in one group, SURVEY.md P2)."""
+    import pandas as pd
+    df = snapshot.to_pandas().sort_values("particle_id")
+    x = np.append(df.x.to_numpy(), df.x.iloc[0])
+    y = np.append(df.y.to_numpy(), df.y.iloc[0])
+    seg = np.sqrt(np.diff(x) ** 2 + np.diff(y) ** 2)
+    s = np.concatenate([[0.0], np.cumsum(seg)])
+    total = s[-1]
+    target = np.linspace(0, total, n_out, endpoint=False)
+    nx = np.interp(target, s, x)
+    ny = np.interp(target, s, y)
+    return pa.table({"particle_id": pa.array(np.arange(n_out, dtype=np.int64)),
+                     "x": pa.array(nx), "y": pa.array(ny)})
+
+
 def contour_measures(snapshot: pa.Table) -> dict:
     """area (shoelace) + perimeter of an ordered particle ring — the
     `utilities.py:357-380` / `particle_contour.py:834-841` analogue."""
