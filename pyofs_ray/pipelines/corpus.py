@@ -88,3 +88,9 @@ def embedding_dup_pairs(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     return ann.embedding_dup_pairs(ds, threshold=0.95)
+
+
+def ann_topk_ivf(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return ann.ann_topk_ivf(ds, _query_vectors(sf_dir), k=TOPK, nprobe=6)

@@ -247,3 +247,4 @@ register(
 register("embedding_dup_pairs", corpus.embedding_dup_pairs)  # rows-only (LSH)
 register("events_watermark", relational.events_watermark,
          relational.EVENTS_WATERMARK_SQL)
+register("ann_topk_ivf", corpus.ann_topk_ivf)          # rows-only (approximate)

@@ -51,7 +51,7 @@ def partial_group_sums(
     aggs = [(c, "sum") for c in int_sum_cols] + [(keys[0], "count")]
     g = t.group_by(group_keys).aggregate(aggs)
     out_cols: dict[str, pa.Array] = {}
-    for k in keys:
+    for k in group_keys:  # includes _salt when salted
         out_cols[k] = g[k]
     for c in int_sum_cols:
         out_cols[f"{c}_sum"] = g[f"{c}_sum"].cast(pa.int64())
@@ -98,6 +98,43 @@ def two_stage_cell_agg(
     sum_aggs = [Sum(f"{c}_sum", alias_name=f"{c}_sum") for c in int_sum_cols]
     sum_aggs.append(Sum(count_name, alias_name=count_name))
     return partial.groupby(keys).aggregate(*sum_aggs)
+
+
+def salted_two_stage_agg(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    int_sum_cols: Sequence[str],
+    salt_col: str,
+    salt_mod: int = 16,
+    count_name: str = "doc_count",
+    batch_size: int = 65536,
+) -> ray.data.Dataset:
+    """Explicit salted aggregation for hot keys (north_rule; SURVEY.md §7.3):
+
+    1. per-batch partial on ``(keys…, salt)`` where ``salt = salt_col %
+       salt_mod`` — a hot key's partials spread over ``salt_mod`` reducers;
+    2. shuffle-sum on the salted key (the wide exchange; no reducer sees a
+       whole hot key);
+    3. tiny final groupby on the bare keys (≤ |keys| × salt_mod rows).
+
+    Results equal the unsalted path exactly (int sums are associative);
+    needed when per-key state is large (float payloads, sketches) or when a
+    single key would overflow one reducer. ``two_stage_cell_agg`` already
+    neutralizes count/sum skew via batch-local combining — this is the
+    heavier artillery, kept explicit and tested.
+    """
+    keys = list(keys)
+    partial = ds.map_batches(
+        lambda b: partial_group_sums(b, keys, int_sum_cols, count_name,
+                                     salt_col=salt_col, salt_mod=salt_mod),
+        batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
+    mid_aggs = [Sum(f"{c}_sum", alias_name=f"{c}_sum") for c in int_sum_cols]
+    mid_aggs.append(Sum(count_name, alias_name=count_name))
+    mid = (partial.repartition(auto_partitions())
+           .groupby([*keys, "_salt"]).aggregate(*mid_aggs))
+    final_aggs = [Sum(f"{c}_sum", alias_name=f"{c}_sum") for c in int_sum_cols]
+    final_aggs.append(Sum(count_name, alias_name=count_name))
+    return mid.drop_columns(["_salt"]).groupby(keys).aggregate(*final_aggs)
 
 
 def add_mean_column(batch: pa.Table, sum_col: str, count_col: str, out: str) -> pa.Table:

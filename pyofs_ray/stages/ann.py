@@ -119,6 +119,89 @@ def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return keys
 
 
+# ----------------------------------------------------------------- IVF path
+IVF_LISTS = 16
+IVF_LLOYD_ITERS = 3
+
+
+def ivf_centroids(sample: np.ndarray, nlist: int = IVF_LISTS,
+                  iters: int = IVF_LLOYD_ITERS) -> np.ndarray:
+    """Deterministic IVF coarse centroids: seed with the first ``nlist``
+    sample vectors, then a few Lloyd iterations (cosine/spherical k-means:
+    re-normalize means). No RNG — same input → same index."""
+    m = _normalize(sample.astype(np.float64))
+    cents = m[:nlist].copy()
+    for _ in range(iters):
+        assign = np.argmax(m @ cents.T, axis=1)
+        for c in range(len(cents)):
+            sel = assign == c
+            if sel.any():
+                cents[c] = m[sel].mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def ann_topk_ivf(ds: ray.data.Dataset, queries: pa.Table, k: int = 5,
+                 nprobe: int = 4, train_sample: int = 2048,
+                 exclude_self: bool = True) -> pd.DataFrame:
+    """IVF approximate top-k: vectors partition into ``IVF_LISTS`` coarse
+    cells (nearest centroid); each query scans only its ``nprobe`` nearest
+    lists, candidates ranked by exact cosine. Centroids train once on a
+    deterministic prefix sample (broadcast; at 100 TB train on a fixed
+    shard). Recall grows with nprobe (= 1.0 at nprobe=IVF_LISTS)."""
+    train = np.stack(ds.limit(train_sample).to_pandas().embedding.to_numpy())
+    cents = ivf_centroids(train)
+    qmat = _normalize(_embedding_matrix(queries))
+    qids = queries["vec_id"].to_numpy(zero_copy_only=False)
+    qlists = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    list_to_q: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for li in qlists[qi]:
+            list_to_q.setdefault(int(li), []).append(qi)
+    payload_ref = ray.put((cents, list_to_q, qmat, qids))
+
+    class Probe:
+        def __init__(self):
+            self.cents, self.list_to_q, self.qmat, self.qids = ray.get(payload_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            m = _normalize(_embedding_matrix(b))
+            vids = b["vec_id"].to_numpy(zero_copy_only=False)
+            assign = np.argmax(m @ self.cents.T, axis=1)
+            out_q, out_v, out_s = [], [], []
+            for li in np.unique(assign):
+                qis = self.list_to_q.get(int(li))
+                if not qis:
+                    continue
+                sel = assign == li
+                sims = m[sel] @ self.qmat[qis].T
+                out_q.append(np.repeat(self.qids[qis], sel.sum()))
+                out_v.append(np.tile(vids[sel], len(qis)))
+                out_s.append(sims.T.ravel())
+            if not out_q:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "sim": pa.array([], pa.float64())})
+            return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                             "vec_id": pa.array(np.concatenate(out_v)),
+                             "sim": pa.array(np.concatenate(out_s))})
+
+    sims = ds.map_batches(Probe, batch_format="pyarrow",
+                          concurrency=(1, 8), num_cpus=1, zero_copy_batch=True)
+
+    def topk_group(g: pd.DataFrame) -> pd.DataFrame:
+        if exclude_self:
+            g = g[g.vec_id != g.query_id]
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+        return g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))[
+            ["query_id", "vec_id", "rank"]]
+
+    from .agg import auto_partitions
+    return (sims.repartition(auto_partitions())
+                .groupby("query_id")
+                .map_groups(topk_group, batch_format="pandas").to_pandas())
+
+
 def embedding_dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
                         dim: int | None = None) -> pd.DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold).

@@ -108,3 +108,20 @@ def test_windows_oracles(duck_smoke):
     from .conftest import assert_matches_oracle
     for name in ("events_sessionize", "top_order_per_customer", "pages_passthrough"):
         assert_matches_oracle(QUERIES[name](SF_SMOKE), duck_smoke, ORACLES[name])
+
+
+def test_ann_ivf_recall_vs_brute():
+    ds = ray.data.read_parquet(f"{SF_SMOKE}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    from pyofs_ray.pipelines.corpus import _query_vectors
+    from pyofs_ray.stages.ann import IVF_LISTS, ann_topk_ivf
+    q = _query_vectors(SF_SMOKE)
+    brute = ann.ann_topk_brute(ds, q, k=5)
+    bset = set(map(tuple, brute[["query_id", "vec_id"]].to_numpy()))
+    ivf = ann_topk_ivf(ds, q, k=5, nprobe=6)
+    iset = set(map(tuple, ivf[["query_id", "vec_id"]].to_numpy()))
+    assert len(bset & iset) / len(bset) >= 0.5
+    # full probe = exact: nprobe = nlist recovers brute force
+    full = ann_topk_ivf(ds, q, k=5, nprobe=IVF_LISTS)
+    fset = set(map(tuple, full[["query_id", "vec_id"]].to_numpy()))
+    assert fset == bset

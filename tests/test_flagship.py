@@ -59,3 +59,19 @@ def test_entry_smoke():
     assert ds.count() > 0
     cols = set(ds.schema().names)
     assert {"z", "x", "y", "cell_id", "doc_count", "agg_value"} <= cols
+
+
+def test_salted_agg_equals_unsalted():
+    """Salted 3-stage aggregation must equal the plain 2-stage result on the
+    hot-cell corpus (70% of pages share one host cluster)."""
+    from pyofs_ray.pipelines.flagship import geocoded_pages
+    from pyofs_ray.stages.agg import salted_two_stage_agg, two_stage_cell_agg
+
+    ds = geocoded_pages(SF_SMOKE).select_columns(["cell_id", "page_key", "n_chars"])
+    plain = two_stage_cell_agg(ds, keys=("cell_id",), int_sum_cols=("n_chars",)
+                               ).to_pandas().sort_values("cell_id").reset_index(drop=True)
+    salted = salted_two_stage_agg(ds, keys=("cell_id",), int_sum_cols=("n_chars",),
+                                  salt_col="page_key", salt_mod=8
+                                  ).to_pandas().sort_values("cell_id").reset_index(drop=True)
+    assert plain[["cell_id", "n_chars_sum", "doc_count"]].equals(
+        salted[["cell_id", "n_chars_sum", "doc_count"]])
