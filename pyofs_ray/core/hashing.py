@@ -62,6 +62,29 @@ def fnv1a64(arr: pa.Array | list[str]) -> np.ndarray:
     return h
 
 
+def gram_hash_matrix(arr: pa.Array, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized char-k-gram FNV-1a hashes for a whole string batch.
+
+    Returns ``(grams, valid)``: ``grams`` is (N, maxlen-k+1) uint64 where
+    column j is the FNV-1a hash of bytes[j:j+k]; ``valid[i, j]`` marks grams
+    fully inside row i. One O(k) loop of vectorized passes over the byte
+    matrix — no per-document Python. (Byte-level k-grams; equals per-string
+    FNV of each k-byte window.)
+    """
+    if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        arr = pa.array(arr)
+    mat, lengths = _string_bytes_matrix(arr)
+    n, maxlen = mat.shape
+    g = max(maxlen - k + 1, 1)
+    h = np.full((n, g), FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            win = mat[:, j:j + g] if maxlen >= k else np.zeros((n, g), np.uint8)
+            h = (h ^ win.astype(np.uint64)) * FNV_PRIME
+    valid = (np.arange(g)[None, :] + k) <= lengths[:, None]
+    return h, valid
+
+
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """Stateless splitmix64 finalizer — cheap key→uniform-uint64 mix."""
     z = x.astype(np.uint64, copy=True)
