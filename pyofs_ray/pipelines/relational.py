@@ -333,3 +333,115 @@ FROM events
 WHERE ts <= (SELECT MAX(ts) FROM events) - INTERVAL 1 HOUR
 GROUP BY event_type
 """
+
+
+# ----------------------------------------------- Q6-style filtered revenue
+def q6_forecast_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Filter-heavy scan: revenue delta from discounted small-quantity
+    lineitems in a date window (predicate pushdown + scaled-int sum)."""
+    import pyarrow.dataset as pads
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        filter=(pads.field("l_quantity") < 24.0))
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.greater_equal(b["l_shipdate"], lo),
+                               pc.less(b["l_shipdate"], hi)),
+                       pc.and_(pc.greater_equal(b["l_discount"], 0.05),
+                               pc.less_equal(b["l_discount"], 0.07)))
+        b = b.filter(keep)
+        rev = pc.multiply(_cents(b["l_extendedprice"]), _cents(b["l_discount"]))
+        return pa.table({"rev_s": rev, "one": pa.array(np.ones(len(b), np.int64))})
+
+    agg = two_stage_cell_agg(ds.map_batches(prep, batch_format="pyarrow"),
+                             keys=("one",), int_sum_cols=("rev_s",),
+                             count_name="n_items")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "revenue": pc.divide(pc.cast(b["rev_s_sum"], pa.float64()), 10000.0),
+            "n_items": b["n_items"],
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+# --------------------------------------- Q3-style 3-way join + grouped top-k
+def q3_shipping_priority(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """customer ⋈ orders ⋈ lineitem: top-k orders by revenue within a
+    market segment — broadcast dimension joins feeding the bucketed fact
+    join, grouped sum, sort+limit."""
+    import pyarrow.parquet as pq
+
+    from ..stages.join import broadcast_join
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    cust = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING")).select(["c_custkey"])
+    cust = cust.rename_columns(["o_custkey"])
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    cutoff = pa.scalar(np.datetime64("1995-03-15", "us"))
+    orders = orders.map_batches(
+        lambda b: b.filter(pc.less(b["o_orderdate"], cutoff)),
+        batch_format="pyarrow")
+    orders = broadcast_join(orders, cust, keys=["o_custkey"], join_type="semi")
+    okeys = orders.select_columns(["o_orderkey", "o_orderdate"])
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["l_shipdate"], cutoff))
+        rev = pc.multiply(_cents(b["l_extendedprice"]),
+                          pc.subtract(pa.scalar(100, pa.int64()), _cents(b["l_discount"])))
+        return pa.table({"l_orderkey": b["l_orderkey"], "rev_s": rev})
+
+    li = li.map_batches(prep, batch_format="pyarrow")
+    # fact ⋈ filtered orders: orders side is small after the dims — broadcast
+    ok_tbl = pa.table({"l_orderkey": okeys.to_pandas().o_orderkey})
+    li = broadcast_join(li, ok_tbl, keys=["l_orderkey"], join_type="semi")
+    agg = two_stage_cell_agg(li, keys=("l_orderkey",), int_sum_cols=("rev_s",),
+                             count_name="n_items")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "revenue": pc.divide(pc.cast(b["rev_s_sum"], pa.float64()), 10000.0),
+        })
+
+    out = agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    return out.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(k)
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+             JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""

@@ -248,3 +248,5 @@ register("embedding_dup_pairs", corpus.embedding_dup_pairs)  # rows-only (LSH)
 register("events_watermark", relational.events_watermark,
          relational.EVENTS_WATERMARK_SQL)
 register("ann_topk_ivf", corpus.ann_topk_ivf)          # rows-only (approximate)
+register("rel_q6_revenue", relational.q6_forecast_revenue, relational.Q6_SQL)
+register("rel_q3_shipping", relational.q3_shipping_priority, relational.Q3_SQL)

@@ -70,3 +70,27 @@ def test_resample_contour_equal_spacing():
     y = out["y"].to_numpy()
     seg = np.sqrt(np.diff(x) ** 2 + np.diff(y) ** 2)
     assert seg.std() / seg.mean() < 0.05
+
+
+def test_bloom_filter_no_false_negatives_and_fpr():
+    from pyofs_ray.stages.bloom import BloomFilter
+    rng = np.random.default_rng(9)
+    members = rng.integers(0, 2**62, 5000)
+    bf = BloomFilter(members, fpr=0.01)
+    assert bf.contains(members).all()  # zero false negatives
+    probes = rng.integers(0, 2**62, 50_000)
+    outside = probes[~np.isin(probes, members)]
+    fpr = bf.contains(outside).mean()
+    assert fpr < 0.03, f"observed FPR {fpr}"
+
+
+def test_bloom_semi_join_exact_equals_plain():
+    from pyofs_ray.stages.bloom import bloom_semi_join
+    t = pa.table({"k": list(range(1000)), "v": [i * 2 for i in range(1000)]})
+    ds = ray.data.from_arrow(t)
+    keys = np.arange(0, 1000, 7)
+    out = bloom_semi_join(ds, "k", keys, exact=True).to_pandas()
+    assert sorted(out.k) == sorted(keys.tolist())
+    # prefilter-only mode keeps all true members (maybe few extra)
+    approx = bloom_semi_join(ds, "k", keys, exact=False).to_pandas()
+    assert set(keys.tolist()) <= set(approx.k)

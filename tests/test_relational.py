@@ -50,3 +50,8 @@ def test_bilinear_weights_sum_to_q2():
     assert ((w0 + w1) == Q).all()
     n = 1 << 10
     assert i0.min() >= 0 and i0.max() <= n - 2
+
+
+def test_q6_q3_oracles(duck_smoke):
+    for name in ("rel_q6_revenue", "rel_q3_shipping"):
+        assert_matches_oracle(QUERIES[name](SF_SMOKE), duck_smoke, ORACLES[name])
