@@ -28,7 +28,8 @@ BENCH_QUERIES = [
     "geocode_cells", "cell_agg", "tile_pyramid", "pip_join_inner",
     "pip_cell_agg", "knn_stations", "dedup_exact", "text_stats",
     "lang_id", "latest_page_per_cell", "rel_q1_pricing",
-    "rel_priority_revenue", "ann_topk",
+    "rel_priority_revenue", "ann_topk", "minhash_pairs",
+    "simhash_pairs", "events_sessionize", "bilinear_cells",
 ]
 
 
