@@ -250,3 +250,35 @@ register("events_watermark", relational.events_watermark,
 register("ann_topk_ivf", corpus.ann_topk_ivf)          # rows-only (approximate)
 register("rel_q6_revenue", relational.q6_forecast_revenue, relational.Q6_SQL)
 register("rel_q3_shipping", relational.q3_shipping_priority, relational.Q3_SQL)
+
+
+# ------------------------------- per-document tile assignment (metric core)
+def _doc_tile_assignment(sf_dir: str):
+    """Explicit per-document tile assignment (z, x, y) at the base zoom —
+    the BASELINE.json metric's 'per-doc tile assignments' artifact."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .core import geom as _g
+
+    def unpack(b: pa.Table) -> pa.Table:
+        z, x, y = _g.unpack_cell(b["cell_id"].to_numpy(zero_copy_only=False))
+        return (b.select(["page_key", "url", "cell_id"])
+                 .append_column("z", pa.array(z.astype(np.int32)))
+                 .append_column("x", pa.array(x.astype(np.int32)))
+                 .append_column("y", pa.array(y.astype(np.int32))))
+
+    return flagship.geocoded_pages(sf_dir).map_batches(
+        unpack, batch_format="pyarrow", zero_copy_batch=True)
+
+
+register(
+    "doc_tile_assignment",
+    _doc_tile_assignment,
+    f"""{sqlgen.pages_prefix()}
+SELECT page_key, url, {sqlgen.cell_expr(geom.BASE_ZOOM)} AS cell_id,
+       CAST({geom.BASE_ZOOM} AS INTEGER) AS z,
+       CAST({sqlgen.x_expr(geom.BASE_ZOOM)} AS INTEGER) AS x,
+       CAST({sqlgen.y_expr(geom.BASE_ZOOM)} AS INTEGER) AS y
+FROM pages""",
+)

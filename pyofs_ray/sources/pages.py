@@ -116,7 +116,12 @@ def materialize_pages_parquet(sf_dir: str, out_dir: str, replicate: int = 1,
     ds = ds.map_batches(
         lambda b: b.append_column("n_chars", pc.utf8_length(b["text"]).cast(pa.int64())),
         batch_format="pyarrow", zero_copy_batch=True)
-    ds.repartition(num_files).write_parquet(out_dir)
+    # small corpora: coalesce to a tidy file count (cheap); large corpora:
+    # write 1:1 from map tasks — a repartition here would be a pointless
+    # corpus-sized all-to-all just to choose file names
+    if replicate <= 1000:
+        ds = ds.repartition(num_files)
+    ds.write_parquet(out_dir)
     with open(done, "w") as f:
         f.write("ok")
     return out_dir
