@@ -141,3 +141,30 @@ def run_flagship_checkpointed(sf_dir: str, out_dir: str,
     return run_partitioned(out_dir, day_units(), build,
                            lineage=lambda u: f"{sf_dir}/documents.parquet→geocode→cellagg[{u}]",
                            fail_after=fail_after)
+
+
+def cell_distinct_langs(sf_dir: str, zoom: int = geom.BASE_ZOOM) -> ray.data.Dataset:
+    """Exact per-cell distinct-language count — the exploded-pair pattern
+    for distributed COUNT(DISTINCT): per batch emit distinct (cell, lang)
+    pairs (set-valued partial state → rows, not per-key sets), one groupby
+    dedupes pairs globally, a second tiny groupby counts per cell. Skew-safe:
+    a hot cell's pairs spread across reducers by (cell, lang), not cell."""
+    from ray.data.aggregate import Count
+
+    ds = geocoded_pages(sf_dir, zoom).select_columns(["cell_id", "lang"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        return b.group_by(["cell_id", "lang"]).aggregate([])
+
+    from ..stages.agg import auto_partitions
+    dedup = (ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+               .repartition(auto_partitions())
+               .groupby(["cell_id", "lang"]).count())
+
+    def count_per_cell(b: pa.Table) -> pa.Table:
+        g = b.select(["cell_id"]).group_by("cell_id").aggregate([("cell_id", "count")])
+        return pa.table({"cell_id": g["cell_id"],
+                         "n_langs": g["cell_id_count"].cast(pa.int64())})
+
+    return (dedup.repartition(1)
+                 .map_batches(count_per_cell, batch_format="pyarrow"))

@@ -282,3 +282,28 @@ SELECT page_key, url, {sqlgen.cell_expr(geom.BASE_ZOOM)} AS cell_id,
        CAST({sqlgen.y_expr(geom.BASE_ZOOM)} AS INTEGER) AS y
 FROM pages""",
 )
+
+
+register(
+    "cell_distinct_langs",
+    flagship.cell_distinct_langs,
+    f"""{sqlgen.pages_prefix()}
+SELECT {sqlgen.cell_expr(geom.BASE_ZOOM)} AS cell_id,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM pages GROUP BY 1""",
+)
+
+
+def _approx_distinct_texts(sf_dir: str):
+    """HLL approximate distinct texts (mergeable-sketch pattern); rows-only
+    — exact twin is dedup_exact's row count."""
+    import pandas as pd
+    import ray.data as _rd
+
+    from .stages.sketch import approx_distinct
+
+    ds = _rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return pd.DataFrame({"approx_distinct": [approx_distinct(ds, "text")]})
+
+
+register("approx_distinct_texts", _approx_distinct_texts)  # rows-only (sketch)

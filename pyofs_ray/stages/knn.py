@@ -147,15 +147,45 @@ class KNNJoiner:
                    .append_column("rank", pa.array(rank.astype(np.int64), pa.int64())))
 
 
+# per-worker memoized index for the stateless-task mode (see stages/pip.py)
+_INDEX_MEMO: dict[str, StationIndex] = {}
+
+
+def _memo_index(stations_ref) -> StationIndex:
+    key = stations_ref.hex()
+    idx = _INDEX_MEMO.get(key)
+    if idx is None:
+        idx = StationIndex(ray.get(stations_ref))
+        _INDEX_MEMO.clear()
+        _INDEX_MEMO[key] = idx
+    return idx
+
+
 def knn_join(ds: ray.data.Dataset, station_rows: list[dict] | None = None, k: int = 3,
-             kernel: str = "rings", concurrency=(1, 8), batch_size: int = 65536) -> ray.data.Dataset:
+             kernel: str = "rings", compute: str = "tasks",
+             concurrency=(1, 8), batch_size: int = 65536) -> ray.data.Dataset:
+    """``compute="tasks"`` (default): stateless tasks with a per-worker
+    memoized station index — no actor-pool spawn per pipeline; right when
+    the index is cheap to build. ``"actors"``: pin the index in an actor
+    pool (large station catalogs)."""
     ref = ray.put(station_rows if station_rows is not None else fixture_stations())
-    return ds.map_batches(
-        KNNJoiner,
-        fn_constructor_kwargs={"stations_ref": ref, "k": k, "kernel": kernel},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
-        zero_copy_batch=True,
-    )
+    if compute == "actors":
+        return ds.map_batches(
+            KNNJoiner,
+            fn_constructor_kwargs={"stations_ref": ref, "k": k, "kernel": kernel},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+            zero_copy_batch=True,
+        )
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        j = KNNJoiner.__new__(KNNJoiner)
+        j.index = _memo_index(ref)
+        j.k = k
+        j.kernel = kernel
+        return j(batch)
+
+    return ds.map_batches(join_batch, batch_format="pyarrow",
+                          batch_size=batch_size, zero_copy_batch=True)

@@ -125,3 +125,35 @@ def test_ann_ivf_recall_vs_brute():
     full = ann_topk_ivf(ds, q, k=5, nprobe=IVF_LISTS)
     fset = set(map(tuple, full[["query_id", "vec_id"]].to_numpy()))
     assert fset == bset
+
+
+def test_hll_accuracy_and_merge():
+    from pyofs_ray.stages.sketch import (approx_distinct, hll_estimate,
+                                         hll_merge, hll_registers)
+    rng = np.random.default_rng(21)
+    vals = rng.integers(0, 2**62, 300_000)
+    exact = len(np.unique(vals))
+    arr = pa.array(vals, pa.int64())
+    est = hll_estimate(hll_registers(arr))
+    assert abs(est - exact) / exact < 0.05
+    # mergeability: sketch(a ∪ b) == merge(sketch(a), sketch(b))
+    a, b = arr.slice(0, 150_000), arr.slice(150_000)
+    merged = hll_merge([hll_registers(a), hll_registers(b)])
+    assert np.array_equal(merged, hll_registers(arr))
+    # end-to-end over a Dataset (string column)
+    ds = ray.data.read_parquet(f"{SF_SMOKE}/documents.parquet", columns=["text"])
+    est_docs = approx_distinct(ds, "text")
+    assert abs(est_docs - 500) / 500 < 0.1
+
+
+def test_knn_task_mode_equals_actor_mode(duck_smoke):
+    from pyofs_ray.pipelines.flagship import geocoded_pages
+    from pyofs_ray.stages.knn import knn_join
+    ds = geocoded_pages(SF_SMOKE).select_columns(
+        ["page_key", "url", "lon_milli", "lat_milli"])
+    cols = ["page_key", "url", "station_id", "d2", "rank"]
+    a = knn_join(ds, compute="tasks").select_columns(cols).to_pandas()
+    b = knn_join(ds, compute="actors").select_columns(cols).to_pandas()
+    key = ["page_key", "rank"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True))
