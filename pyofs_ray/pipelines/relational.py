@@ -445,3 +445,29 @@ GROUP BY l_orderkey
 ORDER BY revenue DESC, l_orderkey ASC
 LIMIT 10
 """
+
+
+def priority_revenue_native(sf_dir: str) -> ray.data.Dataset:
+    """Same join as priority_revenue but via Ray's native Dataset.join —
+    results must be identical (oracle-shared)."""
+    from ..stages.join import native_hash_join
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_extendedprice"])
+    li = li.map_batches(lambda b: pa.table({
+        "l_orderkey": b["l_orderkey"], "ep_c": _cents(b["l_extendedprice"])}),
+        batch_format="pyarrow")
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_orderpriority"])
+    joined = native_hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+    agg = two_stage_cell_agg(joined, keys=("o_orderpriority",),
+                             int_sum_cols=("ep_c",), count_name="n_items")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "revenue": pc.divide(pc.cast(b["ep_c_sum"], pa.float64()), 100.0),
+            "n_items": b["n_items"],
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

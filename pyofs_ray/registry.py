@@ -307,3 +307,5 @@ def _approx_distinct_texts(sf_dir: str):
 
 
 register("approx_distinct_texts", _approx_distinct_texts)  # rows-only (sketch)
+register("rel_priority_revenue_native", relational.priority_revenue_native,
+         relational.PRIORITY_REVENUE_SQL)

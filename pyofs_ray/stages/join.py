@@ -98,3 +98,18 @@ def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
         return l.merge(r, on=key, how="inner", suffixes=("", suffix))
 
     return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def native_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
+                     on: str, right_on: str | None = None,
+                     num_partitions: int | None = None,
+                     join_type: str = "inner") -> ray.data.Dataset:
+    """Ray's built-in hash-partitioned ``Dataset.join`` (available in this
+    Ray version) — the native alternative to ``bucketed_hash_join``. Kept
+    side-by-side: the explicit bucketed pattern is portable and lets us
+    salt hot keys manually; the native join manages partitioning itself."""
+    from .agg import auto_partitions
+
+    return left.join(right, join_type=join_type,
+                     num_partitions=num_partitions or max(auto_partitions(), 8),
+                     on=(on,), right_on=(right_on,) if right_on else None)
