@@ -66,3 +66,26 @@ def test_edge_cells_clamped():
 
 def test_overview_levels():
     assert geom.overview_levels(3) == [3, 2, 1, 0]
+
+
+def test_page_key_url_fallback_paths():
+    """Non-fixture urls (no trailing integer) fall back to FNV hashing —
+    deterministic, and mixed batches parse/hash per row correctly."""
+    import pyarrow as pa
+
+    from pyofs_ray.core.hashing import fnv1a64
+    from pyofs_ray.stages.geocode import page_key_from_url
+
+    urls = pa.array([
+        "https://h0.example.com/p/123",           # parses → 123
+        "https://other.site/article-about-rays",  # no digits → fnv
+        "https://h5.example.com/p/999",           # parses → 999
+    ])
+    keys = page_key_from_url(urls)
+    assert keys[0] == 123 and keys[2] == 999
+    assert keys[1] == np.int64(np.uint64(fnv1a64(pa.array([urls[1].as_py()]))[0]))
+    # explicit fnv mode hashes everything
+    all_fnv = page_key_from_url(urls, key_fn="fnv")
+    assert all_fnv[0] != 123
+    again = page_key_from_url(urls)
+    assert (keys == again).all()
