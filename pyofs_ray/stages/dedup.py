@@ -12,15 +12,20 @@ engine needs content dedup as a first-class operator set:
   meet in one groupby; candidate pairs are then **exactly verified** with
   true shingle-set Jaccard, so precision is exact and only recall is
   probabilistic (standard LSH guarantee).
-- **SimHash**: 64-bit sign-sum sketch of token hashes; near-dup candidates
-  from equal 16-bit chunks (Hamming ≤ 3 ⇒ some chunk equal by pigeonhole),
-  verified by exact Hamming distance.
+- **SimHash**: 64-bit sign-sum sketch of byte-5-gram hashes; candidates from
+  equal 3-of-6 bit-block combinations (Hamming ≤ 3 ⇒ ≥3 of 6 blocks
+  untouched ⇒ some 3-block combo equal — recall is *guaranteed* 1.0 by
+  pigeonhole), verified by exact Hamming distance. The C(6,3)=20 combo keys
+  span a ~2³⁸ bucket space, so bucket population shrinks as the corpus
+  grows (the 16-bit-chunk scheme's 2¹⁸ total buckets saturate at web scale).
 
-Scale notes: sketches are computed batch-local (vectorized numpy over the
-shingle hash matrix); the only shuffles are groupbys on (band, hash) /
-chunk keys whose groups are tiny unless the corpus truly contains
-near-duplicate clusters. Pair verification joins text back via a broadcast
-of candidate ids — candidates are assumed ≪ corpus (documented).
+Cluster-safety (the 100 TB shape, shared via ``stages/pairs.py``): bucket
+sizes are counted distributed and filtered to ≥2 members **inside the
+Dataset**; only the surviving bucket keys (bounded by true near-dup
+clusters) reach the driver; pairs are enumerated in distributed
+``groupby(bucket).map_groups``; Jaccard verification joins shingle
+signatures onto the pair set with bucketed hash joins — full-corpus rows
+are never pulled driver-side.
 """
 
 from __future__ import annotations
@@ -28,12 +33,13 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Min, Sum
 
-from ..core.hashing import fnv1a64, splitmix64
+from ..core.hashing import splitmix64
+from .pairs import attach_pair_payload, candidate_pairs
 from .text import fingerprint
+
 
 # ------------------------------------------------------------------ exact
 def exact_dedup(ds: ray.data.Dataset, id_col: str = "doc_id",
@@ -81,25 +87,26 @@ def _shingle_hashes(text: str) -> np.ndarray:
     return np.unique(h[0][v[0]])
 
 
+def shingle_sets_batch(b: pa.Table, id_col: str = "doc_id",
+                       text_col: str = "text") -> pa.Table:
+    """(id, grams: binary) — sorted-unique byte-5-gram hashes per doc as a
+    packed uint64 blob (binary survives pandas joins untouched; list/tensor
+    columns trip Ray's ragged-tensor conversion), from one vectorized
+    gram-matrix pass (per-doc np.unique on slices)."""
+    from ..core.hashing import gram_hash_matrix
+    grams, valid = gram_hash_matrix(b[text_col], SHINGLE_K)
+    out = []
+    for i in range(len(grams)):
+        g = grams[i][valid[i]]
+        g = np.unique(g) if len(g) else np.array([0xDEADBEEF], dtype=np.uint64)
+        out.append(g.tobytes())
+    return pa.table({
+        id_col: b[id_col],
+        "grams": pa.array(out, pa.binary()),
+    })
+
+
 _SEEDS = splitmix64(np.arange(1, NUM_PERM + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-
-
-def minhash_signature(sh: np.ndarray) -> np.ndarray:
-    """64 minhash values: min over shingles of splitmix64(shingle ^ seed)."""
-    # (shingles, perms) matrix — vectorized; shingle counts are ~len(text)
-    mixed = splitmix64(sh[:, None] ^ _SEEDS[None, :])
-    return mixed.min(axis=0)  # (NUM_PERM,)
-
-
-def band_keys(sig: np.ndarray) -> np.ndarray:
-    """Collapse each band of R minhash values to one uint64 bucket key."""
-    r = NUM_PERM // LSH_BANDS
-    bands = sig.reshape(LSH_BANDS, r)
-    out = np.zeros(LSH_BANDS, dtype=np.uint64)
-    for j in range(r):
-        with np.errstate(over="ignore"):
-            out = splitmix64(out ^ bands[:, j])
-    return out
 
 
 def batch_minhash_signatures(texts: pa.Array) -> np.ndarray:
@@ -126,18 +133,21 @@ def batch_minhash_signatures(texts: pa.Array) -> np.ndarray:
 
 
 def _minhash_batch(b: pa.Table, id_col: str, text_col: str) -> pa.Table:
-    """Per doc: emit LSH_BANDS rows (band_id, band_hash, id) — vectorized."""
+    """Per doc: LSH_BANDS rows (bkey, id). The band id is mixed into the
+    band hash (a cross-band collision only adds a harmless extra candidate —
+    every pair is exactly verified downstream; it can never lose one)."""
     ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     sigs = batch_minhash_signatures(b[text_col])  # (N, NUM_PERM)
     r = NUM_PERM // LSH_BANDS
     bands = sigs.reshape(len(ids), LSH_BANDS, r)
-    keys = np.zeros((len(ids), LSH_BANDS), dtype=np.uint64)
+    keys = np.broadcast_to(
+        splitmix64(np.arange(LSH_BANDS, dtype=np.uint64))[None, :],
+        (len(ids), LSH_BANDS)).copy()
     with np.errstate(over="ignore"):
         for j in range(r):
             keys = splitmix64(keys ^ bands[:, :, j])
     return pa.table({
-        "band_id": pa.array(np.tile(np.arange(LSH_BANDS, dtype=np.int64), len(ids))),
-        "band_hash": pa.array(keys.reshape(-1).view(np.int64)),
+        "bkey": pa.array(keys.reshape(-1).view(np.int64)),
         id_col: pa.array(np.repeat(ids, LSH_BANDS)),
     })
 
@@ -148,90 +158,70 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 1.0
 
 
-def _bucket_key(band_id: np.ndarray, band_hash: np.ndarray) -> np.ndarray:
-    """Composite bucket key for filtering (xor-mix; a collision only adds a
-    harmless extra candidate row — pairs are enumerated per exact bucket)."""
-    with np.errstate(over="ignore"):
-        return (band_hash.view(np.uint64)
-                ^ splitmix64(band_id.astype(np.uint64))).view(np.int64)
-
-
 def minhash_candidate_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
-                            text_col: str = "text") -> pd.DataFrame:
-    """LSH candidate pairs: ids sharing any (band_id, band_hash) bucket.
-
-    No per-bucket Python: a native count-aggregate finds the (rare)
-    buckets with ≥2 members; their keys broadcast back as a semi-join
-    filter; the surviving rows (≪ corpus — bounded by near-dup clusters)
-    are pair-enumerated with one vectorized pandas pass.
-    """
+                            text_col: str = "text") -> ray.data.Dataset:
+    """LSH candidate pairs as a Dataset (id_a, id_b; band-dupes included):
+    sketch → distributed ≥2-member bucket filter → distributed per-bucket
+    pair enumeration (`stages/pairs.py`). No full-corpus driver pull."""
     emitted = ds.map_batches(
         lambda b: _minhash_batch(b, id_col, text_col),
         batch_format="pyarrow", batch_size=4096, zero_copy_batch=True)
+    return candidate_pairs(emitted, key="bkey", id_col=id_col)
 
-    def keyed(b: pa.Table) -> pa.Table:
-        k = _bucket_key(b["band_id"].to_numpy(zero_copy_only=False),
-                        b["band_hash"].to_numpy(zero_copy_only=False))
-        return b.append_column("bkey", pa.array(k))
 
-    # pin the sketch table: 8 small rows/doc, read twice (sizes + filter).
-    # At 10^12-doc scale, write it to parquet once instead (sketches are
-    # reused across dedup runs) rather than pinning in the object store.
-    emitted = emitted.map_batches(keyed, batch_format="pyarrow",
-                                  zero_copy_batch=True).materialize()
-    from .agg import auto_partitions, partial_group_sums
-    sizes = (emitted.map_batches(
-                 lambda b: partial_group_sums(b, ["bkey"], (), count_name="n"),
-                 batch_format="pyarrow", zero_copy_batch=True)
-             .repartition(auto_partitions())
-             .groupby("bkey").aggregate(Sum("n", alias_name="n"))
-             .to_pandas())
-    hot = sizes[sizes.n >= 2].bkey.to_numpy()
-    if len(hot) == 0:
-        return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
-                             "id_b": pd.Series([], dtype=np.int64)})
-    hot_set = pa.array(hot, pa.int64())
-    rows = emitted.map_batches(
-        lambda b: b.filter(pc.is_in(b["bkey"], value_set=hot_set)),
-        batch_format="pyarrow").to_pandas()
-    # vectorized pair enumeration per exact bucket
-    rows = rows.sort_values(["band_id", "band_hash", id_col])
-    out_a, out_b = [], []
-    for (_bid, _bh), g in rows.groupby(["band_id", "band_hash"], sort=False):
-        ids = g[id_col].to_numpy()
-        if len(ids) >= 2:
-            ii, jj = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[ii]); out_b.append(ids[jj])
-    if not out_a:
-        return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
-                             "id_b": pd.Series([], dtype=np.int64)})
-    pairs = pd.DataFrame({"id_a": np.concatenate(out_a),
-                          "id_b": np.concatenate(out_b)})
-    return pairs.drop_duplicates().reset_index(drop=True)
+_EMPTY_JACCARD = {"id_a": np.int64, "id_b": np.int64, "jaccard": float}
+
+
+def _typed_empty(spec: dict) -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in spec.items()})
 
 
 def minhash_dedup_pairs(ds: ray.data.Dataset, threshold: float = 0.8,
                         id_col: str = "doc_id", text_col: str = "text") -> pd.DataFrame:
     """Near-dup pairs with exact-verified shingle Jaccard ≥ threshold.
 
-    Candidate verification pulls the candidate docs' texts via a filtered
-    pass over the source (candidates ≪ corpus assumed; at 100 TB this is a
-    broadcast-semi-join + per-pair verify inside map_groups).
+    Verification runs in-pipeline: candidate ids (bounded by near-dup
+    clusters) broadcast as a semi-join filter over the corpus; shingle
+    signatures computed distributed; two bucketed hash joins attach both
+    sides' signatures to each pair; per-pair exact Jaccard in map_batches.
+    Only pair-bounded data ever reaches the driver (the returned result).
     """
-    pairs = minhash_candidate_pairs(ds, id_col, text_col)
-    if pairs.empty:
-        return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
-                             "id_b": pd.Series([], dtype=np.int64),
-                             "jaccard": pd.Series([], dtype=float)})
-    need = np.unique(np.concatenate([pairs.id_a.to_numpy(), pairs.id_b.to_numpy()]))
-    need_set = pa.array(need, pa.int64())
-    texts = (ds.map_batches(
-        lambda b: b.filter(pc.is_in(b[id_col], value_set=need_set)).select([id_col, text_col]),
-        batch_format="pyarrow").to_pandas().set_index(id_col)[text_col].to_dict())
-    sh = {i: _shingle_hashes(t) for i, t in texts.items()}
-    jac = np.array([jaccard(sh[a], sh[b]) for a, b in zip(pairs.id_a, pairs.id_b)])
-    out = pairs.assign(jaccard=jac)
-    return out[out.jaccard >= threshold].reset_index(drop=True)
+    cand = minhash_candidate_pairs(ds, id_col, text_col).materialize()
+    if cand.count() == 0:
+        return _typed_empty(_EMPTY_JACCARD)
+    # candidate id set: bounded by near-dup clusters ≪ corpus → broadcast
+    ids_df = cand.map_batches(
+        lambda b: pa.table({"id": pa.concat_arrays(
+            [b["id_a"].combine_chunks(), b["id_b"].combine_chunks()])}),
+        batch_format="pyarrow").to_pandas()
+    need = np.unique(ids_df["id"].to_numpy())
+    import ray as _ray
+    need_ref = _ray.put(pa.array(need, pa.int64()))
+
+    def filt(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return b.filter(pc.is_in(b[id_col], value_set=_ray.get(need_ref)))
+
+    sigs = (ds.map_batches(filt, batch_format="pyarrow")
+              .map_batches(lambda b: shingle_sets_batch(b, id_col, text_col),
+                           batch_format="pyarrow"))
+    paired = attach_pair_payload(cand, sigs, id_col=id_col)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        jac = np.empty(len(df), np.float64)
+        ga, gb = df["grams_a"].to_numpy(), df["grams_b"].to_numpy()
+        for i in range(len(df)):  # loop over *pairs* — the true work unit
+            jac[i] = jaccard(np.frombuffer(ga[i], dtype=np.uint64),
+                             np.frombuffer(gb[i], dtype=np.uint64))
+        return pd.DataFrame({"id_a": df["id_a"].to_numpy(),
+                             "id_b": df["id_b"].to_numpy(), "jaccard": jac})
+
+    out = paired.map_batches(verify, batch_format="pandas").to_pandas()
+    if out.empty:
+        return _typed_empty(_EMPTY_JACCARD)
+    out = out.drop_duplicates(["id_a", "id_b"])  # band dupes, result-bounded
+    return (out[out.jaccard >= threshold]
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
 
 
 # ------------------------------------------------------------------ simhash
@@ -266,65 +256,66 @@ def simhash_batch(b: pa.Table, id_col: str = "doc_id", text_col: str = "text") -
     return pa.table({id_col: b[id_col], "simhash": pa.array(sh.view(np.int64))})
 
 
+# 64 bits → 6 blocks; any 3 flipped bits leave ≥3 blocks untouched, so every
+# Hamming-≤3 pair shares at least one C(6,3) block combination (recall 1.0).
+_BLOCK_BITS = (11, 11, 11, 11, 10, 10)
+_BLOCK_OFFS = tuple(int(x) for x in
+                    np.concatenate([[0], np.cumsum(_BLOCK_BITS)[:-1]]))
+_COMBOS = [(i, j, k) for i in range(6) for j in range(i + 1, 6)
+           for k in range(j + 1, 6)]  # 20 combos
+
+
+def _simhash_block_keys(b: pa.Table, id_col: str) -> pa.Table:
+    """Per doc: 20 rows (bkey, id, simhash) — bkey packs (combo_idx, the 3
+    block values) into ≤39 bits; the bucket space grows with the corpus."""
+    s = b["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+    ids = b[id_col].to_numpy(zero_copy_only=False)
+    blocks = [((s >> np.uint64(off)) & np.uint64((1 << w) - 1))
+              for w, off in zip(_BLOCK_BITS, _BLOCK_OFFS)]
+    keys, kids, sims = [], [], []
+    for ci, (i, j, k) in enumerate(_COMBOS):
+        key = np.uint64(ci)
+        for blk in (i, j, k):
+            key = (key << np.uint64(_BLOCK_BITS[blk])) | blocks[blk]
+        keys.append(key.astype(np.int64))
+        kids.append(ids)
+        sims.append(s.view(np.int64))
+    return pa.table({"bkey": pa.array(np.concatenate(keys)),
+                     id_col: pa.array(np.concatenate(kids)),
+                     "simhash": pa.array(np.concatenate(sims))})
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                         axis=1).sum(axis=1).astype(np.int64)
+
+
 def simhash_dup_pairs(ds: ray.data.Dataset, max_hamming: int = 3,
                       id_col: str = "doc_id", text_col: str = "text") -> pd.DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, via 16-bit-chunk
-    bucketing (pigeonhole: ≤3 differing bits ⇒ ≥1 of 4 chunks equal)."""
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming — guaranteed-recall
+    3-of-6 block bucketing, distributed bucket filter + pair enumeration,
+    exact Hamming verify inside the pipeline (simhash travels as payload, so
+    no join-back is needed)."""
     sigs = ds.map_batches(lambda b: simhash_batch(b, id_col, text_col),
                           batch_format="pyarrow", batch_size=4096)
+    emitted = sigs.map_batches(lambda b: _simhash_block_keys(b, id_col),
+                               batch_format="pyarrow")
+    cand = candidate_pairs(emitted, key="bkey", id_col=id_col,
+                           payload_cols=["simhash"])
 
-    def explode(b: pa.Table) -> pa.Table:
-        s = b["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
-        ids = b[id_col].to_numpy(zero_copy_only=False)
-        chunks, cids, sims = [], [], []
-        for c in range(4):
-            chunk = ((s >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
-            chunks.append(c * 65536 + chunk)  # (chunk_idx, value) packed
-            cids.append(ids)
-            sims.append(s.view(np.int64))
-        return pa.table({"chunk_key": pa.array(np.concatenate(chunks)),
-                         id_col: pa.array(np.concatenate(cids)),
-                         "simhash": pa.array(np.concatenate(sims))})
+    def verify(b: pa.Table) -> pa.Table:
+        sa = b["simhash_a"].to_numpy(zero_copy_only=False).view(np.uint64)
+        sb = b["simhash_b"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ham = _popcount64(sa ^ sb) if len(b) else np.array([], np.int64)
+        t = pa.table({"id_a": b["id_a"], "id_b": b["id_b"],
+                      "hamming": pa.array(ham)})
+        import pyarrow.compute as pc
+        return t.filter(pc.less_equal(t["hamming"], max_hamming))
 
-    # hot-bucket filter: native count-aggregate finds chunk buckets with ≥2
-    # members (rare), then one vectorized pandas pass enumerates pairs —
-    # no per-bucket Python (the same pattern as minhash_candidate_pairs).
-    from .agg import auto_partitions, partial_group_sums
-
-    emitted = sigs.map_batches(explode, batch_format="pyarrow").materialize()
-    sizes = (emitted.map_batches(
-                 lambda b: partial_group_sums(b, ["chunk_key"], (), count_name="n"),
-                 batch_format="pyarrow", zero_copy_batch=True)
-             .repartition(auto_partitions())
-             .groupby("chunk_key").aggregate(Sum("n", alias_name="n"))
-             .to_pandas())
-    hot = sizes[sizes.n >= 2].chunk_key.to_numpy()
-    empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
-                          "id_b": pd.Series([], dtype=np.int64),
-                          "hamming": pd.Series([], dtype=np.int64)})
-    if len(hot) == 0:
+    out = cand.map_batches(verify, batch_format="pyarrow").to_pandas()
+    empty = _typed_empty({"id_a": np.int64, "id_b": np.int64,
+                          "hamming": np.int64})
+    if out.empty:
         return empty
-    hot_set = pa.array(hot, pa.int64())
-    rows = emitted.map_batches(
-        lambda b: b.filter(pc.is_in(b["chunk_key"], value_set=hot_set)),
-        batch_format="pyarrow").to_pandas()
-    rows = rows.sort_values(["chunk_key", id_col])
-    out_a, out_b, out_h = [], [], []
-    for _ck, g in rows.groupby("chunk_key", sort=False):
-        ids = g[id_col].to_numpy()
-        if len(ids) < 2:
-            continue
-        sh = g["simhash"].to_numpy().view(np.uint64)
-        ii, jj = np.triu_indices(len(ids), k=1)
-        x = sh[ii] ^ sh[jj]
-        # vectorized popcount via uint8 view + bitcount table
-        ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
-        out_a.append(ids[ii]); out_b.append(ids[jj]); out_h.append(ham.astype(np.int64))
-    if not out_a:
-        return empty
-    pairs = pd.DataFrame({"id_a": np.concatenate(out_a),
-                          "id_b": np.concatenate(out_b),
-                          "hamming": np.concatenate(out_h)})
-    pairs = pairs[pairs.hamming <= max_hamming]
-    return (pairs.drop_duplicates(["id_a", "id_b"])
-                 .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    return (out.drop_duplicates(["id_a", "id_b"])
+               .sort_values(["id_a", "id_b"]).reset_index(drop=True))

@@ -64,11 +64,17 @@ def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
     scheduling unit, so B should be ≳ cluster cores).
     """
 
-    def _pa_schema(ds: ray.data.Dataset) -> pa.Schema:
+    def _as_arrow(ds: ray.data.Dataset) -> tuple[ray.data.Dataset, pa.Schema]:
         s = ds.schema()
-        return s.base_schema if hasattr(s, "base_schema") else s
+        s = s.base_schema if hasattr(s, "base_schema") else s
+        if isinstance(s, pa.Schema):
+            return ds, s
+        # pandas-block upstream (e.g. map_groups): coerce to Arrow blocks
+        ds = ds.map_batches(lambda b: b, batch_format="pyarrow")
+        s = ds.schema()
+        return ds, s.base_schema if hasattr(s, "base_schema") else s
 
-    ls, rs = _pa_schema(left), _pa_schema(right)
+    (left, ls), (right, rs) = _as_arrow(left), _as_arrow(right)
     lcols, rcols = list(ls.names), list(rs.names)
     # union needs one schema: pad each side with the other's columns as nulls
     all_fields = [pa.field(n, ls.field(n).type if n in lcols else rs.field(n).type)
@@ -92,10 +98,19 @@ def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
         right.map_batches(tag(1), batch_format="pyarrow"))
     both = both.repartition(max(auto_partitions(), num_buckets // 4))
 
+    # null-padding the union turns int columns float in pandas; restore the
+    # declared integer dtypes after the inner merge (no NaNs survive it
+    # unless the source column itself was nullable — leave those alone).
+    int_cols = {f.name for f in all_fields if pa.types.is_integer(f.type)}
+
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g._side == 0][lcols]
         r = g[g._side == 1][rcols]
-        return l.merge(r, on=key, how="inner", suffixes=("", suffix))
+        out = l.merge(r, on=key, how="inner", suffixes=("", suffix))
+        for c in out.columns:
+            if c in int_cols and out[c].dtype.kind == "f" and not out[c].isna().any():
+                out[c] = out[c].astype(np.int64)
+        return out
 
     return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
 

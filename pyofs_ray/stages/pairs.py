@@ -1,0 +1,147 @@
+"""Distributed candidate-pair machinery shared by the near-dup family
+(MinHash LSH, SimHash blocks, embedding sign-LSH).
+
+The common shape: each document emits a handful of (bucket_key, id[, payload])
+rows; genuine near-duplicates meet in a bucket. At 100 TB almost every bucket
+has exactly one member, so the pipeline must (a) find the rare ≥2-member
+buckets with a distributed count, (b) pull **only the filtered bucket keys**
+to the driver (bounded by true near-dup clusters, never by corpus size),
+(c) enumerate pairs inside distributed ``groupby(bucket).map_groups`` — the
+full emitted table is never materialized driver-side.
+
+Reference lineage: the skip-existing / co-registration joins (SURVEY.md
+J6/J7, `validation/data_assimilation_validation.py:119-249`) are the same
+"meet on a derived key, verify exactly" shape.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from .agg import auto_partitions, partial_group_sums
+
+# Deterministic guard against adversarial hot buckets (e.g. a boilerplate
+# string shared by millions of pages): a bucket is truncated to its
+# ``max_bucket`` smallest ids before pair enumeration. Near-dup semantics
+# degrade gracefully (boilerplate clusters that big are better handled by
+# exact dedup first); the cap bounds per-group work at O(max_bucket²).
+DEFAULT_MAX_BUCKET = 4096
+
+
+def hot_bucket_keys(emitted: ray.data.Dataset, key: str) -> np.ndarray:
+    """Bucket keys with ≥2 members, via partial-count → groupby-sum →
+    **filter inside the Dataset** → driver pull of the survivors only.
+
+    The pulled array is bounded by the number of true near-dup buckets —
+    the full (8–20)×corpus bucket-size table never leaves the cluster.
+    """
+    sizes = (emitted.map_batches(
+                 lambda b: partial_group_sums(b, [key], (), count_name="n"),
+                 batch_format="pyarrow", zero_copy_batch=True)
+             .repartition(auto_partitions())
+             .groupby(key).aggregate(Sum("n", alias_name="n")))
+    hot = sizes.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n"], 2)).select([key]),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return hot[key].to_numpy()
+
+
+def hot_bucket_rows(emitted: ray.data.Dataset, key: str) -> tuple[ray.data.Dataset, np.ndarray]:
+    """Rows of ≥2-member buckets (semi-join against the broadcast hot-key
+    set) plus the hot keys themselves. ``emitted`` is scanned twice — the
+    caller materializes it (or, at 10¹²-doc scale, writes the sketch table
+    to parquet once and reads it back for both passes)."""
+    hot = hot_bucket_keys(emitted, key)
+    if len(hot) == 0:
+        return emitted.limit(0), hot
+    hot_ref = ray.put(pa.array(hot, pa.int64()))
+
+    def filt(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b[key], value_set=ray.get(hot_ref)))
+
+    return emitted.map_batches(filt, batch_format="pyarrow"), hot
+
+
+def enumerate_bucket_pairs(rows: ray.data.Dataset, key: str, id_col: str,
+                           payload_cols: Sequence[str] = (),
+                           max_bucket: int = DEFAULT_MAX_BUCKET) -> ray.data.Dataset:
+    """Distributed pair enumeration: one ``map_groups`` per hot bucket
+    (hot buckets are few — the per-group Python cost is paid only where a
+    real candidate cluster exists). Emits (id_a, id_b[, <c>_a, <c>_b…])
+    with id_a < id_b; duplicates across buckets are NOT removed here.
+    """
+    payload_cols = list(payload_cols)
+
+    def enum(g: pd.DataFrame) -> pd.DataFrame:
+        # one row per id (a cross-band key collision can land the same doc
+        # in one merged bucket twice — a self-pair must not be emitted)
+        g = g.sort_values(id_col).drop_duplicates(id_col).head(max_bucket)
+        ids = g[id_col].to_numpy()
+        if len(ids) < 2:
+            return _empty_pairs(payload_cols, g)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        out = {"id_a": ids[ii], "id_b": ids[jj]}
+        for c in payload_cols:
+            v = g[c].to_numpy()
+            out[f"{c}_a"] = v[ii]
+            out[f"{c}_b"] = v[jj]
+        return pd.DataFrame(out)
+
+    def _empty_pairs(cols, g):
+        out = {"id_a": pd.Series([], dtype=np.int64),
+               "id_b": pd.Series([], dtype=np.int64)}
+        for c in cols:
+            out[f"{c}_a"] = pd.Series([], dtype=g[c].dtype)
+            out[f"{c}_b"] = pd.Series([], dtype=g[c].dtype)
+        return pd.DataFrame(out)
+
+    return rows.groupby(key).map_groups(enum, batch_format="pandas")
+
+
+def candidate_pairs(emitted: ray.data.Dataset, key: str, id_col: str,
+                    payload_cols: Sequence[str] = (),
+                    max_bucket: int = DEFAULT_MAX_BUCKET) -> ray.data.Dataset:
+    """(bucket_key, id[, payload]) rows → candidate (id_a, id_b[, payload])
+    pairs, fully in-pipeline. Pairs may repeat across buckets; dedupe
+    downstream (after the exact verify, where the data is smallest)."""
+    emitted = emitted.materialize()  # scanned twice: sizes + hot filter
+    rows, hot = hot_bucket_rows(emitted, key)
+    if len(hot) == 0:
+        return rows.limit(0)
+    return enumerate_bucket_pairs(rows, key, id_col, payload_cols, max_bucket)
+
+
+def attach_pair_payload(pairs: ray.data.Dataset, payload: ray.data.Dataset,
+                        id_col: str, num_buckets: int = 64) -> ray.data.Dataset:
+    """Join a per-id payload onto both sides of an (id_a, id_b) pair set —
+    two distributed bucketed hash joins, no driver materialization.
+    ``payload`` columns (other than ``id_col``) come back as ``<c>_a`` /
+    ``<c>_b``. Pairs ≪ corpus, so both joins move pair-bounded data."""
+    from .join import bucketed_hash_join
+
+    # map_groups output carries a pandas block schema; the bucketed join
+    # needs Arrow fields — coerce with an identity Arrow pass.
+    pairs = pairs.map_batches(lambda b: b, batch_format="pyarrow")
+
+    def rn(side: str):
+        def fn(b: pa.Table) -> pa.Table:
+            names = [f"id_{side}" if n == id_col else f"{n}_{side}"
+                     for n in b.column_names]
+            return b.rename_columns(names)
+        return fn
+
+    j = bucketed_hash_join(
+        pairs, payload.map_batches(rn("a"), batch_format="pyarrow"),
+        key="id_a", num_buckets=num_buckets)
+    j = bucketed_hash_join(
+        j, payload.map_batches(rn("b"), batch_format="pyarrow"),
+        key="id_b", num_buckets=num_buckets)
+    return j

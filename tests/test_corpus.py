@@ -157,3 +157,44 @@ def test_knn_task_mode_equals_actor_mode(duck_smoke):
     key = ["page_key", "rank"]
     assert a.sort_values(key).reset_index(drop=True).equals(
         b.sort_values(key).reset_index(drop=True))
+
+
+def _big_dup_corpus(n: int = 2000) -> ray.data.Dataset:
+    """Mostly-unique corpus with a 3-doc near-dup cluster (deterministic)."""
+    rows = []
+    for i in range(n):
+        rows.append({"doc_id": i,
+                     "text": f"totally distinct document number {i} with "
+                             f"payload {' '.join(str((i * 7919 + j) % 104729) for j in range(30))}"})
+    # non-repetitive base: shingle sets must be large so a 1-word edit
+    # keeps Jaccard well above the 0.8 threshold
+    base = ("shared near duplicate content " +
+            " ".join(f"w{(j * 31 + 7) % 997}" for j in range(120)))
+    rows.append({"doc_id": 10_000, "text": base})
+    rows.append({"doc_id": 10_001, "text": base})
+    rows.append({"doc_id": 10_002, "text": base.replace("near", "close", 1)})
+    return ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+
+def test_near_dup_family_never_pulls_corpus_to_driver(monkeypatch):
+    """Cluster-safety guard: MinHash/SimHash dedup must never materialize a
+    corpus-scale Dataset on the driver — every `to_pandas` pull is bounded
+    by the candidate/hot-bucket volume, not the corpus or sketch size."""
+    ds = _big_dup_corpus()
+    n_docs = ds.count()
+    pulls: list[int] = []
+    orig = ray.data.Dataset.to_pandas
+
+    def spy(self, *a, **kw):
+        df = orig(self, *a, **kw)
+        pulls.append(len(df))
+        return df
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", spy)
+    mh = dedup.minhash_dedup_pairs(ds, threshold=0.8)
+    sh = dedup.simhash_dup_pairs(ds, max_hamming=3)
+    got = set(map(tuple, mh[["id_a", "id_b"]].to_numpy()))
+    assert {(10_000, 10_001), (10_000, 10_002), (10_001, 10_002)} <= got
+    assert (10_000, 10_001) in set(map(tuple, sh[["id_a", "id_b"]].to_numpy()))
+    # the sketch tables are 8×/20× corpus rows; nothing near that may be pulled
+    assert max(pulls) < n_docs // 4, f"driver pulled {max(pulls)} rows"
