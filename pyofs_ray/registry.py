@@ -155,10 +155,14 @@ register(
        CAST(COUNT(*) AS BIGINT) AS dup_count
 FROM documents GROUP BY md5(text)""",
 )
+from .core import sqlgen_dedup  # noqa: E402
+
 register("ann_topk", corpus.ann_topk, corpus.ANN_TOPK_SQL)
 register("ann_topk_lsh", corpus.ann_topk_lsh)          # rows-only (approximate)
-register("minhash_pairs", corpus.minhash_pairs)        # rows-only (LSH recall)
-register("simhash_pairs", corpus.simhash_pairs)        # rows-only (sketch)
+register("minhash_pairs", corpus.minhash_pairs,
+         sqlgen_dedup.minhash_pairs_sql(0.8))
+register("simhash_pairs", corpus.simhash_pairs,
+         sqlgen_dedup.simhash_pairs_sql(3))
 
 
 # -------------------------------- compositing / stencil / validation (A4/J5/J6/A6)
@@ -244,7 +248,15 @@ register(
     _pages_passthrough,
     f"{sqlgen.pages_prefix()}\nSELECT url, text FROM pages",
 )
-register("embedding_dup_pairs", corpus.embedding_dup_pairs)  # rows-only (LSH)
+# exact all-pairs twin: the fixture's max pairwise cosine is ~0.51, so both
+# sides are deterministically empty — the oracle proves the 0-row answer is
+# correct-empty, not broken-empty (injected-dup recall is pytest-gated).
+register(
+    "embedding_dup_pairs", corpus.embedding_dup_pairs,
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95""")
 register("events_watermark", relational.events_watermark,
          relational.EVENTS_WATERMARK_SQL)
 register("ann_topk_ivf", corpus.ann_topk_ivf)          # rows-only (approximate)

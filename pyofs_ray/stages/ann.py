@@ -99,23 +99,36 @@ def ann_topk_brute(ds: ray.data.Dataset, queries: pa.Table, k: int = 5,
 
 
 # ---------------------------------------------------------------- LSH path
-NUM_PLANES = 5  # few planes + deep multi-probe: tuned for low-similarity corpora
+# Banded sign-LSH (OR-of-ANDs): B bands × r deterministic hyperplanes; a
+# vector's key in band b packs that band's r sign bits (band id in the high
+# bits — one flat int64 key space). Two vectors are candidates iff they
+# share any band key. Bucket count per band is 2^r, so bucket population
+# shrinks as r rises; pair recall at angle θ is 1-(1-(1-θ/π)^r)^B — the
+# standard banded guarantee. Near-dup detection (θ≈0) uses deep bands
+# (r=16: recall→1, buckets 16×65536 per band-space and corpus-fractional);
+# top-k search over low-similarity corpora needs shallow bands (r=6) and
+# remains an explicit recall/scan trade — IVF is the scale path there.
+DUP_BANDS, DUP_PLANES_PER_BAND = 16, 16
+TOPK_BANDS, TOPK_PLANES_PER_BAND = 24, 6
 
 
-def _hyperplanes(dim: int) -> np.ndarray:
+def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes from splitmix64 bits."""
-    n = NUM_PLANES * dim
-    u = splitmix64(np.arange(n, dtype=np.uint64) + np.uint64(0xABCDEF))
+    u = splitmix64(np.arange(n_planes * dim, dtype=np.uint64) + np.uint64(0xABCDEF))
     # uniform in [-1, 1)
     vals = (u.astype(np.float64) / 2**64) * 2 - 1
-    return vals.reshape(NUM_PLANES, dim)
+    return vals.reshape(n_planes, dim)
 
 
-def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
-    bits = (m @ planes.T) > 0  # (n, H)
-    keys = np.zeros(len(m), dtype=np.int64)
-    for h in range(planes.shape[0]):
-        keys |= bits[:, h].astype(np.int64) << h
+def _band_keys(m: np.ndarray, planes: np.ndarray, num_bands: int,
+               planes_per_band: int) -> np.ndarray:
+    """(n, B) int64 band keys: sign bits of band b packed, band id << 24."""
+    bits = (m @ planes.T) > 0  # (n, B*r)
+    keys = np.zeros((len(m), num_bands), dtype=np.int64)
+    for b in range(num_bands):
+        for j in range(planes_per_band):
+            keys[:, b] |= bits[:, b * planes_per_band + j].astype(np.int64) << j
+    keys |= (np.arange(num_bands, dtype=np.int64) << 24)[None, :]
     return keys
 
 
@@ -174,10 +187,14 @@ def ann_topk_ivf(ds: ray.data.Dataset, queries: pa.Table, k: int = 5,
                 if not qis:
                     continue
                 sel = assign == li
-                sims = m[sel] @ self.qmat[qis].T
-                out_q.append(np.repeat(self.qids[qis], sel.sum()))
-                out_v.append(np.tile(vids[sel], len(qis)))
-                out_s.append(sims.T.ravel())
+                sims = m[sel] @ self.qmat[qis].T  # (n_sel, n_q)
+                svids = vids[sel]
+                for col, qi in enumerate(qis):
+                    # partial top-k: only k+1 rows per (query, batch, list)
+                    order = np.lexsort((svids, -sims[:, col]))[:k + 1]
+                    out_q.append(np.full(len(order), self.qids[qi], np.int64))
+                    out_v.append(svids[order])
+                    out_s.append(sims[order, col])
             if not out_q:
                 return pa.table({"query_id": pa.array([], pa.int64()),
                                  "vec_id": pa.array([], pa.int64()),
@@ -203,102 +220,114 @@ def ann_topk_ivf(ds: ray.data.Dataset, queries: pa.Table, k: int = 5,
 
 
 def embedding_dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
-                        dim: int | None = None) -> pd.DataFrame:
+                        dim: int | None = None, num_bands: int = DUP_BANDS,
+                        planes_per_band: int = DUP_PLANES_PER_BAND) -> pd.DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold).
 
-    Scale path: vectors land in sign-LSH buckets (near-identical vectors
-    agree on every plane with prob → 1), pairs are enumerated within each
-    bucket and **exactly verified** by true cosine — precision exact, recall
-    the standard LSH guarantee (high for genuine near-dups; each pair is
-    caught if it shares any of the probed buckets).
+    Banded sign-LSH: each vector emits ``num_bands`` (band_key, id) rows —
+    embeddings are NOT shuffled; only ids travel through the bucket
+    exchange. The shared hot-bucket machinery (`stages/pairs.py`) filters
+    ≥2-member buckets distributed and enumerates pairs in per-bucket
+    ``map_groups``; embeddings join back onto the (pair-bounded) candidate
+    set as packed binary blobs for the exact cosine verify — precision
+    exact, recall 1-(1-(1-θ/π)^r)^B (→1 for genuine near-dups).
     """
+    from .pairs import attach_candidate_signatures, candidate_pairs
+
     if dim is None:
         first = ds.take_batch(1, batch_format="pyarrow")
         dim = len(first["embedding"][0].as_py())
-    planes = _hyperplanes(dim)
+    planes = _hyperplanes(dim, num_bands * planes_per_band)
 
     def bucketize(b: pa.Table) -> pa.Table:
         m = _normalize(_embedding_matrix(b))
-        keys = _bucket_of(m, planes)
-        return pa.table({"vec_id": b["vec_id"], "bucket": pa.array(keys),
-                         "embedding": b["embedding"]})
+        keys = _band_keys(m, planes, num_bands, planes_per_band)  # (n, B)
+        vids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"bkey": pa.array(keys.ravel()),
+                         "vec_id": pa.array(np.repeat(vids, num_bands))})
 
-    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
-                                 "id_b": pd.Series([], dtype=np.int64),
-                                 "cosine": pd.Series([], dtype=float)})
-        g = g.sort_values("vec_id")
-        ids = g.vec_id.to_numpy()
-        m = _normalize(np.stack(g.embedding.to_numpy()).astype(np.float64))
-        sims = m @ m.T
-        ii, jj = np.triu_indices(len(ids), k=1)
-        keep = sims[ii, jj] >= threshold
-        return pd.DataFrame({"id_a": ids[ii[keep]], "id_b": ids[jj[keep]],
-                             "cosine": sims[ii[keep], jj[keep]]})
+    emitted = ds.map_batches(bucketize, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    cand = candidate_pairs(emitted, key="bkey", id_col="vec_id").materialize()
 
-    pairs = (ds.map_batches(bucketize, batch_format="pyarrow")
-               .groupby("bucket")
-               .map_groups(pairs_of_bucket, batch_format="pandas")
-               .to_pandas())
-    if pairs.empty:  # no bucket produced a pair → typed empty result
-        return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
-                             "id_b": pd.Series([], dtype=np.int64),
-                             "cosine": pd.Series([], dtype=float)})
-    return (pairs.drop_duplicates(["id_a", "id_b"])
-                 .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    def sig(b: pa.Table) -> pa.Table:
+        m = _embedding_matrix(b)  # float64 rows → packed blobs
+        return pa.table({"vec_id": b["vec_id"],
+                         "emb": pa.array([m[i].tobytes() for i in range(len(m))],
+                                         pa.binary())})
 
+    paired = attach_candidate_signatures(cand, ds, "vec_id", sig)
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                          "id_b": pd.Series([], dtype=np.int64),
+                          "cosine": pd.Series([], dtype=float)})
+    if paired is None:
+        return empty
 
-class LSHBucketer:
-    def __init__(self, dim: int):
-        self.planes = _hyperplanes(dim)
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        cos = np.empty(len(df), np.float64)
+        ea, eb = df["emb_a"].to_numpy(), df["emb_b"].to_numpy()
+        for i in range(len(df)):  # loop over *pairs* — the true work unit
+            a = np.frombuffer(ea[i], dtype=np.float64)
+            b_ = np.frombuffer(eb[i], dtype=np.float64)
+            cos[i] = (_normalize(a[None, :]) @ _normalize(b_[None, :]).T)[0, 0]
+        return pd.DataFrame({"id_a": df["id_a"].to_numpy(),
+                             "id_b": df["id_b"].to_numpy(), "cosine": cos})
 
-    def __call__(self, b: pa.Table) -> pa.Table:
-        m = _normalize(_embedding_matrix(b))
-        keys = _bucket_of(m, self.planes)
-        return b.append_column("bucket", pa.array(keys))
+    out = paired.map_batches(verify, batch_format="pandas").to_pandas()
+    if out.empty:
+        return empty
+    out = out.drop_duplicates(["id_a", "id_b"])  # band dupes, result-bounded
+    return (out[out.cosine >= threshold]
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
 
 
 def ann_topk_lsh(ds: ray.data.Dataset, queries: pa.Table, k: int = 5,
-                 dim: int | None = None, exclude_self: bool = True) -> pd.DataFrame:
-    """LSH-bucketed approximate top-k: each query probes its bucket + all
-    Hamming-1 buckets; candidates ranked by exact cosine."""
+                 dim: int | None = None, exclude_self: bool = True,
+                 num_bands: int = TOPK_BANDS,
+                 planes_per_band: int = TOPK_PLANES_PER_BAND) -> pd.DataFrame:
+    """Banded-LSH approximate top-k: a base vector is a candidate for a
+    query iff they share any band key (OR-of-ANDs — no Hamming multi-probe
+    sweep of the key space). Candidates are scored by exact cosine with a
+    per-batch partial top-k, so only Q×(k+1) rows leave each batch."""
     if dim is None:
         dim = len(queries["embedding"][0].as_py())
-    planes = _hyperplanes(dim)
+    planes = _hyperplanes(dim, num_bands * planes_per_band)
     qmat = _normalize(_embedding_matrix(queries))
     qids = queries["vec_id"].to_numpy(zero_copy_only=False)
-    qbuckets = _bucket_of(qmat, planes)
-    probe: dict[int, list[int]] = {}
-    for qi, bkt in enumerate(qbuckets):
-        wanted = {int(bkt)}
-        for h in range(NUM_PLANES):            # Hamming-1 probes
-            wanted.add(int(bkt) ^ (1 << h))
-            for h2 in range(h + 1, NUM_PLANES):  # Hamming-2 probes
-                wanted.add(int(bkt) ^ (1 << h) ^ (1 << h2))
-        for w in wanted:
-            probe.setdefault(w, []).append(qi)
-    probe_ref = ray.put((probe, qmat, qids))
+    qkeys = _band_keys(qmat, planes, num_bands, planes_per_band)  # (Q, B)
+    band_maps: list[dict[int, list[int]]] = [dict() for _ in range(num_bands)]
+    for qi in range(len(qids)):
+        for b in range(num_bands):
+            band_maps[b].setdefault(int(qkeys[qi, b]), []).append(qi)
+    probe_ref = ray.put((planes, band_maps, qmat, qids))
 
     class Probe:
         def __init__(self):
-            self.planes = planes
-            self.probe, self.qmat, self.qids = ray.get(probe_ref)
+            self.planes, self.band_maps, self.qmat, self.qids = ray.get(probe_ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
             m = _normalize(_embedding_matrix(b))
-            keys = _bucket_of(m, self.planes)
+            keys = _band_keys(m, self.planes, num_bands, planes_per_band)
             vids = b["vec_id"].to_numpy(zero_copy_only=False)
+            nq = len(self.qids)
+            cand = np.zeros((len(m), nq), dtype=bool)
+            for band in range(num_bands):
+                col = keys[:, band]
+                for qkey, qis in self.band_maps[band].items():
+                    sel = col == qkey
+                    if sel.any():
+                        cand[np.ix_(sel, np.asarray(qis))] = True
             out_q, out_v, out_s = [], [], []
-            for bkt in np.unique(keys):
-                qis = self.probe.get(int(bkt))
-                if not qis:
+            for qi in range(nq):
+                sel = cand[:, qi]
+                if not sel.any():
                     continue
-                sel = keys == bkt
-                sims = m[sel] @ self.qmat[qis].T  # (n_sel, n_q)
-                out_q.append(np.repeat(self.qids[qis], sel.sum()))
-                out_v.append(np.tile(vids[sel], len(qis)))
-                out_s.append(sims.T.ravel())
+                sims = m[sel] @ self.qmat[qi]
+                svids = vids[sel]
+                order = np.lexsort((svids, -sims))[:k + 1]  # partial top-k
+                out_q.append(np.full(len(order), self.qids[qi], np.int64))
+                out_v.append(svids[order])
+                out_s.append(sims[order])
             if not out_q:
                 return pa.table({"query_id": pa.array([], pa.int64()),
                                  "vec_id": pa.array([], pa.int64()),

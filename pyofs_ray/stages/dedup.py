@@ -37,7 +37,7 @@ import ray.data
 from ray.data.aggregate import Min, Sum
 
 from ..core.hashing import splitmix64
-from .pairs import attach_pair_payload, candidate_pairs
+from .pairs import candidate_pairs
 from .text import fingerprint
 
 
@@ -186,26 +186,12 @@ def minhash_dedup_pairs(ds: ray.data.Dataset, threshold: float = 0.8,
     sides' signatures to each pair; per-pair exact Jaccard in map_batches.
     Only pair-bounded data ever reaches the driver (the returned result).
     """
+    from .pairs import attach_candidate_signatures
     cand = minhash_candidate_pairs(ds, id_col, text_col).materialize()
-    if cand.count() == 0:
+    paired = attach_candidate_signatures(
+        cand, ds, id_col, lambda b: shingle_sets_batch(b, id_col, text_col))
+    if paired is None:
         return _typed_empty(_EMPTY_JACCARD)
-    # candidate id set: bounded by near-dup clusters ≪ corpus → broadcast
-    ids_df = cand.map_batches(
-        lambda b: pa.table({"id": pa.concat_arrays(
-            [b["id_a"].combine_chunks(), b["id_b"].combine_chunks()])}),
-        batch_format="pyarrow").to_pandas()
-    need = np.unique(ids_df["id"].to_numpy())
-    import ray as _ray
-    need_ref = _ray.put(pa.array(need, pa.int64()))
-
-    def filt(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        return b.filter(pc.is_in(b[id_col], value_set=_ray.get(need_ref)))
-
-    sigs = (ds.map_batches(filt, batch_format="pyarrow")
-              .map_batches(lambda b: shingle_sets_batch(b, id_col, text_col),
-                           batch_format="pyarrow"))
-    paired = attach_pair_payload(cand, sigs, id_col=id_col)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         jac = np.empty(len(df), np.float64)

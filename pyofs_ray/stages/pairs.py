@@ -119,6 +119,31 @@ def candidate_pairs(emitted: ray.data.Dataset, key: str, id_col: str,
     return enumerate_bucket_pairs(rows, key, id_col, payload_cols, max_bucket)
 
 
+def attach_candidate_signatures(cand: ray.data.Dataset, ds: ray.data.Dataset,
+                                id_col: str, sig_fn) -> ray.data.Dataset | None:
+    """Join per-id signatures onto both sides of a candidate pair set.
+
+    ``cand`` must be materialized. Candidate ids (bounded by near-dup
+    clusters, ≪ corpus) broadcast as a semi-join filter over ``ds``;
+    ``sig_fn(batch) -> (id_col, sig…)`` computes signatures distributed;
+    two bucketed joins attach them as ``<c>_a`` / ``<c>_b``. Returns None
+    when there are no candidates."""
+    if cand.count() == 0:
+        return None
+    ids_df = cand.map_batches(
+        lambda b: pa.table({"id": pa.concat_arrays(
+            [b["id_a"].combine_chunks(), b["id_b"].combine_chunks()])}),
+        batch_format="pyarrow").to_pandas()
+    need_ref = ray.put(pa.array(np.unique(ids_df["id"].to_numpy()), pa.int64()))
+
+    def filt(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b[id_col], value_set=ray.get(need_ref)))
+
+    sigs = (ds.map_batches(filt, batch_format="pyarrow")
+              .map_batches(sig_fn, batch_format="pyarrow"))
+    return attach_pair_payload(cand, sigs, id_col=id_col)
+
+
 def attach_pair_payload(pairs: ray.data.Dataset, payload: ray.data.Dataset,
                         id_col: str, num_buckets: int = 64) -> ray.data.Dataset:
     """Join a per-id payload onto both sides of an (id_a, id_b) pair set —
