@@ -118,29 +118,35 @@ def run_flagship_checkpointed(sf_dir: str, out_dir: str,
                               fail_after: int | None = None) -> dict:
     """Flagship per-cell aggregate, partitioned by warc_ts day, with a
     commit-per-partition manifest and resume (north_rule; the
-    `write_daily_average.py` skip-existing analogue)."""
-    import numpy as np
+    `write_daily_average.py` skip-existing analogue).
 
+    Single-pass: the day is derived as a column and the corpus is scanned
+    ONCE for all pending days (filtered to pending at the plan level, so a
+    resumed run reads nothing for committed days) — `(day, cell)` aggregate
+    → per-day atomic partition write + manifest commit. The reference
+    re-reads per day (`write_daily_average.py:632-709`); at 100 TB that is
+    30× read amplification, here it is exactly one scan per invocation."""
     from ..stages.agg import two_stage_cell_agg
-    from ..state.manifest import run_partitioned
+    from ..state.manifest import run_single_pass
 
-    def build(unit: str) -> ray.data.Dataset:
-        day = np.datetime64(unit.split("=", 1)[1], "us")
-        nxt = day + np.timedelta64(1, "D")
+    def build_pending(pending) -> ray.data.Dataset:
+        pend_set = pa.array(list(pending), pa.string())
 
-        def filt(b: pa.Table) -> pa.Table:
-            ts = b["warc_ts"]
-            keep = pc.and_(pc.greater_equal(ts, pa.scalar(day)),
-                           pc.less(ts, pa.scalar(nxt)))
-            return b.filter(keep).select(["cell_id", "n_chars"])
+        def day_filter(b: pa.Table) -> pa.Table:
+            day = pc.strftime(b["warc_ts"], format="day=%Y-%m-%d")
+            b = b.append_column("day", day)
+            keep = pc.is_in(b["day"], value_set=pend_set)
+            return b.filter(keep).select(["day", "cell_id", "n_chars"])
 
         ds = geocoded_pages(sf_dir, zoom).map_batches(
-            filt, batch_format="pyarrow", zero_copy_batch=True)
-        return two_stage_cell_agg(ds, keys=("cell_id",), int_sum_cols=("n_chars",))
+            day_filter, batch_format="pyarrow", zero_copy_batch=True)
+        return two_stage_cell_agg(ds, keys=("day", "cell_id"),
+                                  int_sum_cols=("n_chars",))
 
-    return run_partitioned(out_dir, day_units(), build,
-                           lineage=lambda u: f"{sf_dir}/documents.parquet→geocode→cellagg[{u}]",
-                           fail_after=fail_after)
+    return run_single_pass(
+        out_dir, day_units(), build_pending, unit_col="day",
+        lineage=lambda u: f"{sf_dir}/documents.parquet→geocode→cellagg[{u}]",
+        fail_after=fail_after)
 
 
 def cell_distinct_langs(sf_dir: str, zoom: int = geom.BASE_ZOOM) -> ray.data.Dataset:

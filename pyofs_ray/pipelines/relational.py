@@ -416,9 +416,15 @@ def q3_shipping_priority(sf_dir: str, k: int = 10) -> ray.data.Dataset:
         return pa.table({"l_orderkey": b["l_orderkey"], "rev_s": rev})
 
     li = li.map_batches(prep, batch_format="pyarrow")
-    # fact ⋈ filtered orders: orders side is small after the dims — broadcast
-    ok_tbl = pa.table({"l_orderkey": okeys.to_pandas().o_orderkey})
-    li = broadcast_join(li, ok_tbl, keys=["l_orderkey"], join_type="semi")
+    # fact ⋈ filtered orders: the filtered-orders side is a fact-table
+    # filter output (unbounded at scale) — distributed bucketed hash join,
+    # never a driver materialization. o_orderkey is unique, so the inner
+    # join is an exact semi-join.
+    from ..stages.join import bucketed_hash_join
+    ok_keys = okeys.map_batches(
+        lambda b: pa.table({"l_orderkey": b["o_orderkey"]}),
+        batch_format="pyarrow")
+    li = bucketed_hash_join(li, ok_keys, key="l_orderkey")
     agg = two_stage_cell_agg(li, keys=("l_orderkey",), int_sum_cols=("rev_s",),
                              count_name="n_items")
 

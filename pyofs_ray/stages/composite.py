@@ -83,35 +83,54 @@ def neighbor_grad(cells: ray.data.Dataset, value_sum: str = "n_chars_sum",
         v = (b[value_sum].to_numpy(zero_copy_only=False).astype(np.float64)
              / b[count].to_numpy(zero_copy_only=False))
         n = np.int64(1) << z
-        targets, contrib, axis = [], [], []
+        targets, cx, nx, cy, ny = [], [], [], [], []
         # v(x,y) contributes +v to grad_x of (x-1,y) and -v to grad_x of (x+1,y)
         for dx, dy, sign in ((-1, 0, 1.0), (1, 0, -1.0), (0, -1, 1.0), (0, 1, -1.0)):
             tx, ty = x + dx, y + dy
             ok = (tx >= 0) & (tx < n) & (ty >= 0) & (ty < n)
+            k = int(ok.sum())
             targets.append(geom.pack_cell(0, tx[ok], ty[ok]) | (z[ok] << geom.CELL_Z_SHIFT))
-            contrib.append(sign * v[ok])
-            axis.append(np.full(ok.sum(), 0 if dy == 0 else 1, np.int8))
-        return pa.table({
+            on_x = dy == 0
+            cx.append(sign * v[ok] if on_x else np.zeros(k))
+            nx.append(np.full(k, 1 if on_x else 0, np.int64))
+            cy.append(np.zeros(k) if on_x else sign * v[ok])
+            ny.append(np.full(k, 0 if on_x else 1, np.int64))
+        t = pa.table({
             "cell_id": pa.array(np.concatenate(targets)),
-            "axis": pa.array(np.concatenate(axis)),
-            "contrib": pa.array(np.concatenate(contrib)),
+            "cx": pa.array(np.concatenate(cx)),
+            "nx": pa.array(np.concatenate(nx)),
+            "cy": pa.array(np.concatenate(cy)),
+            "ny": pa.array(np.concatenate(ny)),
         })
+        # batch-local partial combine: the wide exchange moves ≤1 row per
+        # (cell, batch). Each axis sum has exactly 2 real addends globally
+        # (+v_east, -v_west) plus exact zeros, so any reduction order gives
+        # fl(a+b) — bit-stable without per-group Python (map_groups pays
+        # ~0.5 ms/group; stencil targets are millions of cells at z≥10).
+        g = t.group_by("cell_id").aggregate(
+            [("cx", "sum"), ("nx", "sum"), ("cy", "sum"), ("ny", "sum")])
+        return pa.table({"cell_id": g["cell_id"], "cx": g["cx_sum"],
+                         "nx": g["nx_sum"], "cy": g["cy_sum"],
+                         "ny": g["ny_sum"]})
+
+    from ray.data.aggregate import Sum
 
     from .agg import auto_partitions
 
     emitted = cells.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
-    emitted = emitted.repartition(auto_partitions())
+    agg = (emitted.repartition(auto_partitions())
+                  .groupby("cell_id")
+                  .aggregate(Sum("cx", alias_name="cx"), Sum("nx", alias_name="nx"),
+                             Sum("cy", alias_name="cy"), Sum("ny", alias_name="ny")))
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        out = {"cell_id": [g.cell_id.iloc[0]], "grad_x": [np.nan], "grad_y": [np.nan]}
-        any_axis = False
-        for ax, col in ((0, "grad_x"), (1, "grad_y")):
-            sel = g[g.axis == ax]
-            if len(sel) == 2:  # both neighbors present (sum of 2 is exact-commutative)
-                out[col] = [sel.contrib.sum()]
-                any_axis = True
-        if not any_axis:  # no complete neighbor pair on either axis
-            return pd.DataFrame({"cell_id": [], "grad_x": [], "grad_y": []})
-        return pd.DataFrame(out)
+    def finish(b: pa.Table) -> pa.Table:
+        nx_ = b["nx"].to_numpy(zero_copy_only=False)
+        ny_ = b["ny"].to_numpy(zero_copy_only=False)
+        gx = np.where(nx_ == 2, b["cx"].to_numpy(zero_copy_only=False), np.nan)
+        gy = np.where(ny_ == 2, b["cy"].to_numpy(zero_copy_only=False), np.nan)
+        keep = (nx_ == 2) | (ny_ == 2)
+        return pa.table({"cell_id": b["cell_id"].to_numpy(zero_copy_only=False)[keep],
+                         "grad_x": pa.array(gx[keep]),
+                         "grad_y": pa.array(gy[keep])})
 
-    return emitted.groupby("cell_id").map_groups(combine, batch_format="pandas")
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

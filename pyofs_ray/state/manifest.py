@@ -70,6 +70,28 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def _write_and_commit(man: Manifest, out_dir: str, unit: str,
+                      ds: ray.data.Dataset, lineage: str) -> None:
+    """Atomic partition write (temp dir + rename) followed by one manifest
+    commit row with row/byte metrics — the unit of resume."""
+    final_dir = os.path.join(out_dir, unit)
+    tmp_dir = os.path.join(out_dir, f".{unit}.tmp")
+    import shutil
+    for stale in (tmp_dir, final_dir):  # partial write / uncommitted rename
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+    ds.write_parquet(tmp_dir)
+    os.makedirs(tmp_dir, exist_ok=True)  # empty partition → empty dir commit
+    # row count from written file metadata (no second pipeline pass)
+    import pyarrow.parquet as pq
+    rows = sum(pq.read_metadata(os.path.join(tmp_dir, f)).num_rows
+               for f in os.listdir(tmp_dir) if f.endswith(".parquet"))
+    os.replace(tmp_dir, final_dir)
+    man.commit(CommitRecord(
+        partition_id=unit, rows=rows, bytes=_dir_bytes(final_dir),
+        lineage=lineage, committed_at=time.time()))
+
+
 def run_partitioned(
     out_dir: str,
     units: Sequence[str],
@@ -81,6 +103,10 @@ def run_partitioned(
     manifest row after each atomic partition write. ``fail_after`` injects a
     crash after N commits (for the kill/restart test).
 
+    Right when units are genuinely separate inputs (one shard per unit).
+    When every unit filters the SAME input, use ``run_single_pass`` — this
+    runner would re-scan the corpus once per unit.
+
     Returns {"committed": n_total, "ran": n_this_run, "skipped": n_resumed}.
     """
     man = Manifest(out_dir)
@@ -91,27 +117,60 @@ def run_partitioned(
             continue
         if fail_after is not None and ran >= fail_after:
             raise RuntimeError(f"injected failure after {ran} commits")
-        ds = build(unit)
-        final_dir = os.path.join(out_dir, unit)
-        tmp_dir = os.path.join(out_dir, f".{unit}.tmp")
-        import shutil
-        for stale in (tmp_dir, final_dir):  # partial write / uncommitted rename
-            if os.path.exists(stale):
-                shutil.rmtree(stale)
-        ds.write_parquet(tmp_dir)
-        os.makedirs(tmp_dir, exist_ok=True)  # empty partition → empty dir commit
-        # row count from written file metadata (no second pipeline pass)
-        import pyarrow.parquet as pq
-        rows = sum(pq.read_metadata(os.path.join(tmp_dir, f)).num_rows
-                   for f in os.listdir(tmp_dir) if f.endswith(".parquet"))
-        os.replace(tmp_dir, final_dir)
-        man.commit(CommitRecord(
-            partition_id=unit, rows=rows, bytes=_dir_bytes(final_dir),
-            lineage=lineage(unit), committed_at=time.time()))
+        _write_and_commit(man, out_dir, unit, build(unit), lineage(unit))
         ran += 1
     done = man.committed()
     return {"committed": len(done), "ran": ran,
             "skipped": len([u for u in units if u in done]) - ran}
+
+
+def run_single_pass(
+    out_dir: str,
+    units: Sequence[str],
+    build_pending: Callable[[Sequence[str]], ray.data.Dataset],
+    unit_col: str = "unit",
+    lineage: Callable[[str], str] = lambda u: u,
+    fail_after: int | None = None,
+) -> dict:
+    """Checkpointed partitioned run that scans the input ONCE for all
+    pending units (the `write_daily_average.py` skip-existing analogue
+    without its per-day read amplification).
+
+    ``build_pending(pending)`` returns one streaming plan whose output
+    carries ``unit_col`` and is **key-bounded** (an aggregate — one row per
+    (unit, key)); it must filter the input to the pending units at the
+    plan/read level, so committed units cost no I/O on resume. The bounded
+    result is pinned once, then each unit's slice is written + committed
+    atomically in order. A crash between commits loses at most one
+    uncommitted slice; the restart re-scans only the still-pending units —
+    a 30-day resume reads the corpus once, not 30 times.
+
+    Returns {"committed", "ran", "skipped", "scans"} — ``scans`` is the
+    number of full input scans this invocation performed (0 or 1).
+    """
+    import pyarrow.compute as pc
+
+    man = Manifest(out_dir)
+    done = man.committed()
+    pending = [u for u in units if u not in done]
+    ran = 0
+    if pending:
+        # one corpus scan; the materialized result is one row per
+        # (unit, key) — bounded by key cardinality, not input rows
+        agg = build_pending(pending).materialize()
+        for unit in pending:
+            if fail_after is not None and ran >= fail_after:
+                raise RuntimeError(f"injected failure after {ran} commits")
+            part = agg.map_batches(
+                lambda b, u=unit: b.filter(pc.equal(b[unit_col], u))
+                                   .drop_columns([unit_col]),
+                batch_format="pyarrow")
+            _write_and_commit(man, out_dir, unit, part, lineage(unit))
+            ran += 1
+    done = man.committed()
+    return {"committed": len(done), "ran": ran,
+            "skipped": len([u for u in units if u in done]) - ran,
+            "scans": 1 if pending else 0}
 
 
 def audit_missing(out_dir: str, expected_units: Sequence[str]) -> list[str]:

@@ -24,18 +24,29 @@ def out_dir():
     shutil.rmtree(OUT, ignore_errors=True)
 
 
-def test_kill_restart_resume(out_dir):
+def test_kill_restart_resume(out_dir, monkeypatch):
+    # single-pass guard: each invocation may scan the corpus at most once,
+    # regardless of how many day partitions it commits
+    import pyofs_ray.pipelines.flagship as fs
+    scans = []
+    orig = fs.geocoded_pages
+    monkeypatch.setattr(fs, "geocoded_pages",
+                        lambda *a, **kw: scans.append(1) or orig(*a, **kw))
+
     # first run dies after 7 committed partitions
     with pytest.raises(RuntimeError, match="injected failure"):
         run_flagship_checkpointed(SF_SMOKE, out_dir, fail_after=7)
     man = Manifest(out_dir)
     assert len(man.committed()) == 7
+    assert len(scans) == 1
     missing = audit_missing(out_dir, day_units())
     assert len(missing) == 30 - 7
 
-    # restart: must run exactly the missing 23, skip the 7 committed
+    # restart: must run exactly the missing 23, skip the 7 committed,
+    # with one corpus scan (not one per day)
     res = run_flagship_checkpointed(SF_SMOKE, out_dir)
-    assert res == {"committed": 30, "ran": 23, "skipped": 7}
+    assert res == {"committed": 30, "ran": 23, "skipped": 7, "scans": 1}
+    assert len(scans) == 2
     assert audit_missing(out_dir, day_units()) == []
 
     # every committed partition has lineage + row/byte metrics
@@ -45,9 +56,10 @@ def test_kill_restart_resume(out_dir):
     # the smoke corpus is small enough that all pages share day 1
     assert man.committed()["day=2024-01-01"].rows > 0
 
-    # third run is a full no-op
+    # third run is a full no-op: zero scans, nothing recomputed
     res2 = run_flagship_checkpointed(SF_SMOKE, out_dir)
-    assert res2 == {"committed": 30, "ran": 0, "skipped": 30}
+    assert res2 == {"committed": 30, "ran": 0, "skipped": 30, "scans": 0}
+    assert len(scans) == 2
 
     # the union of partition outputs equals the unpartitioned aggregate
     con = duckdb.connect()
