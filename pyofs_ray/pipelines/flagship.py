@@ -149,6 +149,72 @@ def run_flagship_checkpointed(sf_dir: str, out_dir: str,
         fail_after=fail_after)
 
 
+_HOUR_US = 3_600_000_000
+_DAY_US = 86_400_000_000
+_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00 in µs (fixture base)
+
+
+def _with_time_delta(ds: ray.data.Dataset,
+                     quantum_us: int = _DAY_US) -> ray.data.Dataset:
+    """Attach the integer model-time delta (time-step index vs the corpus
+    base) — the `wcofs.py:1144-1279` time_delta key re-imagined."""
+
+    def derive(b: pa.Table) -> pa.Table:
+        t = b["warc_ts"].cast(pa.int64())
+        delta = pc.divide(pc.subtract(t, pa.scalar(_EPOCH_US, pa.int64())),
+                          pa.scalar(quantum_us, pa.int64()))
+        return b.append_column("time_delta", pc.cast(delta, pa.int64()))
+
+    return ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ensemble_cell_means(sf_dir: str, zoom: int = geom.BASE_ZOOM) -> ray.data.Dataset:
+    """Ensemble/time-stack aggregation (SURVEY.md A3, `wcofs.py:1234-1279`
+    `data_averages`): per-(cell, time_delta) mean over the member pages of
+    that model-time slice — one two-stage shuffle keyed on the pair."""
+    from ..stages.agg import add_mean_column
+
+    ds = _with_time_delta(geocoded_pages(sf_dir, zoom)).select_columns(
+        ["cell_id", "time_delta", "n_chars"])
+    agg = two_stage_cell_agg(ds, keys=("cell_id", "time_delta"),
+                             int_sum_cols=("n_chars",))
+    return agg.map_batches(
+        lambda b: add_mean_column(b, "n_chars_sum", "doc_count", "mean_chars"),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cell_mean_complete(sf_dir: str, zoom: int = 4) -> ray.data.Dataset:
+    """`include_incomplete=False` stack mean (SURVEY.md A2 variant,
+    `hf_radar.py:136-173`): per-cell mean over the hour-step stack, NULLed
+    for cells missing any timestep of the corpus's observed time axis (the
+    HFR cube's expected-timesteps semantics). The count-vs-expected
+    comparison runs after a (cell, hour) pre-aggregate, so the second
+    exchange moves one row per (cell, hour), not per page — and the
+    expected-step count comes from that bounded aggregate, not a second
+    corpus scan."""
+    ds = _with_time_delta(geocoded_pages(sf_dir, zoom),
+                          quantum_us=_HOUR_US).select_columns(
+        ["cell_id", "time_delta", "n_chars"])
+    hourly = two_stage_cell_agg(ds, keys=("cell_id", "time_delta"),
+                                int_sum_cols=("n_chars",)).materialize()
+    expected = hourly.select_columns(["time_delta"]).to_pandas()["time_delta"].nunique()
+    stack = two_stage_cell_agg(hourly, keys=("cell_id",),
+                               int_sum_cols=("n_chars_sum", "doc_count"),
+                               count_name="n_steps")
+
+    def finish(b: pa.Table) -> pa.Table:
+        mean = pc.divide(pc.cast(b["n_chars_sum_sum"], pa.float64()),
+                         pc.cast(b["doc_count_sum"], pa.float64()))
+        complete = pc.equal(b["n_steps"], expected)
+        return pa.table({
+            "cell_id": b["cell_id"],
+            "n_steps": b["n_steps"],
+            "mean_chars": pc.if_else(complete, mean, pa.scalar(None, pa.float64())),
+        })
+
+    return stack.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def cell_distinct_langs(sf_dir: str, zoom: int = geom.BASE_ZOOM) -> ray.data.Dataset:
     """Exact per-cell distinct-language count — the exploded-pair pattern
     for distributed COUNT(DISTINCT): per batch emit distinct (cell, lang)

@@ -290,6 +290,45 @@ FROM events GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------- hour rounding (M13)
+def events_hourly(sf_dir: str) -> ray.data.Dataset:
+    """Events bucketed to the hour (`round_to_hour`,
+    `PyOFS/__init__.py:121-135`) with nan-aware value sums — completes the
+    reference's day / hour / 10-minute rounding family."""
+    from ..functions.timeutil import round_to_hour
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        hour = round_to_hour(b["ts"].to_numpy(zero_copy_only=False))
+        val_c = pc.cast(pc.round(pc.multiply(
+            pc.fill_null(b["value"], 0.0), pa.scalar(100.0))), pa.int64())
+        return pa.table({"hour": pa.array(hour, pa.timestamp("us")),
+                         "event_type": b["event_type"], "val_c": val_c})
+
+    agg = two_stage_cell_agg(ds.map_batches(prep, batch_format="pyarrow"),
+                             keys=("hour", "event_type"),
+                             int_sum_cols=("val_c",), count_name="n_events")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "hour": b["hour"], "event_type": b["event_type"],
+            "value_sum": pc.divide(pc.cast(b["val_c_sum"], pa.float64()), 100.0),
+            "n_events": b["n_events"],
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------- quality filter (M11 analogue)
 def quality_filter(sf_dir: str) -> ray.data.Dataset:
     """DOP-threshold analogue (`hf_radar.py:567-587`): drop documents whose

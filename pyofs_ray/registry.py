@@ -321,3 +321,40 @@ def _approx_distinct_texts(sf_dir: str):
 register("approx_distinct_texts", _approx_distinct_texts)  # rows-only (sketch)
 register("rel_priority_revenue_native", relational.priority_revenue_native,
          relational.PRIORITY_REVENUE_SQL)
+
+register("rel_events_hourly", relational.events_hourly,
+         relational.EVENTS_HOURLY_SQL)
+
+_DELTA_EXPR = ("((epoch_us(warc_ts) - 1704067200000000) // 86400000000)")
+
+register(
+    "ensemble_cell_means",
+    flagship.ensemble_cell_means,
+    f"""{sqlgen.pages_prefix()}
+SELECT {sqlgen.cell_expr(geom.BASE_ZOOM)} AS cell_id,
+       CAST({_DELTA_EXPR} AS BIGINT) AS time_delta,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars_sum,
+       CAST(COUNT(*) AS BIGINT) AS doc_count,
+       CAST(SUM(LENGTH(text)) AS DOUBLE) / COUNT(*) AS mean_chars
+FROM pages GROUP BY 1, 2""",
+)
+
+_HOUR_DELTA_EXPR = "((epoch_us(warc_ts) - 1704067200000000) // 3600000000)"
+
+register(
+    "cell_mean_complete",
+    flagship.cell_mean_complete,
+    f"""{sqlgen.pages_prefix()},
+hourly AS (
+  SELECT {sqlgen.cell_expr(4)} AS cell_id,
+         CAST({_HOUR_DELTA_EXPR} AS BIGINT) AS time_delta,
+         CAST(SUM(LENGTH(text)) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM pages GROUP BY 1, 2
+)
+SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_steps,
+       CASE WHEN COUNT(*) = (SELECT COUNT(DISTINCT time_delta) FROM hourly)
+            THEN CAST(SUM(s) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+            ELSE NULL END AS mean_chars
+FROM hourly GROUP BY 1""",
+)

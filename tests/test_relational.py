@@ -55,3 +55,32 @@ def test_bilinear_weights_sum_to_q2():
 def test_q6_q3_oracles(duck_smoke):
     for name in ("rel_q6_revenue", "rel_q3_shipping"):
         assert_matches_oracle(QUERIES[name](SF_SMOKE), duck_smoke, ORACLES[name])
+
+
+def test_round2_query_oracles(duck_smoke):
+    for name in ("rel_events_hourly", "ensemble_cell_means", "cell_mean_complete"):
+        assert_matches_oracle(QUERIES[name](SF_SMOKE), duck_smoke, ORACLES[name])
+
+
+def test_timeutil_rounding_and_ranges():
+    import numpy as np
+
+    from pyofs_ray.functions.timeutil import (range_daily, range_hourly,
+                                              round_to_hour,
+                                              round_to_ten_minutes)
+
+    ts = np.array(["2024-03-01T12:29:59", "2024-03-01T12:30:00",
+                   "2024-03-01T12:59:59"], dtype="datetime64[us]")
+    assert (round_to_hour(ts) == np.datetime64("2024-03-01T12:00:00")).all()
+    assert (round_to_hour(ts, "ceil") == np.datetime64("2024-03-01T13:00:00")).all()
+    near = round_to_hour(ts, "nearest")
+    assert list(near.astype(str)) == ["2024-03-01T12:00:00.000000",
+                                      "2024-03-01T13:00:00.000000",
+                                      "2024-03-01T13:00:00.000000"]
+    assert (round_to_ten_minutes(np.array(["2024-03-01T12:34:56"], "datetime64[us]"))
+            == np.datetime64("2024-03-01T12:30:00")).all()
+    hrs = range_hourly(np.datetime64("2024-03-01T00:00"), np.datetime64("2024-03-01T06:00"))
+    assert len(hrs) == 6 and hrs[1] - hrs[0] == np.timedelta64(3600, "s")
+    # descending range when end < start (reference semantics)
+    rev = range_daily(np.datetime64("2024-03-05"), np.datetime64("2024-03-01"))
+    assert len(rev) == 4 and rev[0] > rev[-1]
