@@ -1,0 +1,88 @@
+"""DuckDB oracle for the particle-tracking loop (SURVEY.md P1–P4).
+
+Recomputes the full RK4 advection of `stages.tracking.track` inside one
+recursive CTE, **bit-exactly**: the Rankine kernel is trig-free (single
+IEEE mul/div/sqrt per term — `tracking.RankineVortexField.velocity`), seed
+coordinates and scalar constants are inlined as shortest-round-trip float
+literals (DuckDB parses them back to the identical doubles), and every SQL
+expression mirrors the numpy evaluation order exactly (left-associative
+sums, ``(-(vmag*dy))/rs`` ≡ ``(-vmag)*dy/rs`` by IEEE sign symmetry).
+
+This is the `particle_contour.py:997-1028` track_contour loop as a SQL
+twin — the reference validates tracking against analytic rotation
+(`particle_contour.py` tests); here the oracle is the stronger bitwise
+recomputation.
+"""
+
+from __future__ import annotations
+
+
+def _lit(x: float) -> str:
+    """Shortest round-trip float literal, cast to DOUBLE explicitly —
+    DuckDB types a bare decimal literal as DECIMAL(w,s), which rounds."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _field_eval(i: int, px: str, py: str, inner: str,
+                cx: float, cy: float, omega: float, radius: float) -> str:
+    """Nested SELECT chain computing (u{i}, v{i}) of the Rankine field at
+    (px, py), matching RankineVortexField.velocity op-for-op."""
+    k_out = omega * radius**2  # python-scalar product, exactly as the kernel
+    return f"""SELECT *, (-(vmag{i} * dy{i})) / rs{i} AS u{i},
+       (vmag{i} * dx{i}) / rs{i} AS v{i} FROM (
+  SELECT *, CASE WHEN r{i} <= {_lit(radius)} THEN {_lit(omega)} * r{i}
+                 ELSE {_lit(k_out)} / rs{i} END AS vmag{i} FROM (
+    SELECT *, CASE WHEN r{i} = 0 THEN 1.0 ELSE r{i} END AS rs{i} FROM (
+      SELECT *, sqrt(dx{i}*dx{i} + dy{i}*dy{i}) AS r{i} FROM (
+        SELECT *, ({px}) - {_lit(cx)} AS dx{i}, ({py}) - {_lit(cy)} AS dy{i}
+        FROM {inner}
+      )
+    )
+  )
+)"""
+
+
+def particle_track_sql(n_seeds: int = 64, seed_radius: float = 500.0,
+                       center: tuple[float, float] = (0.0, 0.0),
+                       field_radius: float = 1000.0, period: float = 3600.0,
+                       dt: float = 30.0, steps: int = 20,
+                       snapshot_every: int = 5) -> str:
+    import math
+
+    from ..stages.tracking import circle_seeds
+
+    seeds = circle_seeds(n_seeds, center=center, radius=seed_radius)
+    pid = seeds["particle_id"].to_pylist()
+    xs = seeds["x"].to_pylist()
+    ys = seeds["y"].to_pylist()
+    values = ",\n    ".join(
+        f"({p}, {_lit(x)}, {_lit(y)})" for p, x, y in zip(pid, xs, ys))
+    omega = 2 * math.pi / period
+    cx, cy = center
+
+    def fe(i: int, px: str, py: str, inner: str) -> str:
+        return _field_eval(i, px, py, inner, cx, cy, omega, field_radius)
+
+    d = _lit(dt)
+    # RK4: u2 at x + u1*dt/2 …, matching AdvectStep.__call__ (order=4)
+    l1 = fe(1, "x", "y", "track WHERE step < " + str(steps))
+    l2 = fe(2, f"x + u1 * {d} / 2", f"y + v1 * {d} / 2", f"({l1})")
+    l3 = fe(3, f"x + u2 * {d} / 2", f"y + v2 * {d} / 2", f"({l2})")
+    l4 = fe(4, f"x + u3 * {d}", f"y + v3 * {d}", f"({l3})")
+
+    return f"""
+WITH RECURSIVE seeds(particle_id, x, y) AS (
+  VALUES
+    {values}
+),
+track AS (
+  SELECT 0 AS step, particle_id, x, y FROM seeds
+  UNION ALL
+  SELECT step + 1, particle_id,
+         x + (u1 + 2 * u2 + 2 * u3 + u4) * {d} / 6 AS x,
+         y + (v1 + 2 * v2 + 2 * v3 + v4) * {d} / 6 AS y
+  FROM ({l4})
+)
+SELECT CAST(step AS BIGINT) AS step, particle_id, x, y
+FROM track WHERE step % {snapshot_every} = 0
+"""

@@ -178,6 +178,10 @@ register("coregistration_metrics", validation.coregistration_metrics,
 
 # ------------------------------------- multimodal + tracking (rows-only checks)
 def _media_features(sf_dir: str):
+    """Synthesize FAKE1 media from doc ids, decode in the actor pool, and
+    emit exact integer-moment features. The oracle recomputes the features
+    from the generator arithmetic alone — it never sees the binary, so a
+    match proves the encode → decode → feature path end-to-end."""
     import ray.data as _rd
 
     from .stages.multimodal import decode_media, synth_media_batch
@@ -185,7 +189,41 @@ def _media_features(sf_dir: str):
     ds = _rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     media = ds.map_batches(synth_media_batch, batch_format="pyarrow",
                            batch_size=256)
-    return decode_media(media)
+    return decode_media(media, resize=None)  # thumb is pytest-covered
+
+
+MEDIA_FEATURES_SQL = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 17 = 0 THEN (16 + (doc_id % 13) * 4) * 8
+              ELSE 16 + (doc_id % 13) * 4 END AS width,
+         CASE WHEN doc_id % 17 = 0 THEN (12 + (doc_id % 7) * 4) * 2
+              ELSE 12 + (doc_id % 7) * 4 END AS height,
+         doc_id % 16777216 AS seed
+  FROM documents
+),
+px AS (
+  SELECT media_id, width, height,
+         SUM((r.r * 31 + c.c * 7 + seed) % 256) AS s1,
+         SUM(((r.r * 31 + c.c * 7 + seed) % 256)
+             * ((r.r * 31 + c.c * 7 + seed) % 256)) AS s2
+  FROM dims,
+       LATERAL (SELECT unnest(generate_series(0, height - 1)) AS r) r,
+       LATERAL (SELECT unnest(generate_series(0, width - 1)) AS c) c
+  GROUP BY 1, 2, 3
+)
+SELECT media_id, CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       CAST(s1 AS DOUBLE) / CAST(width * height AS DOUBLE) AS px_mean,
+       CASE WHEN CAST(s2 AS DOUBLE) / CAST(width * height AS DOUBLE)
+                 - (CAST(s1 AS DOUBLE) / CAST(width * height AS DOUBLE))
+                   * (CAST(s1 AS DOUBLE) / CAST(width * height AS DOUBLE)) > 0
+            THEN sqrt(CAST(s2 AS DOUBLE) / CAST(width * height AS DOUBLE)
+                 - (CAST(s1 AS DOUBLE) / CAST(width * height AS DOUBLE))
+                   * (CAST(s1 AS DOUBLE) / CAST(width * height AS DOUBLE)))
+            ELSE 0.0 END AS px_std
+FROM px
+"""
 
 
 def _particle_track(sf_dir: str):
@@ -196,8 +234,12 @@ def _particle_track(sf_dir: str):
                  dt=30.0, steps=20, snapshot_every=5, order=4)
 
 
-register("media_features", _media_features)     # rows-only (binary decode)
-register("particle_track", _particle_track)     # rows-only (iterative state)
+register("media_features", _media_features, MEDIA_FEATURES_SQL)
+
+from .core.sqlgen_track import particle_track_sql  # noqa: E402
+
+# bit-exact recursive-CTE twin of the RK4 advection loop
+register("particle_track", _particle_track, particle_track_sql())
 
 register("rel_events_ten_min", relational.events_ten_min,
          relational.EVENTS_TEN_MIN_SQL)

@@ -97,11 +97,22 @@ class MediaDecoder:
         payloads = b["payload"].to_pylist()
         means = np.empty(len(payloads), np.float64)
         stds = np.empty(len(payloads), np.float64)
+        ws = np.empty(len(payloads), np.int32)
+        hs = np.empty(len(payloads), np.int32)
         thumbs = []
         for i, p in enumerate(payloads):
             img = _decode_fake(p)
-            means[i] = img.mean()
-            stds[i] = img.std()
+            hs[i], ws[i] = img.shape
+            # exact integer moments (u8 sums < 2^53 are order-invariant in
+            # float64), reduced with single IEEE ops — bit-reproducible and
+            # SQL-oracle-checkable, unlike float-accumulated img.std()
+            n = img.size
+            s1 = int(img.sum(dtype=np.int64))
+            s2 = int((img.astype(np.int64) ** 2).sum())
+            mean = float(s1) / float(n)
+            var = float(s2) / float(n) - mean * mean
+            means[i] = mean
+            stds[i] = np.sqrt(var) if var > 0 else 0.0
             if self.resize:
                 th, tw = self.resize
                 ry = np.linspace(0, img.shape[0] - 1, th).astype(np.int64)
@@ -109,6 +120,8 @@ class MediaDecoder:
                 thumbs.append(img[np.ix_(ry, rx)].astype(np.float32).ravel())
         out = pa.table({
             "media_id": b["media_id"],
+            "width": pa.array(ws),
+            "height": pa.array(hs),
             "px_mean": pa.array(means),
             "px_std": pa.array(stds),
         })

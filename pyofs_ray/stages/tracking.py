@@ -44,13 +44,16 @@ class RankineVortexField:
         self.omega = 2 * math.pi / period
 
     def velocity(self, x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        # trig-free tangential field: sin θ = dy/r, cos θ = dx/r — every op
+        # is a single IEEE mul/div/sqrt, so the DuckDB oracle
+        # (`core.sqlgen_track`) reproduces the trajectory bit-exactly
         dx, dy = x - self.cx, y - self.cy
         r = np.sqrt(dx * dx + dy * dy)
+        rs = np.where(r == 0, 1.0, r)
         vmag = np.where(r <= self.radius, self.omega * r,
-                        self.omega * self.radius**2 / np.where(r == 0, 1, r))
-        theta = np.arctan2(dy, dx)
-        u = -vmag * np.sin(theta)
-        v = vmag * np.cos(theta)
+                        self.omega * self.radius**2 / rs)
+        u = -vmag * dy / rs
+        v = vmag * dx / rs
         return np.nan_to_num(u), np.nan_to_num(v)
 
 
