@@ -10,10 +10,11 @@ import ray.data
 
 from ..stages import ann, dedup
 from ..stages.text import fingerprint, lang_id, text_stats
+from ..sources.readers import read_parquet_clean
 
 
 def _docs(sf_dir: str, columns=("doc_id", "text")) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=list(columns))
 
 
 def doc_text_stats(sf_dir: str) -> ray.data.Dataset:
@@ -57,13 +58,13 @@ def _query_vectors(sf_dir: str) -> pa.Table:
 
 
 def ann_topk(sf_dir: str) -> pd.DataFrame:
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     return ann.ann_topk_brute(ds, _query_vectors(sf_dir), k=TOPK)
 
 
 def ann_topk_lsh(sf_dir: str) -> pd.DataFrame:
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     return ann.ann_topk_lsh(ds, _query_vectors(sf_dir), k=TOPK)
 
@@ -85,12 +86,12 @@ SELECT query_id, vec_id, rank FROM (
 def embedding_dup_pairs(sf_dir: str):
     """Embedding-cosine near-dup pairs over the embeddings table (the corpus
     has no true dups at τ=0.95 — injected-dup behavior is unit-tested)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     return ann.embedding_dup_pairs(ds, threshold=0.95)
 
 
 def ann_topk_ivf(sf_dir: str) -> pd.DataFrame:
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     return ann.ann_topk_ivf(ds, _query_vectors(sf_dir), k=TOPK, nprobe=6)

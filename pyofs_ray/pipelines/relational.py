@@ -22,6 +22,7 @@ import ray.data
 
 from ..stages.agg import two_stage_cell_agg
 from ..stages.join import broadcast_join
+from ..sources.readers import read_parquet_clean
 
 
 def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -31,7 +32,7 @@ def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
 # --------------------------------------------------------------- Q1 pricing
 def q1_pricing(sf_dir: str) -> ray.data.Dataset:
     """TPC-H-Q1-style pricing summary (filter + two-stage grouped agg)."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount", "l_shipdate"])
@@ -88,7 +89,7 @@ GROUP BY l_returnflag, l_linestatus
 # ------------------------------------------------- broadcast join + rollup
 def segment_revenue(sf_dir: str) -> ray.data.Dataset:
     """orders ⋈ customer (broadcast small side) → revenue per market segment."""
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
                                    columns=["o_custkey", "o_totalprice"])
     import pyarrow.parquet as pq
     cust_tbl = pq.read_table(f"{sf_dir}/customer.parquet",
@@ -127,7 +128,7 @@ GROUP BY c_mktsegment
 def topk_orders(sf_dir: str, k: int = 25) -> ray.data.Dataset:
     """Top-k orders by total price (deterministic tie-break on key) —
     SURVEY.md O1/O3 sorted-keys + first-record semantics."""
-    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
                                columns=["o_orderkey", "o_totalprice"])
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
 
@@ -141,7 +142,7 @@ ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
 # --------------------------------------------------------------- distinct
 def distinct_langs(sf_dir: str) -> ray.data.Dataset:
     """Distinct (lang, source) pairs — SURVEY.md O6 (`numpy.unique`)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["lang", "source"])
     # partial distinct per batch, then a tiny global groupby
     partial = ds.map_batches(
@@ -157,7 +158,7 @@ DISTINCT_LANGS_SQL = "SELECT DISTINCT lang, source FROM documents"
 def events_daily(sf_dir: str) -> ray.data.Dataset:
     """events rolled up per (day, event_type) — SURVEY.md M13 time-bucket
     keys + A2 nan-aware aggregation (nulls dropped from value sums)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["ts", "event_type", "value"])
 
     def prep(b: pa.Table) -> pa.Table:
@@ -195,12 +196,12 @@ def priority_revenue(sf_dir: str) -> ray.data.Dataset:
     §7.3), rolled up per order priority."""
     from ..stages.join import bucketed_hash_join
 
-    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
                                columns=["l_orderkey", "l_extendedprice"])
     li = li.map_batches(lambda b: pa.table({
         "l_orderkey": b["l_orderkey"], "ep_c": _cents(b["l_extendedprice"])}),
         batch_format="pyarrow")
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
                                    columns=["o_orderkey", "o_orderpriority"])
     orders = orders.map_batches(lambda b: pa.table({
         "l_orderkey": b["o_orderkey"], "o_orderpriority": b["o_orderpriority"]}),
@@ -232,7 +233,7 @@ GROUP BY o_orderpriority
 def user_event_means(sf_dir: str) -> ray.data.Dataset:
     """Per-user mean event value — the per-station time-mean analogue
     (`data_buoy.py:161-183`), two-stage with exact int sums."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["user_id", "value"])
 
     def prep(b: pa.Table) -> pa.Table:
@@ -269,7 +270,7 @@ GROUP BY user_id
 def events_ten_min(sf_dir: str) -> ray.data.Dataset:
     """Events bucketed to 10-minute windows (`round_to_ten_minutes`,
     `PyOFS/__init__.py:136-151`) — time-bucket key = floor(ts, 10min)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["ts", "event_type"])
 
     def prep(b: pa.Table) -> pa.Table:
@@ -297,7 +298,7 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
     reference's day / hour / 10-minute rounding family."""
     from ..functions.timeutil import round_to_hour
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["ts", "event_type", "value"])
 
     def prep(b: pa.Table) -> pa.Table:
@@ -336,7 +337,7 @@ def quality_filter(sf_dir: str) -> ray.data.Dataset:
     the metrics that justified them."""
     from ..stages.text import text_stats
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def filt(b: pa.Table) -> pa.Table:
@@ -354,7 +355,7 @@ def events_watermark(sf_dir: str) -> ray.data.Dataset:
     `viirs.py:42,501-505`, SURVEY.md §2.9): drop events newer than
     max(ts) − 1 hour, then count per type. The watermark is a tiny
     driver-side aggregate broadcast into the filter."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["ts", "event_type"])
     wm = np.datetime64(ds.max("ts"), "us") - np.timedelta64(1, "h")
 
@@ -380,7 +381,7 @@ def q6_forecast_revenue(sf_dir: str) -> ray.data.Dataset:
     lineitems in a date window (predicate pushdown + scaled-int sum)."""
     import pyarrow.dataset as pads
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
         filter=(pads.field("l_quantity") < 24.0))
@@ -434,7 +435,7 @@ def q3_shipping_priority(sf_dir: str, k: int = 10) -> ray.data.Dataset:
     cust = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING")).select(["c_custkey"])
     cust = cust.rename_columns(["o_custkey"])
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"])
     cutoff = pa.scalar(np.datetime64("1995-03-15", "us"))
@@ -444,7 +445,7 @@ def q3_shipping_priority(sf_dir: str, k: int = 10) -> ray.data.Dataset:
     orders = broadcast_join(orders, cust, keys=["o_custkey"], join_type="semi")
     okeys = orders.select_columns(["o_orderkey", "o_orderdate"])
 
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
 
@@ -497,12 +498,12 @@ def priority_revenue_native(sf_dir: str) -> ray.data.Dataset:
     results must be identical (oracle-shared)."""
     from ..stages.join import native_hash_join
 
-    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
                                columns=["l_orderkey", "l_extendedprice"])
     li = li.map_batches(lambda b: pa.table({
         "l_orderkey": b["l_orderkey"], "ep_c": _cents(b["l_extendedprice"])}),
         batch_format="pyarrow")
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
                                    columns=["o_orderkey", "o_orderpriority"])
     joined = native_hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
     agg = two_stage_cell_agg(joined, keys=("o_orderpriority",),

@@ -15,6 +15,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
+from ..sources.readers import read_parquet_clean
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
 
@@ -23,7 +24,7 @@ def sessionize(sf_dir: str) -> ray.data.Dataset:
     """Per-user sessions: a new session starts when the gap to the previous
     event exceeds 30 min. Output: (user_id, session_id, session_start,
     session_end, n_events); session_id is the 1-based per-user ordinal."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts"])
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
@@ -75,7 +76,7 @@ def top_order_per_customer(sf_dir: str) -> ray.data.Dataset:
     two-stage argmax (`stages.composite.last_per_cell`)."""
     from ..stages.composite import last_per_cell
 
-    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
                                columns=["o_custkey", "o_orderkey", "o_totalprice"])
 
     def prep(b: pa.Table) -> pa.Table:

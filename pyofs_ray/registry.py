@@ -12,6 +12,7 @@ from collections.abc import Callable
 from typing import Any
 
 from .core import geom, sqlgen, sqlgen_knn, sqlgen_pip
+from .sources.readers import read_parquet_clean
 from .pipelines import flagship, relational
 from .stages.knn import knn_join
 from .stages.pip import pip_join
@@ -186,7 +187,7 @@ def _media_features(sf_dir: str):
 
     from .stages.multimodal import decode_media, synth_media_batch
 
-    ds = _rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     media = ds.map_batches(synth_media_batch, batch_format="pyarrow",
                            batch_size=256)
     return decode_media(media, resize=None)  # thumb is pytest-covered
@@ -356,7 +357,7 @@ def _approx_distinct_texts(sf_dir: str):
 
     from .stages.sketch import approx_distinct
 
-    ds = _rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
     return pd.DataFrame({"approx_distinct": [approx_distinct(ds, "text")]})
 
 

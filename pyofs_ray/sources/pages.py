@@ -22,6 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
+from .readers import read_parquet_clean
 
 
 def _derive_pages(batch: pa.Table, with_html: bool) -> pa.Table:
@@ -93,7 +94,7 @@ def pages_dataset(sf_dir: str, with_html: bool = False, replicate: int = 1,
                              override_num_blocks=max(1, replicate // per_task))
         return ids.map_batches(derive_replica_ids, batch_format="pyarrow",
                                batch_size=per_task)
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text", "lang"],
                                override_num_blocks=override_num_blocks)
     return ds.map_batches(lambda b: _derive_pages(b, with_html), batch_format="pyarrow")
@@ -130,7 +131,7 @@ def materialize_pages_parquet(sf_dir: str, out_dir: str, replicate: int = 1,
 def pages_from_parquet(pages_dir: str, columns: list[str] | None = None,
                        override_num_blocks: int | None = None) -> ray.data.Dataset:
     """Read a materialized pages corpus (column-pruned at the source)."""
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         pages_dir, columns=columns,
         file_extensions=["parquet"],
         override_num_blocks=override_num_blocks)

@@ -27,7 +27,11 @@ class BroadcastJoiner:
 
     def __init__(self, small_ref, keys: Sequence[str], join_type: str = "inner"):
         small = ray.get(small_ref)
-        self.small = small.combine_chunks() if isinstance(small, pa.Table) else pa.Table.from_pandas(small)
+        small = small.combine_chunks() if isinstance(small, pa.Table) else pa.Table.from_pandas(small)
+        # strip embedded pandas metadata: it propagates through Table.join
+        # into every output batch and makes schemas unhashable (log spam +
+        # lost schema-dedup fast path downstream)
+        self.small = small.replace_schema_metadata(None)
         self.keys = list(keys)
         self.join_type = join_type
 
