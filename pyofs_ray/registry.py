@@ -274,6 +274,8 @@ register("bilinear_cells", _bilinear,
 from .pipelines import windows  # noqa: E402
 
 register("events_sessionize", windows.sessionize, windows.SESSIONIZE_SQL)
+register("events_sessionize_sorted", windows.sessionize_sorted,
+         windows.SESSIONIZE_SQL)  # scale form, same oracle
 register("top_order_per_customer", windows.top_order_per_customer,
          windows.TOP_ORDER_PER_CUSTOMER_SQL)
 

@@ -89,3 +89,30 @@ def test_page_key_url_fallback_paths():
     assert all_fnv[0] != 123
     again = page_key_from_url(urls)
     assert (keys == again).all()
+
+
+def test_rotated_pole_roundtrip_and_identity():
+    import numpy as np
+
+    from pyofs_ray.functions.geo import find_pole, rotate_pole, unrotate_pole
+
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-179, 179, 500)
+    lat = rng.uniform(-85, 85, 500)
+    pole = (37.5, 57.5)  # WCOFS-style rotated pole
+    rlon, rlat = rotate_pole(lon, lat, pole)
+    lon2, lat2 = unrotate_pole(rlon, rlat, pole)
+    # unrotate ∘ rotate = identity (mod 360 on longitude)
+    dlon = (lon2 - lon + 180.0) % 360.0 - 180.0
+    assert np.abs(dlon).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
+    # north-pole pole: rotation is a pure longitude shift
+    rlon0, rlat0 = rotate_pole(lon, lat, (0.0, 90.0))
+    assert np.abs(rlat0 - lat).max() < 1e-9
+    # find_pole recovers the pole that flattens an iso-rotated-latitude ring
+    ring_rlon = np.linspace(-30, 30, 40)
+    ring_rlat = np.full(40, 20.0)
+    glon, glat = unrotate_pole(ring_rlon, ring_rlat, pole)
+    best = find_pole(glon, glat, starting_pole=(37.0, 57.0), samples=25,
+                     sample_radius=1.0)
+    assert abs(best[0] - pole[0]) < 0.3 and abs(best[1] - pole[1]) < 0.3

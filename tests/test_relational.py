@@ -84,3 +84,51 @@ def test_timeutil_rounding_and_ranges():
     # descending range when end < start (reference semantics)
     rev = range_daily(np.datetime64("2024-03-05"), np.datetime64("2024-03-01"))
     assert len(rev) == 4 and rev[0] > rev[-1]
+
+
+def test_sessionize_sorted_equals_map_groups():
+    """Scale-form (sort + vectorized + bounded boundary fix-up) must equal
+    the per-user map_groups form bit-for-bit at adversarial batch sizes."""
+    import numpy as np
+    import pandas as pd
+
+    from pyofs_ray.pipelines.windows import sessionize, sessionize_sorted
+
+    ref = (sessionize(SF_SMOKE).to_pandas()
+           .sort_values(["user_id", "session_id"]).reset_index(drop=True))
+    for bs in (None, 97):
+        got = (sessionize_sorted(SF_SMOKE, batch_size=bs).to_pandas()
+               .sort_values(["user_id", "session_id"]).reset_index(drop=True))
+        assert got.equals(ref), f"batch_size={bs} diverged"
+
+
+def test_sessionize_sorted_mega_user_chains(tmp_path):
+    """A single user whose sessions span many batches: cross-batch chains
+    (including >2-batch chains) must merge with correct ordinals."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyofs_ray.pipelines.windows import (SESSION_GAP_US, sessionize,
+                                             sessionize_sorted)
+
+    rng = np.random.default_rng(13)
+    rows = []
+    t = np.int64(1_700_000_000_000_000)
+    for u in (7, 7, 7, 9):  # user 7 dominates; user 9 small
+        for _ in range(500 if u == 7 else 20):
+            gap = int(rng.choice([60_000_000, SESSION_GAP_US + 1]))
+            t += gap
+            rows.append((u, t))
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    df["ts"] = df.ts.astype("datetime64[us]")
+    d = tmp_path / "sess"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df), d / "events.parquet")
+    ref = (sessionize(str(d)).to_pandas()
+           .sort_values(["user_id", "session_id"]).reset_index(drop=True))
+    for bs in (None, 31, 64):
+        got = (sessionize_sorted(str(d), batch_size=bs).to_pandas()
+               .sort_values(["user_id", "session_id"]).reset_index(drop=True))
+        assert got.equals(ref), f"batch_size={bs} diverged"
