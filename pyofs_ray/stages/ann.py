@@ -221,7 +221,8 @@ def ann_topk_ivf(ds: ray.data.Dataset, queries: pa.Table, k: int = 5,
 
 def embedding_dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
                         dim: int | None = None, num_bands: int = DUP_BANDS,
-                        planes_per_band: int = DUP_PLANES_PER_BAND) -> pd.DataFrame:
+                        planes_per_band: int = DUP_PLANES_PER_BAND,
+                        force_distributed: bool = False) -> pd.DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold).
 
     Banded sign-LSH: each vector emits ``num_bands`` (band_key, id) rows —
@@ -248,7 +249,8 @@ def embedding_dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
 
     emitted = ds.map_batches(bucketize, batch_format="pyarrow",
                              zero_copy_batch=True)
-    cand = candidate_pairs(emitted, key="bkey", id_col="vec_id").materialize()
+    cand = candidate_pairs(emitted, key="bkey", id_col="vec_id",
+                           small_rows=0 if force_distributed else None).materialize()
 
     def sig(b: pa.Table) -> pa.Table:
         m = _embedding_matrix(b)  # float64 rows → packed blobs
@@ -256,7 +258,8 @@ def embedding_dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
                          "emb": pa.array([m[i].tobytes() for i in range(len(m))],
                                          pa.binary())})
 
-    paired = attach_candidate_signatures(cand, ds, "vec_id", sig)
+    paired = attach_candidate_signatures(
+        cand, ds, "vec_id", sig, small_pairs=0 if force_distributed else None)
     empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
                           "id_b": pd.Series([], dtype=np.int64),
                           "cosine": pd.Series([], dtype=float)})

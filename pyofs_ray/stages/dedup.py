@@ -159,14 +159,16 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def minhash_candidate_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
-                            text_col: str = "text") -> ray.data.Dataset:
+                            text_col: str = "text",
+                            force_distributed: bool = False) -> ray.data.Dataset:
     """LSH candidate pairs as a Dataset (id_a, id_b; band-dupes included):
     sketch → distributed ≥2-member bucket filter → distributed per-bucket
     pair enumeration (`stages/pairs.py`). No full-corpus driver pull."""
     emitted = ds.map_batches(
         lambda b: _minhash_batch(b, id_col, text_col),
         batch_format="pyarrow", batch_size=4096, zero_copy_batch=True)
-    return candidate_pairs(emitted, key="bkey", id_col=id_col)
+    return candidate_pairs(emitted, key="bkey", id_col=id_col,
+                           small_rows=0 if force_distributed else None)
 
 
 _EMPTY_JACCARD = {"id_a": np.int64, "id_b": np.int64, "jaccard": float}
@@ -177,7 +179,8 @@ def _typed_empty(spec: dict) -> pd.DataFrame:
 
 
 def minhash_dedup_pairs(ds: ray.data.Dataset, threshold: float = 0.8,
-                        id_col: str = "doc_id", text_col: str = "text") -> pd.DataFrame:
+                        id_col: str = "doc_id", text_col: str = "text",
+                        force_distributed: bool = False) -> pd.DataFrame:
     """Near-dup pairs with exact-verified shingle Jaccard ≥ threshold.
 
     Verification runs in-pipeline: candidate ids (bounded by near-dup
@@ -187,9 +190,11 @@ def minhash_dedup_pairs(ds: ray.data.Dataset, threshold: float = 0.8,
     Only pair-bounded data ever reaches the driver (the returned result).
     """
     from .pairs import attach_candidate_signatures
-    cand = minhash_candidate_pairs(ds, id_col, text_col).materialize()
+    cand = minhash_candidate_pairs(ds, id_col, text_col,
+                                   force_distributed).materialize()
     paired = attach_candidate_signatures(
-        cand, ds, id_col, lambda b: shingle_sets_batch(b, id_col, text_col))
+        cand, ds, id_col, lambda b: shingle_sets_batch(b, id_col, text_col),
+        small_pairs=0 if force_distributed else None)
     if paired is None:
         return _typed_empty(_EMPTY_JACCARD)
 
@@ -277,7 +282,8 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 
 
 def simhash_dup_pairs(ds: ray.data.Dataset, max_hamming: int = 3,
-                      id_col: str = "doc_id", text_col: str = "text") -> pd.DataFrame:
+                      id_col: str = "doc_id", text_col: str = "text",
+                      force_distributed: bool = False) -> pd.DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming — guaranteed-recall
     3-of-6 block bucketing, distributed bucket filter + pair enumeration,
     exact Hamming verify inside the pipeline (simhash travels as payload, so
@@ -287,7 +293,8 @@ def simhash_dup_pairs(ds: ray.data.Dataset, max_hamming: int = 3,
     emitted = sigs.map_batches(lambda b: _simhash_block_keys(b, id_col),
                                batch_format="pyarrow")
     cand = candidate_pairs(emitted, key="bkey", id_col=id_col,
-                           payload_cols=["simhash"])
+                           payload_cols=["simhash"],
+                           small_rows=0 if force_distributed else None)
 
     def verify(b: pa.Table) -> pa.Table:
         sa = b["simhash_a"].to_numpy(zero_copy_only=False).view(np.uint64)

@@ -106,29 +106,93 @@ def enumerate_bucket_pairs(rows: ray.data.Dataset, key: str, id_col: str,
     return rows.groupby(key).map_groups(enum, batch_format="pandas")
 
 
+# Below this emitted-row count the whole sketch table fits one task
+# (~16 MB of key+id rows per million): Ray 2.49 charges seconds of fixed
+# wall per all-to-all (see CLAUDE.md), so the sizes-groupby + per-bucket
+# map_groups exchanges cost far more than one vectorized pass. The
+# coalesced finish is in-cluster (repartition(1) task), NOT a driver pull,
+# and produces identical pairs; above the threshold the distributed path
+# runs (the 100 TB shape).
+SMALL_EMITTED_ROWS = 2_000_000
+
+
+def _enum_all_buckets(df: pd.DataFrame, key: str, id_col: str,
+                      payload_cols: Sequence[str], max_bucket: int) -> pd.DataFrame:
+    """Vectorized pair enumeration over every ≥2-member bucket of one
+    coalesced sketch table (run-length ranges per sorted key)."""
+    df = (df.sort_values([key, id_col])
+            .drop_duplicates([key, id_col]).reset_index(drop=True))
+    k = df[key].to_numpy()
+    starts = np.nonzero(np.r_[True, k[1:] != k[:-1]])[0]
+    ends = np.append(starts[1:], len(k))
+    ids = df[id_col].to_numpy()
+    payload = {c: df[c].to_numpy() for c in payload_cols}
+    out_a, out_b = [], []
+    out_p: dict[str, list] = {f"{c}_a": [] for c in payload_cols}
+    out_p.update({f"{c}_b": [] for c in payload_cols})
+    for s, e in zip(starts, ends):
+        n = min(e - s, max_bucket)
+        if n < 2:
+            continue
+        ii, jj = np.triu_indices(n, k=1)
+        out_a.append(ids[s + ii])
+        out_b.append(ids[s + jj])
+        for c in payload_cols:
+            out_p[f"{c}_a"].append(payload[c][s + ii])
+            out_p[f"{c}_b"].append(payload[c][s + jj])
+    cols = {"id_a": np.concatenate(out_a) if out_a else np.array([], np.int64),
+            "id_b": np.concatenate(out_b) if out_b else np.array([], np.int64)}
+    for c in payload_cols:
+        cols[f"{c}_a"] = (np.concatenate(out_p[f"{c}_a"]) if out_a
+                          else np.array([], df[c].dtype))
+        cols[f"{c}_b"] = (np.concatenate(out_p[f"{c}_b"]) if out_a
+                          else np.array([], df[c].dtype))
+    return pd.DataFrame(cols)
+
+
 def candidate_pairs(emitted: ray.data.Dataset, key: str, id_col: str,
                     payload_cols: Sequence[str] = (),
-                    max_bucket: int = DEFAULT_MAX_BUCKET) -> ray.data.Dataset:
+                    max_bucket: int = DEFAULT_MAX_BUCKET,
+                    small_rows: int | None = None) -> ray.data.Dataset:
     """(bucket_key, id[, payload]) rows → candidate (id_a, id_b[, payload])
     pairs, fully in-pipeline. Pairs may repeat across buckets; dedupe
     downstream (after the exact verify, where the data is smallest)."""
+    if small_rows is None:
+        small_rows = SMALL_EMITTED_ROWS
     emitted = emitted.materialize()  # scanned twice: sizes + hot filter
+    if emitted.count() <= small_rows:
+        payload_cols = list(payload_cols)
+        return emitted.repartition(1).map_batches(
+            lambda df: _enum_all_buckets(df, key, id_col, payload_cols, max_bucket),
+            batch_format="pandas", batch_size=None)
     rows, hot = hot_bucket_rows(emitted, key)
     if len(hot) == 0:
         return rows.limit(0)
     return enumerate_bucket_pairs(rows, key, id_col, payload_cols, max_bucket)
 
 
+# Below this candidate-pair count the signature table (2×pairs rows) is a
+# classic broadcast small side: ray.put once, dict-joined inside
+# map_batches — two bucketed-join exchanges saved. Above it, the
+# distributed joins run (pairs are then too big to broadcast).
+SMALL_PAIRS = 100_000
+
+
 def attach_candidate_signatures(cand: ray.data.Dataset, ds: ray.data.Dataset,
-                                id_col: str, sig_fn) -> ray.data.Dataset | None:
+                                id_col: str, sig_fn,
+                                small_pairs: int | None = None) -> ray.data.Dataset | None:
     """Join per-id signatures onto both sides of a candidate pair set.
 
     ``cand`` must be materialized. Candidate ids (bounded by near-dup
     clusters, ≪ corpus) broadcast as a semi-join filter over ``ds``;
     ``sig_fn(batch) -> (id_col, sig…)`` computes signatures distributed;
-    two bucketed joins attach them as ``<c>_a`` / ``<c>_b``. Returns None
-    when there are no candidates."""
-    if cand.count() == 0:
+    the signatures attach as ``<c>_a`` / ``<c>_b`` — via broadcast lookup
+    when the pair set is small, via two bucketed hash joins otherwise.
+    Returns None when there are no candidates."""
+    if small_pairs is None:
+        small_pairs = SMALL_PAIRS
+    n_pairs = cand.count()
+    if n_pairs == 0:
         return None
     ids_df = cand.map_batches(
         lambda b: pa.table({"id": pa.concat_arrays(
@@ -141,7 +205,26 @@ def attach_candidate_signatures(cand: ray.data.Dataset, ds: ray.data.Dataset,
 
     sigs = (ds.map_batches(filt, batch_format="pyarrow")
               .map_batches(sig_fn, batch_format="pyarrow"))
-    return attach_pair_payload(cand, sigs, id_col=id_col)
+    if n_pairs > small_pairs:
+        return attach_pair_payload(cand, sigs, id_col=id_col)
+    # broadcast path: signature table is candidate-bounded (≤ 2×pairs rows)
+    sig_tbl = pa.Table.from_pandas(sigs.to_pandas(), preserve_index=False)
+    sig_ref = ray.put(sig_tbl)
+    sig_cols = [c for c in sig_tbl.column_names if c != id_col]
+
+    def attach(b: pa.Table) -> pa.Table:
+        sig = ray.get(sig_ref)
+        sid = sig[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(sid)
+        cols = dict(zip(b.column_names, b.columns))
+        for side in ("a", "b"):
+            pos = order[np.searchsorted(sid[order],
+                                        b[f"id_{side}"].to_numpy(zero_copy_only=False))]
+            for c in sig_cols:
+                cols[f"{c}_{side}"] = sig[c].take(pa.array(pos))
+        return pa.table(cols)
+
+    return cand.map_batches(attach, batch_format="pyarrow")
 
 
 def attach_pair_payload(pairs: ray.data.Dataset, payload: ray.data.Dataset,

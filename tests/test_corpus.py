@@ -198,3 +198,24 @@ def test_near_dup_family_never_pulls_corpus_to_driver(monkeypatch):
     assert (10_000, 10_001) in set(map(tuple, sh[["id_a", "id_b"]].to_numpy()))
     # the sketch tables are 8×/20× corpus rows; nothing near that may be pulled
     assert max(pulls) < n_docs // 4, f"driver pulled {max(pulls)} rows"
+
+
+def test_small_fast_path_equals_distributed_path():
+    """The threshold-gated coalesced finish must produce the identical pair
+    set as the distributed groupby/join path (the 100 TB shape)."""
+    ds = _dup_corpus()
+    fast_m = dedup.minhash_dedup_pairs(ds, threshold=0.8)
+    dist_m = dedup.minhash_dedup_pairs(ds, threshold=0.8, force_distributed=True)
+    assert fast_m.equals(dist_m)
+    fast_s = dedup.simhash_dup_pairs(ds, max_hamming=3)
+    dist_s = dedup.simhash_dup_pairs(ds, max_hamming=3, force_distributed=True)
+    assert fast_s.equals(dist_s)
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(50, 16)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(50)]
+    rows.append({"vec_id": 100, "embedding": (base[3] + 1e-4).tolist()})
+    eds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    fast_e = ann.embedding_dup_pairs(eds, threshold=0.99)
+    dist_e = ann.embedding_dup_pairs(eds, threshold=0.99, force_distributed=True)
+    assert fast_e.equals(dist_e) and (3, 100) in set(
+        map(tuple, fast_e[["id_a", "id_b"]].to_numpy()))
