@@ -117,6 +117,53 @@ SELECT cell_id, lang, page_key, warc_ts FROM (
 ) WHERE rn = 1"""
 
 
+# --------------------------------------------------- velocity de-rotation M5
+# WCOFS's grid is rotated by a constant angle; de-rotation multiplies every
+# (u, v) by the same rotation matrix (`wcofs.py:362-396`). The angle's
+# cos/sin are Python-computed once and inlined into the SQL twin as float
+# literals, so each output value is the same two-multiply-one-subtract IEEE
+# chain on both sides — bit-exact.
+ROTATION_DEG = 38.0  # WCOFS-like constant grid rotation
+
+
+def cell_uv_derotated(sf_dir: str, zoom: int = GRAD_ZOOM) -> ray.data.Dataset:
+    """De-rotated per-cell gradient vector field: cells with both gradient
+    components get (u, v) rotated into geographic axes plus speed —
+    the M5 kernel (`functions/geo.rotate_uv`) as a pipeline stage over the
+    J5 stencil output."""
+    from ..functions.geo import rotate_uv
+
+    grads = cell_gradients(sf_dir, zoom)
+    angle = np.deg2rad(ROTATION_DEG)
+
+    def derotate(b: pa.Table) -> pa.Table:
+        gx = b["grad_x"].to_numpy(zero_copy_only=False)
+        gy = b["grad_y"].to_numpy(zero_copy_only=False)
+        keep = ~(np.isnan(gx) | np.isnan(gy))
+        u, v = rotate_uv(gx[keep], gy[keep], angle)
+        return pa.table({
+            "cell_id": b["cell_id"].to_numpy(zero_copy_only=False)[keep],
+            "u_rot": pa.array(u), "v_rot": pa.array(v),
+            "speed": pa.array(np.sqrt(u * u + v * v)),
+        })
+
+    return grads.map_batches(derotate, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+def cell_uv_derotated_sql(zoom: int = GRAD_ZOOM) -> str:
+    c = repr(float(np.cos(np.deg2rad(ROTATION_DEG))))
+    s = repr(float(np.sin(np.deg2rad(ROTATION_DEG))))
+    c, s = f"CAST('{c}' AS DOUBLE)", f"CAST('{s}' AS DOUBLE)"
+    return f"""WITH g AS ({cell_gradients_sql(zoom).lstrip()})
+SELECT cell_id,
+       grad_x * {c} - grad_y * {s} AS u_rot,
+       grad_x * {s} + grad_y * {c} AS v_rot,
+       sqrt((grad_x * {c} - grad_y * {s}) * (grad_x * {c} - grad_y * {s})
+            + (grad_x * {s} + grad_y * {c}) * (grad_x * {s} + grad_y * {c})) AS speed
+FROM g WHERE grad_x IS NOT NULL AND grad_y IS NOT NULL"""
+
+
 # ------------------------------------------------------------- stencil J5
 def cell_gradients(sf_dir: str, zoom: int = GRAD_ZOOM) -> ray.data.Dataset:
     ds = geocoded_pages(sf_dir, zoom).select_columns(["cell_id", "n_chars"])

@@ -175,6 +175,8 @@ register("cell_gradients", validation.cell_gradients,
          validation.cell_gradients_sql())
 register("coregistration_metrics", validation.coregistration_metrics,
          validation.coregistration_sql())
+register("cell_uv_derotated", validation.cell_uv_derotated,
+         validation.cell_uv_derotated_sql())  # M5 de-rotation as a pipeline
 
 
 # ------------------------------------- multimodal + tracking (rows-only checks)
