@@ -100,6 +100,31 @@ sh AS (
 )"""
 
 
+def dedup_corpus_sql(threshold: float = 0.8) -> str:
+    """Surviving doc ids after keep-one near-dup dedup: connected
+    components of the exact-Jaccard-≥τ pair graph via a recursive
+    reachability closure (components are near-dup clusters — tiny — so the
+    closure converges in a few steps); keep each component's min id."""
+    inner = minhash_pairs_sql(threshold).strip()
+    return f"""
+WITH RECURSIVE pairs AS ({inner}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(id, r) AS (
+  SELECT a AS id, b AS r FROM edges
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+rep AS (SELECT id, LEAST(id, MIN(r)) AS rep FROM reach GROUP BY id)
+SELECT d.doc_id
+FROM documents d LEFT JOIN rep ON d.doc_id = rep.id
+WHERE rep.id IS NULL OR rep.rep = d.doc_id
+"""
+
+
 def simhash_pairs_sql(max_hamming: int = 3) -> str:
     """All pairs (id_a < id_b) with Hamming(simhash) ≤ max_hamming."""
     return f"""

@@ -48,6 +48,12 @@ def simhash_pairs(sf_dir: str) -> pd.DataFrame:
     return dedup.simhash_dup_pairs(_docs(sf_dir), max_hamming=3)
 
 
+def dedup_near_corpus(sf_dir: str) -> ray.data.Dataset:
+    """Keep-one near-dup dedup: surviving doc ids (min id per Jaccard-≥0.8
+    connected component)."""
+    return dedup.minhash_dedup_corpus(_docs(sf_dir), threshold=0.8)
+
+
 NUM_QUERIES = 8
 TOPK = 5
 

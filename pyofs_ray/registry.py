@@ -164,6 +164,8 @@ register("minhash_pairs", corpus.minhash_pairs,
          sqlgen_dedup.minhash_pairs_sql(0.8))
 register("simhash_pairs", corpus.simhash_pairs,
          sqlgen_dedup.simhash_pairs_sql(3))
+register("dedup_near_corpus", corpus.dedup_near_corpus,
+         sqlgen_dedup.dedup_corpus_sql(0.8))
 
 
 # -------------------------------- compositing / stencil / validation (A4/J5/J6/A6)

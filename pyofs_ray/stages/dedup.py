@@ -215,6 +215,50 @@ def minhash_dedup_pairs(ds: ray.data.Dataset, threshold: float = 0.8,
             .sort_values(["id_a", "id_b"]).reset_index(drop=True))
 
 
+# ------------------------------------------------- near-dup corpus dedup
+def union_find_components(pairs: pd.DataFrame) -> dict[int, int]:
+    """id → component representative (min id), path-compressed union-find
+    over the verified near-dup pair set. Pairs are bounded by true near-dup
+    clusters (≪ corpus), so this runs driver-side; at extreme dup rates the
+    scale form is iterative min-label propagation over the pair Dataset."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs.id_a.to_numpy(), pairs.id_b.to_numpy()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in list(parent)}
+
+
+def minhash_dedup_corpus(ds: ray.data.Dataset, threshold: float = 0.8,
+                         id_col: str = "doc_id", text_col: str = "text") -> ray.data.Dataset:
+    """The keep-one near-dup dedup an LLM data pipeline actually runs:
+    verified Jaccard-≥τ pairs → connected components → keep each
+    component's min id → broadcast the (cluster-bounded) drop set as a
+    filter over the streaming corpus. Returns the surviving doc ids."""
+    pairs = minhash_dedup_pairs(ds, threshold, id_col, text_col)
+    comp = union_find_components(pairs)
+    drop = np.array(sorted(x for x, rep in comp.items() if rep != x), np.int64)
+    import ray as _ray
+    drop_ref = _ray.put(pa.array(drop, pa.int64()))
+
+    def filt(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.invert(pc.is_in(b[id_col], value_set=_ray.get(drop_ref)))
+        return b.filter(keep).select([id_col])
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------------ simhash
 def simhash64(texts: pa.Array | list[str | None]) -> np.ndarray:
     """64-bit SimHash per doc from byte-k-gram FNV hashes, vectorized over

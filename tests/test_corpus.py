@@ -219,3 +219,19 @@ def test_small_fast_path_equals_distributed_path():
     dist_e = ann.embedding_dup_pairs(eds, threshold=0.99, force_distributed=True)
     assert fast_e.equals(dist_e) and (3, 100) in set(
         map(tuple, fast_e[["id_a", "id_b"]].to_numpy()))
+
+
+def test_near_dup_corpus_keep_one():
+    """Connected components over verified pairs: each near-dup cluster
+    keeps exactly its min id; everything else survives."""
+    ds = _dup_corpus()
+    kept = set(dedup.minhash_dedup_corpus(ds, threshold=0.8)
+               .to_pandas().doc_id.to_numpy())
+    # cluster {100, 101, 102} collapses to 100; all others survive
+    assert 100 in kept and 101 not in kept and 102 not in kept
+    assert kept >= set(range(40)) | {103}
+    # union-find handles transitive chains A-B, B-C without an A-C edge
+    import pandas as pd
+    chain = pd.DataFrame({"id_a": [1, 2, 10], "id_b": [2, 3, 11]})
+    comp = dedup.union_find_components(chain)
+    assert comp[2] == 1 and comp[3] == 1 and comp[11] == 10
