@@ -32,6 +32,10 @@ BENCH_QUERIES = [
     "lang_id", "latest_page_per_cell", "rel_q1_pricing",
     "rel_priority_revenue", "ann_topk", "minhash_pairs",
     "simhash_pairs", "events_sessionize", "bilinear_cells",
+    # round 2 additions
+    "events_sessionize_sorted", "ensemble_cell_means", "cell_gradients",
+    "rel_q3_shipping", "dedup_near_corpus", "media_features",
+    "embedding_dup_pairs", "ann_topk_ivf",
 ]
 
 

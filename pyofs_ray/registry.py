@@ -241,6 +241,43 @@ def _particle_track(sf_dir: str):
 
 register("media_features", _media_features, MEDIA_FEATURES_SQL)
 
+
+def _video_frame_features(sf_dir: str):
+    """FAKV1 clips from doc ids → actor-pool frame sampling (every 2nd
+    frame) → exact per-frame mean. Oracle recomputes from the generator
+    arithmetic — proves the video encode → decode → sample path."""
+    from .stages.multimodal import sample_frames, synth_video_batch
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    media = ds.map_batches(synth_video_batch, batch_format="pyarrow",
+                           batch_size=256)
+    return sample_frames(media, every=2)
+
+
+VIDEO_FRAMES_SQL = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         8 + (doc_id % 5) * 4 AS width,
+         6 + (doc_id % 3) * 4 AS height,
+         4 + (doc_id % 11) AS n_frames,
+         doc_id % 16777216 AS seed
+  FROM documents
+),
+fr AS (
+  SELECT media_id, width, height, seed, f.f AS frame_idx
+  FROM dims, LATERAL (SELECT unnest(generate_series(0, n_frames - 1, 2)) AS f) f
+)
+SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(SUM((r.r * 31 + c.c * 7 + frame_idx * 13 + seed) % 256) AS DOUBLE)
+         / CAST(width * height AS DOUBLE) AS px_mean
+FROM fr,
+     LATERAL (SELECT unnest(generate_series(0, height - 1)) AS r) r,
+     LATERAL (SELECT unnest(generate_series(0, width - 1)) AS c) c
+GROUP BY media_id, frame_idx, width, height
+"""
+
+register("video_frame_features", _video_frame_features, VIDEO_FRAMES_SQL)
+
 from .core.sqlgen_track import particle_track_sql  # noqa: E402
 
 # bit-exact recursive-CTE twin of the RK4 advection loop

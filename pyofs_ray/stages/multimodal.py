@@ -131,6 +131,91 @@ class MediaDecoder:
         return out
 
 
+# ------------------------------------------------------------ video frames
+VMAGIC = b"FAKV1"
+VHEADER = len(VMAGIC) + 4 + 4 + 2 + 3
+
+
+def synth_video_batch(b: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Deterministic video fixture: a FAKV1 clip per row — header
+    ``b"FAKV1" + width:u32 + height:u32 + n_frames:u16 + seed:u24`` followed
+    by ``n_frames`` row-major u8 frames; frame f pixel (r, c) =
+    (r*31 + c*7 + f*13 + seed) mod 256."""
+    ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    payloads, ws, hs, fs = [], [], [], []
+    for i in ids:
+        w = 8 + int(i % 5) * 4
+        h = 6 + int(i % 3) * 4
+        nf = 4 + int(i % 11)
+        seed = int(i) % (1 << 24)
+        r = np.arange(h, dtype=np.uint32)[:, None, None] * 31
+        c = np.arange(w, dtype=np.uint32)[None, :, None] * 7
+        f = np.arange(nf, dtype=np.uint32)[None, None, :] * 13
+        px = ((r + c + f + seed) % 256).astype(np.uint8)  # (h, w, nf)
+        head = (VMAGIC + int(w).to_bytes(4, "little") + int(h).to_bytes(4, "little")
+                + int(nf).to_bytes(2, "little") + seed.to_bytes(3, "little"))
+        payloads.append(head + px.transpose(2, 0, 1).tobytes())
+        ws.append(w); hs.append(h); fs.append(nf)
+    return pa.table({
+        "media_id": pa.array(ids),
+        "media_type": pa.array(["video/fake"] * len(ids)),
+        "width": pa.array(np.array(ws, np.int32)),
+        "height": pa.array(np.array(hs, np.int32)),
+        "n_frames": pa.array(np.array(fs, np.int32)),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+
+
+class FrameSampler:
+    """Actor-pool stage: decode a FAKV1 clip, keep every ``every``-th frame,
+    emit one row per sampled frame with exact integer-moment features —
+    the video analogue of the reference's per-granule pass (decode once,
+    derive small features, never shuffle the raw bytes)."""
+
+    def __init__(self, decoder: str = "fake", every: int = 2):
+        if decoder in ("pil", "ffmpeg"):
+            raise NotImplementedError(
+                "real video decode requires ffmpeg bindings, unavailable in "
+                "this container; use decoder='fake' (FAKV1 fixture codec)")
+        if decoder != "fake":
+            raise ValueError(f"unknown decoder {decoder!r}")
+        self.every = every
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        out_id, out_fi, out_mean = [], [], []
+        for mid, p in zip(b["media_id"].to_pylist(), b["payload"].to_pylist()):
+            if p[:5] != VMAGIC:
+                raise ValueError("not a FAKV1 container")
+            w = int.from_bytes(p[5:9], "little")
+            h = int.from_bytes(p[9:13], "little")
+            nf = int.from_bytes(p[13:15], "little")
+            frames = np.frombuffer(p, np.uint8, count=nf * h * w,
+                                   offset=VHEADER).reshape(nf, h, w)
+            idx = np.arange(0, nf, self.every)
+            sums = frames[idx].astype(np.int64).sum(axis=(1, 2))
+            out_id.append(np.full(len(idx), mid, np.int64))
+            out_fi.append(idx.astype(np.int64))
+            out_mean.append(sums.astype(np.float64) / float(h * w))
+        return pa.table({
+            "media_id": pa.array(np.concatenate(out_id) if out_id else
+                                 np.array([], np.int64)),
+            "frame_idx": pa.array(np.concatenate(out_fi) if out_fi else
+                                  np.array([], np.int64)),
+            "px_mean": pa.array(np.concatenate(out_mean) if out_mean else
+                                np.array([], np.float64)),
+        })
+
+
+def sample_frames(ds: ray.data.Dataset, decoder: str = "fake", every: int = 2,
+                  batch_size: int = 256, concurrency=(1, 8)) -> ray.data.Dataset:
+    """Frame-sample a video Dataset (small batches: very wide rows)."""
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"decoder": decoder, "every": every},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+        num_cpus=1)
+
+
 def decode_media(ds: ray.data.Dataset, decoder: str = "fake",
                  resize: tuple[int, int] | None = (8, 8),
                  batch_size: int = 256, concurrency=(1, 8)) -> ray.data.Dataset:

@@ -87,3 +87,30 @@ def test_tracking_rotation_preserves_radius():
     m1 = tracking.contour_measures(
         pa.Table.from_pandas(last[["particle_id", "x", "y"]]))
     assert abs(m1["area"] - m0["area"]) / m0["area"] < 0.01
+
+
+def test_video_frame_sampling():
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from pyofs_ray.stages.multimodal import (FrameSampler, sample_frames,
+                                             synth_video_batch)
+
+    ds = ray.data.from_arrow(pa.table({"doc_id": list(range(30))}))
+    media = ds.map_batches(synth_video_batch, batch_format="pyarrow")
+    out = sample_frames(media, every=3).to_pandas()
+    # every-3rd frame per clip: doc 0 has 4 frames → indices 0, 3
+    f0 = sorted(out[out.media_id == 0].frame_idx)
+    assert f0 == [0, 3]
+    # frame means are exact integer-moment values in [0, 255]
+    assert ((out.px_mean >= 0) & (out.px_mean <= 255)).all()
+    # per-clip frame counts follow ceil(n_frames / every)
+    nf = 4 + (np.arange(30) % 11)
+    expect = -(-nf // 3)
+    got = out.groupby("media_id").size().reindex(range(30)).to_numpy()
+    assert (got == expect).all()
+    # real codecs are clearly-marked stubs
+    with pytest.raises(NotImplementedError):
+        FrameSampler(decoder="ffmpeg")
