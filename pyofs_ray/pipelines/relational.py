@@ -493,6 +493,95 @@ LIMIT 10
 """
 
 
+# ------------------------------------- Q5-style 6-table regional revenue
+def q5_regional_revenue(sf_dir: str, region: str = "ASIA") -> ray.data.Dataset:
+    """customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region with the
+    same-nation constraint — the multi-way join shape: every dimension
+    (region/nation/supplier/customer) broadcasts; the one fact⋈fact step
+    (lineitem ⋈ filtered orders) is the only shuffle."""
+    import pyarrow.parquet as pq
+
+    from ..stages.join import broadcast_join, bucketed_hash_join
+
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rkey = reg.filter(pc.equal(reg["r_name"], region))["r_regionkey"]
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    nat = nat.filter(pc.is_in(nat["n_regionkey"], value_set=rkey))
+    nkeys = nat["n_nationkey"]
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    cust = (cust.filter(pc.is_in(cust["c_nationkey"], value_set=nkeys))
+                .rename_columns(["o_custkey", "c_nationkey"]))
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    supp = (supp.filter(pc.is_in(supp["s_nationkey"], value_set=nkeys))
+                .rename_columns(["l_suppkey", "s_nationkey"]))
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda b: b.filter(pc.and_(pc.greater_equal(b["o_orderdate"], lo),
+                                   pc.less(b["o_orderdate"], hi)))
+                   .select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow")
+    orders = broadcast_join(orders, cust, keys=["o_custkey"]).map_batches(
+        lambda b: pa.table({"l_orderkey": b["o_orderkey"],
+                            "c_nationkey": b["c_nationkey"]}),
+        batch_format="pyarrow")
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(_cents(b["l_extendedprice"]),
+                          pc.subtract(pa.scalar(100, pa.int64()),
+                                      _cents(b["l_discount"])))
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "l_suppkey": b["l_suppkey"], "rev_s": rev})
+
+    li = broadcast_join(li.map_batches(prep, batch_format="pyarrow"),
+                        supp, keys=["l_suppkey"])
+    joined = bucketed_hash_join(li, orders, key="l_orderkey")
+    joined = joined.map_batches(
+        lambda b: b.filter(pc.equal(b["s_nationkey"], b["c_nationkey"])),
+        batch_format="pyarrow")
+    agg = two_stage_cell_agg(joined, keys=("s_nationkey",),
+                             int_sum_cols=("rev_s",), count_name="n_items")
+
+    names = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+
+    def finish(b: pa.Table) -> pa.Table:
+        nk = b["s_nationkey"].to_pylist()
+        return pa.table({
+            "n_name": pa.array([names[k] for k in nk]),
+            "revenue": pc.divide(pc.cast(b["rev_s_sum"], pa.float64()), 10000.0),
+        })
+
+    out = agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    return out.sort(["revenue", "n_name"], descending=[True, False])
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
 def priority_revenue_native(sf_dir: str) -> ray.data.Dataset:
     """Same join as priority_revenue but via Ray's native Dataset.join —
     results must be identical (oracle-shared)."""

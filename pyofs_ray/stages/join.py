@@ -79,6 +79,12 @@ def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
         return ds, s.base_schema if hasattr(s, "base_schema") else s
 
     (left, ls), (right, rs) = _as_arrow(left), _as_arrow(right)
+    if ls is None or rs is None:
+        side = "left" if ls is None else "right"
+        raise ValueError(
+            f"bucketed_hash_join: {side} side has no schema (it is empty "
+            "with no type information) — materialize it with a typed "
+            "schema or skip the join when a side is known-empty")
     lcols, rcols = list(ls.names), list(rs.names)
     # union needs one schema: pad each side with the other's columns as nulls
     all_fields = [pa.field(n, ls.field(n).type if n in lcols else rs.field(n).type)

@@ -132,3 +132,8 @@ def test_sessionize_sorted_mega_user_chains(tmp_path):
         got = (sessionize_sorted(str(d), batch_size=bs).to_pandas()
                .sort_values(["user_id", "session_id"]).reset_index(drop=True))
         assert got.equals(ref), f"batch_size={bs} diverged"
+
+
+def test_q5_oracle(duck_smoke):
+    assert_matches_oracle(QUERIES["rel_q5_regional"](SF_SMOKE), duck_smoke,
+                          ORACLES["rel_q5_regional"])
