@@ -66,6 +66,24 @@ def unrotate_pole(rlon_deg: np.ndarray, rlat_deg: np.ndarray,
     return np.rad2deg(lon), np.rad2deg(lat)
 
 
+_WEBMERC_R = 6_378_137.0  # WebMercator sphere radius
+
+
+def translate_geographic_coordinates(lon_deg: np.ndarray, lat_deg: np.ndarray,
+                                     dx_m: float, dy_m: float
+                                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Offset geographic points by meters via a WebMercator round-trip
+    (`utilities.py:437-456`): project → add (dx, dy) → unproject.
+    Vectorized; exact inverse of the spherical-mercator equations."""
+    lon = np.deg2rad(np.asarray(lon_deg, dtype=np.float64))
+    lat = np.deg2rad(np.asarray(lat_deg, dtype=np.float64))
+    x = _WEBMERC_R * lon + dx_m
+    y = _WEBMERC_R * np.log(np.tan(np.pi / 4 + lat / 2)) + dy_m
+    out_lon = np.rad2deg(x / _WEBMERC_R)
+    out_lat = np.rad2deg(2 * np.arctan(np.exp(y / _WEBMERC_R)) - np.pi / 2)
+    return out_lon, out_lat
+
+
 def find_pole(lon_deg: np.ndarray, lat_deg: np.ndarray,
               starting_pole: tuple[float, float], samples: int = 25,
               sample_radius: float = 1.0) -> tuple[float, float]:

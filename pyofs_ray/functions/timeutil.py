@@ -50,6 +50,15 @@ def range_hourly(start: np.datetime64, end: np.datetime64) -> np.ndarray:
     return np.arange(start, end, step)
 
 
+def ten_minute_range(start: np.datetime64, end: np.datetime64) -> np.ndarray:
+    """10-minute timestamps in [start, end) (`ten_minute_range`,
+    __init__.py:192-199), descending when end < start."""
+    start = np.datetime64(start, "us")
+    end = np.datetime64(end, "us")
+    step = np.timedelta64(_TEN_MIN_US if end >= start else -_TEN_MIN_US, "us")
+    return np.arange(start, end, step)
+
+
 def range_daily(start: np.datetime64, end: np.datetime64) -> np.ndarray:
     """Daily timestamps in [start, end), descending when end < start
     (`range_daily`, __init__.py:173-189)."""

@@ -116,3 +116,38 @@ def test_rotated_pole_roundtrip_and_identity():
     best = find_pole(glon, glat, starting_pole=(37.0, 57.0), samples=25,
                      sample_radius=1.0)
     assert abs(best[0] - pole[0]) < 0.3 and abs(best[1] - pole[1]) < 0.3
+
+
+def test_translate_geographic_roundtrip():
+    import numpy as np
+
+    from pyofs_ray.functions.geo import translate_geographic_coordinates as tr
+
+    lon = np.array([-122.5, 0.0, 45.0])
+    lat = np.array([37.7, 0.0, -30.0])
+    lon2, lat2 = tr(lon, lat, 1000.0, -500.0)
+    lon3, lat3 = tr(lon2, lat2, -1000.0, 500.0)
+    assert np.abs(lon3 - lon).max() < 1e-9 and np.abs(lat3 - lat).max() < 1e-9
+    # 1 km east at the equator ≈ 0.008983 degrees
+    elon, _ = tr(np.array([0.0]), np.array([0.0]), 1000.0, 0.0)
+    assert abs(elon[0] - 0.0089831528) < 1e-6
+
+
+def test_path_utilities():
+    import numpy as np
+    import pytest
+
+    from pyofs_ray.functions.paths import (parse_partition_dir, partition_dir,
+                                           split_layer_filename)
+    from pyofs_ray.functions.timeutil import ten_minute_range
+
+    assert split_layer_filename("out/contours.gpkg:sse") == ("out/contours.gpkg", "sse")
+    assert split_layer_filename("plain/file.tiff") == ("plain/file.tiff", None)
+    assert split_layer_filename("a:b/c.tiff") == ("a:b/c.tiff", None)
+    assert partition_dir("day", "2024-01-01") == "day=2024-01-01"
+    assert parse_partition_dir("day=2024-01-01") == ("day", "2024-01-01")
+    with pytest.raises(ValueError):
+        parse_partition_dir("nokey")
+    r = ten_minute_range(np.datetime64("2024-01-01T00:00"),
+                         np.datetime64("2024-01-01T01:00"))
+    assert len(r) == 6
