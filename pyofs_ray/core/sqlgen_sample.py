@@ -1,0 +1,44 @@
+"""DuckDB twin of the splitmix64 hash sampler (`stages/sample.py`).
+
+HUGEINT is a *signed* INT128, so a full 64×64-bit product overflows; each
+``* constant mod 2⁶⁴`` is decomposed into 32-bit limbs
+(``a·b ≡ ((ah·bl + al·bh) mod 2³²)·2³² + al·bl``), every intermediate
+< 2⁶⁵. The mix runs as a CTE chain, one finalizer step per stage, matching
+`core.hashing.splitmix64` op-for-op.
+"""
+
+from __future__ import annotations
+
+MOD64 = 1 << 64
+MOD32 = 1 << 32
+_GOLDEN = 0x9E3779B97F4A7C15
+_C1 = 0xBF58476D1CE4E5B9
+_C2 = 0x94D049BB133111EB
+
+
+def _mulmod64(x: str, const: int) -> str:
+    """(x * const) mod 2⁶⁴ via 32-bit limbs; ``x`` must be in [0, 2⁶⁴)."""
+    bh, bl = const >> 32, const & (MOD32 - 1)
+    return (f"((((({x}) // {MOD32}) * {bl} + (({x}) % {MOD32}) * {bh}) % {MOD32})"
+            f" * {MOD32} + (({x}) % {MOD32}) * {bl}) % {MOD64}")
+
+
+def to_u64(col: str) -> str:
+    """int64 column → its uint64 bit pattern as HUGEINT."""
+    return (f"(CASE WHEN {col} < 0 THEN CAST({col} AS HUGEINT) + {MOD64} "
+            f"ELSE CAST({col} AS HUGEINT) END)")
+
+
+def hash_sample_sql(table: str, key_col: str, rate: float, salt: int = 0,
+                    select: str = "*") -> str:
+    den = 1 << 20
+    num = int(round(rate * den))
+    key = to_u64(key_col)
+    if salt:
+        key = f"xor({key}, {salt})"
+    return f"""
+WITH q0 AS (SELECT {select}, (({key}) + {_GOLDEN}) % {MOD64} AS z0 FROM {table}),
+q1 AS (SELECT *, {_mulmod64('xor(z0, z0 >> 30)', _C1)} AS z1 FROM q0),
+q2 AS (SELECT *, {_mulmod64('xor(z1, z1 >> 27)', _C2)} AS z2 FROM q1)
+SELECT {select} FROM q2 WHERE xor(z2, z2 >> 31) % {den} < {num}
+"""

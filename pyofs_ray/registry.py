@@ -168,6 +168,23 @@ register("dedup_near_corpus", corpus.dedup_near_corpus,
          sqlgen_dedup.dedup_corpus_sql(0.8))
 
 
+def _doc_sample(sf_dir: str):
+    """Deterministic 10% corpus subsample by splitmix64(doc_id) — stable
+    under re-partitioning/resume, reproducible on any cluster shape."""
+    from .stages.sample import hash_sample
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang"])
+    return hash_sample(ds, "doc_id", rate=0.1, salt=7)
+
+
+from .core.sqlgen_sample import hash_sample_sql  # noqa: E402
+
+register("doc_sample", _doc_sample,
+         hash_sample_sql("documents", "doc_id", 0.1, salt=7,
+                         select="doc_id, lang"))
+
+
 # -------------------------------- compositing / stencil / validation (A4/J5/J6/A6)
 from .pipelines import validation  # noqa: E402
 

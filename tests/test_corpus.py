@@ -235,3 +235,18 @@ def test_near_dup_corpus_keep_one():
     chain = pd.DataFrame({"id_a": [1, 2, 10], "id_b": [2, 3, 11]})
     comp = dedup.union_find_components(chain)
     assert comp[2] == 1 and comp[3] == 1 and comp[11] == 10
+
+
+def test_hash_sample_deterministic_and_rate():
+    from pyofs_ray.stages.sample import hash_sample
+    ds = ray.data.range(100_000).map_batches(
+        lambda b: pa.table({"doc_id": b["id"]}), batch_format="pyarrow")
+    s1 = hash_sample(ds, "doc_id", rate=0.1, salt=7).to_pandas()
+    s2 = hash_sample(ds, "doc_id", rate=0.1, salt=7).to_pandas()
+    assert s1.equals(s2)                       # reproducible
+    assert abs(len(s1) / 100_000 - 0.1) < 0.01  # rate within 1%
+    s3 = hash_sample(ds, "doc_id", rate=0.1, salt=8).to_pandas()
+    assert not s1.doc_id.equals(s3.doc_id)      # salt changes the sample
+    # nested rates: a 5% sample of the same salt is a subset of the 10%
+    s4 = hash_sample(ds, "doc_id", rate=0.05, salt=7).to_pandas()
+    assert set(s4.doc_id) <= set(s1.doc_id)
