@@ -256,6 +256,34 @@ def top_order_per_customer(sf_dir: str) -> ray.data.Dataset:
     return out.select_columns(["o_custkey", "o_orderkey", "o_totalprice"])
 
 
+def top3_orders_per_customer(sf_dir: str) -> ray.data.Dataset:
+    """Per-customer top-3 orders by price (grouped top-k, k>1 — the
+    'first k records per group' generalization of O3)."""
+    import pyarrow.compute as pc
+
+    from ..stages.composite import topk_per_key
+
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    ds = ds.map_batches(
+        lambda b: b.append_column("neg_orderkey", pc.negate(b["o_orderkey"])),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = topk_per_key(ds, keys=("o_custkey",),
+                       order_cols=("o_totalprice", "neg_orderkey"), k=3,
+                       payload_cols=("o_orderkey", "o_totalprice"))
+    return out.select_columns(["o_custkey", "o_orderkey", "o_totalprice", "rank"])
+
+
+TOP3_ORDERS_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
 TOP_ORDER_PER_CUSTOMER_SQL = """
 SELECT o_custkey, o_orderkey, o_totalprice FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,

@@ -336,6 +336,8 @@ register("events_sessionize_sorted", windows.sessionize_sorted,
          windows.SESSIONIZE_SQL)  # scale form, same oracle
 register("top_order_per_customer", windows.top_order_per_customer,
          windows.TOP_ORDER_PER_CUSTOMER_SQL)
+register("top3_orders_per_customer", windows.top3_orders_per_customer,
+         windows.TOP3_ORDERS_SQL)
 
 
 # ---------------------------------------- byte-identity audit (north_rule)

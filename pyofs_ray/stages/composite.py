@@ -68,6 +68,47 @@ def last_per_cell(ds: ray.data.Dataset, keys=("cell_id",),
     return cand.repartition(1).map_batches(final, batch_format="pandas")
 
 
+def topk_per_key(ds: ray.data.Dataset, keys=("cell_id",),
+                 order_cols=("warc_ts", "page_key"), k: int = 3,
+                 payload_cols=("page_key", "warc_ts"),
+                 descending: bool = True) -> ray.data.Dataset:
+    """Top-k rows per key under a total order — `last_per_cell` generalized
+    (SURVEY.md A4/O1/O3 composition: per-group "first k records").
+
+    Two-stage: each batch keeps only its own per-key top-k (so the exchange
+    moves ≤ k rows per (key, batch)), a coalesced vectorized pass finishes.
+    Exact because per-key global top-k ⊆ union of per-batch top-k. Adds a
+    1-based ``rank`` column."""
+    keys = list(keys)
+    order_cols = list(order_cols)
+    payload_cols = list(payload_cols)
+    take_cols = keys + sorted(set(order_cols + payload_cols) - set(keys))
+    asc = [True] * len(keys) + [not descending] * len(order_cols)
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = b.select(take_cols).to_pandas()
+        df = df.sort_values(keys + order_cols, ascending=asc, kind="mergesort")
+        return df.groupby(keys, as_index=False, sort=False).head(k)
+
+    from .agg import auto_partitions
+
+    cand = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(keys + order_cols, ascending=asc, kind="mergesort")
+        df = df.groupby(keys, as_index=False, sort=False).head(k)
+        df["rank"] = df.groupby(keys, sort=False).cumcount() + 1
+        return df
+
+    cand = cand.repartition(auto_partitions()).map_batches(
+        lambda df: df.sort_values(keys + order_cols, ascending=asc,
+                                  kind="mergesort")
+                     .groupby(keys, as_index=False, sort=False).head(k),
+        batch_format="pandas")
+    return cand.repartition(1).map_batches(final, batch_format="pandas",
+                                           batch_size=None)
+
+
 def neighbor_grad(cells: ray.data.Dataset, value_sum: str = "n_chars_sum",
                   count: str = "doc_count") -> ray.data.Dataset:
     """Central x/y differences of the per-cell mean value.

@@ -106,7 +106,8 @@ def test_embedding_dup_pairs_finds_injected_dups():
 
 def test_windows_oracles(duck_smoke):
     from .conftest import assert_matches_oracle
-    for name in ("events_sessionize", "top_order_per_customer", "pages_passthrough"):
+    for name in ("events_sessionize", "top_order_per_customer",
+                 "top3_orders_per_customer", "pages_passthrough"):
         assert_matches_oracle(QUERIES[name](SF_SMOKE), duck_smoke, ORACLES[name])
 
 
