@@ -31,6 +31,10 @@ def to_u64(col: str) -> str:
 
 def hash_sample_sql(table: str, key_col: str, rate: float, salt: int = 0,
                     select: str = "*") -> str:
+    if "*" in select:
+        raise ValueError(
+            "hash_sample_sql needs an explicit column list: the CTE chain "
+            "adds mix columns z0..z2 which '*' would leak into the result")
     den = 1 << 20
     num = int(round(rate * den))
     key = to_u64(key_col)

@@ -89,8 +89,10 @@ def find_pole(lon_deg: np.ndarray, lat_deg: np.ndarray,
               sample_radius: float = 1.0) -> tuple[float, float]:
     """Grid-search the pole that makes the given points iso-latitude in the
     rotated frame (`utilities.py:292-330` find_pole, minus the plotting):
-    minimizes the max spread of rotated latitudes over a √samples×√samples
-    candidate grid around ``starting_pole``. Deterministic."""
+    minimizes the total spread (max − min) of rotated latitudes over a
+    √samples×√samples candidate grid around ``starting_pole``. Spread — not
+    max adjacent difference — so the score is ordering-independent and a
+    slow monotonic drift cannot beat a genuinely flat ring. Deterministic."""
     side = max(2, int(np.sqrt(samples)))
     deltas = np.linspace(-sample_radius, sample_radius, side)
     best, best_disc = tuple(starting_pole), np.inf
@@ -98,7 +100,7 @@ def find_pole(lon_deg: np.ndarray, lat_deg: np.ndarray,
         for dlat in deltas:
             cand = (starting_pole[0] + dlon, starting_pole[1] + dlat)
             _, rlat = rotate_pole(lon_deg, lat_deg, cand)
-            disc = float(np.abs(np.diff(rlat)).max()) if len(rlat) > 1 else 0.0
+            disc = float(rlat.max() - rlat.min()) if len(rlat) > 1 else 0.0
             if disc < best_disc:
                 best, best_disc = cand, disc
     return best

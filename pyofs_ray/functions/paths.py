@@ -12,8 +12,8 @@ def split_layer_filename(path: str) -> tuple[str, str | None]:
     without a layer suffix return ``(path, None)``. Windows drive letters
     (``C:\\...``) are not treated as layer separators."""
     head, sep, tail = path.rpartition(":")
-    if not sep or (len(head) == 1 and head.isalpha()):
-        return path, None
+    if not sep or not tail or (len(head) == 1 and head.isalpha()):
+        return path, None  # no ':' / trailing ':' / Windows drive letter
     if os.sep in tail or "/" in tail:
         return path, None  # ':' inside a directory name, not a layer
     return head, tail

@@ -83,7 +83,8 @@ def sessionize_sorted(sf_dir: str, batch_size: int | None = None) -> ray.data.Da
                 "user_id": pa.array(empty["user_id"]), "sid0": pa.array([], pa.int64()),
                 "start_us": pa.array([], pa.int64()), "end_us": pa.array([], pa.int64()),
                 "n_events": pa.array([], pa.int64()), "edge": pa.array([], pa.int8()),
-                "bk_user": pa.array([], pa.int64()), "bk_ts": pa.array([], pa.int64())})
+                "bk_user": pa.array([], pa.int64()), "bk_ts": pa.array([], pa.int64()),
+                "bk_lu": pa.array([], pa.int64()), "bk_lt": pa.array([], pa.int64())})
         brk = np.ones(n, dtype=bool)
         brk[1:] = (u[1:] != u[:-1]) | (t[1:] - t[:-1] > SESSION_GAP_US)
         first = np.nonzero(brk)[0]
@@ -99,12 +100,20 @@ def sessionize_sorted(sf_dir: str, batch_size: int | None = None) -> ray.data.Da
         edge = np.zeros(len(su), dtype=np.int8)
         edge[0] |= 1
         edge[-1] |= 2
+        # 4-component batch key (first AND last row): two distinct batches
+        # can only collide on all four when both lie inside one run of
+        # identical (user, ts) rows — and then both are content-identical
+        # single-session batches the walk can safely collapse. A 2-component
+        # key would silently merge different batches of a same-timestamp
+        # burst (bot traffic) and lose sessions.
         return pa.table({
             "user_id": pa.array(su), "sid0": pa.array(sid0),
             "start_us": pa.array(st), "end_us": pa.array(en),
             "n_events": pa.array(cnt), "edge": pa.array(edge),
             "bk_user": pa.array(np.full(len(su), u[0])),
             "bk_ts": pa.array(np.full(len(su), t[0])),
+            "bk_lu": pa.array(np.full(len(su), u[-1])),
+            "bk_lt": pa.array(np.full(len(su), t[-1])),
         })
 
     # session summaries are events/avg-session-length — bounded, pinned for
@@ -117,42 +126,53 @@ def sessionize_sorted(sf_dir: str, batch_size: int | None = None) -> ray.data.Da
                                      zero_copy_batch=True).materialize()
 
     import pyarrow.compute as pc
+    BK = ["bk_user", "bk_ts", "bk_lu", "bk_lt"]
     edges = (partials.map_batches(
         lambda b: b.filter(pc.greater(b["edge"], 0)), batch_format="pyarrow")
         .to_pandas()
-        .sort_values(["bk_user", "bk_ts", "sid0"]).reset_index(drop=True))
+        .sort_values(BK + ["sid0"]).reset_index(drop=True))
 
-    offsets: list[tuple[int, int, int, int]] = []   # (user, bk_user, bk_ts, off)
-    drops: list[tuple[int, int, int, int]] = []     # (bk_user, bk_ts, user, sid0)
+    offsets: list[tuple] = []    # (user, *bk4, off)
+    drops: list[tuple] = []      # (*bk4, user, sid0)
     merged: list[dict] = []
-    cum: dict[int, int] = {}                        # user → finalized sessions so far
-    chain: dict | None = None                       # open tail chain
+    cum: dict[int, int] = {}     # user → finalized sessions so far
+    chain: dict | None = None    # open tail chain
 
     def close_chain(c):
-        if c is not None and len(c["members"]) > 1:
-            drops.extend(c["members"])
+        # "pieces" counts constituent summaries — >1 means a real merge
+        if c is not None and c["pieces"] > 1:
+            drops.extend(c["keys"])
             merged.append(c)
 
-    for (bku, bkt), g in edges.groupby(["bk_user", "bk_ts"], sort=True):
+    for bk, g in edges.groupby(BK, sort=True):
         f, l = g.iloc[0], g.iloc[-1]
         fu, lu = int(f.user_id), int(l.user_id)
-        single = len(g) == 1  # one session spans the whole batch (edge=3)
+        # group shapes (see block_sessions comment): a real (first, last)
+        # pair has edge flags {1, 2}; one row is one single-session batch;
+        # ≥2 rows all edge=3 are content-identical single-session batches
+        # from one equal-(user, ts) run — collapse them into one pseudo
+        # single-session batch with summed n_events.
+        collided = len(g) >= 2 and (g.edge == 3).all()
+        single = len(g) == 1 or collided
+        f_n = int(g.n_events.sum()) if collided else int(f.n_events)
+        f_pieces = len(g) if collided else 1
         # 1) does the batch's first session continue the open chain?
         merged_first = (chain is not None and chain["user"] == fu
                         and int(f.start_us) - chain["end"] <= SESSION_GAP_US)
         if merged_first:
-            chain["end"] = int(f.end_us)
-            chain["n"] += int(f.n_events)
-            chain["members"].append((bku, bkt, fu, int(f.sid0)))
+            chain["end"] = int(g.end_us.max()) if collided else int(f.end_us)
+            chain["n"] += f_n
+            chain["keys"].append((*bk, fu, int(f.sid0)))
+            chain["pieces"] += f_pieces
         else:
             close_chain(chain)
             chain = None
         # 2) ordinal offsets for this batch's edge users
         off_f = cum.get(fu, 0) - (1 if merged_first else 0)
         if off_f:
-            offsets.append((fu, bku, bkt, off_f))
+            offsets.append((fu, *bk, off_f))
         if lu != fu and cum.get(lu, 0):
-            offsets.append((lu, bku, bkt, cum.get(lu, 0)))
+            offsets.append((lu, *bk, cum.get(lu, 0)))
         # 3) cumulative finalized-session counts (only the last user can
         #    recur in later batches; earlier users' runs end here)
         cum[lu] = cum.get(lu, 0) + int(l.sid0) - (1 if (merged_first and fu == lu) else 0)
@@ -164,30 +184,29 @@ def sessionize_sorted(sf_dir: str, batch_size: int | None = None) -> ray.data.Da
                 close_chain(chain)                  # chain ended inside batch
             # ordinal of L = sid0 + prior finalized sessions of lu
             # (= cum[lu], already updated for this batch in step 3)
-            chain = {"user": lu, "start": int(l.start_us), "end": int(l.end_us),
-                     "n": int(l.n_events),
+            chain = {"user": lu,
+                     "start": int(f.start_us) if collided else int(l.start_us),
+                     "end": int(g.end_us.max()) if collided else int(l.end_us),
+                     "n": f_n if collided else int(l.n_events),
                      "ordinal": int(cum[lu]),
-                     "members": [(bku, bkt, lu, int(l.sid0))]}
+                     "pieces": f_pieces,
+                     "keys": [(*bk, lu, int(l.sid0))]}
     close_chain(chain)
 
-    off_df = pd.DataFrame(offsets, columns=["user_id", "bk_user", "bk_ts", "off"]) \
-        if offsets else pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
-                                      "bk_user": pd.Series([], dtype=np.int64),
-                                      "bk_ts": pd.Series([], dtype=np.int64),
-                                      "off": pd.Series([], dtype=np.int64)})
-    drop_df = pd.DataFrame(drops, columns=["bk_user", "bk_ts", "user_id", "sid0"]) \
-        if drops else pd.DataFrame({"bk_user": pd.Series([], dtype=np.int64),
-                                    "bk_ts": pd.Series([], dtype=np.int64),
-                                    "user_id": pd.Series([], dtype=np.int64),
-                                    "sid0": pd.Series([], dtype=np.int64)})
-    drop_df = drop_df.assign(_drop=True)
+    def _typed(cols: list[str], rows: list[tuple]) -> pd.DataFrame:
+        if rows:
+            return pd.DataFrame(rows, columns=cols)
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in cols})
+
+    off_df = _typed(["user_id", *BK, "off"], offsets)
+    drop_df = _typed([*BK, "user_id", "sid0"], drops).assign(_drop=True)
     import ray as _ray
     fix_ref = _ray.put((off_df, drop_df))
 
     def apply_fix(df: pd.DataFrame) -> pd.DataFrame:
         off_df, drop_df = _ray.get(fix_ref)
-        df = df.merge(off_df, on=["user_id", "bk_user", "bk_ts"], how="left")
-        df = df.merge(drop_df, on=["bk_user", "bk_ts", "user_id", "sid0"], how="left")
+        df = df.merge(off_df, on=["user_id", *BK], how="left")
+        df = df.merge(drop_df, on=[*BK, "user_id", "sid0"], how="left")
         df = df[df._drop.isna()]
         sid = (df.sid0 + df.off.fillna(0)).astype(np.int64)
         return pd.DataFrame({

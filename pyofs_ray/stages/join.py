@@ -109,17 +109,22 @@ def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
     both = both.repartition(max(auto_partitions(), num_buckets // 4))
 
     # null-padding the union turns int columns float in pandas; restore the
-    # declared integer dtypes after the inner merge (no NaNs survive it
-    # unless the source column itself was nullable — leave those alone).
-    int_cols = {f.name for f in all_fields if pa.types.is_integer(f.type)}
+    # DECLARED integer dtype after the inner merge. The cast must be the
+    # same in every bucket (a per-bucket has-nulls check would emit int64
+    # blocks from some buckets and float64 from others — one Dataset with
+    # conflicting schemas), so nullable pandas Int* dtypes carry source
+    # nulls losslessly into Arrow int columns.
+    int_casts = {
+        f.name: ("U" if pa.types.is_unsigned_integer(f.type) else "") + f"Int{f.type.bit_width}"
+        for f in all_fields if pa.types.is_integer(f.type)}
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g._side == 0][lcols]
         r = g[g._side == 1][rcols]
         out = l.merge(r, on=key, how="inner", suffixes=("", suffix))
         for c in out.columns:
-            if c in int_cols and out[c].dtype.kind == "f" and not out[c].isna().any():
-                out[c] = out[c].astype(np.int64)
+            if c in int_casts and out[c].dtype.kind == "f":
+                out[c] = out[c].astype(int_casts[c])
         return out
 
     return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")

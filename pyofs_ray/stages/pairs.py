@@ -51,7 +51,24 @@ def hot_bucket_keys(emitted: ray.data.Dataset, key: str) -> np.ndarray:
     hot = sizes.map_batches(
         lambda b: b.filter(pc.greater_equal(b["n"], 2)).select([key]),
         batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if hot.empty:  # zero-row pull loses columns entirely — the normal case
+        return np.array([], dtype=np.int64)  # on a dup-free corpus
     return hot[key].to_numpy()
+
+
+def _empty_pairs_dataset(emitted: ray.data.Dataset,
+                         payload_cols: Sequence[str]) -> ray.data.Dataset:
+    """Zero-row Dataset with the PAIR schema (id_a, id_b[, <c>_a, <c>_b])
+    — downstream verify stages must see pair columns even when no bucket
+    had two members."""
+    sch = emitted.schema()
+    sch = sch.base_schema if hasattr(sch, "base_schema") else sch
+    cols = {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+    for c in payload_cols:
+        t = sch.field(c).type if isinstance(sch, pa.Schema) else pa.int64()
+        cols[f"{c}_a"] = pa.array([], t)
+        cols[f"{c}_b"] = pa.array([], t)
+    return ray.data.from_arrow(pa.table(cols))
 
 
 def hot_bucket_rows(emitted: ray.data.Dataset, key: str) -> tuple[ray.data.Dataset, np.ndarray]:
@@ -167,7 +184,7 @@ def candidate_pairs(emitted: ray.data.Dataset, key: str, id_col: str,
             batch_format="pandas", batch_size=None)
     rows, hot = hot_bucket_rows(emitted, key)
     if len(hot) == 0:
-        return rows.limit(0)
+        return _empty_pairs_dataset(emitted, payload_cols)
     return enumerate_bucket_pairs(rows, key, id_col, payload_cols, max_bucket)
 
 

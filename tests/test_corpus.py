@@ -251,3 +251,16 @@ def test_hash_sample_deterministic_and_rate():
     # nested rates: a 5% sample of the same salt is a subset of the 10%
     s4 = hash_sample(ds, "doc_id", rate=0.05, salt=7).to_pandas()
     assert set(s4.doc_id) <= set(s1.doc_id)
+
+
+def test_near_dup_empty_corpus_distributed_path():
+    """Dup-free corpus through the DISTRIBUTED hot-bucket path (the normal
+    100 TB case: no bucket has two members) — must return typed-empty pair
+    results, not crash (regression: zero-row driver pull lost columns)."""
+    rows = [{"doc_id": i, "text": f"doc {i} " + " ".join(
+        str((i * 31 + j * 7) % 9973) for j in range(40))} for i in range(50)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    mh = dedup.minhash_dedup_pairs(ds, threshold=0.8, force_distributed=True)
+    assert mh.empty and list(mh.columns) == ["id_a", "id_b", "jaccard"]
+    sh = dedup.simhash_dup_pairs(ds, max_hamming=3, force_distributed=True)
+    assert sh.empty and list(sh.columns) == ["id_a", "id_b", "hamming"]

@@ -137,3 +137,72 @@ def test_sessionize_sorted_mega_user_chains(tmp_path):
 def test_q5_oracle(duck_smoke):
     assert_matches_oracle(QUERIES["rel_q5_regional"](SF_SMOKE), duck_smoke,
                           ORACLES["rel_q5_regional"])
+
+
+def test_sessionize_sorted_giant_session_and_exact_gap(tmp_path):
+    """One session spanning ~17 batches (chain through many single-session
+    batches) plus an exact-30-min gap (NOT a break: rule is strictly >)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyofs_ray.pipelines.windows import (SESSION_GAP_US, sessionize,
+                                             sessionize_sorted)
+
+    t = np.int64(1_700_000_000_000_000)
+    rows = []
+    for _ in range(500):          # user 1: one giant session, 1-min gaps
+        t += 60_000_000
+        rows.append((1, t))
+    t += SESSION_GAP_US           # exactly the gap: same session continues
+    rows.append((1, t))
+    t += SESSION_GAP_US + 1       # strictly greater: new session
+    rows.append((1, t))
+    for _ in range(5):            # user 2 afterwards
+        t += 60_000_000
+        rows.append((2, t))
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    df["ts"] = df.ts.astype("datetime64[us]")
+    d = tmp_path / "sess2"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df), d / "events.parquet")
+    ref = (sessionize(str(d)).to_pandas()
+           .sort_values(["user_id", "session_id"]).reset_index(drop=True))
+    assert len(ref) == 3  # user 1: 2 sessions (501 + 1 events), user 2: 1
+    assert ref.n_events.tolist() == [501, 1, 5]
+    for bs in (31, 128):
+        got = (sessionize_sorted(str(d), batch_size=bs).to_pandas()
+               .sort_values(["user_id", "session_id"]).reset_index(drop=True))
+        assert got.equals(ref), f"batch_size={bs} diverged"
+
+
+def test_sessionize_sorted_same_timestamp_burst(tmp_path):
+    """Bot burst: 100 events at the IDENTICAL microsecond split across many
+    batches — content-identical batch keys must not merge distinct batches
+    or lose sessions (regression: 2-component batch keys collapsed them)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyofs_ray.pipelines.windows import (SESSION_GAP_US, sessionize,
+                                             sessionize_sorted)
+
+    t0 = np.int64(1_700_000_000_000_000)
+    rows = [(1, t0)] * 100                    # 100 identical-ts events
+    t = t0 + SESSION_GAP_US + 1
+    rows += [(1, t + i * 60_000_000) for i in range(5)]   # later session
+    rows += [(2, t0)] * 40                    # second bursty user
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    df["ts"] = df.ts.astype("datetime64[us]")
+    d = tmp_path / "burst"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df), d / "events.parquet")
+    ref = (sessionize(str(d)).to_pandas()
+           .sort_values(["user_id", "session_id"]).reset_index(drop=True))
+    assert ref.n_events.tolist() == [100, 5, 40]
+    for bs in (None, 16, 37):
+        got = (sessionize_sorted(str(d), batch_size=bs).to_pandas()
+               .sort_values(["user_id", "session_id"]).reset_index(drop=True))
+        assert got.equals(ref), f"batch_size={bs} diverged:\n{got}"
