@@ -146,6 +146,26 @@ register(
     f"SELECT doc_id, {sqlgen_text.text_stats_select()} FROM documents",
 )
 register("lang_id", corpus.doc_lang_id, sqlgen_text.lang_id_query())
+
+
+def _bpe_tokens(sf_dir: str):
+    from .stages.text import bpe_token_count
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return (ds.map_batches(bpe_token_count, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .select_columns(["doc_id", "n_bpe_tokens"]))
+
+
+from .stages.text import BPE_TOKEN_RE as _BPE_RE  # noqa: E402
+
+register(
+    "bpe_token_counts", _bpe_tokens,
+    # DuckDB string literals are raw: only quotes need escaping
+    "SELECT doc_id, CAST(length(regexp_extract_all(text, '"
+    + _BPE_RE.replace("'", "''")
+    + "')) AS BIGINT) AS n_bpe_tokens FROM documents")
 register("doc_fingerprint", corpus.doc_fingerprint,
          "SELECT doc_id, md5(text) AS text_hash FROM documents")
 register(

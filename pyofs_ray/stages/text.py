@@ -53,6 +53,21 @@ def text_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
                  .append_column("punct_ratio", punct_ratio))
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to RE2 (no lookahead):
+# contractions, space-prefixed letter runs, digit runs, punctuation runs.
+# RE2 is the engine on BOTH sides (pyarrow.compute and DuckDB regexp_*),
+# so non-overlapping match counts agree exactly.
+BPE_TOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Add n_bpe_tokens: BPE-ish pre-tokenization count — the token-budget
+    estimator an LLM data pipeline runs over every document."""
+    n = pc.cast(pc.count_substring_regex(batch[text_col], BPE_TOKEN_RE),
+                pa.int64())
+    return batch.append_column("n_bpe_tokens", n)
+
+
 def lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """n-gram/stopword language-ID heuristic: per-language marker-hit counts,
     argmax with lexicographic tie-break; 'und' (undetermined) when all 0."""

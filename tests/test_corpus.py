@@ -264,3 +264,12 @@ def test_near_dup_empty_corpus_distributed_path():
     assert mh.empty and list(mh.columns) == ["id_a", "id_b", "jaccard"]
     sh = dedup.simhash_dup_pairs(ds, max_hamming=3, force_distributed=True)
     assert sh.empty and list(sh.columns) == ["id_a", "id_b", "hamming"]
+
+
+def test_bpe_token_count_kernel():
+    from pyofs_ray.stages.text import bpe_token_count
+    t = pa.table({"text": ["Hello world!", "it's 2024, folks", "", "a  b"]})
+    out = bpe_token_count(t)
+    # "Hello"," world","!" = 3; "it","'s"," 2024",","," folks" = 5; "";
+    # "a"," "?? → "a", " b" plus the stray space run = 3
+    assert out["n_bpe_tokens"].to_pylist() == [3, 5, 0, 2]
