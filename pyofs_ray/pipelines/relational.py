@@ -422,7 +422,8 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 
 
 # --------------------------------------- Q3-style 3-way join + grouped top-k
-def q3_shipping_priority(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+def q3_shipping_priority(sf_dir: str, k: int = 10,
+                         bloom: bool = False) -> ray.data.Dataset:
     """customer ⋈ orders ⋈ lineitem: top-k orders by revenue within a
     market segment — broadcast dimension joins feeding the bucketed fact
     join, grouped sum, sort+limit."""
@@ -457,13 +458,23 @@ def q3_shipping_priority(sf_dir: str, k: int = 10) -> ray.data.Dataset:
 
     li = li.map_batches(prep, batch_format="pyarrow")
     # fact ⋈ filtered orders: the filtered-orders side is a fact-table
-    # filter output (unbounded at scale) — distributed bucketed hash join,
-    # never a driver materialization. o_orderkey is unique, so the inner
-    # join is an exact semi-join.
+    # filter output (unbounded at scale) — so no driver materialization of
+    # keys; a distributed bucketed hash join does the exact semi-join
+    # (o_orderkey is unique). ``bloom=True`` additionally builds a Bloom
+    # filter of the orders side DISTRIBUTED (the driver only OR-merges
+    # m/8-byte bit blobs) and broadcasts it as a prefilter, shrinking the
+    # lineitem shuffle to ~matches + FPR before the join discards the false
+    # positives — the right mode when shuffle VOLUME dominates (the 100 TB
+    # shape); locally the extra build passes cost more than the fixed
+    # exchange they shrink, so it is off by default and equality-tested.
     from ..stages.join import bucketed_hash_join
     ok_keys = okeys.map_batches(
         lambda b: pa.table({"l_orderkey": b["o_orderkey"]}),
         batch_format="pyarrow")
+    if bloom:
+        from ..stages.bloom import bloom_prefilter, build_bloom_distributed
+        bf = build_bloom_distributed(ok_keys, "l_orderkey", fpr=0.01)
+        li = bloom_prefilter(li, "l_orderkey", bf)
     li = bucketed_hash_join(li, ok_keys, key="l_orderkey")
     agg = two_stage_cell_agg(li, keys=("l_orderkey",), int_sum_cols=("rev_s",),
                              count_name="n_items")

@@ -28,14 +28,23 @@ from ..core.hashing import splitmix64
 _H2_SALT = np.uint64(0x9E3779B97F4A7C15)
 
 
+def _bloom_params(n: int, fpr: float) -> tuple[int, int]:
+    """(m bits, k probes) for ``n`` keys at target FPR (m rounded to words)."""
+    n = max(n, 1)
+    m = max(int(-n * math.log(fpr) / (math.log(2) ** 2)), 64)
+    m = ((m + 63) // 64) * 64
+    k = max(int(round(m / n * math.log(2))), 1)
+    return m, k
+
+
 class BloomFilter:
-    def __init__(self, keys: np.ndarray, fpr: float = 0.01):
-        n = max(len(keys), 1)
-        m = max(int(-n * math.log(fpr) / (math.log(2) ** 2)), 64)
-        self.m = np.uint64(((m + 63) // 64) * 64)
-        self.k = max(int(round(float(self.m) / n * math.log(2))), 1)
+    def __init__(self, keys: np.ndarray, fpr: float = 0.01,
+                 params: tuple[int, int] | None = None):
+        m, k = params if params is not None else _bloom_params(len(keys), fpr)
+        self.m = np.uint64(m)
+        self.k = k
         self.bits = np.zeros(int(self.m) // 64, dtype=np.uint64)
-        self._set(keys.astype(np.uint64))
+        self._set(np.asarray(keys).astype(np.uint64))
 
     def _indices(self, keys: np.ndarray, i: int) -> np.ndarray:
         with np.errstate(over="ignore"):
@@ -57,6 +66,47 @@ class BloomFilter:
             word = self.bits[(idx >> np.uint64(6)).astype(np.int64)]
             out &= (word >> (idx & np.uint64(63))) & np.uint64(1) != 0
         return out
+
+
+def build_bloom_distributed(keys_ds: ray.data.Dataset, key_col: str,
+                            fpr: float = 0.01,
+                            n_rows: int | None = None) -> BloomFilter:
+    """Bloom filter of a key Dataset built distributed: fixed (m, k) sized
+    from the (materialized) row count, one partial bit array per batch,
+    OR-merged on the driver — Bloom bits are a mergeable sketch, so the
+    driver only ever holds m/8-byte blobs (MBs), never the key set. This is
+    how a fact⋈fact join side becomes a broadcastable prefilter when the
+    key set itself is unbounded."""
+    keys_ds = keys_ds.materialize()
+    n = n_rows or keys_ds.count()
+    m, k = _bloom_params(n, fpr)
+
+    def partial(b: pa.Table) -> pa.Table:
+        bf = BloomFilter(b[key_col].to_numpy(zero_copy_only=False),
+                         params=(m, k))
+        return pa.table({"bits": pa.array([bf.bits.tobytes()], pa.binary())})
+
+    blobs = keys_ds.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True).to_pandas()
+    out = BloomFilter(np.array([], np.int64), params=(m, k))
+    for blob in blobs["bits"]:
+        out.bits |= np.frombuffer(blob, dtype=np.uint64)
+    return out
+
+
+def bloom_prefilter(ds: ray.data.Dataset, key_col: str, bf: BloomFilter,
+                    batch_size: int = 65536) -> ray.data.Dataset:
+    """Filter ``ds`` to rows whose key *may* be in the Bloom filter (no
+    false negatives; FPs survive — follow with an exact join)."""
+    bf_ref = ray.put(bf)
+
+    def filt(b: pa.Table) -> pa.Table:
+        mask = ray.get(bf_ref).contains(
+            b[key_col].to_numpy(zero_copy_only=False))
+        return b.filter(pa.array(mask))
+
+    return ds.map_batches(filt, batch_format="pyarrow",
+                          batch_size=batch_size, zero_copy_batch=True)
 
 
 def bloom_semi_join(ds: ray.data.Dataset, key_col: str, keys: np.ndarray,

@@ -206,3 +206,32 @@ def test_sessionize_sorted_same_timestamp_burst(tmp_path):
         got = (sessionize_sorted(str(d), batch_size=bs).to_pandas()
                .sort_values(["user_id", "session_id"]).reset_index(drop=True))
         assert got.equals(ref), f"batch_size={bs} diverged:\n{got}"
+
+
+def test_q3_bloom_prefilter_mode_equal(duck_smoke):
+    """The distributed-Bloom prefilter mode must produce the identical Q3
+    result (FPs are discarded by the exact join; no false negatives)."""
+    from pyofs_ray.pipelines.relational import q3_shipping_priority
+    a = q3_shipping_priority(SF_SMOKE).to_pandas()
+    b = q3_shipping_priority(SF_SMOKE, bloom=True).to_pandas()
+    assert a.equals(b)
+
+
+def test_distributed_bloom_equals_driver_bloom():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pyofs_ray.stages.bloom import (BloomFilter, _bloom_params,
+                                        build_bloom_distributed)
+
+    keys = np.arange(0, 50_000, 3, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"k": keys})).repartition(8)
+    dist = build_bloom_distributed(ds, "k", fpr=0.01)
+    ref = BloomFilter(keys, params=_bloom_params(len(keys), 0.01))
+    assert np.array_equal(dist.bits, ref.bits) and dist.k == ref.k
+    probe = np.arange(100_000, dtype=np.int64)
+    got = dist.contains(probe)
+    assert got[keys].all()                       # no false negatives
+    fp = got[np.setdiff1d(probe, keys)].mean()
+    assert fp < 0.03                             # near target FPR
