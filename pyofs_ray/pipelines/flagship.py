@@ -197,7 +197,12 @@ def cell_mean_complete(sf_dir: str, zoom: int = 4) -> ray.data.Dataset:
         ["cell_id", "time_delta", "n_chars"])
     hourly = two_stage_cell_agg(ds, keys=("cell_id", "time_delta"),
                                 int_sum_cols=("n_chars",)).materialize()
-    expected = hourly.select_columns(["time_delta"]).to_pandas()["time_delta"].nunique()
+    # observed time-axis length: per-batch distinct deltas first, so the
+    # driver pull is bounded by batches × axis length, never cells × hours
+    deltas = hourly.map_batches(
+        lambda b: b.select(["time_delta"]).group_by("time_delta").aggregate([]),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    expected = deltas["time_delta"].nunique()
     stack = two_stage_cell_agg(hourly, keys=("cell_id",),
                                int_sum_cols=("n_chars_sum", "doc_count"),
                                count_name="n_steps")

@@ -71,14 +71,17 @@ def last_per_cell(ds: ray.data.Dataset, keys=("cell_id",),
 def topk_per_key(ds: ray.data.Dataset, keys=("cell_id",),
                  order_cols=("warc_ts", "page_key"), k: int = 3,
                  payload_cols=("page_key", "warc_ts"),
-                 descending: bool = True) -> ray.data.Dataset:
+                 descending: bool = True,
+                 final_mode: str = "small") -> ray.data.Dataset:
     """Top-k rows per key under a total order — `last_per_cell` generalized
     (SURVEY.md A4/O1/O3 composition: per-group "first k records").
 
     Two-stage: each batch keeps only its own per-key top-k (so the exchange
-    moves ≤ k rows per (key, batch)), a coalesced vectorized pass finishes.
-    Exact because per-key global top-k ⊆ union of per-batch top-k. Adds a
-    1-based ``rank`` column."""
+    moves ≤ k rows per (key, batch)), then a coalesced vectorized pass
+    finishes (``final_mode="small"``, right when k×|keys| fits one task) or
+    a key-sharded groupby does (``"grouped"``, unbounded key spaces). Exact
+    because per-key global top-k ⊆ union of per-batch top-k. Adds a 1-based
+    ``rank`` column."""
     keys = list(keys)
     order_cols = list(order_cols)
     payload_cols = list(payload_cols)
@@ -100,6 +103,10 @@ def topk_per_key(ds: ray.data.Dataset, keys=("cell_id",),
         df["rank"] = df.groupby(keys, sort=False).cumcount() + 1
         return df
 
+    if final_mode == "grouped":
+        return (cand.repartition(auto_partitions())
+                    .groupby(keys[0] if len(keys) == 1 else keys)
+                    .map_groups(final, batch_format="pandas"))
     cand = cand.repartition(auto_partitions()).map_batches(
         lambda df: df.sort_values(keys + order_cols, ascending=asc,
                                   kind="mergesort")

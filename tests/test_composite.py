@@ -38,3 +38,22 @@ def test_coregistration_metrics_shape():
     df = QUERIES["coregistration_metrics"](SF_SMOKE)
     assert list(df.columns) == ["n_cells", "rmse", "r2"]
     assert df.n_cells.iloc[0] > 0 and df.rmse.iloc[0] >= 0
+
+
+def test_topk_grouped_mode_equals_small_mode():
+    import pyarrow as pa
+    import ray.data
+
+    from pyofs_ray.stages.composite import topk_per_key
+
+    rows = [{"k": i % 7, "v": (i * 31) % 100, "tag": i} for i in range(500)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    cols = ["k", "v", "tag", "rank"]
+    a = (topk_per_key(ds, keys=("k",), order_cols=("v", "tag"), k=4,
+                      payload_cols=("tag",)).to_pandas()[cols]
+         .sort_values(["k", "rank"]).reset_index(drop=True))
+    b = (topk_per_key(ds, keys=("k",), order_cols=("v", "tag"), k=4,
+                      payload_cols=("tag",), final_mode="grouped")
+         .to_pandas()[cols].sort_values(["k", "rank"]).reset_index(drop=True))
+    assert a.equals(b)
+    assert (a.groupby("k")["rank"].max() == 4).all()
