@@ -504,6 +504,80 @@ LIMIT 10
 """
 
 
+# --------------------------------------- exact grouped quantiles (A-family)
+def event_value_quantiles(sf_dir: str, qs=(0.5, 0.95)) -> ray.data.Dataset:
+    """Exact per-type value quantiles WITHOUT sorting the data: values are
+    cents-quantized int64, so a two-stage count per (event_type, val_c)
+    collapses the corpus to its value histogram (bounded by distinct cents
+    values, not rows); order statistics come from cumulative counts in one
+    small vectorized finish. Linear interpolation (quantile_cont
+    semantics) is applied as single IEEE ops after the exact integer part —
+    bit-identical to the SQL twin's order-statistic formula."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["value"]))
+        return pa.table({"event_type": b["event_type"],
+                         "val_c": _cents(b["value"])})
+
+    hist = two_stage_cell_agg(ds.map_batches(prep, batch_format="pyarrow"),
+                              keys=("event_type", "val_c"), int_sum_cols=(),
+                              count_name="cnt")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"event_type": [], "q": [], "value": []}
+        for et, g in df.groupby("event_type", sort=True):
+            g = g.sort_values("val_c")
+            vals = g.val_c.to_numpy()
+            cum = g.cnt.to_numpy().cumsum()
+            n = int(cum[-1])
+            for q in qs:
+                h = (n - 1) * q
+                i0 = int(np.floor(h))
+                frac = h - i0
+                v_lo = float(vals[np.searchsorted(cum, i0 + 1)]) / 100.0
+                i1 = min(i0 + 1, n - 1)
+                v_hi = float(vals[np.searchsorted(cum, i1 + 1)]) / 100.0
+                out["event_type"].append(et)
+                out["q"].append(q)
+                out["value"].append(v_lo + frac * (v_hi - v_lo))
+        out["value"] = np.array(out["value"], np.float64)
+        return pd.DataFrame(out)
+
+    # histogram is value-bounded (≤ distinct cents per type) → small finish
+    return hist.repartition(1).map_batches(finish, batch_format="pandas",
+                                           batch_size=None)
+
+
+def event_value_quantiles_sql(qs=(0.5, 0.95)) -> str:
+    """Order-statistic twin mirroring the interpolation op-for-op."""
+    parts = []
+    for q in qs:
+        # bare decimals are DECIMAL in DuckDB (exact arithmetic) — cast to
+        # DOUBLE so (n-1)*q floors identically to the numpy float path
+        ql = f"CAST('{float(q)!r}' AS DOUBLE)"
+        parts.append(f"""
+SELECT event_type, {ql} AS q,
+       vlo + ((n - 1) * {ql} - FLOOR((n - 1) * {ql})) * (vhi - vlo) AS value
+FROM (
+  SELECT event_type, n,
+         MAX(CASE WHEN rn = CAST(FLOOR((n - 1) * {ql}) AS BIGINT) + 1
+                  THEN v END) AS vlo,
+         MAX(CASE WHEN rn = LEAST(CAST(FLOOR((n - 1) * {ql}) AS BIGINT) + 2, n)
+                  THEN v END) AS vhi
+  FROM (
+    SELECT event_type,
+           CAST(CAST(ROUND(value * 100) AS BIGINT) AS DOUBLE) / 100.0 AS v,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY ROUND(value * 100)) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM events WHERE value IS NOT NULL
+  ) GROUP BY event_type, n
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
 # ------------------------------------- Q5-style 6-table regional revenue
 def q5_regional_revenue(sf_dir: str, region: str = "ASIA") -> ray.data.Dataset:
     """customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region with the

@@ -388,6 +388,8 @@ register("ann_topk_ivf", corpus.ann_topk_ivf)          # rows-only (approximate)
 register("rel_q6_revenue", relational.q6_forecast_revenue, relational.Q6_SQL)
 register("rel_q3_shipping", relational.q3_shipping_priority, relational.Q3_SQL)
 register("rel_q5_regional", relational.q5_regional_revenue, relational.Q5_SQL)
+register("event_value_quantiles", relational.event_value_quantiles,
+         relational.event_value_quantiles_sql())
 
 
 # ------------------------------- per-document tile assignment (metric core)

@@ -235,3 +235,8 @@ def test_distributed_bloom_equals_driver_bloom():
     assert got[keys].all()                       # no false negatives
     fp = got[np.setdiff1d(probe, keys)].mean()
     assert fp < 0.03                             # near target FPR
+
+
+def test_event_value_quantiles_oracle(duck_smoke):
+    assert_matches_oracle(QUERIES["event_value_quantiles"](SF_SMOKE),
+                          duck_smoke, ORACLES["event_value_quantiles"])
