@@ -40,6 +40,28 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norm
 
 
+
+def _finish_topk(sims: ray.data.Dataset, k: int, exclude_self: bool) -> pd.DataFrame:
+    """Shared exact finish: per-batch partial top-k upstream means the whole
+    candidate set is Q×(k+1) rows per batch — small by construction — so one
+    coalesced vectorized pass ranks every query at once (two all-to-alls of
+    near-empty partitions cost seconds of fixed wall in Ray 2.49; see
+    CLAUDE.md small-input rule)."""
+
+    def topk_all(df: pd.DataFrame) -> pd.DataFrame:
+        if exclude_self:
+            df = df[df.vec_id != df.query_id]
+        df = df.sort_values(["query_id", "sim", "vec_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        df = df.groupby("query_id", as_index=False, sort=False).head(k)
+        df = df.assign(rank=df.groupby("query_id", sort=False).cumcount() + 1)
+        return df[["query_id", "vec_id", "rank"]]
+
+    return (sims.repartition(1)
+                .map_batches(topk_all, batch_format="pandas", batch_size=None)
+                .to_pandas())
+
+
 class BruteForceTopK:
     """Actor: per batch, cosine top-k of every base vector against the
     broadcast query matrix → rows (query_id, vec_id, rank)."""
@@ -77,25 +99,16 @@ def ann_topk_brute(ds: ray.data.Dataset, queries: pa.Table, k: int = 5,
     Per-batch sims stream into a per-query top-k reduce on the driver —
     the result is Q×k rows (tiny); the base set is never materialized.
     """
+    # stateless tasks over the broadcast query matrix (CLAUDE.md: cheap
+    # broadcast-side state wants memoized tasks, not an actor pool whose
+    # spin-up costs ~1s per pipeline); workers cache the ray.get.
     ref = ray.put(queries)
-    sims = ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_kwargs={"queries_ref": ref, "k": k},
-        batch_format="pyarrow", concurrency=(1, 8), num_cpus=1,
-        zero_copy_batch=True)
 
-    def topk_group(g: pd.DataFrame) -> pd.DataFrame:
-        if exclude_self:
-            g = g[g.vec_id != g.query_id]
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
-        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
-        return g[["query_id", "vec_id", "rank"]]
+    def probe(b: pa.Table) -> pa.Table:
+        return BruteForceTopK(ref, k)(b)
 
-    from .agg import auto_partitions
-    return (sims.repartition(auto_partitions())
-                .groupby("query_id")
-                .map_groups(topk_group, batch_format="pandas")
-                .to_pandas())
+    sims = ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+    return _finish_topk(sims, k, exclude_self)
 
 
 # ---------------------------------------------------------------- LSH path
@@ -203,20 +216,12 @@ def ann_topk_ivf(ds: ray.data.Dataset, queries: pa.Table, k: int = 5,
                              "vec_id": pa.array(np.concatenate(out_v)),
                              "sim": pa.array(np.concatenate(out_s))})
 
-    sims = ds.map_batches(Probe, batch_format="pyarrow",
-                          concurrency=(1, 8), num_cpus=1, zero_copy_batch=True)
+    def probe_fn(b: pa.Table) -> pa.Table:
+        return Probe()(b)  # broadcast payload via cached ray.get — stateless
 
-    def topk_group(g: pd.DataFrame) -> pd.DataFrame:
-        if exclude_self:
-            g = g[g.vec_id != g.query_id]
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
-        return g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))[
-            ["query_id", "vec_id", "rank"]]
-
-    from .agg import auto_partitions
-    return (sims.repartition(auto_partitions())
-                .groupby("query_id")
-                .map_groups(topk_group, batch_format="pandas").to_pandas())
+    sims = ds.map_batches(probe_fn, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return _finish_topk(sims, k, exclude_self)
 
 
 def embedding_dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
@@ -339,17 +344,9 @@ def ann_topk_lsh(ds: ray.data.Dataset, queries: pa.Table, k: int = 5,
                              "vec_id": pa.array(np.concatenate(out_v)),
                              "sim": pa.array(np.concatenate(out_s))})
 
-    sims = ds.map_batches(Probe, batch_format="pyarrow",
-                          concurrency=(1, 8), num_cpus=1, zero_copy_batch=True)
+    def probe_fn(b: pa.Table) -> pa.Table:
+        return Probe()(b)  # broadcast payload via cached ray.get — stateless
 
-    def topk_group(g: pd.DataFrame) -> pd.DataFrame:
-        if exclude_self:
-            g = g[g.vec_id != g.query_id]
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
-        return g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))[
-            ["query_id", "vec_id", "rank"]]
-
-    from .agg import auto_partitions
-    return (sims.repartition(auto_partitions())
-                .groupby("query_id")
-                .map_groups(topk_group, batch_format="pandas").to_pandas())
+    sims = ds.map_batches(probe_fn, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return _finish_topk(sims, k, exclude_self)
