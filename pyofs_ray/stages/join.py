@@ -42,19 +42,45 @@ class BroadcastJoiner:
         return batch.join(self.small, keys=self.keys, join_type=self.join_type)
 
 
+_JOINER_MEMO: dict[str, BroadcastJoiner] = {}
+
+
+def _memo_joiner(ref, keys, join_type) -> BroadcastJoiner:
+    """Per-worker memoized joiner (the `pip._memo_index` pattern): worker
+    processes are reused across pipelines, so the prepared small side
+    amortizes WITHOUT paying an actor-pool spin-up (~1s fixed) per call."""
+    key = f"{ref.hex()}:{','.join(keys)}:{join_type}"
+    j = _JOINER_MEMO.get(key)
+    if j is None:
+        j = BroadcastJoiner(ref, keys, join_type)
+        _JOINER_MEMO.clear()  # keep at most one (bounded memory)
+        _JOINER_MEMO[key] = j
+    return j
+
+
 def broadcast_join(ds: ray.data.Dataset, small: pa.Table, keys: Sequence[str],
-                   join_type: str = "inner", concurrency=(1, 8),
-                   batch_size: int = 65536) -> ray.data.Dataset:
+                   join_type: str = "inner", compute: str = "tasks",
+                   concurrency=(1, 8), batch_size: int = 65536) -> ray.data.Dataset:
     ref = ray.put(small)
-    return ds.map_batches(
-        BroadcastJoiner,
-        fn_constructor_kwargs={"small_ref": ref, "keys": keys, "join_type": join_type},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
-        zero_copy_batch=True,
-    )
+    if compute == "actors":
+        return ds.map_batches(
+            BroadcastJoiner,
+            fn_constructor_kwargs={"small_ref": ref, "keys": keys,
+                                   "join_type": join_type},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+            zero_copy_batch=True,
+        )
+
+    keys = list(keys)
+
+    def join_batch(b: pa.Table) -> pa.Table:
+        return _memo_joiner(ref, keys, join_type)(b)
+
+    return ds.map_batches(join_batch, batch_format="pyarrow",
+                          batch_size=batch_size, zero_copy_batch=True)
 
 
 def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
