@@ -473,7 +473,11 @@ def q3_shipping_priority(sf_dir: str, k: int = 10,
         batch_format="pyarrow")
     if bloom:
         from ..stages.bloom import bloom_prefilter, build_bloom_distributed
-        bf = build_bloom_distributed(ok_keys, "l_orderkey", fpr=0.01)
+        # pin once: the Bloom build AND the exact join both consume ok_keys
+        # (a lazy plan would re-run the whole orders scan twice)
+        ok_keys = ok_keys.materialize()
+        bf = build_bloom_distributed(ok_keys, "l_orderkey", fpr=0.01,
+                                     materialize=False)
         li = bloom_prefilter(li, "l_orderkey", bf)
     li = bucketed_hash_join(li, ok_keys, key="l_orderkey")
     agg = two_stage_cell_agg(li, keys=("l_orderkey",), int_sum_cols=("rev_s",),
@@ -517,7 +521,11 @@ def event_value_quantiles(sf_dir: str, qs=(0.5, 0.95)) -> ray.data.Dataset:
                             columns=["event_type", "value"])
 
     def prep(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.is_valid(b["value"]))
+        # drop null values AND null types symmetrically with the SQL twin
+        # (pandas groupby would silently skip a NULL type group; DuckDB's
+        # GROUP BY would keep it — ROWS mismatch)
+        b = b.filter(pc.and_(pc.is_valid(b["value"]),
+                             pc.is_valid(b["event_type"])))
         return pa.table({"event_type": b["event_type"],
                          "val_c": _cents(b["value"])})
 
@@ -572,7 +580,7 @@ FROM (
            ROW_NUMBER() OVER (PARTITION BY event_type
                               ORDER BY ROUND(value * 100)) AS rn,
            COUNT(*) OVER (PARTITION BY event_type) AS n
-    FROM events WHERE value IS NOT NULL
+    FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
   ) GROUP BY event_type, n
 )""")
     return "\nUNION ALL\n".join(parts)

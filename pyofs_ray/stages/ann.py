@@ -41,12 +41,22 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 
-def _finish_topk(sims: ray.data.Dataset, k: int, exclude_self: bool) -> pd.DataFrame:
-    """Shared exact finish: per-batch partial top-k upstream means the whole
-    candidate set is Q×(k+1) rows per batch — small by construction — so one
-    coalesced vectorized pass ranks every query at once (two all-to-alls of
+def _finish_topk(sims: ray.data.Dataset, k: int, exclude_self: bool,
+                 final_mode: str = "small") -> pd.DataFrame:
+    """Shared exact finish for per-batch partial top-k candidate streams.
+
+    ``"small"`` (default): a per-partition combine keeps only Q×(k+1) rows
+    per partition, so the final coalesced pass is bounded by
+    partitions×Q×(k+1) — never by the batch count (two all-to-alls of
     near-empty partitions cost seconds of fixed wall in Ray 2.49; see
-    CLAUDE.md small-input rule)."""
+    CLAUDE.md small-input rule). ``"grouped"``: key-sharded groupby finish
+    for huge query sets."""
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        # no self-exclusion yet: keep k+1 so the final pass can exclude
+        df = df.sort_values(["query_id", "sim", "vec_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.groupby("query_id", as_index=False, sort=False).head(k + 1)
 
     def topk_all(df: pd.DataFrame) -> pd.DataFrame:
         if exclude_self:
@@ -57,7 +67,15 @@ def _finish_topk(sims: ray.data.Dataset, k: int, exclude_self: bool) -> pd.DataF
         df = df.assign(rank=df.groupby("query_id", sort=False).cumcount() + 1)
         return df[["query_id", "vec_id", "rank"]]
 
-    return (sims.repartition(1)
+    from .agg import auto_partitions
+
+    if final_mode == "grouped":
+        return (sims.repartition(auto_partitions())
+                    .groupby("query_id")
+                    .map_groups(topk_all, batch_format="pandas").to_pandas())
+    comb = sims.repartition(auto_partitions()).map_batches(
+        combine, batch_format="pandas")
+    return (comb.repartition(1)
                 .map_batches(topk_all, batch_format="pandas", batch_size=None)
                 .to_pandas())
 
@@ -105,7 +123,9 @@ def ann_topk_brute(ds: ray.data.Dataset, queries: pa.Table, k: int = 5,
     ref = ray.put(queries)
 
     def probe(b: pa.Table) -> pa.Table:
-        return BruteForceTopK(ref, k)(b)
+        from ..core.memo import memo_broadcast
+        return memo_broadcast(f"ann_brute:{ref.hex()}:{k}",
+                              lambda: BruteForceTopK(ref, k))(b)
 
     sims = ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
     return _finish_topk(sims, k, exclude_self)
@@ -217,7 +237,10 @@ def ann_topk_ivf(ds: ray.data.Dataset, queries: pa.Table, k: int = 5,
                              "sim": pa.array(np.concatenate(out_s))})
 
     def probe_fn(b: pa.Table) -> pa.Table:
-        return Probe()(b)  # broadcast payload via cached ray.get — stateless
+        from ..core.memo import memo_broadcast
+        # the prepared probe (deserialized payload) memoizes per worker —
+        # plasma caches bytes, not Python objects
+        return memo_broadcast(f"ann_probe:{payload_ref.hex()}", Probe)(b)
 
     sims = ds.map_batches(probe_fn, batch_format="pyarrow",
                           zero_copy_batch=True)
@@ -345,7 +368,10 @@ def ann_topk_lsh(ds: ray.data.Dataset, queries: pa.Table, k: int = 5,
                              "sim": pa.array(np.concatenate(out_s))})
 
     def probe_fn(b: pa.Table) -> pa.Table:
-        return Probe()(b)  # broadcast payload via cached ray.get — stateless
+        from ..core.memo import memo_broadcast
+        # the prepared probe (deserialized payload) memoizes per worker —
+        # plasma caches bytes, not Python objects
+        return memo_broadcast(f"ann_probe:{probe_ref.hex()}", Probe)(b)
 
     sims = ds.map_batches(probe_fn, batch_format="pyarrow",
                           zero_copy_batch=True)

@@ -69,15 +69,17 @@ class BloomFilter:
 
 
 def build_bloom_distributed(keys_ds: ray.data.Dataset, key_col: str,
-                            fpr: float = 0.01,
-                            n_rows: int | None = None) -> BloomFilter:
+                            fpr: float = 0.01, n_rows: int | None = None,
+                            materialize: bool = True) -> BloomFilter:
     """Bloom filter of a key Dataset built distributed: fixed (m, k) sized
     from the (materialized) row count, one partial bit array per batch,
-    OR-merged on the driver — Bloom bits are a mergeable sketch, so the
-    driver only ever holds m/8-byte blobs (MBs), never the key set. This is
-    how a fact⋈fact join side becomes a broadcastable prefilter when the
-    key set itself is unbounded."""
-    keys_ds = keys_ds.materialize()
+    OR-merged on the driver via a STREAMING iterator — the driver holds one
+    m/8-byte blob at a time plus the accumulator, never the blob set and
+    never the keys. Pass ``materialize=False`` when the caller already
+    materialized ``keys_ds`` (it usually reuses it for the exact join — a
+    second materialize would re-execute the whole upstream plan)."""
+    if materialize:
+        keys_ds = keys_ds.materialize()
     n = n_rows or keys_ds.count()
     m, k = _bloom_params(n, fpr)
 
@@ -87,10 +89,11 @@ def build_bloom_distributed(keys_ds: ray.data.Dataset, key_col: str,
         return pa.table({"bits": pa.array([bf.bits.tobytes()], pa.binary())})
 
     blobs = keys_ds.map_batches(partial, batch_format="pyarrow",
-                                zero_copy_batch=True).to_pandas()
+                                zero_copy_batch=True)
     out = BloomFilter(np.array([], np.int64), params=(m, k))
-    for blob in blobs["bits"]:
-        out.bits |= np.frombuffer(blob, dtype=np.uint64)
+    for batch in blobs.iter_batches(batch_size=1, batch_format="pyarrow"):
+        for blob in batch["bits"].to_pylist():
+            out.bits |= np.frombuffer(blob, dtype=np.uint64)
     return out
 
 

@@ -42,20 +42,15 @@ class BroadcastJoiner:
         return batch.join(self.small, keys=self.keys, join_type=self.join_type)
 
 
-_JOINER_MEMO: dict[str, BroadcastJoiner] = {}
-
-
 def _memo_joiner(ref, keys, join_type) -> BroadcastJoiner:
-    """Per-worker memoized joiner (the `pip._memo_index` pattern): worker
-    processes are reused across pipelines, so the prepared small side
-    amortizes WITHOUT paying an actor-pool spin-up (~1s fixed) per call."""
-    key = f"{ref.hex()}:{','.join(keys)}:{join_type}"
-    j = _JOINER_MEMO.get(key)
-    if j is None:
-        j = BroadcastJoiner(ref, keys, join_type)
-        _JOINER_MEMO.clear()  # keep at most one (bounded memory)
-        _JOINER_MEMO[key] = j
-    return j
+    """Per-worker memoized joiner (`core.memo.memo_broadcast`): the
+    prepared small side amortizes across batches and pipelines with no
+    actor-pool spin-up, and the shared LRU keeps concurrent joins (e.g.
+    Q5's two dimension joins under one union) from evicting each other."""
+    from ..core.memo import memo_broadcast
+
+    return memo_broadcast(f"joiner:{ref.hex()}:{','.join(keys)}:{join_type}",
+                          lambda: BroadcastJoiner(ref, keys, join_type))
 
 
 def broadcast_join(ds: ray.data.Dataset, small: pa.Table, keys: Sequence[str],

@@ -148,17 +148,10 @@ class KNNJoiner:
 
 
 # per-worker memoized index for the stateless-task mode (see stages/pip.py)
-_INDEX_MEMO: dict[str, StationIndex] = {}
-
-
 def _memo_index(stations_ref) -> StationIndex:
-    key = stations_ref.hex()
-    idx = _INDEX_MEMO.get(key)
-    if idx is None:
-        idx = StationIndex(ray.get(stations_ref))
-        _INDEX_MEMO.clear()
-        _INDEX_MEMO[key] = idx
-    return idx
+    from ..core.memo import memo_broadcast
+    return memo_broadcast(f"knn:{stations_ref.hex()}",
+                          lambda: StationIndex(ray.get(stations_ref)))
 
 
 def knn_join(ds: ray.data.Dataset, station_rows: list[dict] | None = None, k: int = 3,

@@ -135,17 +135,10 @@ class PIPJoiner:
 # Per-worker-process index memo for the stateless-task fast path: Ray reuses
 # worker processes across tasks and datasets within a session, so the index is
 # built once per worker without paying an actor-pool spawn per pipeline.
-_INDEX_MEMO: dict[str, PolygonIndex] = {}
-
-
 def _memo_index(polygons_ref) -> PolygonIndex:
-    key = polygons_ref.hex()
-    idx = _INDEX_MEMO.get(key)
-    if idx is None:
-        idx = PolygonIndex(ray.get(polygons_ref))
-        _INDEX_MEMO.clear()  # keep at most one (bounded memory)
-        _INDEX_MEMO[key] = idx
-    return idx
+    from ..core.memo import memo_broadcast
+    return memo_broadcast(f"pip:{polygons_ref.hex()}",
+                          lambda: PolygonIndex(ray.get(polygons_ref)))
 
 
 def pip_join(ds: ray.data.Dataset, polygons: list[Polygon] | None = None,
