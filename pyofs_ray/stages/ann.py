@@ -155,19 +155,46 @@ def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
 
 def _band_keys(m: np.ndarray, planes: np.ndarray, num_bands: int,
                planes_per_band: int) -> np.ndarray:
-    """(n, B) int64 band keys: sign bits of band b packed, band id << 24."""
+    """(n, B) int64 band keys: sign bits of band b packed in the low
+    ``planes_per_band`` bits, band id just above them (injective for any
+    band depth up to 57 bits; band id ≤ 63 needs 6 more)."""
     bits = (m @ planes.T) > 0  # (n, B*r)
     keys = np.zeros((len(m), num_bands), dtype=np.int64)
     for b in range(num_bands):
         for j in range(planes_per_band):
             keys[:, b] |= bits[:, b * planes_per_band + j].astype(np.int64) << j
-    keys |= (np.arange(num_bands, dtype=np.int64) << 24)[None, :]
+    shift = max(24, planes_per_band)
+    keys |= (np.arange(num_bands, dtype=np.int64) << shift)[None, :]
     return keys
+
+
+# Corpus-scaled band depth: expected random-pair collisions per band key
+# are ≈ N·2^-r, so candidates per query ≈ B·N·2^-r. Deepen r with the
+# corpus so that stays ≈``target`` — at fixture scale this resolves to the
+# historical r=6 (same keys, same results); at 10⁹ vectors r≈23 keeps the
+# scanned fraction ~10⁻⁵ instead of the fixed-r 31%. The recall/scan trade
+# is explicit: genuine top-k neighbors at angle θ survive a band with
+# probability (1-θ/π)^r, so deep bands suit near-dup-ish queries; for
+# far-neighbor recall at scale, IVF is the better path.
+def topk_planes_for(corpus_rows: int, num_bands: int = 24,
+                    target: int = 2048) -> int:
+    n = max(int(corpus_rows), 1)
+    r = int(np.ceil(np.log2(max(num_bands * n / target, 2.0))))
+    return int(np.clip(r, 6, 32))
 
 
 # ----------------------------------------------------------------- IVF path
 IVF_LISTS = 16
 IVF_LLOYD_ITERS = 3
+
+
+def ivf_lists_for(corpus_rows: int) -> int:
+    """nlist ~ √N rounded up to a power of two (min ``IVF_LISTS``): keeps
+    per-list population ~√N, so a fixed nprobe scans a ~nprobe/√N fraction
+    of the corpus — shrinking as the corpus grows."""
+    n = max(int(corpus_rows), 1)
+    return int(np.clip(1 << int(np.ceil(np.log2(max(np.sqrt(n), 1.0)))),
+                       IVF_LISTS, 1 << 16))
 
 
 def ivf_centroids(sample: np.ndarray, nlist: int = IVF_LISTS,
@@ -187,16 +214,43 @@ def ivf_centroids(sample: np.ndarray, nlist: int = IVF_LISTS,
     return cents
 
 
+def _ivf_train_matrix(ds: ray.data.Dataset, corpus_rows: int,
+                      train_target: int, id_col: str = "vec_id") -> np.ndarray:
+    """Unbiased deterministic training sample: a splitmix64 hash filter over
+    the id column (`stages.sample.hash_sample`) — every shard contributes
+    proportionally, unlike a ``limit()`` prefix, which at 100 TB is whatever
+    block(s) the first file yielded. Rate is sized for ~1.5×``train_target``
+    rows; small corpora fall through to the full set."""
+    from .sample import hash_sample
+
+    rate = min(1.0, 1.5 * train_target / max(corpus_rows, 1))
+    sub = ds if rate >= 1.0 else hash_sample(ds, id_col, rate, salt=0xC0FFEE)
+    df = sub.limit(4 * train_target).to_pandas()
+    if len(df) < train_target and rate < 1.0:  # hint was wrong/stale
+        df = ds.limit(train_target).to_pandas()
+    return np.stack(df.embedding.to_numpy())
+
+
 def ann_topk_ivf(ds: ray.data.Dataset, queries: pa.Table, k: int = 5,
-                 nprobe: int = 4, train_sample: int = 2048,
-                 exclude_self: bool = True) -> pd.DataFrame:
-    """IVF approximate top-k: vectors partition into ``IVF_LISTS`` coarse
+                 nprobe: int = 4, train_sample: int | None = None,
+                 exclude_self: bool = True, nlist: int | None = None,
+                 corpus_rows: int | None = None) -> pd.DataFrame:
+    """IVF approximate top-k: vectors partition into ``nlist`` coarse
     cells (nearest centroid); each query scans only its ``nprobe`` nearest
-    lists, candidates ranked by exact cosine. Centroids train once on a
-    deterministic prefix sample (broadcast; at 100 TB train on a fixed
-    shard). Recall grows with nprobe (= 1.0 at nprobe=IVF_LISTS)."""
-    train = np.stack(ds.limit(train_sample).to_pandas().embedding.to_numpy())
-    cents = ivf_centroids(train)
+    lists, candidates ranked by exact cosine. ``nlist`` defaults to
+    ``ivf_lists_for(N)`` (~√N), so the scanned fraction ≈ nprobe/√N shrinks
+    as the corpus grows. Centroids train once on a deterministic *hash*
+    sample (unbiased across shards — never a block prefix) and broadcast.
+    Recall grows with nprobe (= 1.0 at nprobe=nlist)."""
+    if corpus_rows is None:
+        corpus_rows = ds.count()  # parquet metadata for un-transformed reads
+    if nlist is None:
+        nlist = ivf_lists_for(corpus_rows)
+    nprobe = min(nprobe, nlist)
+    if train_sample is None:
+        train_sample = max(2048, 32 * nlist)
+    train = _ivf_train_matrix(ds, corpus_rows, train_sample)
+    cents = ivf_centroids(train, nlist=min(nlist, len(train)))
     qmat = _normalize(_embedding_matrix(queries))
     qids = queries["vec_id"].to_numpy(zero_copy_only=False)
     qlists = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]  # (Q, nprobe)
@@ -250,7 +304,9 @@ def ann_topk_ivf(ds: ray.data.Dataset, queries: pa.Table, k: int = 5,
 def embedding_dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
                         dim: int | None = None, num_bands: int = DUP_BANDS,
                         planes_per_band: int = DUP_PLANES_PER_BAND,
-                        force_distributed: bool = False) -> pd.DataFrame:
+                        force_distributed: bool = False,
+                        spill: bool | None = None,
+                        docs_hint: int | None = None) -> pd.DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold).
 
     Banded sign-LSH: each vector emits ``num_bands`` (band_key, id) rows —
@@ -277,8 +333,10 @@ def embedding_dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
 
     emitted = ds.map_batches(bucketize, batch_format="pyarrow",
                              zero_copy_batch=True)
-    cand = candidate_pairs(emitted, key="bkey", id_col="vec_id",
-                           small_rows=0 if force_distributed else None).materialize()
+    cand = candidate_pairs(
+        emitted, key="bkey", id_col="vec_id",
+        small_rows=0 if force_distributed else None, spill=spill,
+        rows_hint=docs_hint * num_bands if docs_hint else None).materialize()
 
     def sig(b: pa.Table) -> pa.Table:
         m = _embedding_matrix(b)  # float64 rows → packed blobs
@@ -315,11 +373,20 @@ def embedding_dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
 def ann_topk_lsh(ds: ray.data.Dataset, queries: pa.Table, k: int = 5,
                  dim: int | None = None, exclude_self: bool = True,
                  num_bands: int = TOPK_BANDS,
-                 planes_per_band: int = TOPK_PLANES_PER_BAND) -> pd.DataFrame:
+                 planes_per_band: int | None = None,
+                 corpus_rows: int | None = None) -> pd.DataFrame:
     """Banded-LSH approximate top-k: a base vector is a candidate for a
     query iff they share any band key (OR-of-ANDs — no Hamming multi-probe
     sweep of the key space). Candidates are scored by exact cosine with a
-    per-batch partial top-k, so only Q×(k+1) rows leave each batch."""
+    per-batch partial top-k, so only Q×(k+1) rows leave each batch.
+
+    ``planes_per_band`` defaults to ``topk_planes_for(N)`` — band depth
+    grows with the corpus so the expected random-collision candidate count
+    per query stays ~bounded instead of a fixed fraction of the corpus."""
+    if planes_per_band is None:
+        if corpus_rows is None:
+            corpus_rows = ds.count()  # parquet metadata for plain reads
+        planes_per_band = topk_planes_for(corpus_rows, num_bands)
     if dim is None:
         dim = len(queries["embedding"][0].as_py())
     planes = _hyperplanes(dim, num_bands * planes_per_band)

@@ -160,15 +160,21 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
 
 def minhash_candidate_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
                             text_col: str = "text",
-                            force_distributed: bool = False) -> ray.data.Dataset:
+                            force_distributed: bool = False,
+                            spill: bool | None = None,
+                            docs_hint: int | None = None) -> ray.data.Dataset:
     """LSH candidate pairs as a Dataset (id_a, id_b; band-dupes included):
     sketch → distributed ≥2-member bucket filter → distributed per-bucket
-    pair enumeration (`stages/pairs.py`). No full-corpus driver pull."""
+    pair enumeration (`stages/pairs.py`). No full-corpus driver pull; with
+    ``spill=True`` (or ``docs_hint`` large) the emitted sketch table is
+    spilled to parquet instead of pinned for its two scans."""
     emitted = ds.map_batches(
         lambda b: _minhash_batch(b, id_col, text_col),
         batch_format="pyarrow", batch_size=4096, zero_copy_batch=True)
-    return candidate_pairs(emitted, key="bkey", id_col=id_col,
-                           small_rows=0 if force_distributed else None)
+    return candidate_pairs(
+        emitted, key="bkey", id_col=id_col,
+        small_rows=0 if force_distributed else None, spill=spill,
+        rows_hint=docs_hint * LSH_BANDS if docs_hint else None)
 
 
 _EMPTY_JACCARD = {"id_a": np.int64, "id_b": np.int64, "jaccard": float}
@@ -180,7 +186,9 @@ def _typed_empty(spec: dict) -> pd.DataFrame:
 
 def minhash_dedup_pairs(ds: ray.data.Dataset, threshold: float = 0.8,
                         id_col: str = "doc_id", text_col: str = "text",
-                        force_distributed: bool = False) -> pd.DataFrame:
+                        force_distributed: bool = False,
+                        spill: bool | None = None,
+                        docs_hint: int | None = None) -> pd.DataFrame:
     """Near-dup pairs with exact-verified shingle Jaccard ≥ threshold.
 
     Verification runs in-pipeline: candidate ids (bounded by near-dup
@@ -190,8 +198,8 @@ def minhash_dedup_pairs(ds: ray.data.Dataset, threshold: float = 0.8,
     Only pair-bounded data ever reaches the driver (the returned result).
     """
     from .pairs import attach_candidate_signatures
-    cand = minhash_candidate_pairs(ds, id_col, text_col,
-                                   force_distributed).materialize()
+    cand = minhash_candidate_pairs(ds, id_col, text_col, force_distributed,
+                                   spill=spill, docs_hint=docs_hint).materialize()
     paired = attach_candidate_signatures(
         cand, ds, id_col, lambda b: shingle_sets_batch(b, id_col, text_col),
         small_pairs=0 if force_distributed else None)
@@ -301,17 +309,22 @@ _COMBOS = [(i, j, k) for i in range(6) for j in range(i + 1, 6)
 
 
 def _simhash_block_keys(b: pa.Table, id_col: str) -> pa.Table:
-    """Per doc: 20 rows (bkey, id, simhash) — bkey packs (combo_idx, the 3
-    block values) into ≤39 bits; the bucket space grows with the corpus."""
+    """Per doc: 20 rows (bkey, id, simhash) — bkey = combo_idx << 33 | the 3
+    packed block values (≤33 bits), so every combo occupies a DISJOINT key
+    range (variable packed widths of 30–33 bits would otherwise let buckets
+    of different combos merge, and a merged bucket can cross the
+    ``max_bucket`` truncation cap, voiding the pigeonhole recall guarantee).
+    Total key space ≤ 2³⁸; bucket population shrinks as the corpus grows."""
     s = b["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
     ids = b[id_col].to_numpy(zero_copy_only=False)
     blocks = [((s >> np.uint64(off)) & np.uint64((1 << w) - 1))
               for w, off in zip(_BLOCK_BITS, _BLOCK_OFFS)]
     keys, kids, sims = [], [], []
     for ci, (i, j, k) in enumerate(_COMBOS):
-        key = np.uint64(ci)
+        key = np.zeros(len(s), dtype=np.uint64)
         for blk in (i, j, k):
             key = (key << np.uint64(_BLOCK_BITS[blk])) | blocks[blk]
+        key |= np.uint64(ci) << np.uint64(33)
         keys.append(key.astype(np.int64))
         kids.append(ids)
         sims.append(s.view(np.int64))
@@ -327,7 +340,9 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 
 def simhash_dup_pairs(ds: ray.data.Dataset, max_hamming: int = 3,
                       id_col: str = "doc_id", text_col: str = "text",
-                      force_distributed: bool = False) -> pd.DataFrame:
+                      force_distributed: bool = False,
+                      spill: bool | None = None,
+                      docs_hint: int | None = None) -> pd.DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming — guaranteed-recall
     3-of-6 block bucketing, distributed bucket filter + pair enumeration,
     exact Hamming verify inside the pipeline (simhash travels as payload, so
@@ -338,7 +353,9 @@ def simhash_dup_pairs(ds: ray.data.Dataset, max_hamming: int = 3,
                                batch_format="pyarrow")
     cand = candidate_pairs(emitted, key="bkey", id_col=id_col,
                            payload_cols=["simhash"],
-                           small_rows=0 if force_distributed else None)
+                           small_rows=0 if force_distributed else None,
+                           spill=spill,
+                           rows_hint=docs_hint * len(_COMBOS) if docs_hint else None)
 
     def verify(b: pa.Table) -> pa.Table:
         sa = b["simhash_a"].to_numpy(zero_copy_only=False).view(np.uint64)

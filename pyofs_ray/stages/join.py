@@ -17,8 +17,8 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 
@@ -84,7 +84,7 @@ def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
     """Explicit partitioned hash join on an int64 key (both sides large).
 
     One groupby shuffle on ``(key % num_buckets)``; each bucket's left/right
-    rows meet in a single ``map_groups`` pandas merge. Skewed keys: raise
+    rows meet in a single ``map_groups`` Arrow hash join. Skewed keys: raise
     ``num_buckets`` (same key always lands in one bucket; the *bucket* is the
     scheduling unit, so B should be ≳ cluster cores).
     """
@@ -129,26 +129,17 @@ def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
         right.map_batches(tag(1), batch_format="pyarrow"))
     both = both.repartition(max(auto_partitions(), num_buckets // 4))
 
-    # null-padding the union turns int columns float in pandas; restore the
-    # DECLARED integer dtype after the inner merge. The cast must be the
-    # same in every bucket (a per-bucket has-nulls check would emit int64
-    # blocks from some buckets and float64 from others — one Dataset with
-    # conflicting schemas), so nullable pandas Int* dtypes carry source
-    # nulls losslessly into Arrow int columns.
-    int_casts = {
-        f.name: ("U" if pa.types.is_unsigned_integer(f.type) else "") + f"Int{f.type.bit_width}"
-        for f in all_fields if pa.types.is_integer(f.type)}
+    # Per-bucket join runs in Arrow end to end: the null-padded union
+    # columns NEVER pass through pandas float64, so int64 payloads ≥ 2^53
+    # (packed cell_ids, 64-bit hashes) stay exact.
+    def join_bucket(g: pa.Table) -> pa.Table:
+        side = g["_side"]
+        l = g.filter(pc.equal(side, 0)).select(lcols)
+        r = g.filter(pc.equal(side, 1)).select(rcols)
+        return l.join(r, keys=key, join_type="inner",
+                      left_suffix="", right_suffix=suffix)
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g._side == 0][lcols]
-        r = g[g._side == 1][rcols]
-        out = l.merge(r, on=key, how="inner", suffixes=("", suffix))
-        for c in out.columns:
-            if c in int_casts and out[c].dtype.kind == "f":
-                out[c] = out[c].astype(int_casts[c])
-        return out
-
-    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
 def native_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,

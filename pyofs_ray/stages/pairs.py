@@ -167,16 +167,66 @@ def _enum_all_buckets(df: pd.DataFrame, key: str, id_col: str,
     return pd.DataFrame(cols)
 
 
+# Above this emitted-row count the sketch table is too big to pin in the
+# object store for its two scans (at 10¹² docs the (8–20)×corpus emitted
+# table is 100+ TB): spill it to a temp parquet layout once and read it
+# back for both the sizes pass and the hot filter. Below it,
+# materialize() is cheaper (no disk round-trip).
+SPILL_EMITTED_ROWS = 50_000_000
+
+_SPILL_DIRS: list[str] = []
+
+
+def _cleanup_spills() -> None:
+    import shutil
+    for d in _SPILL_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _SPILL_DIRS.clear()
+
+
+def _spill_emitted(emitted: ray.data.Dataset) -> ray.data.Dataset:
+    """Write the emitted sketch table to a temp parquet layout (ONE scan of
+    the upstream, streaming with backpressure — nothing pinned) and return a
+    lazy re-read. Each downstream pass over the result is then an
+    independent parquet scan; `.count()` on it is metadata-only. Files are
+    removed at process exit (the returned Dataset is lazy, so they must
+    outlive this call)."""
+    import atexit
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="pyofs_emitted_", dir="/tmp")
+    if not _SPILL_DIRS:
+        atexit.register(_cleanup_spills)
+    _SPILL_DIRS.append(path)
+    emitted.write_parquet(path)
+    return ray.data.read_parquet(path)
+
+
 def candidate_pairs(emitted: ray.data.Dataset, key: str, id_col: str,
                     payload_cols: Sequence[str] = (),
                     max_bucket: int = DEFAULT_MAX_BUCKET,
-                    small_rows: int | None = None) -> ray.data.Dataset:
+                    small_rows: int | None = None,
+                    spill: bool | None = None,
+                    rows_hint: int | None = None) -> ray.data.Dataset:
     """(bucket_key, id[, payload]) rows → candidate (id_a, id_b[, payload])
     pairs, fully in-pipeline. Pairs may repeat across buckets; dedupe
-    downstream (after the exact verify, where the data is smallest)."""
+    downstream (after the exact verify, where the data is smallest).
+
+    ``emitted`` is scanned twice (bucket sizes, then the hot filter), so it
+    must be re-readable: pinned in the object store (``materialize()``,
+    right for fixture-scale inputs) or — the 100 TB shape — **spilled to a
+    temp parquet layout once and read back for both passes**, so the object
+    store never holds the full (8–20)×corpus sketch table. ``spill=None``
+    auto-selects: spill when ``rows_hint`` (the caller's emitted-row
+    estimate, e.g. docs × bands) exceeds ``SPILL_EMITTED_ROWS``."""
     if small_rows is None:
         small_rows = SMALL_EMITTED_ROWS
-    emitted = emitted.materialize()  # scanned twice: sizes + hot filter
+    if spill is None:
+        spill = rows_hint is not None and rows_hint > SPILL_EMITTED_ROWS
+    if spill:
+        emitted = _spill_emitted(emitted)
+    else:
+        emitted = emitted.materialize()  # scanned twice: sizes + hot filter
     if emitted.count() <= small_rows:
         payload_cols = list(payload_cols)
         return emitted.repartition(1).map_batches(
@@ -233,10 +283,22 @@ def attach_candidate_signatures(cand: ray.data.Dataset, ds: ray.data.Dataset,
         sig = ray.get(sig_ref)
         sid = sig[id_col].to_numpy(zero_copy_only=False)
         order = np.argsort(sid)
+        sid_sorted = sid[order]
         cols = dict(zip(b.column_names, b.columns))
         for side in ("a", "b"):
-            pos = order[np.searchsorted(sid[order],
-                                        b[f"id_{side}"].to_numpy(zero_copy_only=False))]
+            want = b[f"id_{side}"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(sid_sorted, want)
+            # a candidate id missing from the signature table must raise,
+            # not silently attach the next id's signature
+            ok = (idx < len(sid_sorted)) & (
+                sid_sorted[np.minimum(idx, len(sid_sorted) - 1)] == want)
+            if not ok.all():
+                missing = np.asarray(want)[~ok][:5]
+                raise KeyError(
+                    f"attach_candidate_signatures: candidate id(s) {missing!r} "
+                    f"have no signature row (sig_fn dropped them or the corpus "
+                    f"filter missed them)")
+            pos = order[idx]
             for c in sig_cols:
                 cols[f"{c}_{side}"] = sig[c].take(pa.array(pos))
         return pa.table(cols)

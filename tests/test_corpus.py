@@ -115,7 +115,7 @@ def test_ann_ivf_recall_vs_brute():
     ds = ray.data.read_parquet(f"{SF_SMOKE}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     from pyofs_ray.pipelines.corpus import _query_vectors
-    from pyofs_ray.stages.ann import IVF_LISTS, ann_topk_ivf
+    from pyofs_ray.stages.ann import ann_topk_ivf, ivf_lists_for
     q = _query_vectors(SF_SMOKE)
     brute = ann.ann_topk_brute(ds, q, k=5)
     bset = set(map(tuple, brute[["query_id", "vec_id"]].to_numpy()))
@@ -123,9 +123,55 @@ def test_ann_ivf_recall_vs_brute():
     iset = set(map(tuple, ivf[["query_id", "vec_id"]].to_numpy()))
     assert len(bset & iset) / len(bset) >= 0.5
     # full probe = exact: nprobe = nlist recovers brute force
-    full = ann_topk_ivf(ds, q, k=5, nprobe=IVF_LISTS)
+    nlist = ivf_lists_for(ds.count())
+    full = ann_topk_ivf(ds, q, k=5, nprobe=nlist)
     fset = set(map(tuple, full[["query_id", "vec_id"]].to_numpy()))
     assert fset == bset
+
+
+def test_ann_scale_parameters_shrink_candidate_fraction():
+    """The corpus-scaled parameters must make the scanned fraction DROP as
+    the corpus grows: nlist ~ √N (fixed nprobe → fraction ≈ nprobe/√N) and
+    LSH band depth r ~ log2(B·N) (fraction ≈ B·2⁻ʳ)."""
+    from pyofs_ray.stages.ann import ivf_lists_for, topk_planes_for
+    # IVF: nlist grows ~√N…
+    sizes = [10_000, 1_000_000, 100_000_000, 10_000_000_000]
+    nlists = [ivf_lists_for(n) for n in sizes]
+    assert nlists == sorted(nlists) and nlists[-1] > nlists[0]
+    for n, nl in zip(sizes, nlists):
+        assert min(np.sqrt(n), 1 << 16) <= nl <= 4 * np.sqrt(n)  # pow-2 round-up, 2¹⁶ cap
+    # …so the per-query scanned fraction nprobe/nlist shrinks monotonically
+    fracs = [4 / nl for nl in nlists]
+    assert all(a > b for a, b in zip(fracs, fracs[1:]))
+    # LSH: expected random-collision candidates per query stay ~bounded,
+    # so the scanned FRACTION B·2⁻ʳ shrinks monotonically with N
+    rs = [topk_planes_for(n) for n in sizes]
+    assert rs == sorted(rs) and rs[-1] > rs[0]
+    lfracs = [24 * 2.0 ** -r for r in rs]
+    assert all(a >= b for a, b in zip(lfracs, lfracs[1:])) and lfracs[-1] < 1e-4
+    for n, r in zip(sizes, rs):
+        assert 24 * n * 2.0 ** -r <= 4096 or r == 32  # ≤ target candidates
+    # fixture scale resolves to the historical defaults (results unchanged)
+    assert topk_planes_for(500) == 6
+
+
+def test_ivf_training_sample_is_unbiased_hash_sample():
+    """Centroid training must draw from ALL shards (hash sample), not a
+    block prefix: with vectors sorted so the first blocks are one tight
+    cluster, a prefix sample would train every centroid on that cluster."""
+    from pyofs_ray.stages.ann import _ivf_train_matrix
+    rng = np.random.default_rng(11)
+    # first 3000 ids: cluster at +e0; last 3000: cluster at -e0
+    a = rng.normal(loc=0, scale=0.05, size=(3000, 8)) + np.eye(8)[0]
+    b = rng.normal(loc=0, scale=0.05, size=(3000, 8)) - np.eye(8)[0]
+    m = np.vstack([a, b]).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": m[i].tolist()} for i in range(6000)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(12)
+    train = _ivf_train_matrix(ds, corpus_rows=6000, train_target=512)
+    # both halves of the id space must be represented in the sample
+    assert (train[:, 0] > 0.5).any() and (train[:, 0] < -0.5).any()
+    frac_pos = (train[:, 0] > 0).mean()
+    assert 0.3 < frac_pos < 0.7, f"biased sample: {frac_pos:.2f} positive"
 
 
 def test_hll_accuracy_and_merge():
@@ -220,6 +266,52 @@ def test_small_fast_path_equals_distributed_path():
     dist_e = ann.embedding_dup_pairs(eds, threshold=0.99, force_distributed=True)
     assert fast_e.equals(dist_e) and (3, 100) in set(
         map(tuple, fast_e[["id_a", "id_b"]].to_numpy()))
+
+
+def test_candidate_pairs_spill_never_pins_emitted_table(monkeypatch):
+    """The 100-TB shape: with spill=True the (8–20)×corpus emitted sketch
+    table is written to a temp parquet layout and read back for both passes
+    — it must NEVER be pinned via materialize() — and the pair results are
+    identical to the in-memory path for all three near-dup families."""
+    from pyofs_ray.stages import pairs as pairs_mod
+
+    ds = _dup_corpus()
+    ref_m = dedup.minhash_dedup_pairs(ds, threshold=0.8)
+    ref_s = dedup.simhash_dup_pairs(ds, max_hamming=3)
+
+    spills: list[str] = []
+    orig_spill = pairs_mod._spill_emitted
+
+    def spill_spy(emitted):
+        out = orig_spill(emitted)
+        spills.append(pairs_mod._SPILL_DIRS[-1])
+        return out
+
+    orig_mat = ray.data.Dataset.materialize
+
+    def mat_spy(self, **kw):
+        sch = self.schema()
+        names = list(sch.names) if sch is not None else []
+        assert "bkey" not in names, \
+            "emitted sketch table materialized despite spill=True"
+        return orig_mat(self, **kw)
+
+    monkeypatch.setattr(pairs_mod, "_spill_emitted", spill_spy)
+    monkeypatch.setattr(ray.data.Dataset, "materialize", mat_spy)
+    sp_m = dedup.minhash_dedup_pairs(ds, threshold=0.8, spill=True,
+                                     force_distributed=True)
+    sp_s = dedup.simhash_dup_pairs(ds, max_hamming=3, spill=True,
+                                   force_distributed=True)
+    assert sp_m.equals(ref_m) and sp_s.equals(ref_s)
+    assert len(spills) == 2  # both families actually took the spill path
+    # rows_hint above the threshold auto-selects spill (docs × bands)
+    sp_auto = dedup.minhash_dedup_pairs(
+        ds, threshold=0.8, docs_hint=pairs_mod.SPILL_EMITTED_ROWS)
+    assert sp_auto.equals(ref_m) and len(spills) == 3
+    import os
+    assert all(os.path.isdir(d) for d in spills)  # cleaned only at exit
+    pairs_mod._cleanup_spills()
+    assert not any(os.path.isdir(d) for d in spills)
 
 
 def test_near_dup_corpus_keep_one():
