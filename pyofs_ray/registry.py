@@ -20,11 +20,24 @@ from .stages.pip import pip_join
 QUERIES: dict[str, Callable[[str], Any]] = {}
 ORACLES: dict[str, str] = {}
 
+# Approximate queries whose output cannot bit-match a SQL twin, gated
+# instead on recall against an oracle-EXACT baseline query: the checker
+# computes |approx ∩ exact| / |exact| over (query_id, vec_id) result pairs
+# and fails below tau. Taus are set from measured recall across
+# sf0.001/0.01/0.1 (LSH 0.62–0.80, IVF 0.85–0.95) with headroom.
+RECALL_GATES: dict[str, tuple[str, float]] = {}
+
 
 def register(name: str, fn: Callable[[str], Any], sql: str | None = None) -> None:
     QUERIES[name] = fn
     if sql is not None:
         ORACLES[name] = sql
+
+
+def register_recall_gated(name: str, fn: Callable[[str], Any],
+                          baseline: str, tau: float) -> None:
+    QUERIES[name] = fn
+    RECALL_GATES[name] = (baseline, tau)
 
 
 # ---------------------------------------------------------------- geocode/cells
@@ -179,7 +192,8 @@ FROM documents GROUP BY md5(text)""",
 from .core import sqlgen_dedup  # noqa: E402
 
 register("ann_topk", corpus.ann_topk, corpus.ANN_TOPK_SQL)
-register("ann_topk_lsh", corpus.ann_topk_lsh)          # rows-only (approximate)
+register_recall_gated("ann_topk_lsh", corpus.ann_topk_lsh,
+                      baseline="ann_topk", tau=0.6)
 register("minhash_pairs", corpus.minhash_pairs,
          sqlgen_dedup.minhash_pairs_sql(0.8))
 register("simhash_pairs", corpus.simhash_pairs,
@@ -384,7 +398,8 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95""")
 register("events_watermark", relational.events_watermark,
          relational.EVENTS_WATERMARK_SQL)
-register("ann_topk_ivf", corpus.ann_topk_ivf)          # rows-only (approximate)
+register_recall_gated("ann_topk_ivf", corpus.ann_topk_ivf,
+                      baseline="ann_topk", tau=0.75)
 register("rel_q6_revenue", relational.q6_forecast_revenue, relational.Q6_SQL)
 register("rel_q3_shipping", relational.q3_shipping_priority, relational.Q3_SQL)
 register("rel_q5_regional", relational.q5_regional_revenue, relational.Q5_SQL)

@@ -73,6 +73,20 @@ def main():
             fails += 1
             continue
         if name not in oracles:
+            from pyofs_ray.registry import RECALL_GATES
+            gate = RECALL_GATES.get(name)
+            if gate:
+                base_name, tau = gate
+                base_df = to_pandas(qs[base_name](sf_dir))
+                bset = set(map(tuple, base_df[["query_id", "vec_id"]].to_numpy()))
+                got = set(map(tuple, ray_df[["query_id", "vec_id"]].to_numpy()))
+                recall = len(bset & got) / len(bset) if bset else 1.0
+                ok = recall >= tau
+                print(f"{name}: recall-gate {'OK' if ok else 'FAIL'} "
+                      f"(recall={recall:.3f} vs {base_name}, tau={tau})")
+                if not ok:
+                    fails += 1
+                continue
             print(f"{name}: rows-only ({len(ray_df)} rows)")
             continue
         try:
