@@ -48,7 +48,143 @@ def sessionize(sf_dir: str) -> ray.data.Dataset:
               .groupby("user_id").map_groups(per_user, batch_format="pandas"))
 
 
-def sessionize_sorted(sf_dir: str, batch_size: int | None = None) -> ray.data.Dataset:
+# Above this edge-row count (2 rows per batch) the boundary fix-up walk runs
+# distributed (groupby(user).map_groups) instead of on the driver. ~100k
+# edge rows walk in well under a second driver-side; beyond that the
+# per-user decomposition keeps driver cost O(fix-up rows), not O(batches).
+EDGE_DRIVER_ROWS = 200_000
+
+
+def _walk_user_edges(u: int, g: pd.DataFrame, BK: list[str]) -> tuple[list, list, list]:
+    """Boundary fix-up walk for ONE user's batch-edge rows (sorted by
+    batch key): returns (offsets, drops, merged) for that user.
+
+    Correctness of the decomposition: the global sort on (user_id, ts)
+    makes each user's events — and therefore the batches they span —
+    contiguous, so chains only ever merge *within* a user and ordinal
+    offsets are per-user state. A user's walk needs nothing from any other
+    user, which makes the fix-up embarrassingly parallel by user (the
+    scale form runs it inside ``groupby(user_id).map_groups``)."""
+    offsets: list[tuple] = []    # (user, *bk4, off)
+    drops: list[tuple] = []      # (*bk4, user, sid0)
+    merged: list[dict] = []
+    cum = 0                      # u's finalized sessions so far
+    chain: dict | None = None    # u's open tail chain
+
+    def close(c):
+        # "pieces" counts constituent summaries — >1 means a real merge
+        if c is not None and c["pieces"] > 1:
+            drops.extend(c["keys"])
+            merged.append(c)
+
+    for bk, gb in g.groupby(BK, sort=True):
+        f, l = gb.iloc[0], gb.iloc[-1]
+        is_first = int(bk[0]) == u    # u is the batch's first user
+        is_last = int(bk[2]) == u     # u is the batch's last user
+        if is_first and is_last:
+            # sorted order: first AND last row are u's ⇒ the whole batch is
+            # u's. Group shapes (see block_sessions comment): a real
+            # (first, last) pair has edge flags {1, 2}; one row is one
+            # single-session batch; ≥2 rows all edge=3 are content-identical
+            # single-session batches from one equal-(user, ts) run —
+            # collapse them into one pseudo batch with summed n_events.
+            collided = len(gb) >= 2 and (gb.edge == 3).all()
+            single = len(gb) == 1 or collided
+            f_n = int(gb.n_events.sum()) if collided else int(f.n_events)
+            f_pieces = len(gb) if collided else 1
+            merged_first = (chain is not None
+                            and int(f.start_us) - chain["end"] <= SESSION_GAP_US)
+            if merged_first:
+                chain["end"] = int(gb.end_us.max()) if collided else int(f.end_us)
+                chain["n"] += f_n
+                chain["keys"].append((*bk, u, int(f.sid0)))
+                chain["pieces"] += f_pieces
+            else:
+                close(chain)
+                chain = None
+            off_f = cum - (1 if merged_first else 0)
+            if off_f:
+                offsets.append((u, *bk, off_f))
+            cum += int(l.sid0) - (1 if merged_first else 0)
+            if single and merged_first:
+                pass                                # chain already spans it
+            else:
+                if merged_first:
+                    close(chain)                    # chain ended inside batch
+                chain = {"user": u,
+                         "start": int(f.start_us) if collided else int(l.start_us),
+                         "end": int(gb.end_us.max()) if collided else int(l.end_us),
+                         "n": f_n if collided else int(l.n_events),
+                         "ordinal": cum,
+                         "pieces": f_pieces,
+                         "keys": [(*bk, u, int(l.sid0))]}
+        elif is_first:
+            # u's run ends inside this batch; u's only edge row is the
+            # batch's first session
+            merged_first = (chain is not None
+                            and int(f.start_us) - chain["end"] <= SESSION_GAP_US)
+            if merged_first:
+                chain["end"] = int(f.end_us)
+                chain["n"] += int(f.n_events)
+                chain["keys"].append((*bk, u, int(f.sid0)))
+                chain["pieces"] += 1
+            off_f = cum - (1 if merged_first else 0)
+            if off_f:
+                offsets.append((u, *bk, off_f))
+            close(chain)                            # u never recurs
+            chain = None
+        else:
+            # u's run begins in this batch (u is its last user); u's edge
+            # row is the batch's last session, which opens u's chain
+            if cum:
+                offsets.append((u, *bk, cum))
+            cum += int(l.sid0)
+            chain = {"user": u, "start": int(l.start_us), "end": int(l.end_us),
+                     "n": int(l.n_events), "ordinal": cum, "pieces": 1,
+                     "keys": [(*bk, u, int(l.sid0))]}
+    close(chain)
+    return offsets, drops, merged
+
+
+_FIX_COLS = ["kind", "user_id", "bk_user", "bk_ts", "bk_lu", "bk_lt",
+             "sid0", "off", "start", "end", "n", "ordinal"]
+
+
+def _walk_user_frame(g: pd.DataFrame, BK: list[str]) -> pd.DataFrame:
+    """map_groups wrapper: one user's edge rows → wide fix-up rows
+    (kind 0 = offset, 1 = drop, 2 = merged chain)."""
+    g = g.sort_values(BK + ["sid0"])
+    u = int(g.user_id.iloc[0])
+    offsets, drops, merged = _walk_user_edges(u, g, BK)
+    rows = []
+    for (uu, b1, b2, b3, b4, off) in offsets:
+        rows.append((0, uu, b1, b2, b3, b4, 0, off, 0, 0, 0, 0))
+    for (b1, b2, b3, b4, uu, sid0) in drops:
+        rows.append((1, uu, b1, b2, b3, b4, sid0, 0, 0, 0, 0, 0))
+    for m in merged:
+        rows.append((2, m["user"], 0, 0, 0, 0, 0, 0,
+                     m["start"], m["end"], m["n"], m["ordinal"]))
+    if not rows:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in _FIX_COLS})
+    return pd.DataFrame(rows, columns=_FIX_COLS).astype(np.int64)
+
+
+def _split_fix_frame(fix: pd.DataFrame, BK: list[str]) -> tuple[list, list, list]:
+    if fix.empty or "kind" not in fix.columns:  # zero-row pull loses columns
+        return [], [], []
+    offsets = [tuple(r) for r in fix[fix.kind == 0][
+        ["user_id", *BK, "off"]].to_numpy()]
+    drops = [tuple(r) for r in fix[fix.kind == 1][
+        [*BK, "user_id", "sid0"]].to_numpy()]
+    merged = [{"user": r[0], "start": r[1], "end": r[2], "n": r[3],
+               "ordinal": r[4]}
+              for r in fix[fix.kind == 2][
+                  ["user_id", "start", "end", "n", "ordinal"]].to_numpy()]
+    return offsets, drops, merged
+
+
+def sessionize_sorted(sf_dir: str, batch_size: int | None = None,
+                      edge_mode: str = "auto") -> ray.data.Dataset:
     """Scale-form sessionization — identical output to ``sessionize`` with
     no per-group Python (`map_groups` pays ~0.5 ms/group; at 10⁸ users that
     is a day of pure overhead):
@@ -60,13 +196,16 @@ def sessionize_sorted(sf_dir: str, batch_size: int | None = None) -> ray.data.Da
        (numpy cumsum over break flags) → one summary row per session,
        labeled with the batch key (the batch's first (user, ts) — a
        content-derived label that sorts batches in data order);
-    3. driver fix-up bounded by the BATCH count, not the data: only a
-       batch's first/last session can merge across a boundary, and only
-       its first/last *user* can need ordinal re-basing (any other user is
-       fully contained in the batch). The ≤2 edge rows per batch are
-       walked in order; merges and per-(user, batch) ordinal offsets are
-       broadcast into one final vectorized pass over the session-bounded
-       summaries.
+    3. boundary fix-up decomposed BY USER: only a batch's first/last
+       session can merge across a boundary, and only its first/last *user*
+       can need ordinal re-basing (any other user is fully contained in the
+       batch) — and because the sort keeps each user's run contiguous, the
+       ≤2 edge rows per batch interact only within a user. Small edge sets
+       walk per-user on the driver; above ``EDGE_DRIVER_ROWS`` the same
+       walk runs distributed in ``groupby(user).map_groups``
+       (``edge_mode="grouped"``), so the driver never scans O(batches)
+       rows. Merges and per-(user, batch) ordinal offsets broadcast into
+       one final vectorized pass over the session-bounded summaries.
     """
     ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                             columns=["user_id", "ts"])
@@ -127,71 +266,31 @@ def sessionize_sorted(sf_dir: str, batch_size: int | None = None) -> ray.data.Da
 
     import pyarrow.compute as pc
     BK = ["bk_user", "bk_ts", "bk_lu", "bk_lt"]
-    edges = (partials.map_batches(
+    edges_ds = partials.map_batches(
         lambda b: b.filter(pc.greater(b["edge"], 0)), batch_format="pyarrow")
-        .to_pandas()
-        .sort_values(BK + ["sid0"]).reset_index(drop=True))
 
-    offsets: list[tuple] = []    # (user, *bk4, off)
-    drops: list[tuple] = []      # (*bk4, user, sid0)
-    merged: list[dict] = []
-    cum: dict[int, int] = {}     # user → finalized sessions so far
-    chain: dict | None = None    # open tail chain
-
-    def close_chain(c):
-        # "pieces" counts constituent summaries — >1 means a real merge
-        if c is not None and c["pieces"] > 1:
-            drops.extend(c["keys"])
-            merged.append(c)
-
-    for bk, g in edges.groupby(BK, sort=True):
-        f, l = g.iloc[0], g.iloc[-1]
-        fu, lu = int(f.user_id), int(l.user_id)
-        # group shapes (see block_sessions comment): a real (first, last)
-        # pair has edge flags {1, 2}; one row is one single-session batch;
-        # ≥2 rows all edge=3 are content-identical single-session batches
-        # from one equal-(user, ts) run — collapse them into one pseudo
-        # single-session batch with summed n_events.
-        collided = len(g) >= 2 and (g.edge == 3).all()
-        single = len(g) == 1 or collided
-        f_n = int(g.n_events.sum()) if collided else int(f.n_events)
-        f_pieces = len(g) if collided else 1
-        # 1) does the batch's first session continue the open chain?
-        merged_first = (chain is not None and chain["user"] == fu
-                        and int(f.start_us) - chain["end"] <= SESSION_GAP_US)
-        if merged_first:
-            chain["end"] = int(g.end_us.max()) if collided else int(f.end_us)
-            chain["n"] += f_n
-            chain["keys"].append((*bk, fu, int(f.sid0)))
-            chain["pieces"] += f_pieces
-        else:
-            close_chain(chain)
-            chain = None
-        # 2) ordinal offsets for this batch's edge users
-        off_f = cum.get(fu, 0) - (1 if merged_first else 0)
-        if off_f:
-            offsets.append((fu, *bk, off_f))
-        if lu != fu and cum.get(lu, 0):
-            offsets.append((lu, *bk, cum.get(lu, 0)))
-        # 3) cumulative finalized-session counts (only the last user can
-        #    recur in later batches; earlier users' runs end here)
-        cum[lu] = cum.get(lu, 0) + int(l.sid0) - (1 if (merged_first and fu == lu) else 0)
-        # 4) open/extend the tail chain with the batch's last session
-        if single and merged_first:
-            pass                                    # chain already spans it
-        else:
-            if merged_first:
-                close_chain(chain)                  # chain ended inside batch
-            # ordinal of L = sid0 + prior finalized sessions of lu
-            # (= cum[lu], already updated for this batch in step 3)
-            chain = {"user": lu,
-                     "start": int(f.start_us) if collided else int(l.start_us),
-                     "end": int(g.end_us.max()) if collided else int(l.end_us),
-                     "n": f_n if collided else int(l.n_events),
-                     "ordinal": int(cum[lu]),
-                     "pieces": f_pieces,
-                     "keys": [(*bk, lu, int(l.sid0))]}
-    close_chain(chain)
+    if edge_mode == "auto":
+        edge_mode = ("grouped" if edges_ds.count() > EDGE_DRIVER_ROWS
+                     else "driver")
+    if edge_mode == "driver":
+        edges = (edges_ds.to_pandas()
+                 .sort_values(BK + ["sid0"]).reset_index(drop=True))
+        offsets, drops, merged = [], [], []
+        # boundary interactions never cross users (the sort keeps a user's
+        # run contiguous), so the walk decomposes per user; run each user's
+        # tiny group inline
+        for u, g in edges.groupby("user_id", sort=False):
+            o, d, m = _walk_user_edges(int(u), g, BK)
+            offsets.extend(o); drops.extend(d); merged.extend(m)
+    else:
+        # distributed form: the same per-user walk inside
+        # groupby(user).map_groups — no serial driver scan over batches;
+        # the driver receives only the emitted fix-up rows (bounded by
+        # sessions that actually cross a batch boundary)
+        fix = (edges_ds.groupby("user_id")
+               .map_groups(lambda g: _walk_user_frame(g, BK),
+                           batch_format="pandas").to_pandas())
+        offsets, drops, merged = _split_fix_frame(fix, BK)
 
     def _typed(cols: list[str], rows: list[tuple]) -> pd.DataFrame:
         if rows:

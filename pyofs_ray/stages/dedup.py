@@ -224,11 +224,80 @@ def minhash_dedup_pairs(ds: ray.data.Dataset, threshold: float = 0.8,
 
 
 # ------------------------------------------------- near-dup corpus dedup
+def label_propagation_components(pairs: ray.data.Dataset,
+                                 max_rounds: int = 64) -> ray.data.Dataset:
+    """Distributed connected components over an (id_a, id_b) edge Dataset:
+    iterative min-label propagation. Returns (id, label) rows — one per
+    distinct endpoint — with label = the component's min id.
+
+    This is the extreme-dup-rate form of ``union_find_components`` (when the
+    verified pair set itself is too big for one driver): each round attaches
+    current labels to both edge endpoints (two bucketed hash joins over
+    pair-bounded data), sends each endpoint its neighbor's label, and takes
+    the per-id min. Labels only decrease, so the integer label-sum is a
+    monotone convergence witness — fixpoint iff the sum is unchanged. Round
+    count is bounded by the largest component's diameter (near-dup clusters
+    are dense, so typically 2–3)."""
+    import pyarrow.compute as pc  # noqa: F401  (kept local: hot import)
+    from ray.data.aggregate import Min, Sum
+
+    from .agg import auto_partitions
+    from .join import bucketed_hash_join
+
+    edges = pairs.map_batches(
+        lambda b: pa.table({"id_a": b["id_a"].combine_chunks().cast(pa.int64()),
+                            "id_b": b["id_b"].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow")
+
+    def _ids(b: pa.Table) -> pa.Table:
+        return pa.table({"id": pa.concat_arrays(
+            [b["id_a"].combine_chunks(), b["id_b"].combine_chunks()])})
+
+    labels = (edges.map_batches(_ids, batch_format="pyarrow")
+                   .groupby("id").aggregate(Min("id", alias_name="label"))
+                   .materialize())
+
+    def _lab_sum(ls: ray.data.Dataset) -> int:
+        return ls.aggregate(Sum("label", alias_name="s"))["s"]
+
+    prev = _lab_sum(labels)
+    for _ in range(max_rounds):
+        la = labels.map_batches(
+            lambda b: b.rename_columns(["id_a", "label_a"]), batch_format="pyarrow")
+        lb = labels.map_batches(
+            lambda b: b.rename_columns(["id_b", "label_b"]), batch_format="pyarrow")
+        e = bucketed_hash_join(edges, la, key="id_a")
+        e = bucketed_hash_join(e, lb, key="id_b")
+
+        def msgs(b: pa.Table) -> pa.Table:
+            # each endpoint receives its neighbor's current label
+            return pa.table({
+                "id": pa.concat_arrays([b["id_a"].combine_chunks(),
+                                        b["id_b"].combine_chunks()]),
+                "label": pa.concat_arrays([b["label_b"].combine_chunks(),
+                                           b["label_a"].combine_chunks()]),
+            })
+
+        labels = (e.map_batches(msgs, batch_format="pyarrow")
+                   .union(labels)
+                   .repartition(auto_partitions())
+                   .groupby("id").aggregate(Min("label", alias_name="label"))
+                   .materialize())
+        cur = _lab_sum(labels)
+        if cur == prev:
+            return labels
+        prev = cur
+    raise RuntimeError(
+        f"label propagation did not converge in {max_rounds} rounds "
+        f"(component diameter exceeds the bound — raise max_rounds)")
+
+
 def union_find_components(pairs: pd.DataFrame) -> dict[int, int]:
     """id → component representative (min id), path-compressed union-find
     over the verified near-dup pair set. Pairs are bounded by true near-dup
-    clusters (≪ corpus), so this runs driver-side; at extreme dup rates the
-    scale form is iterative min-label propagation over the pair Dataset."""
+    clusters (≪ corpus), so this runs driver-side; at extreme dup rates use
+    ``label_propagation_components`` (same result, pair Dataset in, never
+    driver-bounded)."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -248,14 +317,30 @@ def union_find_components(pairs: pd.DataFrame) -> dict[int, int]:
 
 
 def minhash_dedup_corpus(ds: ray.data.Dataset, threshold: float = 0.8,
-                         id_col: str = "doc_id", text_col: str = "text") -> ray.data.Dataset:
+                         id_col: str = "doc_id", text_col: str = "text",
+                         distributed_cc: bool = False) -> ray.data.Dataset:
     """The keep-one near-dup dedup an LLM data pipeline actually runs:
     verified Jaccard-≥τ pairs → connected components → keep each
     component's min id → broadcast the (cluster-bounded) drop set as a
-    filter over the streaming corpus. Returns the surviving doc ids."""
+    filter over the streaming corpus. Returns the surviving doc ids.
+
+    ``distributed_cc=True`` computes components with distributed min-label
+    propagation (``label_propagation_components``) instead of driver-side
+    union-find — the extreme-dup-rate form where the verified pair set
+    itself no longer fits one driver. (At that scale the final drop filter
+    would also switch from broadcast to a bucketed anti-join; the broadcast
+    is kept here because the drop set is bounded by dup docs.)"""
     pairs = minhash_dedup_pairs(ds, threshold, id_col, text_col)
-    comp = union_find_components(pairs)
-    drop = np.array(sorted(x for x, rep in comp.items() if rep != x), np.int64)
+    if distributed_cc:
+        import pyarrow.compute as pc
+        lab = label_propagation_components(ray.data.from_pandas(pairs))
+        dropped = lab.map_batches(
+            lambda b: b.filter(pc.not_equal(b["id"], b["label"])).select(["id"]),
+            batch_format="pyarrow").to_pandas()
+        drop = np.sort(dropped["id"].to_numpy()) if len(dropped) else np.array([], np.int64)
+    else:
+        comp = union_find_components(pairs)
+        drop = np.array(sorted(x for x, rep in comp.items() if rep != x), np.int64)
     import ray as _ray
     drop_ref = _ray.put(pa.array(drop, pa.int64()))
 

@@ -344,6 +344,54 @@ def test_near_dup_corpus_keep_one():
     assert comp[2] == 1 and comp[3] == 1 and comp[11] == 10
 
 
+def test_label_propagation_components_distributed():
+    """Distributed min-label propagation must match union-find on an
+    adversarial edge set: a long chain (multi-round propagation), a star,
+    and singleton-free isolated pairs."""
+    from pyofs_ray.stages.dedup import (label_propagation_components,
+                                        union_find_components)
+    chain = [(i, i + 1) for i in range(20, 28)]        # diameter 8
+    star = [(50, x) for x in (51, 52, 53, 54)]
+    pairs = pd.DataFrame(chain + star + [(70, 71)], columns=["id_a", "id_b"])
+    lab = (label_propagation_components(ray.data.from_pandas(pairs))
+           .to_pandas().set_index("id")["label"].to_dict())
+    comp = union_find_components(pairs)
+    for node, rep in comp.items():
+        assert lab[node] == rep
+    assert all(lab[x] == 20 for x in range(20, 29))
+    assert all(lab[x] == 50 for x in (50, 51, 52, 53, 54))
+    assert lab[70] == 70 and lab[71] == 70
+
+
+def test_near_dup_corpus_distributed_cc_high_dup_rate():
+    """Adversarial high-dup corpus (most docs are near-dups, transitive
+    chains across clusters) through the FORCED distributed-components path
+    — result must equal the driver union-find path exactly."""
+    rows = []
+    for c in range(6):  # 6 clusters × 8 near-dup members, distinct bases
+        base = (f"cluster {c} boilerplate paragraph " +
+                " ".join(f"tok{c}x{(j * 17 + 3) % 611}" for j in range(100)))
+        for m in range(8):
+            t = base
+            if m:  # chain: member m edits word m-1, overlapping heavily
+                t = t.replace(f"tok{c}x{(17 * (m - 1) + 3) % 611}",
+                              f"edit{c}_{m}", 1)
+            rows.append({"doc_id": c * 100 + m, "text": t})
+    for i in range(10):  # a few uniques
+        rows.append({"doc_id": 5000 + i, "text": f"unique {i} " + " ".join(
+            str((i * 31 + j * 13) % 7919) for j in range(60))})
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    kept_drv = set(dedup.minhash_dedup_corpus(ds, threshold=0.8)
+                   .to_pandas().doc_id.to_numpy())
+    kept_dist = set(dedup.minhash_dedup_corpus(ds, threshold=0.8,
+                                               distributed_cc=True)
+                    .to_pandas().doc_id.to_numpy())
+    assert kept_dist == kept_drv
+    # every cluster collapsed to one survivor; all uniques survive
+    assert sum(1 for k in kept_drv if k < 1000) == 6
+    assert {5000 + i for i in range(10)} <= kept_drv
+
+
 def test_hash_sample_deterministic_and_rate():
     from pyofs_ray.stages.sample import hash_sample
     ds = ray.data.range(100_000).map_batches(

@@ -97,9 +97,11 @@ def test_sessionize_sorted_equals_map_groups():
     ref = (sessionize(SF_SMOKE).to_pandas()
            .sort_values(["user_id", "session_id"]).reset_index(drop=True))
     for bs in (None, 97):
-        got = (sessionize_sorted(SF_SMOKE, batch_size=bs).to_pandas()
-               .sort_values(["user_id", "session_id"]).reset_index(drop=True))
-        assert got.equals(ref), f"batch_size={bs} diverged"
+        for em in ("driver", "grouped"):
+            got = (sessionize_sorted(SF_SMOKE, batch_size=bs, edge_mode=em)
+                   .to_pandas()
+                   .sort_values(["user_id", "session_id"]).reset_index(drop=True))
+            assert got.equals(ref), f"batch_size={bs} edge_mode={em} diverged"
 
 
 def test_sessionize_sorted_mega_user_chains(tmp_path):
@@ -129,9 +131,11 @@ def test_sessionize_sorted_mega_user_chains(tmp_path):
     ref = (sessionize(str(d)).to_pandas()
            .sort_values(["user_id", "session_id"]).reset_index(drop=True))
     for bs in (None, 31, 64):
-        got = (sessionize_sorted(str(d), batch_size=bs).to_pandas()
-               .sort_values(["user_id", "session_id"]).reset_index(drop=True))
-        assert got.equals(ref), f"batch_size={bs} diverged"
+        for em in ("driver", "grouped"):
+            got = (sessionize_sorted(str(d), batch_size=bs, edge_mode=em)
+                   .to_pandas()
+                   .sort_values(["user_id", "session_id"]).reset_index(drop=True))
+            assert got.equals(ref), f"batch_size={bs} edge_mode={em} diverged"
 
 
 def test_q5_oracle(duck_smoke):
@@ -172,9 +176,11 @@ def test_sessionize_sorted_giant_session_and_exact_gap(tmp_path):
     assert len(ref) == 3  # user 1: 2 sessions (501 + 1 events), user 2: 1
     assert ref.n_events.tolist() == [501, 1, 5]
     for bs in (31, 128):
-        got = (sessionize_sorted(str(d), batch_size=bs).to_pandas()
-               .sort_values(["user_id", "session_id"]).reset_index(drop=True))
-        assert got.equals(ref), f"batch_size={bs} diverged"
+        for em in ("driver", "grouped"):
+            got = (sessionize_sorted(str(d), batch_size=bs, edge_mode=em)
+                   .to_pandas()
+                   .sort_values(["user_id", "session_id"]).reset_index(drop=True))
+            assert got.equals(ref), f"batch_size={bs} edge_mode={em} diverged"
 
 
 def test_sessionize_sorted_same_timestamp_burst(tmp_path):
@@ -203,9 +209,11 @@ def test_sessionize_sorted_same_timestamp_burst(tmp_path):
            .sort_values(["user_id", "session_id"]).reset_index(drop=True))
     assert ref.n_events.tolist() == [100, 5, 40]
     for bs in (None, 16, 37):
-        got = (sessionize_sorted(str(d), batch_size=bs).to_pandas()
-               .sort_values(["user_id", "session_id"]).reset_index(drop=True))
-        assert got.equals(ref), f"batch_size={bs} diverged:\n{got}"
+        for em in ("driver", "grouped"):
+            got = (sessionize_sorted(str(d), batch_size=bs, edge_mode=em)
+                   .to_pandas()
+                   .sort_values(["user_id", "session_id"]).reset_index(drop=True))
+            assert got.equals(ref), f"batch_size={bs} edge_mode={em} diverged:\n{got}"
 
 
 def test_q3_bloom_prefilter_mode_equal(duck_smoke):
