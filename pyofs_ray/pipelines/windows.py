@@ -24,8 +24,15 @@ def sessionize(sf_dir: str) -> ray.data.Dataset:
     """Per-user sessions: a new session starts when the gap to the previous
     event exceeds 30 min. Output: (user_id, session_id, session_start,
     session_end, n_events); session_id is the 1-based per-user ordinal."""
+    from ..stages.agg import auto_partitions
+
+    # parallel READ (override_num_blocks) instead of a repartition before
+    # the groupby: the groupby shuffle spreads reduce work over the input
+    # block count, so splitting at the read gets the same map_groups
+    # parallelism without an extra all-to-all (~1s fixed wall saved)
     ds = read_parquet_clean(f"{sf_dir}/events.parquet",
-                               columns=["user_id", "ts"])
+                            columns=["user_id", "ts"],
+                            override_num_blocks=auto_partitions())
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("ts", kind="mergesort")
@@ -42,10 +49,7 @@ def sessionize(sf_dir: str) -> ray.data.Dataset:
         agg["n_events"] = agg["n_events"].astype(np.int64)
         return agg
 
-    from ..stages.agg import auto_partitions
-
-    return (ds.repartition(auto_partitions())
-              .groupby("user_id").map_groups(per_user, batch_format="pandas"))
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
 # Above this edge-row count (2 rows per batch) the boundary fix-up walk runs
@@ -207,8 +211,12 @@ def sessionize_sorted(sf_dir: str, batch_size: int | None = None,
        rows. Merges and per-(user, batch) ordinal offsets broadcast into
        one final vectorized pass over the session-bounded summaries.
     """
+    from ..stages.agg import auto_partitions
+
+    # parallel read: the sort's map side spreads over input blocks
     ds = read_parquet_clean(f"{sf_dir}/events.parquet",
-                            columns=["user_id", "ts"])
+                            columns=["user_id", "ts"],
+                            override_num_blocks=auto_partitions())
     sorted_ds = ds.sort(["user_id", "ts"])
 
     def block_sessions(b: pa.Table) -> pa.Table:
@@ -269,12 +277,20 @@ def sessionize_sorted(sf_dir: str, batch_size: int | None = None,
     edges_ds = partials.map_batches(
         lambda b: b.filter(pc.greater(b["edge"], 0)), batch_format="pyarrow")
 
+    edges = None
     if edge_mode == "auto":
-        edge_mode = ("grouped" if edges_ds.count() > EDGE_DRIVER_ROWS
-                     else "driver")
+        # ONE bounded probe pull decides the mode and doubles as the
+        # driver-mode edge set (a separate count() would cost a full extra
+        # pipeline launch — seconds of fixed wall in Ray 2.49)
+        probe = edges_ds.limit(EDGE_DRIVER_ROWS + 1).to_pandas()
+        if len(probe) <= EDGE_DRIVER_ROWS:
+            edge_mode, edges = "driver", probe
+        else:
+            edge_mode = "grouped"
     if edge_mode == "driver":
-        edges = (edges_ds.to_pandas()
-                 .sort_values(BK + ["sid0"]).reset_index(drop=True))
+        if edges is None:
+            edges = edges_ds.to_pandas()
+        edges = edges.sort_values(BK + ["sid0"]).reset_index(drop=True)
         offsets, drops, merged = [], [], []
         # boundary interactions never cross users (the sort keeps a user's
         # run contiguous), so the walk decomposes per user; run each user's
