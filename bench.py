@@ -130,7 +130,7 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     """N → 4N scaling on the same input in fresh processes — MEDIAN of
     ``GRAFT_SCALE_PAIRS`` (default 3) independent lo/hi pairs, each leg the
-    min of ``GRAFT_HEADLINE_REPS`` (default 2) steady-state passes.
+    min of ``GRAFT_HEADLINE_REPS`` (default 3) steady-state passes.
     Single-pair single-pass reporting was the round-2 defect: one noisy leg
     (scheduler or page-cache state) swings the ratio ±0.08.
 
@@ -148,7 +148,7 @@ def run_scaling() -> dict:
     hi_n = int(os.environ.get("GRAFT_SCALE_HI", "8"))
     pairs = int(os.environ.get("GRAFT_SCALE_PAIRS", "3"))
     scale_rep = os.environ.get("GRAFT_SCALE_REPLICATE", "10000")
-    reps = os.environ.get("GRAFT_HEADLINE_REPS", "2")
+    reps = os.environ.get("GRAFT_HEADLINE_REPS", "3")
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1",

@@ -98,7 +98,7 @@ def flagship_from_pages(pages_dir: str, z_base: int = geom.BASE_ZOOM,
 
     ds = pages_from_parquet(pages_dir, columns=["url", "n_chars"],
                             override_num_blocks=override_num_blocks)
-    ds = geocode(ds, zoom=z_base)
+    ds = geocode(ds, zoom=z_base, minimal=True)
     ds = ds.select_columns(["cell_id", "n_chars", "lon_milli", "lat_milli"])
     ds = pip_join(ds, mode="semi").select_columns(["cell_id", "n_chars"])
     return pyramid_from_rows(ds, z_base=z_base, z_min=0)
@@ -220,14 +220,19 @@ def cell_mean_complete(sf_dir: str, zoom: int = 4) -> ray.data.Dataset:
     return stack.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def cell_distinct_langs(sf_dir: str, zoom: int = geom.BASE_ZOOM) -> ray.data.Dataset:
+def cell_distinct_langs(sf_dir: str, zoom: int = geom.BASE_ZOOM,
+                        final_mode: str = "small") -> ray.data.Dataset:
     """Exact per-cell distinct-language count — the exploded-pair pattern
     for distributed COUNT(DISTINCT): per batch emit distinct (cell, lang)
     pairs (set-valued partial state → rows, not per-key sets), one groupby
     dedupes pairs globally, a second tiny groupby counts per cell. Skew-safe:
-    a hot cell's pairs spread across reducers by (cell, lang), not cell."""
-    from ray.data.aggregate import Count
+    a hot cell's pairs spread across reducers by (cell, lang), not cell.
 
+    ``final_mode="small"`` (default): the deduped pair set is bounded by
+    cells × languages, so one coalesced Arrow group_by finishes it (no
+    second all-to-all). ``"grouped"``: key-sharded groupby finish for when
+    that bound itself is too big for one task (parity with
+    ``last_per_cell`` / ``topk_per_key``)."""
     ds = geocoded_pages(sf_dir, zoom).select_columns(["cell_id", "lang"])
 
     def pairs(b: pa.Table) -> pa.Table:
@@ -243,5 +248,8 @@ def cell_distinct_langs(sf_dir: str, zoom: int = geom.BASE_ZOOM) -> ray.data.Dat
         return pa.table({"cell_id": g["cell_id"],
                          "n_langs": g["cell_id_count"].cast(pa.int64())})
 
+    if final_mode == "grouped":
+        return (dedup.groupby("cell_id")
+                     .map_groups(count_per_cell, batch_format="pyarrow"))
     return (dedup.repartition(1)
                  .map_batches(count_per_cell, batch_format="pyarrow"))

@@ -509,14 +509,20 @@ LIMIT 10
 
 
 # --------------------------------------- exact grouped quantiles (A-family)
-def event_value_quantiles(sf_dir: str, qs=(0.5, 0.95)) -> ray.data.Dataset:
+def event_value_quantiles(sf_dir: str, qs=(0.5, 0.95),
+                          final_mode: str = "small") -> ray.data.Dataset:
     """Exact per-type value quantiles WITHOUT sorting the data: values are
     cents-quantized int64, so a two-stage count per (event_type, val_c)
     collapses the corpus to its value histogram (bounded by distinct cents
     values, not rows); order statistics come from cumulative counts in one
     small vectorized finish. Linear interpolation (quantile_cont
     semantics) is applied as single IEEE ops after the exact integer part —
-    bit-identical to the SQL twin's order-statistic formula."""
+    bit-identical to the SQL twin's order-statistic formula.
+
+    ``final_mode="small"`` (default): the histogram is value-bounded
+    (distinct cents per type), one coalesced finish. ``"grouped"``:
+    per-type ``groupby.map_groups`` finish for unbounded value domains
+    (parity with ``last_per_cell`` / ``topk_per_key``)."""
     ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                             columns=["event_type", "value"])
 
@@ -553,6 +559,10 @@ def event_value_quantiles(sf_dir: str, qs=(0.5, 0.95)) -> ray.data.Dataset:
         out["value"] = np.array(out["value"], np.float64)
         return pd.DataFrame(out)
 
+    if final_mode == "grouped":
+        # each event_type's histogram slice finishes in its own group task
+        return hist.groupby("event_type").map_groups(
+            finish, batch_format="pandas")
     # histogram is value-bounded (≤ distinct cents per type) → small finish
     return hist.repartition(1).map_batches(finish, batch_format="pandas",
                                            batch_size=None)

@@ -334,6 +334,97 @@ from .core.sqlgen_track import particle_track_sql  # noqa: E402
 # bit-exact recursive-CTE twin of the RK4 advection loop
 register("particle_track", _particle_track, particle_track_sql())
 
+
+# ------------------------------------------ contour arc-length resample (P2)
+# Deterministic test ring: an axis-aligned staircase around a 400×300
+# rectangle with UNEQUAL vertex spacing (perimeter positions below; corners
+# are vertices, so every segment is axis-aligned with an INTEGER length —
+# the cumulative arc length is then exact under any summation order, and
+# the only float ops are the interpolation's single IEEE divide/mul/add,
+# reproduced verbatim in the SQL twin).
+_RING_P = (0, 50, 120, 200, 270, 330,        # bottom edge  (y=0)
+           400, 480, 540, 620,               # right edge   (x=400)
+           700, 820, 890, 1010,              # top edge     (y=300)
+           1100, 1190, 1260, 1340)           # left edge    (x=0)
+_RING_PERIM = 1400
+_RING_N_OUT = 32
+
+
+def _ring_xy(p: int) -> tuple[int, int]:
+    if p < 400:
+        return p, 0
+    if p < 700:
+        return 400, p - 400
+    if p < 1100:
+        return 1100 - p, 300
+    return 0, 1400 - p
+
+
+def _resample_contour(sf_dir: str):
+    """P2 arc-length re-parameterization (`particle_contour.py:1031-1062`)
+    over the deterministic staircase ring → 32 equally-spaced vertices."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .stages.tracking import resample_contour
+
+    xy = [_ring_xy(p) for p in _RING_P]
+    ring = pa.table({
+        "particle_id": pa.array(np.arange(len(_RING_P), dtype=np.int64)),
+        "x": pa.array(np.array([c[0] for c in xy], np.float64)),
+        "y": pa.array(np.array([c[1] for c in xy], np.float64)),
+    })
+    return resample_contour(ring, _RING_N_OUT)
+
+
+def _resample_contour_sql() -> str:
+    vals = ", ".join(f"({i}, {p})" for i, p in enumerate(_RING_P))
+    n = len(_RING_P)
+    return f"""
+WITH ring(i, p) AS (VALUES {vals}),
+pts AS (
+  SELECT i,
+         CAST(CASE WHEN p < 400 THEN p WHEN p < 700 THEN 400
+                   WHEN p < 1100 THEN 1100 - p ELSE 0 END AS DOUBLE) AS x,
+         CAST(CASE WHEN p < 400 THEN 0 WHEN p < 700 THEN p - 400
+                   WHEN p < 1100 THEN 300 ELSE 1400 - p END AS DOUBLE) AS y
+  FROM ring
+),
+closed AS (  -- ring closure: vertex n repeats vertex 0
+  SELECT i, x, y FROM pts
+  UNION ALL SELECT {n}, x, y FROM pts WHERE i = 0
+),
+hops AS (
+  SELECT i, x, y, LEAD(x) OVER (ORDER BY i) AS x2,
+         LEAD(y) OVER (ORDER BY i) AS y2
+  FROM closed QUALIFY i < {n}
+),
+segs AS (    -- integer segment lengths (axis-aligned staircase) → exact
+  SELECT i, x, y, x2, y2,
+         SUM(ABS(x2 - x) + ABS(y2 - y))
+             OVER (ORDER BY i ROWS UNBOUNDED PRECEDING)
+           - (ABS(x2 - x) + ABS(y2 - y)) AS s_lo,
+         SUM(ABS(x2 - x) + ABS(y2 - y))
+             OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS s_hi
+  FROM hops
+),
+tgt AS (
+  SELECT CAST(t.t AS BIGINT) AS particle_id,
+         CAST(t.t AS DOUBLE) * (CAST({_RING_PERIM} AS DOUBLE)
+                                / {_RING_N_OUT}) AS s
+  FROM (SELECT unnest(generate_series(0, {_RING_N_OUT - 1})) AS t) t
+)
+SELECT tgt.particle_id,
+       ((segs.x2 - segs.x) / (segs.s_hi - segs.s_lo)) * (tgt.s - segs.s_lo)
+         + segs.x AS x,
+       ((segs.y2 - segs.y) / (segs.s_hi - segs.s_lo)) * (tgt.s - segs.s_lo)
+         + segs.y AS y
+FROM tgt JOIN segs ON tgt.s >= segs.s_lo AND tgt.s < segs.s_hi
+"""
+
+
+register("resample_contour", _resample_contour, _resample_contour_sql())
+
 register("rel_events_ten_min", relational.events_ten_min,
          relational.EVENTS_TEN_MIN_SQL)
 

@@ -39,10 +39,20 @@ def page_key_from_url(url: pa.Array, key_fn: str = "parse") -> np.ndarray:
     return keys.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
 
 
-def geocode_batch(batch: pa.Table, zoom: int = geom.BASE_ZOOM, key_fn: str = "parse") -> pa.Table:
+def geocode_batch(batch: pa.Table, zoom: int = geom.BASE_ZOOM,
+                  key_fn: str = "parse", minimal: bool = False) -> pa.Table:
     key = page_key_from_url(batch["url"], key_fn=key_fn)
     lon_m, lat_m = geom.geocode_key(key)
     cell = geom.cell_of(lon_m, lat_m, zoom)
+    if minimal:
+        # hot-path form: only the columns the spatial join + aggregate
+        # consume — the float lon/lat mirrors and page_key are ~24 B/row of
+        # pure memory traffic the headline never reads
+        return (
+            batch.append_column("lon_milli", pa.array(lon_m, pa.int64()))
+            .append_column("lat_milli", pa.array(lat_m, pa.int64()))
+            .append_column("cell_id", pa.array(cell, pa.int64()))
+        )
     return (
         batch.append_column("page_key", pa.array(key, pa.int64()))
         .append_column("lon_milli", pa.array(lon_m, pa.int64()))
@@ -53,10 +63,11 @@ def geocode_batch(batch: pa.Table, zoom: int = geom.BASE_ZOOM, key_fn: str = "pa
     )
 
 
-def geocode(ds, zoom: int = geom.BASE_ZOOM, key_fn: str = "parse"):
+def geocode(ds, zoom: int = geom.BASE_ZOOM, key_fn: str = "parse",
+            minimal: bool = False):
     """Dataset → Dataset with geocode/cell columns (stateless tasks)."""
     return ds.map_batches(
-        lambda b: geocode_batch(b, zoom=zoom, key_fn=key_fn),
+        lambda b: geocode_batch(b, zoom=zoom, key_fn=key_fn, minimal=minimal),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )

@@ -248,3 +248,26 @@ def test_distributed_bloom_equals_driver_bloom():
 def test_event_value_quantiles_oracle(duck_smoke):
     assert_matches_oracle(QUERIES["event_value_quantiles"](SF_SMOKE),
                           duck_smoke, ORACLES["event_value_quantiles"])
+
+
+def test_final_mode_grouped_equals_small():
+    """The grouped escape hatches must match the coalesced finishes
+    exactly (parity with last_per_cell/topk_per_key)."""
+    from pyofs_ray.pipelines.flagship import cell_distinct_langs
+    from pyofs_ray.pipelines.relational import event_value_quantiles
+    a = (cell_distinct_langs(SF_SMOKE).to_pandas()
+         .sort_values("cell_id").reset_index(drop=True))
+    b = (cell_distinct_langs(SF_SMOKE, final_mode="grouped").to_pandas()
+         .sort_values("cell_id").reset_index(drop=True))
+    assert a.equals(b)
+    qa = (event_value_quantiles(SF_SMOKE).to_pandas()
+          .sort_values(["event_type", "q"]).reset_index(drop=True))
+    qb = (event_value_quantiles(SF_SMOKE, final_mode="grouped").to_pandas()
+          .sort_values(["event_type", "q"]).reset_index(drop=True))
+    assert qa.equals(qb)
+
+
+def test_resample_contour_oracle(duck_smoke):
+    """P2 arc-length re-parameterization vs its bit-exact SQL twin."""
+    assert_matches_oracle(QUERIES["resample_contour"](SF_SMOKE), duck_smoke,
+                          ORACLES["resample_contour"])
