@@ -81,6 +81,18 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    # Round-3 profiling findings (stats-driven, see BASELINE.md):
+    # 1. 128 MB target blocks gave 0.3M–2.8M-row blocks out of
+    #    ReadParquet's SplitBlocks — 9× map-task skew, so end-of-pipeline
+    #    stragglers idled ~40% of CPUs. 32 MB blocks even them out.
+    # 2. The per-operator resource reservation throttled the fused map
+    #    chain to ~half the CPUs while the read was live (remote-CPU sum
+    #    45 s vs 8×11.4 s wall). Disabling it lets idle CPUs drain any
+    #    stage; single-job benchmark semantics, where cross-job fairness
+    #    is moot. Measured: 50M docs at 8 CPUs 11.4 → 5.9 s, at 2 CPUs
+    #    39 → 20 s (2→8 efficiency 0.86 at 32 MB blocks).
+    ctx.target_max_block_size = 32 * 1024 * 1024
+    ctx.op_resource_reservation_enabled = False
 
     import pyarrow.parquet as pq
     docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows * REPLICATE

@@ -54,6 +54,14 @@ def dedup_near_corpus(sf_dir: str) -> ray.data.Dataset:
     return dedup.minhash_dedup_corpus(_docs(sf_dir), threshold=0.8)
 
 
+def dedup_near_corpus_distributed(sf_dir: str) -> ray.data.Dataset:
+    """Same keep-one dedup through the DISTRIBUTED connected-components
+    path (min-label propagation over the pair Dataset) — the extreme-dup-
+    rate form, oracle-gated against the identical recursive-CTE twin."""
+    return dedup.minhash_dedup_corpus(_docs(sf_dir), threshold=0.8,
+                                      distributed_cc=True)
+
+
 NUM_QUERIES = 8
 TOPK = 5
 

@@ -200,6 +200,8 @@ register("simhash_pairs", corpus.simhash_pairs,
          sqlgen_dedup.simhash_pairs_sql(3))
 register("dedup_near_corpus", corpus.dedup_near_corpus,
          sqlgen_dedup.dedup_corpus_sql(0.8))
+register("dedup_near_corpus_distributed", corpus.dedup_near_corpus_distributed,
+         sqlgen_dedup.dedup_corpus_sql(0.8))
 
 
 def _doc_sample(sf_dir: str):
