@@ -17,6 +17,12 @@ def _docs(sf_dir: str, columns=("doc_id", "text")) -> ray.data.Dataset:
     return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=list(columns))
 
 
+def _docs_count(sf_dir: str) -> int:
+    """Corpus row count from parquet metadata (no scan) — feeds the
+    near-dup family's spill auto-selection (`pairs.candidate_pairs`)."""
+    return pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+
 def doc_text_stats(sf_dir: str) -> ray.data.Dataset:
     return (_docs(sf_dir)
             .map_batches(text_stats, batch_format="pyarrow", zero_copy_batch=True)
@@ -41,11 +47,13 @@ def dedup_exact(sf_dir: str) -> ray.data.Dataset:
 
 
 def minhash_pairs(sf_dir: str) -> pd.DataFrame:
-    return dedup.minhash_dedup_pairs(_docs(sf_dir), threshold=0.8)
+    return dedup.minhash_dedup_pairs(_docs(sf_dir), threshold=0.8,
+                                     docs_hint=_docs_count(sf_dir))
 
 
 def simhash_pairs(sf_dir: str) -> pd.DataFrame:
-    return dedup.simhash_dup_pairs(_docs(sf_dir), max_hamming=3)
+    return dedup.simhash_dup_pairs(_docs(sf_dir), max_hamming=3,
+                                   docs_hint=_docs_count(sf_dir))
 
 
 def dedup_near_corpus(sf_dir: str) -> ray.data.Dataset:
@@ -102,7 +110,8 @@ def embedding_dup_pairs(sf_dir: str):
     has no true dups at τ=0.95 — injected-dup behavior is unit-tested)."""
     ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    return ann.embedding_dup_pairs(ds, threshold=0.95)
+    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    return ann.embedding_dup_pairs(ds, threshold=0.95, docs_hint=n)
 
 
 def ann_topk_ivf(sf_dir: str) -> pd.DataFrame:

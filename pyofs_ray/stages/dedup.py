@@ -318,34 +318,55 @@ def union_find_components(pairs: pd.DataFrame) -> dict[int, int]:
 
 def minhash_dedup_corpus(ds: ray.data.Dataset, threshold: float = 0.8,
                          id_col: str = "doc_id", text_col: str = "text",
-                         distributed_cc: bool = False) -> ray.data.Dataset:
+                         distributed_cc: bool = False,
+                         drop_filter: str = "broadcast") -> ray.data.Dataset:
     """The keep-one near-dup dedup an LLM data pipeline actually runs:
     verified Jaccard-≥τ pairs → connected components → keep each
-    component's min id → broadcast the (cluster-bounded) drop set as a
-    filter over the streaming corpus. Returns the surviving doc ids.
+    component's min id → drop-set filter over the streaming corpus.
+    Returns the surviving doc ids.
 
     ``distributed_cc=True`` computes components with distributed min-label
     propagation (``label_propagation_components``) instead of driver-side
     union-find — the extreme-dup-rate form where the verified pair set
-    itself no longer fits one driver. (At that scale the final drop filter
-    would also switch from broadcast to a bucketed anti-join; the broadcast
-    is kept here because the drop set is bounded by dup docs.)"""
+    itself no longer fits one driver.
+
+    ``drop_filter``: ``"broadcast"`` (default — the drop set is bounded by
+    dup docs, ``ray.put`` once, ``is_in`` filter per batch) or
+    ``"anti_join"`` — a bucketed distributed anti-join, the form for
+    extreme dup rates where even the drop set outgrows a broadcast."""
+    import pyarrow.compute as pc
+
     pairs = minhash_dedup_pairs(ds, threshold, id_col, text_col)
     if distributed_cc:
-        import pyarrow.compute as pc
         lab = label_propagation_components(ray.data.from_pandas(pairs))
-        dropped = lab.map_batches(
-            lambda b: b.filter(pc.not_equal(b["id"], b["label"])).select(["id"]),
-            batch_format="pyarrow").to_pandas()
-        drop = np.sort(dropped["id"].to_numpy()) if len(dropped) else np.array([], np.int64)
+        drop_ds = lab.map_batches(
+            lambda b: pa.table({id_col: b.filter(
+                pc.not_equal(b["id"], b["label"]))["id"]}),
+            batch_format="pyarrow")
+        dropped = None
     else:
         comp = union_find_components(pairs)
         drop = np.array(sorted(x for x, rep in comp.items() if rep != x), np.int64)
+        dropped = drop
+        drop_ds = ray.data.from_arrow(pa.table({id_col: pa.array(drop, pa.int64())}))
+
+    if drop_filter == "anti_join":
+        from .join import bucketed_hash_join
+        if drop_ds.count() == 0:
+            return ds.map_batches(lambda b: b.select([id_col]),
+                                  batch_format="pyarrow")
+        return bucketed_hash_join(
+            ds.map_batches(lambda b: b.select([id_col]), batch_format="pyarrow"),
+            drop_ds, key=id_col, join_type="anti")
+
+    if dropped is None:
+        pulled = drop_ds.to_pandas()
+        dropped = (np.sort(pulled[id_col].to_numpy())
+                   if len(pulled) else np.array([], np.int64))
     import ray as _ray
-    drop_ref = _ray.put(pa.array(drop, pa.int64()))
+    drop_ref = _ray.put(pa.array(dropped, pa.int64()))
 
     def filt(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
         keep = pc.invert(pc.is_in(b[id_col], value_set=_ray.get(drop_ref)))
         return b.filter(keep).select([id_col])
 

@@ -80,13 +80,18 @@ def broadcast_join(ds: ray.data.Dataset, small: pa.Table, keys: Sequence[str],
 
 def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
                        key: str, num_buckets: int = 64,
-                       suffix: str = "_r") -> ray.data.Dataset:
+                       suffix: str = "_r",
+                       join_type: str = "inner") -> ray.data.Dataset:
     """Explicit partitioned hash join on an int64 key (both sides large).
 
     One groupby shuffle on ``(key % num_buckets)``; each bucket's left/right
     rows meet in a single ``map_groups`` Arrow hash join. Skewed keys: raise
     ``num_buckets`` (same key always lands in one bucket; the *bucket* is the
     scheduling unit, so B should be ≳ cluster cores).
+
+    ``join_type``: ``"inner"`` (default, output = left ⊕ right columns),
+    ``"semi"`` / ``"anti"`` (output = left columns only; right side acts as
+    a distributed filter — the scale form of a broadcast keep/drop set).
     """
 
     def _as_arrow(ds: ray.data.Dataset) -> tuple[ray.data.Dataset, pa.Schema]:
@@ -132,11 +137,16 @@ def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
     # Per-bucket join runs in Arrow end to end: the null-padded union
     # columns NEVER pass through pandas float64, so int64 payloads ≥ 2^53
     # (packed cell_ids, 64-bit hashes) stay exact.
+    arrow_jt = {"inner": "inner", "semi": "left semi",
+                "anti": "left anti"}[join_type]
+
     def join_bucket(g: pa.Table) -> pa.Table:
         side = g["_side"]
         l = g.filter(pc.equal(side, 0)).select(lcols)
         r = g.filter(pc.equal(side, 1)).select(rcols)
-        return l.join(r, keys=key, join_type="inner",
+        if join_type in ("semi", "anti"):
+            return l.join(r.select([key]), keys=key, join_type=arrow_jt)
+        return l.join(r, keys=key, join_type=arrow_jt,
                       left_suffix="", right_suffix=suffix)
 
     return both.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")

@@ -392,6 +392,39 @@ def test_near_dup_corpus_distributed_cc_high_dup_rate():
     assert {5000 + i for i in range(10)} <= kept_drv
 
 
+def test_bucketed_join_semi_anti_and_corpus_anti_filter():
+    """semi/anti modes of the bucketed hash join (right side = distributed
+    filter), and the dedup drop-set applied via anti-join must equal the
+    broadcast filter exactly."""
+    from pyofs_ray.stages.join import bucketed_hash_join
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4, 5, 2**60 + 7], pa.int64()),
+        "v": pa.array([10, 20, 30, 40, 50, 60], pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([2, 4, 2**60 + 7], pa.int64()),
+        "w": pa.array([1, 1, 1], pa.int64())}))
+    semi = (bucketed_hash_join(left, right, key="k", join_type="semi")
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    assert list(semi.columns) == ["k", "v"]
+    assert semi.k.tolist() == [2, 4, 2**60 + 7]  # int64 ≥ 2^53 exact
+    anti = (bucketed_hash_join(left, right, key="k", join_type="anti")
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    assert anti.k.tolist() == [1, 3, 5] and anti.v.tolist() == [10, 30, 50]
+    # keep-one corpus dedup: anti-join drop filter == broadcast filter
+    ds = _dup_corpus()
+    kept_b = set(dedup.minhash_dedup_corpus(ds, threshold=0.8)
+                 .to_pandas().doc_id.to_numpy())
+    kept_a = set(dedup.minhash_dedup_corpus(ds, threshold=0.8,
+                                            drop_filter="anti_join")
+                 .to_pandas().doc_id.to_numpy())
+    assert kept_a == kept_b
+    kept_da = set(dedup.minhash_dedup_corpus(ds, threshold=0.8,
+                                             distributed_cc=True,
+                                             drop_filter="anti_join")
+                  .to_pandas().doc_id.to_numpy())
+    assert kept_da == kept_b
+
+
 def test_hash_sample_deterministic_and_rate():
     from pyofs_ray.stages.sample import hash_sample
     ds = ray.data.range(100_000).map_batches(
