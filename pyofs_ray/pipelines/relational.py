@@ -568,6 +568,122 @@ def event_value_quantiles(sf_dir: str, qs=(0.5, 0.95),
                                            batch_size=None)
 
 
+# --------------------------- approximate grouped quantiles (HDR sketch)
+QSKETCH_BITS = 5  # 32 sub-buckets per octave → ≤ 2⁻⁵ ≈ 3.1% relative error
+
+
+def _hdr_bucket_np(v: np.ndarray) -> np.ndarray:
+    """Monotone HDR-style log-bucket index of signed int64 cents.
+
+    |v| ≤ 2^QSKETCH_BITS maps to itself (exact region); above that the
+    index packs (octave, top QSKETCH_BITS mantissa bits) — a DETERMINISTIC
+    mergeable sketch whose size is bounded by the value's bit width
+    (≤ ~59·2^QSKETCH_BITS buckets per group), never by distinct values.
+    floor(log2) comes from np.frexp, exact for |v| ≤ 2⁵³."""
+    a = np.abs(v.astype(np.int64))
+    lim = np.int64(1 << QSKETCH_BITS)
+    _, e = np.frexp(np.maximum(a, 1).astype(np.float64))
+    exp = (e - 1).astype(np.int64)
+    shift = np.maximum(exp - QSKETCH_BITS, 0)
+    sub = a >> shift
+    b = np.where(a <= lim, a, ((shift + 1) << QSKETCH_BITS) + (sub - lim))
+    return np.where(v < 0, -b, b).astype(np.int64)
+
+
+def _hdr_rep_np(b: np.ndarray) -> np.ndarray:
+    """Lower-bound representative cents of a bucket index (exact inverse
+    of `_hdr_bucket_np` on bucket lower edges)."""
+    a = np.abs(b.astype(np.int64))
+    lim = np.int64(1 << QSKETCH_BITS)
+    shift = np.maximum((a >> QSKETCH_BITS) - 1, 0)
+    sub = (a & (lim - 1)) + lim
+    rep = np.where(a <= lim, a, sub << shift)
+    return np.where(b < 0, -rep, rep).astype(np.int64)
+
+
+def event_value_quantiles_approx(sf_dir: str, qs=(0.5, 0.95)) -> ray.data.Dataset:
+    """Approximate per-type quantiles for UNBOUNDED value domains: the
+    exact counting histogram (`event_value_quantiles`) is bounded by
+    distinct cents values; this variant buckets values into an HDR-style
+    log histogram first, so per-group state is bounded by the value BIT
+    WIDTH (~1.9k buckets at 5 mantissa bits ⇒ ≤3.1% relative error)
+    regardless of cardinality. The sketch is deterministic integer
+    arithmetic, so even the approximation has a bit-exact SQL twin. Rank
+    semantics: lower order statistic (rank = floor((n-1)·q)), value = the
+    bucket's lower-edge representative."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b["value"]),
+                             pc.is_valid(b["event_type"])))
+        cents = _cents(b["value"]).to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": b["event_type"],
+                         "qb": pa.array(_hdr_bucket_np(cents))})
+
+    hist = two_stage_cell_agg(ds.map_batches(prep, batch_format="pyarrow"),
+                              keys=("event_type", "qb"), int_sum_cols=(),
+                              count_name="cnt")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"event_type": [], "q": [], "value": []}
+        for et, g in df.groupby("event_type", sort=True):
+            g = g.sort_values("qb")
+            reps = _hdr_rep_np(g.qb.to_numpy())
+            cum = g.cnt.to_numpy().cumsum()
+            n = int(cum[-1])
+            for q in qs:
+                r = int(np.floor((n - 1) * q))
+                v = float(reps[np.searchsorted(cum, r + 1)]) / 100.0
+                out["event_type"].append(et)
+                out["q"].append(q)
+                out["value"].append(v)
+        out["value"] = np.array(out["value"], np.float64)
+        return pd.DataFrame(out)
+
+    return hist.repartition(1).map_batches(finish, batch_format="pandas",
+                                           batch_size=None)
+
+
+def event_value_quantiles_approx_sql(qs=(0.5, 0.95)) -> str:
+    """Bit-exact twin of the HDR sketch: same bucket index (octave from
+    LENGTH(BIN(|v|))-1, integer shifts), same lower-edge representative,
+    same lower-order-statistic rank."""
+    lim = 1 << QSKETCH_BITS
+    a = "ABS(CAST(ROUND(value * 100) AS BIGINT))"
+    sgn = "CASE WHEN CAST(ROUND(value * 100) AS BIGINT) < 0 THEN -1 ELSE 1 END"
+    exp = f"(LENGTH(BIN({a})) - 1)"
+    shift = f"GREATEST({exp} - {QSKETCH_BITS}, 0)"
+    bmag = (f"CASE WHEN {a} <= {lim} THEN {a} "
+            f"ELSE (({shift} + 1) << {QSKETCH_BITS}) + (({a} >> {shift}) - {lim}) END")
+    ab = "ABS(qb)"
+    rshift = f"GREATEST(({ab} >> {QSKETCH_BITS}) - 1, 0)"
+    rep = (f"CASE WHEN {ab} <= {lim} THEN {ab} "
+           f"ELSE ((({ab} & {lim - 1}) + {lim}) << {rshift}) END"
+           f" * CASE WHEN qb < 0 THEN -1 ELSE 1 END")
+    parts = []
+    for q in qs:
+        ql = f"CAST('{float(q)!r}' AS DOUBLE)"
+        want = f"CAST(FLOOR((n - 1) * {ql}) AS BIGINT) + 1"
+        parts.append(f"""
+SELECT event_type, {ql} AS q, CAST(rep AS DOUBLE) / 100.0 AS value
+FROM (
+  SELECT event_type, {rep} AS rep,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY qb
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY qb
+                        ROWS UNBOUNDED PRECEDING) - cnt AS cum0,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM (
+    SELECT event_type, {sgn} * ({bmag}) AS qb, COUNT(*) AS cnt
+    FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY 1, 2
+  )
+)
+WHERE {want} > cum0 AND {want} <= cum""")
+    return "\nUNION ALL\n".join(parts)
+
+
 def event_value_quantiles_sql(qs=(0.5, 0.95)) -> str:
     """Order-statistic twin mirroring the interpolation op-for-op."""
     parts = []

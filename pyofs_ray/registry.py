@@ -498,6 +498,10 @@ register("rel_q3_shipping", relational.q3_shipping_priority, relational.Q3_SQL)
 register("rel_q5_regional", relational.q5_regional_revenue, relational.Q5_SQL)
 register("event_value_quantiles", relational.event_value_quantiles,
          relational.event_value_quantiles_sql())
+# deterministic HDR log-bucket sketch: the APPROXIMATION itself is exact
+# integer arithmetic, so it gets a bit-exact twin too
+register("event_value_quantiles_approx", relational.event_value_quantiles_approx,
+         relational.event_value_quantiles_approx_sql())
 
 
 # ------------------------------- per-document tile assignment (metric core)

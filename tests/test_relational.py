@@ -271,3 +271,37 @@ def test_resample_contour_oracle(duck_smoke):
     """P2 arc-length re-parameterization vs its bit-exact SQL twin."""
     assert_matches_oracle(QUERIES["resample_contour"](SF_SMOKE), duck_smoke,
                           ORACLES["resample_contour"])
+
+
+def test_hdr_quantile_sketch_accuracy_and_bounded_size(duck_smoke):
+    """The HDR log-bucket sketch must (a) bit-match its SQL twin, (b) stay
+    within the 2^-QSKETCH_BITS relative-error bound of the exact
+    quantiles, (c) keep per-group state bounded by bit width, and (d) be
+    monotone (rank-preserving buckets)."""
+    import numpy as np
+    from pyofs_ray.pipelines.relational import (QSKETCH_BITS, _hdr_bucket_np,
+                                                _hdr_rep_np,
+                                                event_value_quantiles,
+                                                event_value_quantiles_approx)
+    assert_matches_oracle(QUERIES["event_value_quantiles_approx"](SF_SMOKE),
+                          duck_smoke, ORACLES["event_value_quantiles_approx"])
+    exact = (event_value_quantiles(SF_SMOKE).to_pandas()
+             .sort_values(["event_type", "q"]).reset_index(drop=True))
+    approx = (event_value_quantiles_approx(SF_SMOKE).to_pandas()
+              .sort_values(["event_type", "q"]).reset_index(drop=True))
+    rel = np.abs(approx.value.to_numpy() - exact.value.to_numpy()) / \
+        np.maximum(np.abs(exact.value.to_numpy()), 0.01)
+    assert (rel <= 2.0 ** -QSKETCH_BITS + 1e-9).all(), rel.max()
+    # bucket function: monotone and invertible to a lower bound
+    v = np.unique(np.concatenate([
+        np.arange(-100, 101), np.logspace(0, 15, 4000).astype(np.int64),
+        -np.logspace(0, 15, 400).astype(np.int64)]))
+    v.sort()
+    b = _hdr_bucket_np(v)
+    assert (np.diff(b) >= 0).all()            # monotone
+    reps = _hdr_rep_np(b)
+    pos = v > 0
+    assert (reps[pos] <= v[pos]).all()        # lower bound
+    assert (v[pos] - reps[pos] <= np.maximum(v[pos] >> QSKETCH_BITS, 0)).all()
+    # bounded state: buckets for the whole int48 range fit in ~thousands
+    assert len(np.unique(b)) < 4000
