@@ -244,6 +244,9 @@ def label_propagation_components(pairs: ray.data.Dataset,
     from .agg import auto_partitions
     from .join import bucketed_hash_join
 
+    if pairs.count() == 0:  # dup-free corpus: no components
+        return ray.data.from_arrow(pa.table({"id": pa.array([], pa.int64()),
+                                             "label": pa.array([], pa.int64())}))
     edges = pairs.map_batches(
         lambda b: pa.table({"id_a": b["id_a"].combine_chunks().cast(pa.int64()),
                             "id_b": b["id_b"].combine_chunks().cast(pa.int64())}),

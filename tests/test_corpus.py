@@ -440,6 +440,22 @@ def test_hash_sample_deterministic_and_rate():
     assert set(s4.doc_id) <= set(s1.doc_id)
 
 
+def test_dup_free_corpus_through_cc_and_anti_join_paths():
+    """Dup-free corpus (empty pair set) through distributed components and
+    the anti-join drop filter — every path must keep all docs, not crash
+    (regression: empty pair Dataset reached the bucketed join's
+    no-schema guard)."""
+    rows = [{"doc_id": i, "text": f"doc {i} " + " ".join(
+        str((i * 31 + j * 7) % 9973) for j in range(40))} for i in range(30)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    for kw in ({"distributed_cc": True},
+               {"drop_filter": "anti_join"},
+               {"distributed_cc": True, "drop_filter": "anti_join"}):
+        kept = set(dedup.minhash_dedup_corpus(ds, threshold=0.8, **kw)
+                   .to_pandas().doc_id.to_numpy())
+        assert kept == set(range(30)), kw
+
+
 def test_near_dup_empty_corpus_distributed_path():
     """Dup-free corpus through the DISTRIBUTED hot-bucket path (the normal
     100 TB case: no bucket has two members) — must return typed-empty pair
