@@ -88,7 +88,10 @@ def ann_topk(sf_dir: str) -> pd.DataFrame:
 def ann_topk_lsh(sf_dir: str) -> pd.DataFrame:
     ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    return ann.ann_topk_lsh(ds, _query_vectors(sf_dir), k=TOPK)
+    # corpus_rows from parquet METADATA: ds.count() on the cleaned read
+    # would execute a full scan just to size the bands
+    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    return ann.ann_topk_lsh(ds, _query_vectors(sf_dir), k=TOPK, corpus_rows=n)
 
 
 ANN_TOPK_SQL = f"""
@@ -117,4 +120,6 @@ def embedding_dup_pairs(sf_dir: str):
 def ann_topk_ivf(sf_dir: str) -> pd.DataFrame:
     ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    return ann.ann_topk_ivf(ds, _query_vectors(sf_dir), k=TOPK, nprobe=6)
+    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    return ann.ann_topk_ivf(ds, _query_vectors(sf_dir), k=TOPK, nprobe=6,
+                            corpus_rows=n)

@@ -243,7 +243,9 @@ def ann_topk_ivf(ds: ray.data.Dataset, queries: pa.Table, k: int = 5,
     sample (unbiased across shards — never a block prefix) and broadcast.
     Recall grows with nprobe (= 1.0 at nprobe=nlist)."""
     if corpus_rows is None:
-        corpus_rows = ds.count()  # parquet metadata for un-transformed reads
+        # NOTE: count() on a transformed Dataset executes a full pass —
+        # callers should pass corpus_rows from parquet metadata
+        corpus_rows = ds.count()
     if nlist is None:
         nlist = ivf_lists_for(corpus_rows)
     nprobe = min(nprobe, nlist)
@@ -385,7 +387,9 @@ def ann_topk_lsh(ds: ray.data.Dataset, queries: pa.Table, k: int = 5,
     per query stays ~bounded instead of a fixed fraction of the corpus."""
     if planes_per_band is None:
         if corpus_rows is None:
-            corpus_rows = ds.count()  # parquet metadata for plain reads
+            # NOTE: count() on a transformed Dataset executes a full pass —
+            # callers should pass corpus_rows from parquet metadata
+            corpus_rows = ds.count()
         planes_per_band = topk_planes_for(corpus_rows, num_bands)
     if dim is None:
         dim = len(queries["embedding"][0].as_py())

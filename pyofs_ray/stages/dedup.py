@@ -223,6 +223,54 @@ def minhash_dedup_pairs(ds: ray.data.Dataset, threshold: float = 0.8,
             .sort_values(["id_a", "id_b"]).reset_index(drop=True))
 
 
+def minhash_dedup_pairs_ds(ds: ray.data.Dataset, threshold: float = 0.8,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           force_distributed: bool = False,
+                           spill: bool | None = None,
+                           docs_hint: int | None = None) -> ray.data.Dataset:
+    """`minhash_dedup_pairs` that stays a DATASET end to end — same
+    verified (id_a, id_b, jaccard) pair set, but threshold filter and
+    band-dup removal run in-pipeline (filter → groupby(id_a, id_b) max),
+    so the pair set NEVER lands on the driver. This is the input form the
+    extreme-dup-rate consumers (``label_propagation_components``,
+    anti-join drop filters) need — at dup rates where the pair set itself
+    outgrows one driver, the pandas-returning variant would OOM before
+    any downstream distributed step ran."""
+    from ray.data.aggregate import Max
+
+    from .pairs import attach_candidate_signatures
+
+    cand = minhash_candidate_pairs(ds, id_col, text_col, force_distributed,
+                                   spill=spill, docs_hint=docs_hint).materialize()
+    paired = attach_candidate_signatures(
+        cand, ds, id_col, lambda b: shingle_sets_batch(b, id_col, text_col),
+        small_pairs=0 if force_distributed else None)
+    empty = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+        "jaccard": pa.array([], pa.float64())}))
+    if paired is None:
+        return empty
+
+    def verify_filter(df: pd.DataFrame) -> pd.DataFrame:
+        jac = np.empty(len(df), np.float64)
+        ga, gb = df["grams_a"].to_numpy(), df["grams_b"].to_numpy()
+        for i in range(len(df)):
+            jac[i] = jaccard(np.frombuffer(ga[i], dtype=np.uint64),
+                             np.frombuffer(gb[i], dtype=np.uint64))
+        out = pd.DataFrame({"id_a": df["id_a"].to_numpy(),
+                            "id_b": df["id_b"].to_numpy(), "jaccard": jac})
+        return out[out.jaccard >= threshold]
+
+    verified = paired.map_batches(verify_filter, batch_format="pandas")
+    if verified.count() == 0:  # typed empty (zero-row blocks lose schema)
+        return empty
+    # band dupes: the same pair can surface from several bands — dedupe
+    # distributed (jaccard is identical across duplicates, Max is a no-op
+    # combiner that keeps the schema)
+    return (verified.groupby(["id_a", "id_b"])
+            .aggregate(Max("jaccard", alias_name="jaccard")))
+
+
 # ------------------------------------------------- near-dup corpus dedup
 def label_propagation_components(pairs: ray.data.Dataset,
                                  max_rounds: int = 64) -> ray.data.Dataset:
@@ -247,10 +295,12 @@ def label_propagation_components(pairs: ray.data.Dataset,
     if pairs.count() == 0:  # dup-free corpus: no components
         return ray.data.from_arrow(pa.table({"id": pa.array([], pa.int64()),
                                              "label": pa.array([], pa.int64())}))
+    # edges are re-joined every round — pin them once so each round reads
+    # blocks instead of re-executing the upstream pair pipeline
     edges = pairs.map_batches(
         lambda b: pa.table({"id_a": b["id_a"].combine_chunks().cast(pa.int64()),
                             "id_b": b["id_b"].combine_chunks().cast(pa.int64())}),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
 
     def _ids(b: pa.Table) -> pa.Table:
         return pa.table({"id": pa.concat_arrays(
@@ -339,15 +389,19 @@ def minhash_dedup_corpus(ds: ray.data.Dataset, threshold: float = 0.8,
     extreme dup rates where even the drop set outgrows a broadcast."""
     import pyarrow.compute as pc
 
-    pairs = minhash_dedup_pairs(ds, threshold, id_col, text_col)
     if distributed_cc:
-        lab = label_propagation_components(ray.data.from_pandas(pairs))
+        # the pair set stays a Dataset end to end — at the dup rates this
+        # flag exists for, pulling it to the driver first would defeat the
+        # distributed components entirely
+        pairs_ds = minhash_dedup_pairs_ds(ds, threshold, id_col, text_col)
+        lab = label_propagation_components(pairs_ds)
         drop_ds = lab.map_batches(
             lambda b: pa.table({id_col: b.filter(
                 pc.not_equal(b["id"], b["label"]))["id"]}),
             batch_format="pyarrow")
         dropped = None
     else:
+        pairs = minhash_dedup_pairs(ds, threshold, id_col, text_col)
         comp = union_find_components(pairs)
         drop = np.array(sorted(x for x, rep in comp.items() if rep != x), np.int64)
         dropped = drop

@@ -184,20 +184,32 @@ def _cleanup_spills() -> None:
     _SPILL_DIRS.clear()
 
 
-def _spill_emitted(emitted: ray.data.Dataset) -> ray.data.Dataset:
+def _spill_emitted(emitted: ray.data.Dataset,
+                   spill_dir: str | None = None) -> ray.data.Dataset:
     """Write the emitted sketch table to a temp parquet layout (ONE scan of
     the upstream, streaming with backpressure — nothing pinned) and return a
     lazy re-read. Each downstream pass over the result is then an
-    independent parquet scan; `.count()` on it is metadata-only. Files are
-    removed at process exit (the returned Dataset is lazy, so they must
-    outlive this call)."""
-    import atexit
-    import tempfile
+    independent parquet scan; `.count()` on it is metadata-only.
 
-    path = tempfile.mkdtemp(prefix="pyofs_emitted_", dir="/tmp")
-    if not _SPILL_DIRS:
-        atexit.register(_cleanup_spills)
-    _SPILL_DIRS.append(path)
+    MULTI-NODE: write tasks run on whichever node executes them, so the
+    spill location must be CLUSTER-VISIBLE (s3://…, NFS mount) — set
+    ``spill_dir`` or ``$PYOFS_SPILL_DIR``. The node-local ``/tmp`` default
+    is correct only single-node (this sandbox); local temp dirs are removed
+    at process exit (the returned Dataset is lazy, so they must outlive
+    this call), URI spills are left for the store's lifecycle policy."""
+    import atexit
+    import os
+    import tempfile
+    import uuid
+
+    base = spill_dir or os.environ.get("PYOFS_SPILL_DIR")
+    if base:
+        path = f"{base.rstrip('/')}/pyofs_emitted_{uuid.uuid4().hex}"
+    else:
+        path = tempfile.mkdtemp(prefix="pyofs_emitted_", dir="/tmp")
+        if not _SPILL_DIRS:
+            atexit.register(_cleanup_spills)
+        _SPILL_DIRS.append(path)
     emitted.write_parquet(path)
     return ray.data.read_parquet(path)
 
@@ -207,7 +219,8 @@ def candidate_pairs(emitted: ray.data.Dataset, key: str, id_col: str,
                     max_bucket: int = DEFAULT_MAX_BUCKET,
                     small_rows: int | None = None,
                     spill: bool | None = None,
-                    rows_hint: int | None = None) -> ray.data.Dataset:
+                    rows_hint: int | None = None,
+                    spill_dir: str | None = None) -> ray.data.Dataset:
     """(bucket_key, id[, payload]) rows → candidate (id_a, id_b[, payload])
     pairs, fully in-pipeline. Pairs may repeat across buckets; dedupe
     downstream (after the exact verify, where the data is smallest).
@@ -224,7 +237,7 @@ def candidate_pairs(emitted: ray.data.Dataset, key: str, id_col: str,
     if spill is None:
         spill = rows_hint is not None and rows_hint > SPILL_EMITTED_ROWS
     if spill:
-        emitted = _spill_emitted(emitted)
+        emitted = _spill_emitted(emitted, spill_dir=spill_dir)
     else:
         emitted = emitted.materialize()  # scanned twice: sizes + hot filter
     if emitted.count() <= small_rows:
@@ -290,8 +303,12 @@ def attach_candidate_signatures(cand: ray.data.Dataset, ds: ray.data.Dataset,
             idx = np.searchsorted(sid_sorted, want)
             # a candidate id missing from the signature table must raise,
             # not silently attach the next id's signature
-            ok = (idx < len(sid_sorted)) & (
-                sid_sorted[np.minimum(idx, len(sid_sorted) - 1)] == want)
+            if len(sid_sorted) == 0:
+                ok = np.zeros(len(want), dtype=bool) if len(want) else \
+                    np.ones(0, dtype=bool)
+            else:
+                ok = (idx < len(sid_sorted)) & (
+                    sid_sorted[np.minimum(idx, len(sid_sorted) - 1)] == want)
             if not ok.all():
                 missing = np.asarray(want)[~ok][:5]
                 raise KeyError(

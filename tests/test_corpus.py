@@ -296,15 +296,18 @@ def test_candidate_pairs_spill_never_pins_emitted_table(monkeypatch):
     spills: list[str] = []
     orig_spill = pairs_mod._spill_emitted
 
-    def spill_spy(emitted):
-        out = orig_spill(emitted)
+    def spill_spy(emitted, spill_dir=None):
+        out = orig_spill(emitted, spill_dir=spill_dir)
         spills.append(pairs_mod._SPILL_DIRS[-1])
         return out
 
     orig_mat = ray.data.Dataset.materialize
 
     def mat_spy(self, **kw):
-        sch = self.schema()
+        # fetch_if_missing=False: write_parquet runs THROUGH materialize(),
+        # and a forced schema fetch would execute a limit-1 probe of the
+        # write plan — double-writing one row into the spill layout
+        sch = self.schema(fetch_if_missing=False)
         names = list(sch.names) if sch is not None else []
         assert "bkey" not in names, \
             "emitted sketch table materialized despite spill=True"
@@ -326,6 +329,16 @@ def test_candidate_pairs_spill_never_pins_emitted_table(monkeypatch):
     assert all(os.path.isdir(d) for d in spills)  # cleaned only at exit
     pairs_mod._cleanup_spills()
     assert not any(os.path.isdir(d) for d in spills)
+    # cluster-visible spill target: an explicit spill_dir (or
+    # $PYOFS_SPILL_DIR) routes the layout there instead of node-local /tmp
+    import shutil
+    base = "/tmp/pyofs_spill_target_test"
+    shutil.rmtree(base, ignore_errors=True)
+    em = ray.data.from_arrow(pa.table({"bkey": pa.array([1, 1, 2], pa.int64()),
+                                       "doc_id": pa.array([7, 8, 9], pa.int64())}))
+    out = orig_spill(em, spill_dir=base)
+    assert out.count() == 3 and os.path.isdir(base)
+    shutil.rmtree(base, ignore_errors=True)
 
 
 def test_near_dup_corpus_keep_one():
