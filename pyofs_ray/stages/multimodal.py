@@ -207,24 +207,59 @@ class FrameSampler:
 
 
 def sample_frames(ds: ray.data.Dataset, decoder: str = "fake", every: int = 2,
-                  batch_size: int = 256, concurrency=(1, 8)) -> ray.data.Dataset:
-    """Frame-sample a video Dataset (small batches: very wide rows)."""
-    return ds.map_batches(
-        FrameSampler,
-        fn_constructor_kwargs={"decoder": decoder, "every": every},
-        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
-        num_cpus=1)
+                  batch_size: int = 256, concurrency=(1, 8),
+                  compute: str = "tasks") -> ray.data.Dataset:
+    """Frame-sample a video Dataset (small batches: very wide rows).
+
+    ``compute="tasks"`` (default): stateless tasks with a per-worker memoized
+    sampler — right when codec init is cheap (the FAKV1 fixture codec; a
+    compiled-in demuxer). ``compute="actors"``: the ST-pattern actor pool —
+    required when codec/model init is expensive (real ffmpeg contexts, GPU
+    decoders) and worth pinning to few processes; a pool costs ~1 s spin-up
+    per pipeline, so it must buy more than that in amortized init.
+    """
+    if compute == "actors":
+        return ds.map_batches(
+            FrameSampler,
+            fn_constructor_kwargs={"decoder": decoder, "every": every},
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency, num_cpus=1)
+
+    def sample_batch(batch: pa.Table) -> pa.Table:
+        from ..core.memo import memo_broadcast
+        sampler = memo_broadcast(f"framesampler:{decoder}:{every}",
+                                 lambda: FrameSampler(decoder, every))
+        return sampler(batch)
+
+    return ds.map_batches(sample_batch, batch_format="pyarrow",
+                          batch_size=batch_size)
 
 
 def decode_media(ds: ray.data.Dataset, decoder: str = "fake",
                  resize: tuple[int, int] | None = (8, 8),
-                 batch_size: int = 256, concurrency=(1, 8)) -> ray.data.Dataset:
-    """Decode/feature-extract a media Dataset (small batches: wide rows)."""
-    return ds.map_batches(
-        MediaDecoder,
-        fn_constructor_kwargs={"decoder": decoder, "resize": resize},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
-    )
+                 batch_size: int = 256, concurrency=(1, 8),
+                 compute: str = "tasks") -> ray.data.Dataset:
+    """Decode/feature-extract a media Dataset (small batches: wide rows).
+
+    ``compute`` semantics match :func:`sample_frames`: stateless memoized
+    tasks by default (cheap codec init), ``"actors"`` for expensive
+    codec/model state that justifies the per-pipeline pool spin-up.
+    """
+    if compute == "actors":
+        return ds.map_batches(
+            MediaDecoder,
+            fn_constructor_kwargs={"decoder": decoder, "resize": resize},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+
+    def decode_batch(batch: pa.Table) -> pa.Table:
+        from ..core.memo import memo_broadcast
+        dec = memo_broadcast(f"mediadecoder:{decoder}:{resize}",
+                             lambda: MediaDecoder(decoder, resize))
+        return dec(batch)
+
+    return ds.map_batches(decode_batch, batch_format="pyarrow",
+                          batch_size=batch_size)

@@ -38,6 +38,18 @@ def test_decode_matches_scalar_oracle():
     assert img[2, 5] == (2 * 31 + 5 * 7 + 3) % 256
 
 
+def test_actor_pool_mode_matches_tasks():
+    """compute='actors' (the real-codec path: expensive init pinned to a
+    pool) must produce the same features as the default memoized tasks."""
+    a = (multimodal.decode_media(_media_ds(), compute="tasks")
+         .to_pandas().sort_values("media_id").reset_index(drop=True))
+    b = (multimodal.decode_media(_media_ds(), compute="actors",
+                                 concurrency=(1, 2))
+         .to_pandas().sort_values("media_id").reset_index(drop=True))
+    assert np.array_equal(a.px_mean.to_numpy(), b.px_mean.to_numpy())
+    assert np.array_equal(a.px_std.to_numpy(), b.px_std.to_numpy())
+
+
 def test_real_decoder_stub_raises():
     with pytest.raises(NotImplementedError, match="Pillow"):
         multimodal.MediaDecoder(decoder="pil")
