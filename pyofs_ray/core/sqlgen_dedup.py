@@ -51,29 +51,61 @@ def _grams_cte() -> str:
 )"""
 
 
-def minhash_pairs_sql(threshold: float = 0.8) -> str:
-    """Exact distinct-5-gram Jaccard ≥ threshold pairs (id_a < id_b)."""
-    return f"""
-WITH g AS (
+def pairs_ctes(table: str = "documents", threshold: float = 0.8) -> str:
+    """CTE chain ``g, sz, inter, pairs`` computing the exact
+    distinct-5-gram Jaccard ≥ threshold pairs (id_a < id_b) over any
+    ``table``/CTE with (doc_id, text) — embeddable in a larger WITH."""
+    return f"""g AS (
   SELECT DISTINCT doc_id, substr(text, i, 5) AS gram
-  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text)-4)) AS i)
+  FROM {table}, LATERAL (SELECT unnest(generate_series(1, length(text)-4)) AS i)
   WHERE length(text) >= 5
   UNION
-  SELECT doc_id, chr(1) AS gram FROM documents WHERE length(text) < 5
+  SELECT doc_id, chr(1) AS gram FROM {table} WHERE length(text) < 5
 ),
 sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
   FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
-SELECT id_a, id_b,
-       CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
-FROM inter
-JOIN sz sa ON sa.doc_id = id_a
-JOIN sz sb ON sb.doc_id = id_b
-WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= {threshold}
+),
+pairs AS (
+  SELECT id_a, id_b,
+         CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
+  FROM inter
+  JOIN sz sa ON sa.doc_id = id_a
+  JOIN sz sb ON sb.doc_id = id_b
+  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= {threshold}
+)"""
+
+
+def minhash_pairs_sql(threshold: float = 0.8, table: str = "documents") -> str:
+    """Exact distinct-5-gram Jaccard ≥ threshold pairs (id_a < id_b)."""
+    return f"""
+WITH {pairs_ctes(table, threshold)}
+SELECT id_a, id_b, jaccard FROM pairs
 """
+
+
+def survivor_ctes(table: str = "documents", threshold: float = 0.8) -> str:
+    """CTE chain ``g..pairs, edges, reach, rep, survivors`` — keep-one
+    near-dup survivors (all columns of ``table``; each Jaccard-≥τ connected
+    component keeps its min doc_id). Must sit inside a WITH RECURSIVE."""
+    return f"""{pairs_ctes(table, threshold)},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(id, r) AS (
+  SELECT a AS id, b AS r FROM edges
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+rep AS (SELECT id, LEAST(id, MIN(r)) AS rep FROM reach GROUP BY id),
+survivors AS (
+  SELECT d.* FROM {table} d LEFT JOIN rep ON d.doc_id = rep.id
+  WHERE rep.id IS NULL OR rep.rep = d.doc_id
+)"""
 
 
 def simhash_cte() -> str:
@@ -100,28 +132,14 @@ sh AS (
 )"""
 
 
-def dedup_corpus_sql(threshold: float = 0.8) -> str:
+def dedup_corpus_sql(threshold: float = 0.8, table: str = "documents") -> str:
     """Surviving doc ids after keep-one near-dup dedup: connected
     components of the exact-Jaccard-≥τ pair graph via a recursive
     reachability closure (components are near-dup clusters — tiny — so the
     closure converges in a few steps); keep each component's min id."""
-    inner = minhash_pairs_sql(threshold).strip()
     return f"""
-WITH RECURSIVE pairs AS ({inner}),
-edges AS (
-  SELECT id_a AS a, id_b AS b FROM pairs
-  UNION ALL
-  SELECT id_b AS a, id_a AS b FROM pairs
-),
-reach(id, r) AS (
-  SELECT a AS id, b AS r FROM edges
-  UNION
-  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
-),
-rep AS (SELECT id, LEAST(id, MIN(r)) AS rep FROM reach GROUP BY id)
-SELECT d.doc_id
-FROM documents d LEFT JOIN rep ON d.doc_id = rep.id
-WHERE rep.id IS NULL OR rep.rep = d.doc_id
+WITH RECURSIVE {survivor_ctes(table, threshold)}
+SELECT doc_id FROM survivors
 """
 
 

@@ -3,8 +3,10 @@ the training-data-pipeline operator set over `documents` / `embeddings`."""
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data
 
@@ -68,6 +70,108 @@ def dedup_near_corpus_distributed(sf_dir: str) -> ray.data.Dataset:
     rate form, oracle-gated against the identical recursive-CTE twin."""
     return dedup.minhash_dedup_corpus(_docs(sf_dir), threshold=0.8,
                                       distributed_cc=True)
+
+
+# ------------------------------------------------------- end-to-end curation
+CURATE_CHECKPOINT_ROWS = 2_000_000
+
+
+def curate_docs(ds: ray.data.Dataset, *, lang: str = "en",
+                min_tokens: int = 20, max_punct: float = 0.05,
+                threshold: float = 0.8, rate: float = 0.5, salt: int = 13,
+                docs_hint: int | None = None,
+                checkpoint: bool | None = None) -> ray.data.Dataset:
+    """The composed LLM-training-data curation flow over a (doc_id, text)
+    Dataset — each stage an already-tested operator, chained streaming:
+
+    1. quality + language gate (vectorized RE2 stats, one map_batches);
+    2. exact dedup — keep min id per identical text; only (md5, id) pairs
+       shuffle, the dup map (bounded by dup clusters) broadcasts back;
+    3. near-dup dedup — verified Jaccard-≥``threshold`` pairs → connected
+       components → keep each component's min id (drop set broadcast);
+    4. deterministic splitmix64 sample at ``rate`` (stable under
+       repartition/resume);
+    5. project (doc_id, n_tokens, lang_score).
+
+    The filtered corpus feeds three consumers (exact-dedup agg, near-dup
+    sketching, the final filter pass). By default it stays lazy — three
+    scans of the pruned source, each cheap. At scale (``docs_hint`` >
+    ``CURATE_CHECKPOINT_ROWS``, or ``checkpoint=True``) it is spilled to
+    parquet once (`stages.pairs.spill_to_parquet` — cluster-visible via
+    ``$PYOFS_SPILL_DIR``) so the raw corpus is scanned exactly once and
+    nothing is pinned in the object store.
+    """
+    import ray as _ray
+
+    from ..stages.dedup import (exact_dedup, minhash_dedup_pairs,
+                                union_find_components)
+    from ..stages.sample import hash_sample
+    from ..stages.text import fingerprint, lang_id, text_stats
+
+    def qualify(b: pa.Table) -> pa.Table:
+        b = lang_id(text_stats(b))
+        keep = pc.and_(
+            pc.and_(pc.equal(b["lang_pred"], lang),
+                    pc.greater_equal(b["n_tokens"], min_tokens)),
+            pc.less(b["punct_ratio"], max_punct))
+        return b.filter(keep).select(["doc_id", "text", "n_tokens",
+                                      "lang_score"])
+
+    filtered = ds.map_batches(qualify, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    if checkpoint or (checkpoint is None
+                      and (docs_hint or 0) > CURATE_CHECKPOINT_ROWS):
+        from ..stages.pairs import spill_to_parquet
+        filtered = spill_to_parquet(filtered)
+
+    # exact-dup map: hashes with >1 member, each with its min id — bounded
+    # by dup clusters, so a broadcast (the minhash_dedup_corpus pattern)
+    dup_tbl = (exact_dedup(filtered)
+               .map_batches(lambda b: b.filter(pc.greater(b["dup_count"], 1)),
+                            batch_format="pyarrow")
+               .to_pandas())
+    if len(dup_tbl):
+        dup_ref = _ray.put((pa.array(dup_tbl["text_hash"]),
+                            dup_tbl["doc_id"].to_numpy(dtype=np.int64)))
+
+        def drop_exact_dups(b: pa.Table) -> pa.Table:
+            hashes, min_ids = _ray.get(dup_ref)
+            pos = pc.index_in(fingerprint(b)["text_hash"], value_set=hashes)
+            hit = pc.is_valid(pos).to_numpy(zero_copy_only=False)
+            idx = (pc.fill_null(pos, 0).to_numpy(zero_copy_only=False)
+                   .astype(np.int64))
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            keep = ~hit | (ids == min_ids[idx])
+            return b.filter(pa.array(keep))
+
+        survivors = filtered.map_batches(drop_exact_dups,
+                                         batch_format="pyarrow")
+    else:
+        survivors = filtered
+
+    pairs = minhash_dedup_pairs(survivors, threshold, docs_hint=docs_hint)
+    comp = union_find_components(pairs)
+    near_drop = np.array(sorted(x for x, rep in comp.items() if rep != x),
+                         np.int64)
+    if len(near_drop):
+        drop_ref = _ray.put(pa.array(near_drop, pa.int64()))
+
+        def drop_near_dups(b: pa.Table) -> pa.Table:
+            return b.filter(pc.invert(
+                pc.is_in(b["doc_id"], value_set=_ray.get(drop_ref))))
+
+        survivors = survivors.map_batches(drop_near_dups,
+                                          batch_format="pyarrow")
+
+    return (hash_sample(survivors, "doc_id", rate=rate, salt=salt)
+            .map_batches(lambda b: b.select(["doc_id", "n_tokens",
+                                             "lang_score"]),
+                         batch_format="pyarrow"))
+
+
+def curate_corpus(sf_dir: str) -> ray.data.Dataset:
+    """Registry entry: curate the `documents` table end to end."""
+    return curate_docs(_docs(sf_dir), docs_hint=_docs_count(sf_dir))
 
 
 NUM_QUERIES = 8

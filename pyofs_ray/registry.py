@@ -203,6 +203,10 @@ register("dedup_near_corpus", corpus.dedup_near_corpus,
 register("dedup_near_corpus_distributed", corpus.dedup_near_corpus_distributed,
          sqlgen_dedup.dedup_corpus_sql(0.8))
 
+from .core.sqlgen_curate import curate_corpus_sql  # noqa: E402
+
+register("curate_corpus", corpus.curate_corpus, curate_corpus_sql())
+
 
 def _doc_sample(sf_dir: str):
     """Deterministic 10% corpus subsample by splitmix64(doc_id) — stable

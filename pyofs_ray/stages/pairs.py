@@ -214,6 +214,12 @@ def _spill_emitted(emitted: ray.data.Dataset,
     return ray.data.read_parquet(path)
 
 
+# Public name: any pipeline that needs to re-scan an intermediate Dataset
+# several times should spill it once instead of materialize()-pinning it
+# (e.g. `pipelines.corpus.curate_docs`'s filtered corpus).
+spill_to_parquet = _spill_emitted
+
+
 def candidate_pairs(emitted: ray.data.Dataset, key: str, id_col: str,
                     payload_cols: Sequence[str] = (),
                     max_bucket: int = DEFAULT_MAX_BUCKET,

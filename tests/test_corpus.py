@@ -489,3 +489,31 @@ def test_bpe_token_count_kernel():
     # "Hello"," world","!" = 3; "it","'s"," 2024",","," folks" = 5; "";
     # "a"," "?? → "a", " b" plus the stray space run = 3
     assert out["n_bpe_tokens"].to_pylist() == [3, 5, 0, 2]
+
+
+def test_curate_corpus_oracle_and_checkpoint(duck_smoke, monkeypatch):
+    """End-to-end curation: bit-exact vs the composed SQL twin, and the
+    checkpoint (spill) path must produce the identical result while
+    actually spilling the filtered corpus exactly once."""
+    from pyofs_ray.pipelines import corpus as corpus_mod
+    from pyofs_ray.stages import pairs as pairs_mod
+
+    lazy = QUERIES["curate_corpus"](SF_SMOKE)
+    assert_matches_oracle(lazy, duck_smoke, ORACLES["curate_corpus"])
+
+    spills: list[int] = []
+    orig = pairs_mod._spill_emitted
+
+    def spill_spy(emitted, spill_dir=None):
+        out = orig(emitted, spill_dir=spill_dir)
+        spills.append(out.count())
+        return out
+
+    monkeypatch.setattr(pairs_mod, "_spill_emitted", orig)
+    monkeypatch.setattr(corpus_mod, "_docs_count", lambda _: 10**9)
+    monkeypatch.setattr(pairs_mod, "spill_to_parquet", spill_spy)
+    ckpt = corpus_mod.curate_corpus(SF_SMOKE).to_pandas()
+    ref = lazy.to_pandas() if hasattr(lazy, "to_pandas") else lazy
+    key = ckpt.sort_values("doc_id").reset_index(drop=True)
+    assert key.equals(ref.sort_values("doc_id").reset_index(drop=True))
+    assert len(spills) == 1 and spills[0] > 0
