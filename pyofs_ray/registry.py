@@ -470,6 +470,16 @@ register("top_order_per_customer", windows.top_order_per_customer,
 register("top3_orders_per_customer", windows.top3_orders_per_customer,
          windows.TOP3_ORDERS_SQL)
 
+# ------------------------------------------ ordered temporal join / window
+from .pipelines import temporal  # noqa: E402
+
+register("events_asof_order", temporal.events_asof_order,
+         temporal.EVENTS_ASOF_SQL)
+register("events_asof_order_tol", temporal.events_asof_order_tol,
+         temporal.EVENTS_ASOF_TOL_SQL)
+register("events_sliding_window", temporal.events_sliding_window,
+         temporal.EVENTS_SLIDING_SQL)
+
 
 # ---------------------------------------- byte-identity audit (north_rule)
 def _pages_passthrough(sf_dir: str):

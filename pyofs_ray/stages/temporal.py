@@ -1,0 +1,238 @@
+"""Ordered temporal joins and windows: backward as-of join and sliding
+range-window aggregation.
+
+Reference analogue: PyOFS aligns drifting state to field snapshots by
+time-nearest selection (`/root/reference/main/tracking/particle_contour.py:322`,
+`model/rtofs.py:264` — ``.sel(time=..., method='nearest')``). The backward
+as-of join is the ordered-join generalization of that alignment ("the most
+recent right row at or before each left timestamp"), and the sliding range
+window is its aggregate counterpart; both are first-class operators a
+training-data pipeline needs (event ↔ latest-snapshot attribution, rolling
+per-key activity features).
+
+Execution model (both operators):
+
+* ONE ``groupby`` exchange on ``key % num_buckets`` — the bucket is the
+  scheduling unit, the key is the correctness unit (a key never splits
+  across buckets). Same partitioning contract as
+  ``join.bucketed_hash_join``; raise ``num_buckets`` ≳ cluster cores.
+* Inside each bucket the kernel is fully vectorized numpy — one lexsort +
+  ``maximum.accumulate`` (as-of) or one lexsort + two ``searchsorted``
+  sweeps over an offset-packed composite axis (window). No per-key Python
+  loop, no driver participation.
+* Skew: a hot key concentrates its own rows in one bucket task — inherent
+  to ordered-per-key semantics (the key's full history must meet one
+  kernel). Salting does not apply; the mitigation is more buckets so other
+  keys do not queue behind the hot one.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+# packed-axis capacity for the sliding-window kernel: span × #keys above
+# this falls back to the per-key-slice path (2^62 keeps headroom below
+# int64 overflow); a parameter so tests can force the fallback
+_PACK_LIMIT = 1 << 62
+
+
+def _ts_i64(col: pa.ChunkedArray) -> np.ndarray:
+    """timestamp[us] (or int64) column → int64 numpy, zero-copy wherever
+    Arrow allows it."""
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return np.asarray(a.to_numpy(zero_copy_only=False)).view(np.int64)
+
+
+# --------------------------------------------------------------- as-of join
+def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
+              key: str, left_ts: str, right_ts: str,
+              payload: list[str], tiebreak: str,
+              tolerance_us: int | None = None,
+              num_buckets: int = 64) -> ray.data.Dataset:
+    """Backward as-of join: for every left row, attach ``payload`` from the
+    right row with the greatest ``(right_ts, tiebreak)`` such that
+    ``right.key == left.key`` and ``right_ts <= left_ts`` (and, when
+    ``tolerance_us`` is set, ``right_ts >= left_ts - tolerance_us``).
+    Unmatched left rows keep null payload (left-outer semantics).
+
+    ``tiebreak`` makes equal-timestamp right rows deterministic — required
+    for the bit-exact SQL twin (plain ``ASOF JOIN`` leaves that tie
+    unspecified).
+
+    Kernel: concatenate the bucket's two sides, lexsort by
+    ``(key, ts, side, tiebreak)`` with right-before-left at equal ts, then
+    ``maximum.accumulate`` of right positions gives every left row its most
+    recent in-segment right row in O(n log n) with no per-key loop.
+    """
+    r_need = [key, right_ts, tiebreak] + [c for c in payload
+                                          if c not in (key, right_ts, tiebreak)]
+    right = right.select_columns(r_need)
+    l_schema = left.schema()
+    l_schema = getattr(l_schema, "base_schema", l_schema)
+    lcols = list(l_schema.names)
+    r_schema = right.schema()
+    r_schema = getattr(r_schema, "base_schema", r_schema)
+    out_payload = [c for c in r_need if c != key]
+    clash = [c for c in out_payload if c in lcols]
+    if clash:
+        raise ValueError(f"asof_join: right columns {clash} collide with "
+                         "left columns — rename before joining")
+    all_fields = ([pa.field(n, l_schema.field(n).type) for n in lcols]
+                  + [pa.field(n, r_schema.field(n).type) for n in out_payload])
+
+    def tag(side: int, ts_col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            bucket = pa.array(
+                b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+                % num_buckets)
+            cols = {}
+            for f in all_fields:
+                cols[f.name] = (b[f.name] if f.name in b.column_names
+                                else pa.nulls(len(b), f.type))
+            t = pa.table(cols)
+            return (t.append_column("_bucket", bucket)
+                     .append_column("_side", pa.array(
+                         np.full(len(b), side, np.int8)))
+                     .append_column("_ts", pa.array(_ts_i64(b[ts_col]))))
+        return fn
+
+    both = left.map_batches(tag(1, left_ts), batch_format="pyarrow").union(
+        right.map_batches(tag(0, right_ts), batch_format="pyarrow"))
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        lt_tbl = g.filter(pc.equal(g["_side"], pa.scalar(1, pa.int8())))
+        rt_tbl = g.filter(pc.equal(g["_side"], pa.scalar(0, pa.int8())))
+        nl, nr = len(lt_tbl), len(rt_tbl)
+        out = {c: lt_tbl[c] for c in lcols}
+        if nl == 0:
+            return pa.table(
+                {f.name: pa.chunked_array([], f.type) for f in all_fields})
+        if nr == 0:
+            for c in out_payload:
+                out[c] = pa.nulls(nl, r_schema.field(c).type)
+            return pa.table(out)
+
+        k_all = np.concatenate([
+            rt_tbl[key].to_numpy(zero_copy_only=False).astype(np.int64),
+            lt_tbl[key].to_numpy(zero_copy_only=False).astype(np.int64)])
+        t_all = np.concatenate([rt_tbl["_ts"].to_numpy(),
+                                lt_tbl["_ts"].to_numpy()])
+        s_all = np.concatenate([np.zeros(nr, np.int8), np.ones(nl, np.int8)])
+        tb_all = np.concatenate([
+            rt_tbl[tiebreak].to_numpy(zero_copy_only=False).astype(np.int64),
+            np.zeros(nl, np.int64)])
+        order = np.lexsort((tb_all, s_all, t_all, k_all))
+        n = nl + nr
+        pos = np.arange(n, dtype=np.int64)
+        is_right = order < nr
+        last_right_pos = np.maximum.accumulate(np.where(is_right, pos, -1))
+        ks = k_all[order]
+        new_seg = np.empty(n, bool)
+        new_seg[0] = True
+        new_seg[1:] = ks[1:] != ks[:-1]
+        seg_start = np.maximum.accumulate(np.where(new_seg, pos, -1))
+        valid = (last_right_pos >= 0) & (last_right_pos >= seg_start)
+
+        lmask = ~is_right
+        l_orig = order[lmask] - nr
+        mpos = last_right_pos[lmask]
+        mvalid = valid[lmask]
+        r_orig = order[np.maximum(mpos, 0)]
+        if tolerance_us is not None:
+            rt_of_match = t_all[r_orig]
+            lt_of_left = t_all[order[lmask]]
+            mvalid = mvalid & (rt_of_match >= lt_of_left - tolerance_us)
+        match = np.full(nl, -1, np.int64)
+        match[l_orig] = np.where(mvalid, r_orig, -1)
+        idx = pa.array(np.maximum(match, 0).astype(np.int64),
+                       mask=(match < 0))
+        for c in out_payload:
+            out[c] = pc.take(rt_tbl[c].combine_chunks(), idx)
+        return pa.table(out)
+
+    return both.groupby("_bucket").map_groups(join_bucket,
+                                              batch_format="pyarrow")
+
+
+# ------------------------------------------------- sliding range window agg
+def sliding_window_agg(events: ray.data.Dataset, *, key: str, ts: str,
+                       window_us: int, value_cents: str | None = None,
+                       num_buckets: int = 64,
+                       pack_limit: int = _PACK_LIMIT) -> ray.data.Dataset:
+    """Per-row sliding range-window aggregate: for every row, the count
+    (and optionally the exact int64-cents sum of ``value_cents``) of rows
+    with the same ``key`` whose timestamp lies in ``[ts - window_us, ts]``
+    — SQL ``RANGE BETWEEN <window> PRECEDING AND CURRENT ROW`` semantics
+    (peer rows at the identical timestamp are all included).
+
+    Kernel: per bucket, sort by ``(key, ts)`` and pack ``(segment, ts)``
+    onto one int64 axis — ``shifted = (ts - min_ts) + seg_id * OFFSET``
+    with ``OFFSET > span + window`` — so two global ``searchsorted`` calls
+    resolve every row's window bounds at once; counts and sums fall out of
+    prefix-sum differences. Falls back to a per-key loop only when
+    ``span × #keys`` would overflow the packed axis (multi-century spans).
+    """
+    out_keep = list(events.schema().names)
+
+    def tag(b: pa.Table) -> pa.Table:
+        bucket = pa.array(
+            b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            % num_buckets)
+        return (b.append_column("_bucket", bucket)
+                 .append_column("_ts", pa.array(_ts_i64(b[ts]))))
+
+    def window_bucket(g: pa.Table) -> pa.Table:
+        n = len(g)
+        k = g[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = g["_ts"].to_numpy()
+        order = np.lexsort((t, k))
+        ks, tss = k[order], t[order]
+        new_seg = np.empty(n, bool)
+        new_seg[0] = True
+        new_seg[1:] = ks[1:] != ks[:-1]
+        seg_id = np.cumsum(new_seg) - 1
+        tmin, tmax = int(tss.min()), int(tss.max())
+        span = tmax - tmin
+        offset = span + window_us + 2
+        nseg = int(seg_id[-1]) + 1
+        counts = np.empty(n, np.int64)
+        sums = np.empty(n, np.int64) if value_cents else None
+        vals = (g[value_cents].to_numpy(zero_copy_only=False)
+                .astype(np.int64)[order] if value_cents else None)
+        if offset * nseg < pack_limit:
+            shifted = (tss - tmin) + seg_id * offset
+            hi = np.searchsorted(shifted, shifted, side="right")
+            lo = np.searchsorted(shifted, shifted - window_us, side="left")
+            counts = hi - lo
+            if value_cents:
+                prefix = np.concatenate([[0], np.cumsum(vals)])
+                sums = prefix[hi] - prefix[lo]
+        else:  # packed axis would overflow: per-key slices (rare)
+            starts = np.flatnonzero(new_seg)
+            ends = np.append(starts[1:], n)
+            prefix = (np.concatenate([[0], np.cumsum(vals)])
+                      if value_cents else None)
+            for s, e in zip(starts, ends):
+                seg = tss[s:e]
+                hi = s + np.searchsorted(seg, seg, side="right")
+                lo = s + np.searchsorted(seg, seg - window_us, side="left")
+                counts[s:e] = hi - lo
+                if value_cents:
+                    sums[s:e] = prefix[hi] - prefix[lo]
+        inv = np.empty(n, np.int64)
+        inv[order] = np.arange(n)
+        out = {c: g[c] for c in out_keep if c in g.column_names}
+        out["w_count"] = pa.array(counts[inv])
+        if value_cents:
+            out["w_sum_c"] = pa.array(sums[inv])
+        return pa.table(out)
+
+    tagged = events.map_batches(tag, batch_format="pyarrow")
+    # window_bucket emits only the original columns + the window aggregates,
+    # so no _bucket/_ts cleanup is needed downstream
+    return tagged.groupby("_bucket").map_groups(
+        window_bucket, batch_format="pyarrow")

@@ -1,0 +1,110 @@
+"""As-of join + sliding range-window: oracle parity and adversarial edges
+(equal-ts ties, tiebreaks, tolerance boundary, peer rows, fallback path)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from pyofs_ray.pipelines import temporal
+from pyofs_ray.stages.temporal import asof_join, sliding_window_agg
+
+from .conftest import SF_SMOKE, assert_matches_oracle
+
+
+def _ts(*vals):
+    return pa.array(np.array(vals, dtype="datetime64[us]"))
+
+
+@pytest.mark.parametrize("name,fn,sql", [
+    ("events_asof_order", temporal.events_asof_order,
+     temporal.EVENTS_ASOF_SQL),
+    ("events_asof_order_tol", temporal.events_asof_order_tol,
+     temporal.EVENTS_ASOF_TOL_SQL),
+    ("events_sliding_window", temporal.events_sliding_window,
+     temporal.EVENTS_SLIDING_SQL),
+])
+def test_temporal_oracles(name, fn, sql, duck_smoke):
+    assert_matches_oracle(fn(SF_SMOKE), duck_smoke, sql)
+
+
+def _asof(left, right, **kw):
+    out = asof_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        key="k", left_ts="ts", right_ts="rts",
+        payload=["rts", "pay"], tiebreak="tb", **kw).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def test_asof_equal_ts_and_tiebreak():
+    left = pa.table({"event_id": [1, 2], "k": [7, 7],
+                     "ts": _ts("2024-01-10", "2024-01-20")})
+    # two right rows at the identical ts: max tiebreak must win; a right row
+    # exactly AT the left ts is a match (<= semantics)
+    right = pa.table({"k": [7, 7, 7], "rts": _ts("2024-01-10", "2024-01-10",
+                                                 "2024-01-15"),
+                      "tb": [3, 9, 1], "pay": [30, 90, 10]})
+    out = _asof(left, right)
+    assert out["pay"].tolist() == [90, 10]
+    assert out["tb"].tolist() == [9, 1]
+
+
+def test_asof_unmatched_rows_are_null():
+    left = pa.table({"event_id": [1, 2, 3], "k": [1, 2, 3],
+                     "ts": _ts("2024-01-10", "2024-01-10", "2024-01-10")})
+    # k=1: only future right rows; k=2: no right rows at all; k=3: match
+    right = pa.table({"k": [1, 3], "rts": _ts("2024-02-01", "2024-01-01"),
+                      "tb": [1, 1], "pay": [11, 33]})
+    out = _asof(left, right)
+    assert out["pay"].tolist()[:2] == [None, None] or \
+        out["pay"].isna().tolist()[:2] == [True, True]
+    assert out["pay"].tolist()[2] == 33
+
+
+def test_asof_tolerance_boundary_is_inclusive():
+    day = 86_400_000_000
+    left = pa.table({"event_id": [1, 2], "k": [5, 5],
+                     "ts": _ts("2024-01-11", "2024-01-12")})
+    right = pa.table({"k": [5], "rts": _ts("2024-01-01"),
+                      "tb": [1], "pay": [42]})
+    # rts == ts - 10d exactly → match; == ts - 11d → outside tolerance
+    out = _asof(left, right, tolerance_us=10 * day)
+    assert out["pay"].tolist()[0] == 42
+    assert out["pay"].isna().tolist()[1]
+
+
+def _window(tbl, **kw):
+    out = sliding_window_agg(ray.data.from_arrow(tbl), key="k", ts="ts",
+                             value_cents="v", **kw).to_pandas()
+    return out.sort_values("eid").reset_index(drop=True)
+
+
+def _window_fixture():
+    hour = 3_600_000_000
+    # k=1: three peer rows at the same instant + one exactly window-width
+    # earlier (inclusive) + one just outside; k=2 independent
+    return pa.table({
+        "eid": [1, 2, 3, 4, 5, 6],
+        "k": [1, 1, 1, 1, 1, 2],
+        "ts": _ts("2024-01-01T12:00:00", "2024-01-01T12:00:00",
+                  "2024-01-01T12:00:00", "2024-01-01T10:00:00",
+                  "2024-01-01T09:59:59.999999", "2024-01-01T12:00:00"),
+        "v": [1, 2, 4, 8, 16, 32]}), 2 * hour
+
+
+def test_sliding_window_peers_and_boundary():
+    tbl, win = _window_fixture()
+    out = _window(tbl, window_us=win)
+    # peers at 12:00 see each other AND the row exactly 2h earlier; the row
+    # at 09:59:59.999999 is outside every 12:00 window
+    assert out["w_count"].tolist() == [4, 4, 4, 2, 1, 1]
+    assert out["w_sum_c"].tolist() == [15, 15, 15, 24, 16, 32]
+
+
+def test_sliding_window_fallback_matches_packed():
+    tbl, win = _window_fixture()
+    packed = _window(tbl, window_us=win)
+    looped = _window(tbl, window_us=win, pack_limit=1)
+    assert packed.equals(looped)
