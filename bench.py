@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "events_sessionize_sorted", "ensemble_cell_means", "cell_gradients",
     "rel_q3_shipping", "dedup_near_corpus", "media_features",
     "embedding_dup_pairs", "ann_topk_ivf",
+    # round 3 additions
+    "curate_corpus", "events_asof_order", "events_sliding_window",
 ]
 
 
