@@ -9,7 +9,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..sources.readers import read_parquet_clean
-from ..stages.temporal import asof_join, sliding_window_agg
+from ..stages.temporal import asof_join, interval_join, sliding_window_agg
 
 US_PER_DAY = 86_400_000_000
 ASOF_TOL_DAYS = 8766  # ~24 years: splits the fixture into matched + null
@@ -97,6 +97,46 @@ def events_sliding_window(sf_dir: str) -> ray.data.Dataset:
 
     return win.map_batches(finish, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+INCIDENT_MINUTES = 30
+
+
+def events_incident_window(sf_dir: str) -> ray.data.Dataset:
+    """Non-equi range join: every event within ±30 minutes of any 'error'
+    event, across ALL users (cross-user incident correlation — no equality
+    key). Self-matches excluded."""
+    half_us = INCIDENT_MINUTES * 60_000_000
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def to_windows(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["event_type"], "error"))
+        t = b["ts"]
+        return pa.table({
+            "incident_id": b["event_id"], "incident_ts": t,
+            "w_start": pc.subtract(t, pa.scalar(half_us, pa.duration("us"))),
+            "w_end": pc.add(t, pa.scalar(half_us, pa.duration("us")))})
+
+    windows = ev.map_batches(to_windows, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    joined = interval_join(
+        ev.select_columns(["event_id", "user_id", "ts"]), windows,
+        point_ts="ts", start="w_start", end="w_end",
+        payload=["incident_id", "incident_ts"],
+        tile_us=2 * half_us)  # tile = window length → replication ≤ 2
+    return joined.filter(
+        expr="event_id != incident_id")
+
+
+EVENTS_INCIDENT_SQL = f"""
+SELECT e.event_id, e.user_id, e.ts, x.event_id AS incident_id,
+       x.ts AS incident_ts
+FROM events e JOIN events x
+  ON x.event_type = 'error'
+ AND e.ts BETWEEN x.ts - INTERVAL {INCIDENT_MINUTES} MINUTES
+              AND x.ts + INTERVAL {INCIDENT_MINUTES} MINUTES
+ AND e.event_id != x.event_id
+"""
 
 
 EVENTS_SLIDING_SQL = f"""

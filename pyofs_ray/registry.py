@@ -479,6 +479,8 @@ register("events_asof_order_tol", temporal.events_asof_order_tol,
          temporal.EVENTS_ASOF_TOL_SQL)
 register("events_sliding_window", temporal.events_sliding_window,
          temporal.EVENTS_SLIDING_SQL)
+register("events_incident_window", temporal.events_incident_window,
+         temporal.EVENTS_INCIDENT_SQL)
 
 
 # ---------------------------------------- byte-identity audit (north_rule)

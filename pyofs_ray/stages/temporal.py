@@ -40,6 +40,13 @@ import ray.data
 _PACK_LIMIT = 1 << 62
 
 
+# Ray 2.49 quirk: a groupby partition holding no groups emits an empty
+# block with NO schema, and map_batches never runs on empty blocks, so an
+# ALL-empty join result cannot carry column types out of the pipeline
+# (`to_pandas()` yields a column-less frame). Harmless on real corpora
+# (results are non-empty); degenerate-input tests assert row counts only.
+
+
 def _ts_i64(col: pa.ChunkedArray) -> np.ndarray:
     """timestamp[us] (or int64) column → int64 numpy, zero-copy wherever
     Arrow allows it."""
@@ -110,7 +117,7 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
         out = {c: lt_tbl[c] for c in lcols}
         if nl == 0:
             return pa.table(
-                {f.name: pa.chunked_array([], f.type) for f in all_fields})
+                {f.name: pa.array([], type=f.type) for f in all_fields})
         if nr == 0:
             for c in out_payload:
                 out[c] = pa.nulls(nl, r_schema.field(c).type)
@@ -156,6 +163,100 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
 
     return both.groupby("_bucket").map_groups(join_bucket,
                                               batch_format="pyarrow")
+
+
+# ------------------------------------------------ non-equi interval join
+def interval_join(points: ray.data.Dataset, intervals: ray.data.Dataset, *,
+                  point_ts: str, start: str, end: str,
+                  payload: list[str], tile_us: int) -> ray.data.Dataset:
+    """Non-equi range join: every (point, interval) pair with
+    ``start <= point_ts <= end`` (both ends inclusive), no equality key.
+    Output = point columns ⊕ ``payload`` columns, one row per match.
+
+    Partitioning: time is tiled at ``tile_us``; a point lands in exactly
+    ONE tile, an interval replicates to every tile it overlaps — so a pair
+    can only meet in the point's own tile and needs no de-duplication (the
+    temporal analogue of the engine's spatial cell tiling,
+    `stages/pip.py` / `stages/tiles.py`). Pick ``tile_us`` ≳ the typical
+    interval length: the replication factor is ``1 + len/tile_us``.
+
+    Per-tile kernel: sort the tile's points once; two vectorized
+    ``searchsorted`` sweeps give every interval its matching point range;
+    pairs are emitted with ``np.repeat`` + cumulative-offset arithmetic —
+    no per-interval Python loop.
+    """
+    p_schema = points.schema()
+    p_schema = getattr(p_schema, "base_schema", p_schema)
+    pcols = list(p_schema.names)
+    i_schema = intervals.schema()
+    i_schema = getattr(i_schema, "base_schema", i_schema)
+    clash = [c for c in payload if c in pcols]
+    if clash:
+        raise ValueError(f"interval_join: payload columns {clash} collide "
+                         "with point columns — rename before joining")
+    all_fields = ([pa.field(n, p_schema.field(n).type) for n in pcols]
+                  + [pa.field(n, i_schema.field(n).type) for n in payload])
+
+    def _pad(b: pa.Table, extra: dict) -> dict:
+        cols = {}
+        for f in all_fields:
+            cols[f.name] = (b[f.name] if f.name in b.column_names
+                            else pa.nulls(len(b), f.type))
+        cols.update(extra)
+        return cols
+
+    def tag_points(b: pa.Table) -> pa.Table:
+        t = _ts_i64(b[point_ts])
+        return pa.table(_pad(b, {
+            "_tile": pa.array(t // tile_us),
+            "_side": pa.array(np.ones(len(b), np.int8)),
+            "_t0": pa.array(t), "_t1": pa.array(t)}))
+
+    def tag_intervals(b: pa.Table) -> pa.Table:
+        s, e = _ts_i64(b[start]), _ts_i64(b[end])
+        lo_tile, hi_tile = s // tile_us, e // tile_us
+        reps = (hi_tile - lo_tile + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(b), dtype=np.int64), reps)
+        offs = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(reps)[:-1]]), reps)
+        tile = lo_tile[idx] + offs
+        rep = b.take(pa.array(idx))
+        return pa.table(_pad(rep, {
+            "_tile": pa.array(tile),
+            "_side": pa.array(np.zeros(len(rep), np.int8)),
+            "_t0": pa.array(s[idx]), "_t1": pa.array(e[idx])}))
+
+    both = points.map_batches(tag_points, batch_format="pyarrow").union(
+        intervals.map_batches(tag_intervals, batch_format="pyarrow"))
+
+    def join_tile(g: pa.Table) -> pa.Table:
+        pts = g.filter(pc.equal(g["_side"], pa.scalar(1, pa.int8())))
+        ivs = g.filter(pc.equal(g["_side"], pa.scalar(0, pa.int8())))
+        empty = pa.table({f.name: pa.array([], type=f.type)
+                          for f in all_fields})
+        if len(pts) == 0 or len(ivs) == 0:
+            return empty
+        pt = pts["_t0"].to_numpy()
+        order = np.argsort(pt, kind="stable")
+        pt_sorted = pt[order]
+        lo = np.searchsorted(pt_sorted, ivs["_t0"].to_numpy(), side="left")
+        hi = np.searchsorted(pt_sorted, ivs["_t1"].to_numpy(), side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        iv_idx = np.repeat(np.arange(len(ivs), dtype=np.int64), counts)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+        p_idx = order[np.repeat(lo, counts) + offs]
+        out = {c: pc.take(pts[c].combine_chunks(), pa.array(p_idx))
+               for c in pcols}
+        for c in payload:
+            out[c] = pc.take(ivs[c].combine_chunks(), pa.array(iv_idx))
+        return pa.table(out)
+
+    return both.groupby("_tile").map_groups(join_tile,
+                                            batch_format="pyarrow")
 
 
 # ------------------------------------------------- sliding range window agg

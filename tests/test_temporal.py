@@ -9,7 +9,8 @@ import pytest
 import ray.data
 
 from pyofs_ray.pipelines import temporal
-from pyofs_ray.stages.temporal import asof_join, sliding_window_agg
+from pyofs_ray.stages.temporal import (asof_join, interval_join,
+                                       sliding_window_agg)
 
 from .conftest import SF_SMOKE, assert_matches_oracle
 
@@ -25,6 +26,8 @@ def _ts(*vals):
      temporal.EVENTS_ASOF_TOL_SQL),
     ("events_sliding_window", temporal.events_sliding_window,
      temporal.EVENTS_SLIDING_SQL),
+    ("events_incident_window", temporal.events_incident_window,
+     temporal.EVENTS_INCIDENT_SQL),
 ])
 def test_temporal_oracles(name, fn, sql, duck_smoke):
     assert_matches_oracle(fn(SF_SMOKE), duck_smoke, sql)
@@ -73,6 +76,43 @@ def test_asof_tolerance_boundary_is_inclusive():
     out = _asof(left, right, tolerance_us=10 * day)
     assert out["pay"].tolist()[0] == 42
     assert out["pay"].isna().tolist()[1]
+
+
+def test_interval_join_multi_tile_no_duplicates():
+    hour = 3_600_000_000
+    # one interval spanning three 1h tiles; a point in each tile, plus
+    # points exactly AT both inclusive endpoints and one just outside
+    pts = pa.table({"pid": [1, 2, 3, 4, 5, 6],
+                    "ts": _ts("2024-01-01T10:30:00",  # start tile
+                              "2024-01-01T11:30:00",  # middle tile
+                              "2024-01-01T12:15:00",  # end tile
+                              "2024-01-01T10:30:00",  # == start (inclusive)
+                              "2024-01-01T12:30:00",  # == end (inclusive)
+                              "2024-01-01T12:30:00.000001")})  # outside
+    ivs = pa.table({"iid": [9],
+                    "s": _ts("2024-01-01T10:30:00"),
+                    "e": _ts("2024-01-01T12:30:00")})
+    out = interval_join(ray.data.from_arrow(pts), ray.data.from_arrow(ivs),
+                        point_ts="ts", start="s", end="e",
+                        payload=["iid"], tile_us=hour).to_pandas()
+    assert sorted(out["pid"].tolist()) == [1, 2, 3, 4, 5]
+    assert (out["iid"] == 9).all()
+    # every match appears exactly once despite the 3-tile replication
+    assert out["pid"].is_unique
+
+
+def test_interval_join_empty_sides():
+    pts = pa.table({"pid": [1], "ts": _ts("2024-01-01")})
+    no_ivs = pa.table({"iid": pa.array([], pa.int64()),
+                       "s": pa.array([], pa.timestamp("us")),
+                       "e": pa.array([], pa.timestamp("us"))})
+    out = interval_join(ray.data.from_arrow(pts),
+                        ray.data.from_arrow(no_ivs),
+                        point_ts="ts", start="s", end="e",
+                        payload=["iid"], tile_us=3_600_000_000).to_pandas()
+    # Ray 2.49 cannot carry a schema through an ALL-empty groupby result
+    # (see stages/temporal.py) — row count is the contract here
+    assert len(out) == 0
 
 
 def _window(tbl, **kw):
