@@ -99,6 +99,45 @@ def events_sliding_window(sf_dir: str) -> ray.data.Dataset:
                            zero_copy_batch=True)
 
 
+def clicks_nearest_error(sf_dir: str) -> ray.data.Dataset:
+    """Each 'click' event joined to the same user's time-NEAREST 'error'
+    event (either direction; exact-distance ties → backward; equal-ts ties
+    → max err_id backward / min err_id forward). The ordered-join form of
+    the reference's nearest-time alignment
+    (`/root/reference/main/tracking/particle_contour.py:322`)."""
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    clicks = (ev.filter(expr="event_type == 'click'")
+                .select_columns(["event_id", "user_id", "ts"]))
+
+    def to_errors(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["event_type"], "error"))
+        return pa.table({"user_id": b["user_id"], "err_id": b["event_id"],
+                         "err_ts": b["ts"]})
+
+    errors = ev.map_batches(to_errors, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return asof_join(clicks, errors, key="user_id", left_ts="ts",
+                     right_ts="err_ts", payload=["err_id", "err_ts"],
+                     tiebreak="err_id", direction="nearest")
+
+
+CLICKS_NEAREST_ERROR_SQL = """
+SELECT event_id, user_id, ts, err_id, err_ts FROM (
+  SELECT c.event_id, c.user_id, c.ts,
+         x.event_id AS err_id, x.ts AS err_ts,
+         ROW_NUMBER() OVER (
+             PARTITION BY c.event_id
+             ORDER BY ABS(epoch_us(c.ts) - epoch_us(x.ts)) ASC,
+                      CASE WHEN x.ts <= c.ts THEN 0 ELSE 1 END ASC,
+                      CASE WHEN x.ts <= c.ts THEN -x.event_id
+                           ELSE x.event_id END ASC) AS rn
+  FROM (SELECT * FROM events WHERE event_type = 'click') c
+  LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') x
+    ON x.user_id = c.user_id
+) WHERE rn = 1
+"""
+
+
 INCIDENT_MINUTES = 30
 
 

@@ -481,6 +481,8 @@ register("events_sliding_window", temporal.events_sliding_window,
          temporal.EVENTS_SLIDING_SQL)
 register("events_incident_window", temporal.events_incident_window,
          temporal.EVENTS_INCIDENT_SQL)
+register("clicks_nearest_error", temporal.clicks_nearest_error,
+         temporal.CLICKS_NEAREST_ERROR_SQL)
 
 
 # ---------------------------------------- byte-identity audit (north_rule)

@@ -55,26 +55,73 @@ def _ts_i64(col: pa.ChunkedArray) -> np.ndarray:
 
 
 # --------------------------------------------------------------- as-of join
+def _match_backward(lk: np.ndarray, lt: np.ndarray, rk: np.ndarray,
+                    rt: np.ndarray, rtb: np.ndarray,
+                    tolerance_us: int | None) -> np.ndarray:
+    """Backward as-of matcher: per left row, the index of the right row
+    with the greatest ``(rt, rtb)`` such that ``rk == lk`` and
+    ``rt <= lt`` (and ``rt >= lt - tolerance_us`` when set); -1 if none.
+
+    Concatenate both sides, lexsort ``(key, ts, side, tiebreak)`` with
+    right-before-left at equal ts, then ``maximum.accumulate`` of right
+    positions — O(n log n), no per-key loop. Forward matching is this
+    function on negated ``lt``/``rt``/``rtb`` (min becomes max).
+    """
+    nl, nr = len(lk), len(rk)
+    k_all = np.concatenate([rk, lk])
+    t_all = np.concatenate([rt, lt])
+    s_all = np.concatenate([np.zeros(nr, np.int8), np.ones(nl, np.int8)])
+    tb_all = np.concatenate([rtb, np.zeros(nl, np.int64)])
+    order = np.lexsort((tb_all, s_all, t_all, k_all))
+    n = nl + nr
+    pos = np.arange(n, dtype=np.int64)
+    is_right = order < nr
+    last_right_pos = np.maximum.accumulate(np.where(is_right, pos, -1))
+    ks = k_all[order]
+    new_seg = np.empty(n, bool)
+    new_seg[0] = True
+    new_seg[1:] = ks[1:] != ks[:-1]
+    seg_start = np.maximum.accumulate(np.where(new_seg, pos, -1))
+    valid = (last_right_pos >= 0) & (last_right_pos >= seg_start)
+
+    lmask = ~is_right
+    l_orig = order[lmask] - nr
+    mvalid = valid[lmask]
+    r_orig = order[np.maximum(last_right_pos[lmask], 0)]
+    if tolerance_us is not None:
+        mvalid = mvalid & (t_all[r_orig] >= t_all[order[lmask]]
+                           - tolerance_us)
+    match = np.full(nl, -1, np.int64)
+    match[l_orig] = np.where(mvalid, r_orig, -1)
+    return match
+
+
 def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
               key: str, left_ts: str, right_ts: str,
               payload: list[str], tiebreak: str,
               tolerance_us: int | None = None,
+              direction: str = "backward",
               num_buckets: int = 64) -> ray.data.Dataset:
-    """Backward as-of join: for every left row, attach ``payload`` from the
-    right row with the greatest ``(right_ts, tiebreak)`` such that
-    ``right.key == left.key`` and ``right_ts <= left_ts`` (and, when
-    ``tolerance_us`` is set, ``right_ts >= left_ts - tolerance_us``).
-    Unmatched left rows keep null payload (left-outer semantics).
+    """As-of join: for every left row, attach ``payload`` from the
+    matching right row with ``right.key == left.key``; unmatched left rows
+    keep null payload (left-outer semantics).
+
+    ``direction`` picks the match among same-key right rows:
+
+    * ``"backward"`` (default): greatest ``(right_ts, tiebreak)`` with
+      ``right_ts <= left_ts`` (≥ ``left_ts - tolerance_us`` when set);
+    * ``"forward"``: least ``(right_ts, tiebreak)`` with
+      ``right_ts >= left_ts`` (≤ ``left_ts + tolerance_us`` when set);
+    * ``"nearest"``: whichever of the two is closer in time, backward
+      winning exact-distance ties — the ordered-join form of the
+      reference's ``.sel(time=..., method='nearest')`` alignment.
 
     ``tiebreak`` makes equal-timestamp right rows deterministic — required
     for the bit-exact SQL twin (plain ``ASOF JOIN`` leaves that tie
     unspecified).
-
-    Kernel: concatenate the bucket's two sides, lexsort by
-    ``(key, ts, side, tiebreak)`` with right-before-left at equal ts, then
-    ``maximum.accumulate`` of right positions gives every left row its most
-    recent in-segment right row in O(n log n) with no per-key loop.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     r_need = [key, right_ts, tiebreak] + [c for c in payload
                                           if c not in (key, right_ts, tiebreak)]
     right = right.select_columns(r_need)
@@ -123,38 +170,24 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
                 out[c] = pa.nulls(nl, r_schema.field(c).type)
             return pa.table(out)
 
-        k_all = np.concatenate([
-            rt_tbl[key].to_numpy(zero_copy_only=False).astype(np.int64),
-            lt_tbl[key].to_numpy(zero_copy_only=False).astype(np.int64)])
-        t_all = np.concatenate([rt_tbl["_ts"].to_numpy(),
-                                lt_tbl["_ts"].to_numpy()])
-        s_all = np.concatenate([np.zeros(nr, np.int8), np.ones(nl, np.int8)])
-        tb_all = np.concatenate([
-            rt_tbl[tiebreak].to_numpy(zero_copy_only=False).astype(np.int64),
-            np.zeros(nl, np.int64)])
-        order = np.lexsort((tb_all, s_all, t_all, k_all))
-        n = nl + nr
-        pos = np.arange(n, dtype=np.int64)
-        is_right = order < nr
-        last_right_pos = np.maximum.accumulate(np.where(is_right, pos, -1))
-        ks = k_all[order]
-        new_seg = np.empty(n, bool)
-        new_seg[0] = True
-        new_seg[1:] = ks[1:] != ks[:-1]
-        seg_start = np.maximum.accumulate(np.where(new_seg, pos, -1))
-        valid = (last_right_pos >= 0) & (last_right_pos >= seg_start)
-
-        lmask = ~is_right
-        l_orig = order[lmask] - nr
-        mpos = last_right_pos[lmask]
-        mvalid = valid[lmask]
-        r_orig = order[np.maximum(mpos, 0)]
-        if tolerance_us is not None:
-            rt_of_match = t_all[r_orig]
-            lt_of_left = t_all[order[lmask]]
-            mvalid = mvalid & (rt_of_match >= lt_of_left - tolerance_us)
-        match = np.full(nl, -1, np.int64)
-        match[l_orig] = np.where(mvalid, r_orig, -1)
+        lk = lt_tbl[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        rk = rt_tbl[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        lt, rt = lt_tbl["_ts"].to_numpy(), rt_tbl["_ts"].to_numpy()
+        rtb = rt_tbl[tiebreak].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if direction in ("backward", "nearest"):
+            mb = _match_backward(lk, lt, rk, rt, rtb, tolerance_us)
+        if direction in ("forward", "nearest"):
+            mf = _match_backward(lk, -lt, rk, -rt, -rtb, tolerance_us)
+        if direction == "backward":
+            match = mb
+        elif direction == "forward":
+            match = mf
+        else:
+            big = np.iinfo(np.int64).max
+            db = np.where(mb >= 0, lt - rt[np.maximum(mb, 0)], big)
+            df = np.where(mf >= 0, rt[np.maximum(mf, 0)] - lt, big)
+            match = np.where(db <= df, mb, mf)  # exact tie → backward
         idx = pa.array(np.maximum(match, 0).astype(np.int64),
                        mask=(match < 0))
         for c in out_payload:

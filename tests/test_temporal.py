@@ -28,6 +28,8 @@ def _ts(*vals):
      temporal.EVENTS_SLIDING_SQL),
     ("events_incident_window", temporal.events_incident_window,
      temporal.EVENTS_INCIDENT_SQL),
+    ("clicks_nearest_error", temporal.clicks_nearest_error,
+     temporal.CLICKS_NEAREST_ERROR_SQL),
 ])
 def test_temporal_oracles(name, fn, sql, duck_smoke):
     assert_matches_oracle(fn(SF_SMOKE), duck_smoke, sql)
@@ -76,6 +78,30 @@ def test_asof_tolerance_boundary_is_inclusive():
     out = _asof(left, right, tolerance_us=10 * day)
     assert out["pay"].tolist()[0] == 42
     assert out["pay"].isna().tolist()[1]
+
+
+def test_asof_forward_direction():
+    left = pa.table({"event_id": [1, 2], "k": [7, 7],
+                     "ts": _ts("2024-01-10", "2024-01-20")})
+    # forward: least (rts, tb) with rts >= ts; a row exactly AT ts matches;
+    # equal-rts ties pick MIN tiebreak (mirror of backward's max)
+    right = pa.table({"k": [7, 7, 7], "rts": _ts("2024-01-10", "2024-01-10",
+                                                 "2024-01-25"),
+                      "tb": [3, 9, 1], "pay": [30, 90, 10]})
+    out = _asof(left, right, direction="forward")
+    assert out["pay"].tolist() == [30, 10]
+
+
+def test_asof_nearest_tie_prefers_backward():
+    left = pa.table({"event_id": [1, 2, 3], "k": [7, 7, 7],
+                     "ts": _ts("2024-01-10", "2024-01-19", "2024-01-21")})
+    right = pa.table({"k": [7, 7], "rts": _ts("2024-01-05", "2024-01-15"),
+                      "tb": [1, 2], "pay": [50, 150]})
+    # id1: backward 5d vs forward 5d → exact tie, backward (pay=50)
+    # id2: nearest is backward 2024-01-15 (4d vs none forward)
+    # id3: only backward candidates → 2024-01-15
+    out = _asof(left, right, direction="nearest")
+    assert out["pay"].tolist() == [50, 150, 150]
 
 
 def test_interval_join_multi_tile_no_duplicates():
