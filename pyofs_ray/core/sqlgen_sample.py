@@ -46,3 +46,31 @@ q1 AS (SELECT *, {_mulmod64('xor(z0, z0 >> 30)', _C1)} AS z1 FROM q0),
 q2 AS (SELECT *, {_mulmod64('xor(z1, z1 >> 27)', _C2)} AS z2 FROM q1)
 SELECT {select} FROM q2 WHERE xor(z2, z2 >> 31) % {den} < {num}
 """
+
+
+def stratified_sample_sql(table: str, key_col: str, stratum_col: str,
+                          rates: dict[str, float], default_rate: float,
+                          salt: int = 0, select: str = "*") -> str:
+    """Twin of `stages/sample.stratified_hash_sample`: identical mix chain,
+    per-stratum threshold via a CASE lookup (stratum literals are
+    single-quote-escaped)."""
+    if "*" in select:
+        raise ValueError(
+            "stratified_sample_sql needs an explicit column list: the CTE "
+            "chain adds mix columns z0..z2 which '*' would leak")
+    den = 1 << 20
+    arms = " ".join(
+        f"WHEN '{s.replace(chr(39), chr(39) * 2)}' "
+        f"THEN {int(round(r * den))}"
+        for s, r in rates.items())
+    thr = (f"CASE {stratum_col} {arms} "
+           f"ELSE {int(round(default_rate * den))} END")
+    key = to_u64(key_col)
+    if salt:
+        key = f"xor({key}, {salt})"
+    return f"""
+WITH q0 AS (SELECT {select}, (({key}) + {_GOLDEN}) % {MOD64} AS z0 FROM {table}),
+q1 AS (SELECT *, {_mulmod64('xor(z0, z0 >> 30)', _C1)} AS z1 FROM q0),
+q2 AS (SELECT *, {_mulmod64('xor(z1, z1 >> 27)', _C2)} AS z2 FROM q1)
+SELECT {select} FROM q2 WHERE xor(z2, z2 >> 31) % {den} < {thr}
+"""

@@ -224,6 +224,29 @@ register("doc_sample", _doc_sample,
          hash_sample_sql("documents", "doc_id", 0.1, salt=7,
                          select="doc_id, lang"))
 
+_STRATA_RATES = {"en": 0.25}  # down-sample the dominant language
+_STRATA_DEFAULT = 0.75  # minority languages kept at 3× the en rate
+
+
+def _doc_stratified_sample(sf_dir: str):
+    """Corpus-balancing sample: per-language rates, same splitmix64 draw
+    per doc across strata (changing one stratum's rate never reshuffles
+    another's sample)."""
+    from .stages.sample import stratified_hash_sample
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang", "n_chars"])
+    return stratified_hash_sample(ds, "doc_id", "lang", _STRATA_RATES,
+                                  _STRATA_DEFAULT, salt=17)
+
+
+from .core.sqlgen_sample import stratified_sample_sql  # noqa: E402
+
+register("doc_stratified_sample", _doc_stratified_sample,
+         stratified_sample_sql("documents", "doc_id", "lang",
+                               _STRATA_RATES, _STRATA_DEFAULT, salt=17,
+                               select="doc_id, lang, n_chars"))
+
 
 # -------------------------------- compositing / stencil / validation (A4/J5/J6/A6)
 from .pipelines import validation  # noqa: E402

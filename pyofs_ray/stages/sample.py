@@ -34,3 +34,32 @@ def hash_sample(ds: ray.data.Dataset, key_col: str, rate: float,
         return b.filter(pa.array(keep))
 
     return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def stratified_hash_sample(ds: ray.data.Dataset, key_col: str,
+                           stratum_col: str, rates: dict[str, float],
+                           default_rate: float,
+                           salt: int = 0) -> ray.data.Dataset:
+    """Per-stratum deterministic sampling — the corpus-balancing form
+    (down-sample a dominant language/source, keep minority strata at a
+    higher rate). Same splitmix64 filter as ``hash_sample`` with the
+    threshold looked up from the row's ``stratum_col``; strata absent from
+    ``rates`` use ``default_rate``. Deterministic, coordination-free,
+    stable under re-partitioning — and a row keeps the SAME hash draw
+    across strata, so changing one stratum's rate never reshuffles
+    another's sample."""
+    den = 1 << 20
+    nums = {s: int(round(r * den)) for s, r in rates.items()}
+    default_num = int(round(default_rate * den))
+
+    def filt(b: pa.Table) -> pa.Table:
+        k = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(k.view(np.uint64) ^ np.uint64(salt))
+        strat = b[stratum_col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(strat, return_inverse=True)
+        thr = np.array([nums.get(s, default_num) for s in uniq],
+                       dtype=np.uint64)[inv]
+        keep = (h % np.uint64(den)) < thr
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)

@@ -453,6 +453,28 @@ def test_hash_sample_deterministic_and_rate():
     assert set(s4.doc_id) <= set(s1.doc_id)
 
 
+def test_stratified_sample_rates_and_same_draw():
+    from pyofs_ray.stages.sample import hash_sample, stratified_hash_sample
+    langs = ["en", "fr", "de"]
+    ds = ray.data.range(60_000).map_batches(
+        lambda b: pa.table({
+            "doc_id": b["id"],
+            "lang": pa.array([langs[i % 3] for i in b["id"].to_pylist()])}),
+        batch_format="pyarrow")
+    out = stratified_hash_sample(ds, "doc_id", "lang",
+                                 {"en": 0.2}, 0.6, salt=7).to_pandas()
+    per = out.groupby("lang").size()
+    assert abs(per["en"] / 20_000 - 0.2) < 0.02    # named stratum rate
+    assert abs(per["fr"] / 20_000 - 0.6) < 0.02    # default rate
+    assert abs(per["de"] / 20_000 - 0.6) < 0.02
+    # same hash draw across strata: a stratum's sample equals the flat
+    # sample at that rate restricted to the stratum — so changing one
+    # stratum's rate never reshuffles another's selection
+    flat = hash_sample(ds, "doc_id", rate=0.2, salt=7).to_pandas()
+    assert (set(out[out.lang == "en"].doc_id)
+            == set(flat[flat.lang == "en"].doc_id))
+
+
 def test_dup_free_corpus_through_cc_and_anti_join_paths():
     """Dup-free corpus (empty pair set) through distributed components and
     the anti-join drop filter — every path must keep all docs, not crash
