@@ -48,6 +48,31 @@ SELECT {select} FROM q2 WHERE xor(z2, z2 >> 31) % {den} < {num}
 """
 
 
+def hash_split_sql(table: str, key_col: str, splits: dict[str, float],
+                   salt: int = 0, select: str = "*",
+                   out_col: str = "split") -> str:
+    """Twin of `stages/sample.hash_split`: identical mix chain, split label
+    by half-open hash-bucket ranges in ``splits`` iteration order."""
+    if "*" in select:
+        raise ValueError("hash_split_sql needs an explicit column list")
+    den = 1 << 20
+    arms, cum = [], 0.0
+    for name, frac in splits.items():
+        cum += frac  # rounded CUMULATIVE bounds, mirroring hash_split
+        arms.append(f"WHEN h < {int(round(cum * den))} THEN '{name}'")
+    case = f"CASE {' '.join(arms)} ELSE '' END"
+    key = to_u64(key_col)
+    if salt:
+        key = f"xor({key}, {salt})"
+    return f"""
+WITH q0 AS (SELECT {select}, (({key}) + {_GOLDEN}) % {MOD64} AS z0 FROM {table}),
+q1 AS (SELECT *, {_mulmod64('xor(z0, z0 >> 30)', _C1)} AS z1 FROM q0),
+q2 AS (SELECT *, {_mulmod64('xor(z1, z1 >> 27)', _C2)} AS z2 FROM q1),
+q3 AS (SELECT *, xor(z2, z2 >> 31) % {den} AS h FROM q2)
+SELECT {select}, {case} AS {out_col} FROM q3
+"""
+
+
 def stratified_sample_sql(table: str, key_col: str, stratum_col: str,
                           rates: dict[str, float], default_rate: float,
                           salt: int = 0, select: str = "*") -> str:

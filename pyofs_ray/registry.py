@@ -247,6 +247,25 @@ register("doc_stratified_sample", _doc_stratified_sample,
                                _STRATA_RATES, _STRATA_DEFAULT, salt=17,
                                select="doc_id, lang, n_chars"))
 
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _doc_splits(sf_dir: str):
+    """Deterministic train/val/test assignment over the corpus — disjoint
+    and exhaustive hash-bucket ranges, stable under repartition/resume."""
+    from .stages.sample import hash_split
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang"])
+    return hash_split(ds, "doc_id", _SPLITS, salt=23)
+
+
+from .core.sqlgen_sample import hash_split_sql  # noqa: E402
+
+register("doc_splits", _doc_splits,
+         hash_split_sql("documents", "doc_id", _SPLITS, salt=23,
+                        select="doc_id, lang"))
+
 
 # -------------------------------- compositing / stencil / validation (A4/J5/J6/A6)
 from .pipelines import validation  # noqa: E402

@@ -36,6 +36,40 @@ def hash_sample(ds: ray.data.Dataset, key_col: str, rate: float,
     return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def hash_split(ds: ray.data.Dataset, key_col: str,
+               splits: dict[str, float], salt: int = 0,
+               out_col: str = "split") -> ray.data.Dataset:
+    """Deterministic train/val/test assignment: each row gets the label of
+    the half-open hash-bucket range its ``splitmix64(key ^ salt)`` draw
+    falls in, in ``splits`` iteration order (fractions must sum to ≤1;
+    any remainder is labeled ``""``). Exhaustive and disjoint by
+    construction, stable under re-partitioning/resume, and consistent
+    with ``hash_sample`` at the same salt (the first split IS that
+    sample)."""
+    den = 1 << 20
+    # bounds from ROUNDED CUMULATIVE fractions (rounding each fraction
+    # separately can overflow den by the accumulated rounding error)
+    bounds, labels, cum = [], [], 0.0
+    for name, frac in splits.items():
+        cum += frac
+        bounds.append(int(round(cum * den)))
+        labels.append(name)
+    if bounds and bounds[-1] > den:
+        raise ValueError(f"hash_split: fractions sum to {cum:.4f} > 1")
+    labels.append("")
+    lab_arr = np.array(labels)
+    b_arr = np.array(bounds, dtype=np.uint64)
+
+    def assign(b: pa.Table) -> pa.Table:
+        k = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(k.view(np.uint64) ^ np.uint64(salt)) % np.uint64(den)
+        idx = np.searchsorted(b_arr, h, side="right")
+        return b.append_column(out_col, pa.array(lab_arr[idx]))
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def stratified_hash_sample(ds: ray.data.Dataset, key_col: str,
                            stratum_col: str, rates: dict[str, float],
                            default_rate: float,

@@ -453,6 +453,22 @@ def test_hash_sample_deterministic_and_rate():
     assert set(s4.doc_id) <= set(s1.doc_id)
 
 
+def test_hash_split_exhaustive_disjoint_consistent():
+    from pyofs_ray.stages.sample import hash_sample, hash_split
+    ds = ray.data.range(50_000).map_batches(
+        lambda b: pa.table({"doc_id": b["id"]}), batch_format="pyarrow")
+    out = hash_split(ds, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+                     salt=23).to_pandas()
+    assert len(out) == 50_000                       # exhaustive, one row each
+    frac = out.groupby("split").size() / 50_000
+    assert set(frac.index) == {"train", "val", "test"}  # no remainder label
+    assert abs(frac["train"] - 0.8) < 0.01
+    assert abs(frac["val"] - 0.1) < 0.01
+    # the first split IS the flat sample at that rate and salt
+    flat = hash_sample(ds, "doc_id", rate=0.8, salt=23).to_pandas()
+    assert set(out[out.split == "train"].doc_id) == set(flat.doc_id)
+
+
 def test_stratified_sample_rates_and_same_draw():
     from pyofs_ray.stages.sample import hash_sample, stratified_hash_sample
     langs = ["en", "fr", "de"]
