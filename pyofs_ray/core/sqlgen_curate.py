@@ -38,7 +38,7 @@ filtered AS (
   FROM documents d
   JOIN langs l USING (doc_id)
   JOIN stats s USING (doc_id)
-  WHERE l.lang_pred = '{lang}' AND s.n_tokens >= {min_tokens}
+  WHERE l.lang_pred = '{lang.replace(chr(39), chr(39) * 2)}' AND s.n_tokens >= {min_tokens}
     AND s.punct_ratio < CAST('{max_punct}' AS DOUBLE)
 ),
 exact AS (

@@ -29,46 +29,54 @@ def to_u64(col: str) -> str:
             f"ELSE CAST({col} AS HUGEINT) END)")
 
 
-def hash_sample_sql(table: str, key_col: str, rate: float, salt: int = 0,
-                    select: str = "*") -> str:
+_DEN = 1 << 20
+
+
+def _quote(s: str) -> str:
+    """Single-quoted SQL string literal, quotes doubled."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _mix_ctes(table: str, key_col: str, salt: int, select: str,
+              caller: str) -> str:
+    """The shared splitmix64 CTE chain (q0→q2, final draw = xor(z2,
+    z2 >> 31) % 2²⁰). ONE copy — every sampler twin composes this, so a
+    fix to the mix lands everywhere at once."""
     if "*" in select:
         raise ValueError(
-            "hash_sample_sql needs an explicit column list: the CTE chain "
-            "adds mix columns z0..z2 which '*' would leak into the result")
-    den = 1 << 20
-    num = int(round(rate * den))
+            f"{caller} needs an explicit column list: the CTE chain adds "
+            "mix columns z0..z2 which '*' would leak into the result")
     key = to_u64(key_col)
     if salt:
         key = f"xor({key}, {salt})"
     return f"""
 WITH q0 AS (SELECT {select}, (({key}) + {_GOLDEN}) % {MOD64} AS z0 FROM {table}),
 q1 AS (SELECT *, {_mulmod64('xor(z0, z0 >> 30)', _C1)} AS z1 FROM q0),
-q2 AS (SELECT *, {_mulmod64('xor(z1, z1 >> 27)', _C2)} AS z2 FROM q1)
-SELECT {select} FROM q2 WHERE xor(z2, z2 >> 31) % {den} < {num}
+q2 AS (SELECT *, {_mulmod64('xor(z1, z1 >> 27)', _C2)} AS z2 FROM q1)"""
+
+
+def hash_sample_sql(table: str, key_col: str, rate: float, salt: int = 0,
+                    select: str = "*") -> str:
+    """Twin of `stages/sample.hash_sample`."""
+    num = int(round(rate * _DEN))
+    return f"""{_mix_ctes(table, key_col, salt, select, 'hash_sample_sql')}
+SELECT {select} FROM q2 WHERE xor(z2, z2 >> 31) % {_DEN} < {num}
 """
 
 
 def hash_split_sql(table: str, key_col: str, splits: dict[str, float],
                    salt: int = 0, select: str = "*",
                    out_col: str = "split") -> str:
-    """Twin of `stages/sample.hash_split`: identical mix chain, split label
-    by half-open hash-bucket ranges in ``splits`` iteration order."""
-    if "*" in select:
-        raise ValueError("hash_split_sql needs an explicit column list")
-    den = 1 << 20
+    """Twin of `stages/sample.hash_split`: split label by half-open
+    hash-bucket ranges in ``splits`` iteration order (bounds from rounded
+    CUMULATIVE fractions, mirroring the stage)."""
     arms, cum = [], 0.0
     for name, frac in splits.items():
-        cum += frac  # rounded CUMULATIVE bounds, mirroring hash_split
-        arms.append(f"WHEN h < {int(round(cum * den))} THEN '{name}'")
+        cum += frac
+        arms.append(f"WHEN h < {int(round(cum * _DEN))} THEN {_quote(name)}")
     case = f"CASE {' '.join(arms)} ELSE '' END"
-    key = to_u64(key_col)
-    if salt:
-        key = f"xor({key}, {salt})"
-    return f"""
-WITH q0 AS (SELECT {select}, (({key}) + {_GOLDEN}) % {MOD64} AS z0 FROM {table}),
-q1 AS (SELECT *, {_mulmod64('xor(z0, z0 >> 30)', _C1)} AS z1 FROM q0),
-q2 AS (SELECT *, {_mulmod64('xor(z1, z1 >> 27)', _C2)} AS z2 FROM q1),
-q3 AS (SELECT *, xor(z2, z2 >> 31) % {den} AS h FROM q2)
+    return f"""{_mix_ctes(table, key_col, salt, select, 'hash_split_sql')},
+q3 AS (SELECT *, xor(z2, z2 >> 31) % {_DEN} AS h FROM q2)
 SELECT {select}, {case} AS {out_col} FROM q3
 """
 
@@ -76,26 +84,14 @@ SELECT {select}, {case} AS {out_col} FROM q3
 def stratified_sample_sql(table: str, key_col: str, stratum_col: str,
                           rates: dict[str, float], default_rate: float,
                           salt: int = 0, select: str = "*") -> str:
-    """Twin of `stages/sample.stratified_hash_sample`: identical mix chain,
-    per-stratum threshold via a CASE lookup (stratum literals are
-    single-quote-escaped)."""
-    if "*" in select:
-        raise ValueError(
-            "stratified_sample_sql needs an explicit column list: the CTE "
-            "chain adds mix columns z0..z2 which '*' would leak")
-    den = 1 << 20
-    arms = " ".join(
-        f"WHEN '{s.replace(chr(39), chr(39) * 2)}' "
-        f"THEN {int(round(r * den))}"
-        for s, r in rates.items())
+    """Twin of `stages/sample.stratified_hash_sample`: per-stratum
+    threshold via a CASE lookup (NULL strata fall to the ELSE default,
+    matching the stage's null handling)."""
+    arms = " ".join(f"WHEN {_quote(s)} THEN {int(round(r * _DEN))}"
+                    for s, r in rates.items())
     thr = (f"CASE {stratum_col} {arms} "
-           f"ELSE {int(round(default_rate * den))} END")
-    key = to_u64(key_col)
-    if salt:
-        key = f"xor({key}, {salt})"
-    return f"""
-WITH q0 AS (SELECT {select}, (({key}) + {_GOLDEN}) % {MOD64} AS z0 FROM {table}),
-q1 AS (SELECT *, {_mulmod64('xor(z0, z0 >> 30)', _C1)} AS z1 FROM q0),
-q2 AS (SELECT *, {_mulmod64('xor(z1, z1 >> 27)', _C2)} AS z2 FROM q1)
-SELECT {select} FROM q2 WHERE xor(z2, z2 >> 31) % {den} < {thr}
+           f"ELSE {int(round(default_rate * _DEN))} END")
+    return f"""{_mix_ctes(table, key_col, salt, select,
+                          'stratified_sample_sql')}
+SELECT {select} FROM q2 WHERE xor(z2, z2 >> 31) % {_DEN} < {thr}
 """

@@ -26,7 +26,10 @@ from ..sources.readers import read_parquet_clean
 
 
 def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
-    return pc.cast(pc.round(pc.multiply(arr, pa.scalar(100.0))), pa.int64())
+    # half_towards_infinity = DuckDB ROUND's half-away-from-zero; pyarrow's
+    # default half_to_even would diverge on exact-.5 cent products
+    return pc.cast(pc.round(pc.multiply(arr, pa.scalar(100.0)),
+                            round_mode="half_towards_infinity"), pa.int64())
 
 
 # --------------------------------------------------------------- Q1 pricing
@@ -163,8 +166,9 @@ def events_daily(sf_dir: str) -> ray.data.Dataset:
 
     def prep(b: pa.Table) -> pa.Table:
         day = pc.floor_temporal(b["ts"], unit="day")
-        val_c = pc.cast(pc.round(pc.multiply(
-            pc.fill_null(b["value"], 0.0), pa.scalar(100.0))), pa.int64())
+        val_c = pc.cast(pc.round(
+            pc.multiply(pc.fill_null(b["value"], 0.0), pa.scalar(100.0)),
+            round_mode="half_towards_infinity"), pa.int64())
         return pa.table({"day": day, "event_type": b["event_type"], "val_c": val_c})
 
     agg = two_stage_cell_agg(ds.map_batches(prep, batch_format="pyarrow"),
@@ -239,7 +243,9 @@ def user_event_means(sf_dir: str) -> ray.data.Dataset:
     def prep(b: pa.Table) -> pa.Table:
         b = b.filter(pc.is_valid(b["value"]))
         return pa.table({"user_id": b["user_id"],
-                         "val_c": pc.cast(pc.round(pc.multiply(b["value"], pa.scalar(100.0))), pa.int64())})
+                         "val_c": pc.cast(pc.round(
+                             pc.multiply(b["value"], pa.scalar(100.0)),
+                             round_mode="half_towards_infinity"), pa.int64())})
 
     agg = two_stage_cell_agg(ds.map_batches(prep, batch_format="pyarrow"),
                              keys=("user_id",), int_sum_cols=("val_c",),
@@ -303,8 +309,9 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
 
     def prep(b: pa.Table) -> pa.Table:
         hour = round_to_hour(b["ts"].to_numpy(zero_copy_only=False))
-        val_c = pc.cast(pc.round(pc.multiply(
-            pc.fill_null(b["value"], 0.0), pa.scalar(100.0))), pa.int64())
+        val_c = pc.cast(pc.round(
+            pc.multiply(pc.fill_null(b["value"], 0.0), pa.scalar(100.0)),
+            round_mode="half_towards_infinity"), pa.int64())
         return pa.table({"hour": pa.array(hour, pa.timestamp("us")),
                          "event_type": b["event_type"], "val_c": val_c})
 

@@ -78,8 +78,10 @@ def events_sliding_window(sf_dir: str) -> ray.data.Dataset:
     ev = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
 
     def to_cents(b: pa.Table) -> pa.Table:
-        val_c = pc.cast(pc.round(pc.multiply(
-            pc.fill_null(b["value"], 0.0), pa.scalar(100.0))), pa.int64())
+        # half_towards_infinity = DuckDB ROUND (half-away-from-zero)
+        val_c = pc.cast(pc.round(
+            pc.multiply(pc.fill_null(b["value"], 0.0), pa.scalar(100.0)),
+            round_mode="half_towards_infinity"), pa.int64())
         return b.drop_columns(["value"]).append_column("val_c", val_c)
 
     win = sliding_window_agg(

@@ -89,10 +89,15 @@ def stratified_hash_sample(ds: ray.data.Dataset, key_col: str,
     def filt(b: pa.Table) -> pa.Table:
         k = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
         h = splitmix64(k.view(np.uint64) ^ np.uint64(salt))
-        strat = b[stratum_col].to_numpy(zero_copy_only=False)
+        col = b[stratum_col]
+        # null strata take default_rate — matching the SQL twin, whose
+        # CASE matches no arm on NULL (np.unique would choke on None)
+        isnull = pc.is_null(col).to_numpy(zero_copy_only=False)
+        strat = pc.fill_null(col, "").to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(strat, return_inverse=True)
         thr = np.array([nums.get(s, default_num) for s in uniq],
                        dtype=np.uint64)[inv]
+        thr[isnull] = default_num
         keep = (h % np.uint64(den)) < thr
         return b.filter(pa.array(keep))
 

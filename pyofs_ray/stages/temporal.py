@@ -122,19 +122,23 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"asof_join: unknown direction {direction!r}")
-    r_need = [key, right_ts, tiebreak] + [c for c in payload
-                                          if c not in (key, right_ts, tiebreak)]
+    if key in payload:
+        raise ValueError("asof_join: the join key is already a left "
+                         "column — drop it from payload")
+    out_payload = list(payload)
+    # right_ts / tiebreak travel as internal _ts / _tb columns; they reach
+    # the output only if the caller lists them in payload
+    r_need = list(dict.fromkeys([key, right_ts, tiebreak] + out_payload))
     right = right.select_columns(r_need)
     l_schema = left.schema()
     l_schema = getattr(l_schema, "base_schema", l_schema)
     lcols = list(l_schema.names)
     r_schema = right.schema()
     r_schema = getattr(r_schema, "base_schema", r_schema)
-    out_payload = [c for c in r_need if c != key]
     clash = [c for c in out_payload if c in lcols]
     if clash:
-        raise ValueError(f"asof_join: right columns {clash} collide with "
-                         "left columns — rename before joining")
+        raise ValueError(f"asof_join: payload columns {clash} collide "
+                         "with left columns — rename before joining")
     all_fields = ([pa.field(n, l_schema.field(n).type) for n in lcols]
                   + [pa.field(n, r_schema.field(n).type) for n in out_payload])
 
@@ -147,11 +151,15 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
             for f in all_fields:
                 cols[f.name] = (b[f.name] if f.name in b.column_names
                                 else pa.nulls(len(b), f.type))
+            tb = (b[tiebreak].to_numpy(zero_copy_only=False)
+                  .astype(np.int64) if side == 0
+                  else np.zeros(len(b), np.int64))
             t = pa.table(cols)
             return (t.append_column("_bucket", bucket)
                      .append_column("_side", pa.array(
                          np.full(len(b), side, np.int8)))
-                     .append_column("_ts", pa.array(_ts_i64(b[ts_col]))))
+                     .append_column("_ts", pa.array(_ts_i64(b[ts_col])))
+                     .append_column("_tb", pa.array(tb)))
         return fn
 
     both = left.map_batches(tag(1, left_ts), batch_format="pyarrow").union(
@@ -173,8 +181,7 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
         lk = lt_tbl[key].to_numpy(zero_copy_only=False).astype(np.int64)
         rk = rt_tbl[key].to_numpy(zero_copy_only=False).astype(np.int64)
         lt, rt = lt_tbl["_ts"].to_numpy(), rt_tbl["_ts"].to_numpy()
-        rtb = rt_tbl[tiebreak].to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        rtb = rt_tbl["_tb"].to_numpy()
         if direction in ("backward", "nearest"):
             mb = _match_backward(lk, lt, rk, rt, rtb, tolerance_us)
         if direction in ("forward", "nearest"):
@@ -335,6 +342,13 @@ def sliding_window_agg(events: ray.data.Dataset, *, key: str, ts: str,
         nseg = int(seg_id[-1]) + 1
         counts = np.empty(n, np.int64)
         sums = np.empty(n, np.int64) if value_cents else None
+        if value_cents and g[value_cents].null_count:
+            # a null would round-trip through float64 NaN → INT64_MIN and
+            # silently poison every overlapping window's prefix-sum
+            raise ValueError(
+                f"sliding_window_agg: {value_cents!r} contains nulls — "
+                "fill them upstream (the SQL RANGE-frame twin needs an "
+                "explicit COALESCE policy anyway)")
         vals = (g[value_cents].to_numpy(zero_copy_only=False)
                 .astype(np.int64)[order] if value_cents else None)
         if offset * nseg < pack_limit:

@@ -547,7 +547,6 @@ def test_curate_corpus_oracle_and_checkpoint(duck_smoke, monkeypatch):
         spills.append(out.count())
         return out
 
-    monkeypatch.setattr(pairs_mod, "_spill_emitted", orig)
     monkeypatch.setattr(corpus_mod, "_docs_count", lambda _: 10**9)
     monkeypatch.setattr(pairs_mod, "spill_to_parquet", spill_spy)
     ckpt = corpus_mod.curate_corpus(SF_SMOKE).to_pandas()

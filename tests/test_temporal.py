@@ -39,7 +39,7 @@ def _asof(left, right, **kw):
     out = asof_join(
         ray.data.from_arrow(left), ray.data.from_arrow(right),
         key="k", left_ts="ts", right_ts="rts",
-        payload=["rts", "pay"], tiebreak="tb", **kw).to_pandas()
+        payload=["rts", "tb", "pay"], tiebreak="tb", **kw).to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
 
 
