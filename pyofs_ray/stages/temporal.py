@@ -68,6 +68,8 @@ def _match_backward(lk: np.ndarray, lt: np.ndarray, rk: np.ndarray,
     function on negated ``lt``/``rt``/``rtb`` (min becomes max).
     """
     nl, nr = len(lk), len(rk)
+    if nl == 0 or nr == 0:
+        return np.full(nl, -1, np.int64)
     k_all = np.concatenate([rk, lk])
     t_all = np.concatenate([rt, lt])
     s_all = np.concatenate([np.zeros(nr, np.int8), np.ones(nl, np.int8)])

@@ -12,6 +12,8 @@ from pyofs_ray.sources.fixtures import Polygon
 from pyofs_ray.stages.interp import Q, _axis_corners
 from pyofs_ray.stages.pip import PolygonIndex
 
+from pyofs_ray.stages.temporal import _match_backward
+
 keys = st.integers(min_value=0, max_value=2**40)
 lons = st.integers(min_value=-geom.LON_OFFSET, max_value=geom.LON_OFFSET - 1)
 lats = st.integers(min_value=-geom.LAT_OFFSET, max_value=geom.LAT_OFFSET)
@@ -93,3 +95,33 @@ def test_bilinear_axis_invariants(pos, z):
         assert 0 <= i0[0] <= n - 2
     else:
         assert i0[0] == 0
+
+
+_small = st.integers(min_value=0, max_value=3)
+_ts_vals = st.integers(min_value=-5, max_value=5)
+
+
+@settings(max_examples=300, deadline=None)
+@given(data=st.data())
+def test_asof_match_backward_vs_bruteforce(data):
+    """The lexsort+maximum.accumulate as-of matcher vs an O(n·m) scalar
+    reference over adversarial tiny inputs: colliding keys, peer
+    timestamps, tolerance boundaries. Unique tiebreaks keep the expected
+    winner well-defined."""
+    nl = data.draw(st.integers(min_value=0, max_value=10))
+    nr = data.draw(st.integers(min_value=0, max_value=10))
+    lk = np.array([data.draw(_small) for _ in range(nl)], np.int64)
+    lt = np.array([data.draw(_ts_vals) for _ in range(nl)], np.int64)
+    rk = np.array([data.draw(_small) for _ in range(nr)], np.int64)
+    rt = np.array([data.draw(_ts_vals) for _ in range(nr)], np.int64)
+    rtb = np.array(data.draw(st.permutations(range(nr)))
+                   if nr else [], np.int64)
+    tol = data.draw(st.one_of(st.none(), st.integers(0, 6)))
+    got = _match_backward(lk, lt, rk, rt, rtb, tol)
+    for i in range(nl):
+        cands = [j for j in range(nr)
+                 if rk[j] == lk[i] and rt[j] <= lt[i]
+                 and (tol is None or rt[j] >= lt[i] - tol)]
+        exp = (max(cands, key=lambda j: (rt[j], rtb[j]))
+               if cands else -1)
+        assert got[i] == exp, (i, lk[i], lt[i], list(zip(rk, rt, rtb)), tol)
