@@ -302,6 +302,46 @@ def interval_join(points: ray.data.Dataset, intervals: ray.data.Dataset, *,
 
 
 # ------------------------------------------------- sliding range window agg
+def _window_bounds(ks: np.ndarray, tss: np.ndarray, window_us: int,
+                   pack_limit: int = _PACK_LIMIT
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row half-open range-window index bounds ``[lo, hi)`` over arrays
+    ALREADY sorted by ``(key, ts)``: row i's window covers rows of the same
+    key with ``ts in [ts_i - window_us, ts_i]`` (peers at the identical ts
+    included — SQL RANGE-frame semantics).
+
+    Packs ``(segment, ts)`` onto one int64 axis — ``shifted = (ts - tmin)
+    + seg_id * offset`` with ``offset > span + window`` — so two global
+    ``searchsorted`` sweeps resolve every row at once; falls back to
+    per-key slices when ``offset × #keys`` would overflow the packed axis.
+    """
+    n = len(ks)
+    if n == 0:
+        z = np.empty(0, np.int64)
+        return z, z.copy()
+    new_seg = np.empty(n, bool)
+    new_seg[0] = True
+    new_seg[1:] = ks[1:] != ks[:-1]
+    seg_id = np.cumsum(new_seg) - 1
+    tmin = int(tss.min())
+    offset = (int(tss.max()) - tmin) + window_us + 2
+    nseg = int(seg_id[-1]) + 1
+    if offset * nseg < pack_limit:
+        shifted = (tss - tmin) + seg_id * offset
+        hi = np.searchsorted(shifted, shifted, side="right")
+        lo = np.searchsorted(shifted, shifted - window_us, side="left")
+        return lo, hi
+    # packed axis would overflow: per-key slices (multi-century spans)
+    lo = np.empty(n, np.int64)
+    hi = np.empty(n, np.int64)
+    starts = np.flatnonzero(new_seg)
+    ends = np.append(starts[1:], n)
+    for s, e in zip(starts, ends):
+        seg = tss[s:e]
+        hi[s:e] = s + np.searchsorted(seg, seg, side="right")
+        lo[s:e] = s + np.searchsorted(seg, seg - window_us, side="left")
+    return lo, hi
+
 def sliding_window_agg(events: ray.data.Dataset, *, key: str, ts: str,
                        window_us: int, value_cents: str | None = None,
                        num_buckets: int = 64,
@@ -333,17 +373,6 @@ def sliding_window_agg(events: ray.data.Dataset, *, key: str, ts: str,
         k = g[key].to_numpy(zero_copy_only=False).astype(np.int64)
         t = g["_ts"].to_numpy()
         order = np.lexsort((t, k))
-        ks, tss = k[order], t[order]
-        new_seg = np.empty(n, bool)
-        new_seg[0] = True
-        new_seg[1:] = ks[1:] != ks[:-1]
-        seg_id = np.cumsum(new_seg) - 1
-        tmin, tmax = int(tss.min()), int(tss.max())
-        span = tmax - tmin
-        offset = span + window_us + 2
-        nseg = int(seg_id[-1]) + 1
-        counts = np.empty(n, np.int64)
-        sums = np.empty(n, np.int64) if value_cents else None
         if value_cents and g[value_cents].null_count:
             # a null would round-trip through float64 NaN → INT64_MIN and
             # silently poison every overlapping window's prefix-sum
@@ -353,26 +382,11 @@ def sliding_window_agg(events: ray.data.Dataset, *, key: str, ts: str,
                 "explicit COALESCE policy anyway)")
         vals = (g[value_cents].to_numpy(zero_copy_only=False)
                 .astype(np.int64)[order] if value_cents else None)
-        if offset * nseg < pack_limit:
-            shifted = (tss - tmin) + seg_id * offset
-            hi = np.searchsorted(shifted, shifted, side="right")
-            lo = np.searchsorted(shifted, shifted - window_us, side="left")
-            counts = hi - lo
-            if value_cents:
-                prefix = np.concatenate([[0], np.cumsum(vals)])
-                sums = prefix[hi] - prefix[lo]
-        else:  # packed axis would overflow: per-key slices (rare)
-            starts = np.flatnonzero(new_seg)
-            ends = np.append(starts[1:], n)
-            prefix = (np.concatenate([[0], np.cumsum(vals)])
-                      if value_cents else None)
-            for s, e in zip(starts, ends):
-                seg = tss[s:e]
-                hi = s + np.searchsorted(seg, seg, side="right")
-                lo = s + np.searchsorted(seg, seg - window_us, side="left")
-                counts[s:e] = hi - lo
-                if value_cents:
-                    sums[s:e] = prefix[hi] - prefix[lo]
+        lo, hi = _window_bounds(k[order], t[order], window_us, pack_limit)
+        counts = hi - lo
+        if value_cents:
+            prefix = np.concatenate([[0], np.cumsum(vals)])
+            sums = prefix[hi] - prefix[lo]
         inv = np.empty(n, np.int64)
         inv[order] = np.arange(n)
         out = {c: g[c] for c in out_keep if c in g.column_names}

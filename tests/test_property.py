@@ -125,3 +125,28 @@ def test_asof_match_backward_vs_bruteforce(data):
         exp = (max(cands, key=lambda j: (rt[j], rtb[j]))
                if cands else -1)
         assert got[i] == exp, (i, lk[i], lt[i], list(zip(rk, rt, rtb)), tol)
+
+
+@settings(max_examples=300, deadline=None)
+@given(data=st.data())
+def test_window_bounds_vs_bruteforce(data):
+    """The offset-packed range-window bounds vs an O(n²) scalar reference,
+    including a forced fallback-path cross-check (pack_limit=1)."""
+    from pyofs_ray.stages.temporal import _window_bounds
+
+    n = data.draw(st.integers(min_value=0, max_value=12))
+    rows = sorted((data.draw(_small), data.draw(_ts_vals))
+                  for _ in range(n))
+    ks = np.array([r[0] for r in rows], np.int64)
+    ts = np.array([r[1] for r in rows], np.int64)
+    w = data.draw(st.integers(min_value=0, max_value=6))
+    lo, hi = _window_bounds(ks, ts, w)
+    lo2, hi2 = _window_bounds(ks, ts, w, pack_limit=1)
+    assert np.array_equal(lo, lo2) and np.array_equal(hi, hi2)
+    for i in range(n):
+        members = [j for j in range(n)
+                   if ks[j] == ks[i] and ts[i] - w <= ts[j] <= ts[i]]
+        assert hi[i] - lo[i] == len(members)
+        # bounds delimit a contiguous run holding exactly those members
+        assert members == list(range(lo[i], hi[i])) or \
+            sorted(members) == list(range(lo[i], hi[i]))
