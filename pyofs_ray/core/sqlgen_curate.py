@@ -14,7 +14,7 @@ match proves the whole composition, not just the parts.
 from __future__ import annotations
 
 from .sqlgen_dedup import survivor_ctes
-from .sqlgen_sample import hash_sample_sql
+from .sqlgen_sample import _quote, hash_sample_sql
 from .sqlgen_text import lang_id_query, text_stats_select
 
 
@@ -38,7 +38,7 @@ filtered AS (
   FROM documents d
   JOIN langs l USING (doc_id)
   JOIN stats s USING (doc_id)
-  WHERE l.lang_pred = '{lang.replace(chr(39), chr(39) * 2)}' AND s.n_tokens >= {min_tokens}
+  WHERE l.lang_pred = {_quote(lang)} AND s.n_tokens >= {min_tokens}
     AND s.punct_ratio < CAST('{max_punct}' AS DOUBLE)
 ),
 exact AS (

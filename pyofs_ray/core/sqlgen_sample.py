@@ -74,7 +74,10 @@ def hash_split_sql(table: str, key_col: str, splits: dict[str, float],
     for name, frac in splits.items():
         cum += frac
         arms.append(f"WHEN h < {int(round(cum * _DEN))} THEN {_quote(name)}")
-    case = f"CASE {' '.join(arms)} ELSE '' END"
+    if cum > 1 + 1e-9:  # mirror the stage's fractions-sum validation
+        raise ValueError(f"hash_split_sql: fractions sum to {cum:.4f} > 1")
+    # zero arms would be a CASE parser error; the remainder label is ''
+    case = f"CASE {' '.join(arms)} ELSE '' END" if arms else "''"
     return f"""{_mix_ctes(table, key_col, salt, select, 'hash_split_sql')},
 q3 AS (SELECT *, xor(z2, z2 >> 31) % {_DEN} AS h FROM q2)
 SELECT {select}, {case} AS {out_col} FROM q3
@@ -87,10 +90,12 @@ def stratified_sample_sql(table: str, key_col: str, stratum_col: str,
     """Twin of `stages/sample.stratified_hash_sample`: per-stratum
     threshold via a CASE lookup (NULL strata fall to the ELSE default,
     matching the stage's null handling)."""
+    default_num = int(round(default_rate * _DEN))
     arms = " ".join(f"WHEN {_quote(s)} THEN {int(round(r * _DEN))}"
                     for s, r in rates.items())
-    thr = (f"CASE {stratum_col} {arms} "
-           f"ELSE {int(round(default_rate * _DEN))} END")
+    # zero arms would be a CASE parser error; all rows take the default
+    thr = (f"CASE {stratum_col} {arms} ELSE {default_num} END"
+           if arms else str(default_num))
     return f"""{_mix_ctes(table, key_col, salt, select,
                           'stratified_sample_sql')}
 SELECT {select} FROM q2 WHERE xor(z2, z2 >> 31) % {_DEN} < {thr}

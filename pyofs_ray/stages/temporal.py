@@ -153,9 +153,17 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
             for f in all_fields:
                 cols[f.name] = (b[f.name] if f.name in b.column_names
                                 else pa.nulls(len(b), f.type))
-            tb = (b[tiebreak].to_numpy(zero_copy_only=False)
-                  .astype(np.int64) if side == 0
-                  else np.zeros(len(b), np.int64))
+            if side == 0:
+                if b[tiebreak].null_count:
+                    # NaN → INT64_MIN would silently win forward/nearest
+                    # 'least tiebreak' ties, diverging from NULLS LAST
+                    raise ValueError(
+                        f"asof_join: tiebreak column {tiebreak!r} "
+                        "contains nulls — fill or filter them upstream")
+                tb = (b[tiebreak].to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+            else:
+                tb = np.zeros(len(b), np.int64)
             t = pa.table(cols)
             return (t.append_column("_bucket", bucket)
                      .append_column("_side", pa.array(

@@ -146,7 +146,5 @@ def test_window_bounds_vs_bruteforce(data):
     for i in range(n):
         members = [j for j in range(n)
                    if ks[j] == ks[i] and ts[i] - w <= ts[j] <= ts[i]]
-        assert hi[i] - lo[i] == len(members)
         # bounds delimit a contiguous run holding exactly those members
-        assert members == list(range(lo[i], hi[i])) or \
-            sorted(members) == list(range(lo[i], hi[i]))
+        assert members == list(range(lo[i], hi[i]))
