@@ -47,9 +47,13 @@ _PACK_LIMIT = 1 << 62
 # (results are non-empty); degenerate-input tests assert row counts only.
 
 
-def _ts_i64(col: pa.ChunkedArray) -> np.ndarray:
+def _ts_i64(col: pa.ChunkedArray, name: str = "ts") -> np.ndarray:
     """timestamp[us] (or int64) column → int64 numpy, zero-copy wherever
-    Arrow allows it."""
+    Arrow allows it. Nulls raise: NaT would view as INT64_MIN and silently
+    sort as 'very old' where the SQL twins exclude NULL comparisons."""
+    if col.null_count:
+        raise ValueError(f"temporal operator: column {name!r} contains "
+                         "null timestamps — filter or fill them upstream")
     a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     return np.asarray(a.to_numpy(zero_copy_only=False)).view(np.int64)
 
@@ -168,7 +172,7 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
             return (t.append_column("_bucket", bucket)
                      .append_column("_side", pa.array(
                          np.full(len(b), side, np.int8)))
-                     .append_column("_ts", pa.array(_ts_i64(b[ts_col])))
+                     .append_column("_ts", pa.array(_ts_i64(b[ts_col], ts_col)))
                      .append_column("_tb", pa.array(tb)))
         return fn
 
@@ -256,14 +260,14 @@ def interval_join(points: ray.data.Dataset, intervals: ray.data.Dataset, *,
         return cols
 
     def tag_points(b: pa.Table) -> pa.Table:
-        t = _ts_i64(b[point_ts])
+        t = _ts_i64(b[point_ts], point_ts)
         return pa.table(_pad(b, {
             "_tile": pa.array(t // tile_us),
             "_side": pa.array(np.ones(len(b), np.int8)),
             "_t0": pa.array(t), "_t1": pa.array(t)}))
 
     def tag_intervals(b: pa.Table) -> pa.Table:
-        s, e = _ts_i64(b[start]), _ts_i64(b[end])
+        s, e = _ts_i64(b[start], start), _ts_i64(b[end], end)
         lo_tile, hi_tile = s // tile_us, e // tile_us
         reps = (hi_tile - lo_tile + 1).astype(np.int64)
         idx = np.repeat(np.arange(len(b), dtype=np.int64), reps)
@@ -374,7 +378,7 @@ def sliding_window_agg(events: ray.data.Dataset, *, key: str, ts: str,
             b[key].to_numpy(zero_copy_only=False).astype(np.int64)
             % num_buckets)
         return (b.append_column("_bucket", bucket)
-                 .append_column("_ts", pa.array(_ts_i64(b[ts]))))
+                 .append_column("_ts", pa.array(_ts_i64(b[ts], ts))))
 
     def window_bucket(g: pa.Table) -> pa.Table:
         n = len(g)

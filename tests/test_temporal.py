@@ -104,6 +104,24 @@ def test_asof_nearest_tie_prefers_backward():
     assert out["pay"].tolist() == [50, 150, 150]
 
 
+def test_null_timestamps_and_tiebreaks_raise():
+    # NaT views as INT64_MIN (sorts 'very old') and a null tiebreak as
+    # INT64_MIN via NaN — both must raise instead of silently diverging
+    # from the SQL twins' NULL semantics
+    left = pa.table({"event_id": [1], "k": [7],
+                     "ts": pa.array([None], pa.timestamp("us"))})
+    right = pa.table({"k": [7], "rts": _ts("2024-01-01"),
+                      "tb": [1], "pay": [5]})
+    with pytest.raises(Exception, match="null"):
+        _asof(left, right)
+    left_ok = pa.table({"event_id": [1], "k": [7], "ts": _ts("2024-01-02")})
+    right_null_tb = pa.table({"k": [7], "rts": _ts("2024-01-01"),
+                              "tb": pa.array([None], pa.int64()),
+                              "pay": [5]})
+    with pytest.raises(Exception, match="null"):
+        _asof(left_ok, right_null_tb)
+
+
 def test_interval_join_multi_tile_no_duplicates():
     hour = 3_600_000_000
     # one interval spanning three 1h tiles; a point in each tile, plus
