@@ -341,6 +341,51 @@ def _particle_track(sf_dir: str):
 register("media_features", _media_features, MEDIA_FEATURES_SQL)
 
 
+def _audio_features(sf_dir: str):
+    """Synthesize FAKA1 clips from doc ids, decode in the task pool, emit
+    exact acoustic features (RMS from int64 square sums, zero crossings).
+    The oracle recomputes every sample from the generator arithmetic — it
+    never sees the binary, proving encode → decode → feature end-to-end."""
+    from .stages.multimodal import decode_audio, synth_audio_batch
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    clips = ds.map_batches(synth_audio_batch, batch_format="pyarrow",
+                           batch_size=256)
+    return decode_audio(clips)
+
+
+_SAMPLE = "((j.j * 37 + seed) % 4096 - 2048)"
+_PREV = "(((j.j - 1) * 37 + seed) % 4096 - 2048)"
+
+AUDIO_FEATURES_SQL = f"""
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         256 + (doc_id % 11) * 64 AS n,
+         8000 + (doc_id % 3) * 4000 AS rate,
+         doc_id % 16777216 AS seed
+  FROM documents
+),
+smp AS (
+  SELECT media_id, n, rate,
+         SUM(CAST({_SAMPLE} AS BIGINT) * CAST({_SAMPLE} AS BIGINT)) AS s2,
+         SUM(CASE WHEN j.j > 0
+                   AND (({_SAMPLE} >= 0) != ({_PREV} >= 0))
+              THEN 1 ELSE 0 END) AS zc
+  FROM dims,
+       LATERAL (SELECT unnest(generate_series(0, n - 1)) AS j) j
+  GROUP BY 1, 2, 3
+)
+SELECT media_id, CAST(n AS INTEGER) AS n_samples,
+       CAST(rate AS INTEGER) AS sample_rate,
+       CAST(n AS DOUBLE) / CAST(rate AS DOUBLE) AS duration_s,
+       sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) AS rms,
+       CAST(zc AS BIGINT) AS zero_crossings
+FROM smp
+"""
+
+register("audio_features", _audio_features, AUDIO_FEATURES_SQL)
+
+
 def _video_frame_features(sf_dir: str):
     """FAKV1 clips from doc ids → actor-pool frame sampling (every 2nd
     frame) → exact per-frame mean. Oracle recomputes from the generator

@@ -263,3 +263,107 @@ def decode_media(ds: ray.data.Dataset, decoder: str = "fake",
 
     return ds.map_batches(decode_batch, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+# ------------------------------------------------------------ audio clips
+AMAGIC = b"FAKA1"
+
+
+def synth_audio_batch(b: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Deterministic audio fixture: one FAKA1 clip per row — header
+    ``b"FAKA1" + n_samples:u32 + sample_rate:u32 + seed:u24`` followed by
+    little-endian int16 samples ``s[j] = (j*37 + seed) % 4096 - 2048``
+    (pure arithmetic, so the feature oracle can recompute every sample
+    without ever seeing the binary)."""
+    ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    payloads, ns, rates = [], [], []
+    for i in ids:
+        n = 256 + int(i % 11) * 64
+        rate = 8000 + int(i % 3) * 4000
+        seed = int(i) % (1 << 24)
+        s = ((np.arange(n, dtype=np.int64) * 37 + seed) % 4096
+             - 2048).astype("<i2")
+        head = (AMAGIC + n.to_bytes(4, "little") + rate.to_bytes(4, "little")
+                + seed.to_bytes(3, "little"))
+        payloads.append(head + s.tobytes())
+        ns.append(n)
+        rates.append(rate)
+    return pa.table({
+        "media_id": pa.array(ids),
+        "media_type": pa.array(["audio/fake"] * len(ids)),
+        "n_samples": pa.array(np.array(ns, np.int32)),
+        "sample_rate": pa.array(np.array(rates, np.int32)),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+
+
+class AudioDecoder:
+    """Stage: FAKA1 payload → exact integer acoustic features (RMS from
+    int64 sample-square sums, zero-crossing count, duration). Real codecs
+    are clearly-marked stubs — the Ray-side plumbing (schema, batching,
+    binary payloads) is what this stage proves."""
+
+    def __init__(self, decoder: str = "fake"):
+        if decoder in ("ffmpeg", "soundfile"):
+            raise NotImplementedError(
+                "real audio decode requires ffmpeg/libsndfile bindings, not "
+                "available in this container; use decoder='fake' (FAKA1 "
+                "fixture codec)")
+        if decoder != "fake":
+            raise ValueError(f"unknown decoder {decoder!r}")
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        payloads = b["payload"].to_pylist()
+        k = len(payloads)
+        ns = np.empty(k, np.int32)
+        rates = np.empty(k, np.int32)
+        rms = np.empty(k, np.float64)
+        dur = np.empty(k, np.float64)
+        zcs = np.empty(k, np.int64)
+        for i, p in enumerate(payloads):
+            if p[:5] != AMAGIC:
+                raise ValueError("not a FAKA1 container")
+            n = int.from_bytes(p[5:9], "little")
+            rate = int.from_bytes(p[9:13], "little")
+            s = np.frombuffer(p, dtype="<i2", offset=16)[:n].astype(np.int64)
+            if len(s) != n:
+                raise ValueError("FAKA1 payload truncated")
+            # exact int64 sums (900 * 2048² ≪ 2^53), single IEEE reduce
+            s2 = int((s * s).sum())
+            ns[i], rates[i] = n, rate
+            rms[i] = np.sqrt(float(s2) / float(n))
+            dur[i] = float(n) / float(rate)
+            zcs[i] = int(np.count_nonzero((s[1:] >= 0) != (s[:-1] >= 0)))
+        return pa.table({
+            "media_id": b["media_id"],
+            "n_samples": pa.array(ns),
+            "sample_rate": pa.array(rates),
+            "duration_s": pa.array(dur),
+            "rms": pa.array(rms),
+            "zero_crossings": pa.array(zcs),
+        })
+
+
+def decode_audio(ds: ray.data.Dataset, decoder: str = "fake",
+                 batch_size: int = 256, concurrency=(1, 8),
+                 compute: str = "tasks") -> ray.data.Dataset:
+    """Acoustic-feature stage; ``compute`` semantics match
+    :func:`decode_media` (memoized stateless tasks by default)."""
+    if compute == "actors":
+        return ds.map_batches(
+            AudioDecoder,
+            fn_constructor_kwargs={"decoder": decoder},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+
+    def decode_batch(batch: pa.Table) -> pa.Table:
+        from ..core.memo import memo_broadcast
+        dec = memo_broadcast(f"audiodecoder:{decoder}",
+                             lambda: AudioDecoder(decoder))
+        return dec(batch)
+
+    return ds.map_batches(decode_batch, batch_format="pyarrow",
+                          batch_size=batch_size)

@@ -57,6 +57,39 @@ def test_real_decoder_stub_raises():
         multimodal.MediaDecoder(decoder="ffmpeg")
 
 
+def test_audio_decode_and_scalar_oracle():
+    ids = pa.table({"doc_id": pa.array(list(range(40)), type=pa.int64())})
+    clips = ray.data.from_arrow(multimodal.synth_audio_batch(ids))
+    out = (multimodal.decode_audio(clips).to_pandas()
+           .sort_values("media_id").reset_index(drop=True))
+    assert len(out) == 40
+    assert {"media_id", "n_samples", "sample_rate", "duration_s", "rms",
+            "zero_crossings"} <= set(out.columns)
+    # scalar oracle for doc 3: recompute from the generator formula
+    n, rate, seed = 256 + 3 % 11 * 64, 8000 + 3 % 3 * 4000, 3
+    s = (np.arange(n, dtype=np.int64) * 37 + seed) % 4096 - 2048
+    row = out[out.media_id == 3].iloc[0]
+    assert row.n_samples == n and row.sample_rate == rate
+    assert row.rms == np.sqrt(float((s * s).sum()) / n)
+    assert row.zero_crossings == np.count_nonzero(
+        (s[1:] >= 0) != (s[:-1] >= 0))
+    # actor-pool mode produces identical features
+    out2 = (multimodal.decode_audio(
+                ray.data.from_arrow(multimodal.synth_audio_batch(ids)),
+                compute="actors", concurrency=(1, 2)).to_pandas()
+            .sort_values("media_id").reset_index(drop=True))
+    assert np.array_equal(out.rms.to_numpy(), out2.rms.to_numpy())
+
+
+def test_audio_real_decoder_stub_raises():
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        multimodal.AudioDecoder(decoder="ffmpeg")
+    with pytest.raises(ValueError, match="FAKA1"):
+        multimodal.AudioDecoder()(pa.table({
+            "media_id": pa.array([1], pa.int64()),
+            "payload": pa.array([b"nope"], pa.binary())}))
+
+
 def _numpy_track_oracle(seeds, field, dt, steps, order):
     x = seeds["x"].to_numpy(zero_copy_only=False).copy()
     y = seeds["y"].to_numpy(zero_copy_only=False).copy()
