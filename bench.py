@@ -38,7 +38,7 @@ BENCH_QUERIES = [
     "embedding_dup_pairs", "ann_topk_ivf",
     # round 3 additions
     "curate_corpus", "events_asof_order", "events_sliding_window",
-    "events_incident_window", "clicks_nearest_error",
+    "events_incident_window", "clicks_nearest_error", "audio_features",
 ]
 
 
