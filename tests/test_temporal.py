@@ -104,6 +104,20 @@ def test_asof_nearest_tie_prefers_backward():
     assert out["pay"].tolist() == [50, 150, 150]
 
 
+def test_asof_nearest_with_tolerance():
+    day = 86_400_000_000
+    left = pa.table({"event_id": [1, 2], "k": [7, 7],
+                     "ts": _ts("2024-01-10", "2024-02-10")})
+    right = pa.table({"k": [7, 7], "rts": _ts("2024-01-04", "2024-01-13"),
+                      "tb": [1, 2], "pay": [40, 130]})
+    # id1: backward 6d vs forward 3d, both within tol=5d → only forward
+    #      qualifies (backward exceeds tolerance) → pay 130
+    # id2: nearest candidate (backward 28d) exceeds tol=5d → null
+    out = _asof(left, right, direction="nearest", tolerance_us=5 * day)
+    assert out["pay"].tolist()[0] == 130
+    assert out["pay"].isna().tolist()[1]
+
+
 def test_null_timestamps_and_tiebreaks_raise():
     # NaT views as INT64_MIN (sorts 'very old') and a null tiebreak as
     # INT64_MIN via NaN — both must raise instead of silently diverging
