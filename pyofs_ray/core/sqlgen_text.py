@@ -43,3 +43,43 @@ SELECT {id_col},
        CASE WHEN {best} = 0 THEN 'und' {cases} END AS lang_pred,
        {best} AS lang_score
 FROM (SELECT {id_col}, {inner} FROM {table})"""
+
+
+def winnow_sql(table: str = "documents", text_col: str = "text",
+               id_col: str = "doc_id") -> str:
+    """Twin of `stages/text.winnow_fingerprints`: the k-gram polynomial
+    hash is an exact HUGEINT sum (max term ≈ 2⁶⁷ ≪ int128) reduced
+    % 2⁶⁴ once, matching numpy's uint64 wrap; the per-window rightmost-min
+    selection is MIN over the same packed ``fp·2²⁰ + (2²⁰ − pos)`` value."""
+    from ..stages.text import (WINNOW_BASE, WINNOW_FP_BITS, WINNOW_K,
+                               WINNOW_POS_BITS, WINNOW_W)
+    terms = " + ".join(
+        f"CAST(unicode(substr({text_col}, i + {j}, 1)) AS HUGEINT)"
+        f" * {WINNOW_BASE ** (WINNOW_K - 1 - j) % (1 << 64)}"
+        for j in range(WINNOW_K))
+    pos_mod = 1 << WINNOW_POS_BITS
+    return f"""
+WITH pos AS (
+  SELECT {id_col} AS doc_id, {text_col} AS text,
+         unnest(generate_series(1, LENGTH({text_col}) - {WINNOW_K} + 1)) AS i
+  FROM {table}
+  WHERE LENGTH({text_col}) >= {WINNOW_K + WINNOW_W - 1}
+),
+hv AS (
+  SELECT doc_id, i,
+         (({terms}) % {1 << 64}) % {1 << WINNOW_FP_BITS} * {pos_mod}
+         + ({pos_mod} - i) AS v
+  FROM pos
+),
+win AS (
+  SELECT doc_id, i,
+         MIN(v) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN {WINNOW_W - 1} PRECEDING
+                                AND CURRENT ROW) AS mv
+  FROM hv
+)
+SELECT DISTINCT doc_id,
+       CAST({pos_mod} - (mv % {pos_mod}) AS BIGINT) AS pos,
+       CAST(mv // {pos_mod} AS BIGINT) AS fp
+FROM win WHERE i >= {WINNOW_W}
+"""

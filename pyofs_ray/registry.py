@@ -386,6 +386,24 @@ FROM smp
 register("audio_features", _audio_features, AUDIO_FEATURES_SQL)
 
 
+def _doc_winnow(sf_dir: str):
+    """MOSS-style winnowing fingerprints over the corpus — the
+    plagiarism/near-dup primitive: every w-window of rolling k-gram hashes
+    contributes its rightmost minimum, so any match ≥ k+w−1 chars between
+    two documents shares at least one selected fingerprint."""
+    from .stages.text import winnow_fingerprints
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return ds.map_batches(winnow_fingerprints, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+from .core.sqlgen_text import winnow_sql  # noqa: E402
+
+register("doc_winnow_fp", _doc_winnow, winnow_sql())
+
+
 def _video_frame_features(sf_dir: str):
     """FAKV1 clips from doc ids → actor-pool frame sampling (every 2nd
     frame) → exact per-frame mean. Oracle recomputes from the generator

@@ -99,3 +99,57 @@ def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     digests = [hashlib.md5(s.encode("utf-8")).hexdigest() if s is not None else None
                for s in texts]
     return batch.append_column("text_hash", pa.array(digests, pa.string()))
+
+
+# ------------------------------------------------------ winnowing (MOSS)
+WINNOW_K = 8       # k-gram length in characters
+WINNOW_W = 4       # window of consecutive k-gram hashes
+WINNOW_BASE = 257  # rolling polynomial base (mod 2^64 by uint64 wrap)
+WINNOW_FP_BITS = 44   # fingerprint = low 44 bits of the k-gram hash
+WINNOW_POS_BITS = 20  # packed position field; docs > 2^20 chars unsupported
+
+
+def winnow_fingerprints(batch: pa.Table, text_col: str = "text",
+                        id_col: str = "doc_id") -> pa.Table:
+    """MOSS-style winnowing fingerprints: polynomial k-gram hash over code
+    points (base 257 mod 2⁶⁴ — numpy uint64 wrap ≡ the SQL twin's HUGEINT
+    sum then % 2⁶⁴), fingerprint = low 44 bits, then each w-window selects
+    its minimum with the RIGHTMOST position winning ties — pinned by
+    packing ``v = fp·2²⁰ + (2²⁰ − pos)`` so one vectorized sliding-min
+    decides both. Output: distinct ``(doc_id, pos, fp)`` rows, ``pos``
+    1-based to match SQL ``substr`` indexing. Docs with fewer than
+    ``k + w − 1`` characters emit nothing.
+    """
+    one = np.uint64(1)
+    pos_mod = np.uint64(1) << np.uint64(WINNOW_POS_BITS)
+    fp_mask = (one << np.uint64(WINNOW_FP_BITS)) - one
+    pw = np.array([WINNOW_BASE ** (WINNOW_K - 1 - j) % (1 << 64)
+                   for j in range(WINNOW_K)], dtype=np.uint64)
+    out_ids, out_pos, out_fp = [], [], []
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    for did, s in zip(ids, batch[text_col].to_pylist()):
+        if s is None:
+            continue
+        cp = np.frombuffer(s.encode("utf-32-le"),
+                           dtype=np.uint32).astype(np.uint64)
+        n = len(cp) - WINNOW_K + 1
+        if n < WINNOW_W:
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(cp, WINNOW_K)
+        h = (win * pw).sum(axis=1, dtype=np.uint64)
+        fp = h & fp_mask
+        i = np.arange(1, n + 1, dtype=np.uint64)
+        v = (fp << np.uint64(WINNOW_POS_BITS)) + (pos_mod - i)
+        sel = np.unique(
+            np.lib.stride_tricks.sliding_window_view(v, WINNOW_W)
+            .min(axis=1))
+        out_ids.append(np.full(len(sel), did, np.int64))
+        out_pos.append((pos_mod - (sel % pos_mod)).astype(np.int64))
+        out_fp.append((sel >> np.uint64(WINNOW_POS_BITS)).astype(np.int64))
+    if not out_ids:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "pos": pa.array([], pa.int64()),
+                         "fp": pa.array([], pa.int64())})
+    return pa.table({"doc_id": pa.array(np.concatenate(out_ids)),
+                     "pos": pa.array(np.concatenate(out_pos)),
+                     "fp": pa.array(np.concatenate(out_fp))})

@@ -453,6 +453,32 @@ def test_hash_sample_deterministic_and_rate():
     assert set(s4.doc_id) <= set(s1.doc_id)
 
 
+def test_winnow_shared_substring_guarantee():
+    """The winnowing property: two docs sharing a substring of at least
+    k+w-1 chars share at least one selected (pos-independent) fingerprint;
+    unrelated docs share none (with high probability at 44 bits)."""
+    import pyarrow as _pa
+
+    from pyofs_ray.stages.text import (WINNOW_K, WINNOW_W,
+                                       winnow_fingerprints)
+    shared = "the quick brown fox jumps over the lazy dog"
+    assert len(shared) >= WINNOW_K + WINNOW_W - 1
+    t = _pa.table({
+        "doc_id": [1, 2, 3],
+        "text": [f"AAAA {shared} BBBB", f"CCCCCC {shared} DDD",
+                 "completely different content with no overlap at all x"]})
+    out = winnow_fingerprints(t).to_pandas()
+    fp1 = set(out[out.doc_id == 1].fp)
+    fp2 = set(out[out.doc_id == 2].fp)
+    fp3 = set(out[out.doc_id == 3].fp)
+    assert fp1 & fp2          # shared substring → shared fingerprint
+    assert not (fp1 & fp3)
+    # short docs emit nothing
+    short = winnow_fingerprints(_pa.table({
+        "doc_id": [9], "text": ["tiny"]})).to_pandas()
+    assert len(short) == 0
+
+
 def test_hash_split_exhaustive_disjoint_consistent():
     from pyofs_ray.stages.sample import hash_sample, hash_split
     ds = ray.data.range(50_000).map_batches(
