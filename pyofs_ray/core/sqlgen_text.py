@@ -83,3 +83,25 @@ SELECT DISTINCT doc_id,
        CAST(mv // {pos_mod} AS BIGINT) AS fp
 FROM win WHERE i >= {WINNOW_W}
 """
+
+
+def winnow_pairs_sql(table: str = "documents") -> str:
+    """Twin of `pipelines/corpus.winnow_dup_pairs`: distinct (doc, fp)
+    from the winnowing CTE, DF-capped fingerprints, pair count ≥ the
+    shared-fingerprint threshold."""
+    from ..pipelines.corpus import WINNOW_FP_DF_CAP, WINNOW_PAIR_MIN_SHARED
+    base = winnow_sql(table)
+    return f"""
+WITH fps AS ({base}),
+fpd AS (SELECT DISTINCT doc_id, fp FROM fps),
+ok AS (SELECT fp FROM fpd GROUP BY fp
+       HAVING COUNT(*) BETWEEN 2 AND {WINNOW_FP_DF_CAP}),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+  FROM fpd a JOIN fpd b USING (fp) JOIN ok USING (fp)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, shared FROM pairs
+WHERE shared >= {WINNOW_PAIR_MIN_SHARED}
+"""

@@ -58,6 +58,83 @@ def simhash_pairs(sf_dir: str) -> pd.DataFrame:
                                    docs_hint=_docs_count(sf_dir))
 
 
+WINNOW_PAIR_MIN_SHARED = 4   # pair qualifies at >= this many shared fps
+WINNOW_FP_DF_CAP = 8         # drop fingerprints appearing in > this many docs
+
+
+def winnow_dup_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Winnow-based near-dup pairs — the fifth dedup family member
+    (exact / MinHash / SimHash / embedding / winnow): docs sharing ≥
+    ``WINNOW_PAIR_MIN_SHARED`` selected fingerprints, after dropping
+    fingerprints common to > ``WINNOW_FP_DF_CAP`` docs (boilerplate —
+    standard DF cap, mirrored exactly in the SQL twin).
+
+    Shape: distinct (doc, fp) per doc computed in-kernel (a doc never
+    spans batches), ONE fp-bucket exchange enumerates within-fingerprint
+    pairs vectorized (segment sizes ≤ cap so pair counts are bounded),
+    then a packed-key groupby counts shared fps per pair.
+    """
+    import pyarrow.compute as _pc
+
+    from ..stages.text import winnow_fingerprints
+
+    num_buckets = 256
+
+    def distinct_fp(b: pa.Table) -> pa.Table:
+        t = winnow_fingerprints(b)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        f = t["fp"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((f, d))
+        d, f = d[order], f[order]
+        keep = np.empty(len(d), bool)
+        if len(d):
+            keep[0] = True
+            keep[1:] = (d[1:] != d[:-1]) | (f[1:] != f[:-1])
+        d, f = d[keep], f[keep]
+        return pa.table({"doc_id": pa.array(d), "fp": pa.array(f),
+                         "_bucket": pa.array(f % num_buckets)})
+
+    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+        f = g["fp"].to_numpy(zero_copy_only=False)
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, f))
+        fs, ds_ = f[order], d[order]
+        new = np.empty(len(fs), bool)
+        if len(fs) == 0:
+            return pa.table({"pair": pa.array([], pa.int64())})
+        new[0] = True
+        new[1:] = fs[1:] != fs[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(fs)))
+        keep = (sizes >= 2) & (sizes <= WINNOW_FP_DF_CAP)
+        pairs = []
+        for s, sz in zip(starts[keep], sizes[keep]):
+            seg = ds_[s:s + sz]          # sz ≤ cap: tiny, docs distinct
+            a, b2 = np.triu_indices(sz, k=1)
+            pairs.append(seg[a] << np.int64(32) | seg[b2])
+        if not pairs:
+            return pa.table({"pair": pa.array([], pa.int64())})
+        return pa.table({"pair": pa.array(np.concatenate(pairs))})
+
+    fps = _docs(sf_dir).map_batches(distinct_fp, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    pair_rows = fps.groupby("_bucket").map_groups(pairs_in_bucket,
+                                                  batch_format="pyarrow")
+    counted = pair_rows.groupby("pair").count()
+
+    def finish(b: pa.Table) -> pa.Table:
+        keep = _pc.greater_equal(b["count()"],
+                                 pa.scalar(WINNOW_PAIR_MIN_SHARED))
+        b = b.filter(keep)
+        p = b["pair"].to_numpy(zero_copy_only=False)
+        return pa.table({"id_a": pa.array(p >> np.int64(32)),
+                         "id_b": pa.array(p & np.int64((1 << 32) - 1)),
+                         "shared": b["count()"]})
+
+    return counted.map_batches(finish, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
 def dedup_near_corpus(sf_dir: str) -> ray.data.Dataset:
     """Keep-one near-dup dedup: surviving doc ids (min id per Jaccard-≥0.8
     connected component)."""

@@ -403,6 +403,10 @@ from .core.sqlgen_text import winnow_sql  # noqa: E402
 
 register("doc_winnow_fp", _doc_winnow, winnow_sql())
 
+from .core.sqlgen_text import winnow_pairs_sql  # noqa: E402
+
+register("winnow_dup_pairs", corpus.winnow_dup_pairs, winnow_pairs_sql())
+
 
 def _video_frame_features(sf_dir: str):
     """FAKV1 clips from doc ids → actor-pool frame sampling (every 2nd

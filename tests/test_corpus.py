@@ -479,6 +479,29 @@ def test_winnow_shared_substring_guarantee():
     assert len(short) == 0
 
 
+def test_winnow_dup_pairs_finds_injected_overlap(tmp_path):
+    """Two docs sharing a long passage must pair with shared >= threshold;
+    a disjoint doc pairs with nothing."""
+    import pyarrow.parquet as _pq
+
+    from pyofs_ray.pipelines.corpus import winnow_dup_pairs
+
+    passage = ("the quick brown fox jumps over the lazy dog while the "
+               "cunning red vixen watches from the shadows of the barn")
+    rows = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": [f"intro alpha {passage} outro one",
+                 f"different beginning {passage} and another ending",
+                 "nothing in common here at all just plain filler words x"],
+        "lang": ["en"] * 3, "source": ["t"] * 3,
+        "n_chars": pa.array([1, 1, 1], pa.int64())})
+    _pq.write_table(rows, str(tmp_path / "documents.parquet"))
+    out = winnow_dup_pairs(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    assert (out.id_a[0], out.id_b[0]) == (1, 2)
+    assert out.shared[0] >= 4
+
+
 def test_hash_split_exhaustive_disjoint_consistent():
     from pyofs_ray.stages.sample import hash_sample, hash_split
     ds = ray.data.range(50_000).map_batches(
