@@ -53,8 +53,10 @@ def winnow_sql(table: str = "documents", text_col: str = "text",
     selection is MIN over the same packed ``fp·2²⁰ + (2²⁰ − pos)`` value."""
     from ..stages.text import (WINNOW_BASE, WINNOW_FP_BITS, WINNOW_K,
                                WINNOW_POS_BITS, WINNOW_W)
+    # the pos CTE aliases {text_col} AS text, so the hv terms must use
+    # the alias — referencing {text_col} here breaks any non-default name
     terms = " + ".join(
-        f"CAST(unicode(substr({text_col}, i + {j}, 1)) AS HUGEINT)"
+        f"CAST(unicode(substr(text, i + {j}, 1)) AS HUGEINT)"
         f" * {WINNOW_BASE ** (WINNOW_K - 1 - j) % (1 << 64)}"
         for j in range(WINNOW_K))
     pos_mod = 1 << WINNOW_POS_BITS

@@ -62,7 +62,7 @@ WINNOW_PAIR_MIN_SHARED = 4   # pair qualifies at >= this many shared fps
 WINNOW_FP_DF_CAP = 8         # drop fingerprints appearing in > this many docs
 
 
-def winnow_dup_pairs(sf_dir: str) -> ray.data.Dataset:
+def winnow_dup_pairs(sf_dir: str) -> pd.DataFrame:
     """Winnow-based near-dup pairs — the fifth dedup family member
     (exact / MinHash / SimHash / embedding / winnow): docs sharing ≥
     ``WINNOW_PAIR_MIN_SHARED`` selected fingerprints, after dropping
@@ -70,15 +70,27 @@ def winnow_dup_pairs(sf_dir: str) -> ray.data.Dataset:
     standard DF cap, mirrored exactly in the SQL twin).
 
     Shape: distinct (doc, fp) per doc computed in-kernel (a doc never
-    spans batches), ONE fp-bucket exchange enumerates within-fingerprint
-    pairs vectorized (segment sizes ≤ cap so pair counts are bounded),
-    then a packed-key groupby counts shared fps per pair.
+    spans batches); ONE fp-bucket exchange enumerates within-fingerprint
+    pairs vectorized AND partial-counts them per bucket (segment sizes ≤
+    the DF cap, so per-fp pair contributions are ≤ C(cap,2)); the partial
+    pair table — bounded by the corpus dup structure, not its size — then
+    coalesces through a single repartition(1) Arrow group_by, the
+    CLAUDE.md small-input finish (no second all-to-all). Ids travel as
+    two int64 columns throughout (no packed-key range limits). Related:
+    `stages/pairs.py` is the sketch-based candidate machinery (minhash/
+    simhash/embedding — max_bucket TRUNCATES hot buckets for recall-bound
+    sketches); winnowing instead DROPS over-cap fingerprints entirely (a
+    DF cap is a semantic filter mirrored in the SQL twin), hence the
+    standalone enumeration here.
     """
     import pyarrow.compute as _pc
 
     from ..stages.text import winnow_fingerprints
 
     num_buckets = 256
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "shared": pa.array([], pa.int64())})
 
     def distinct_fp(b: pa.Table) -> pa.Table:
         t = winnow_fingerprints(b)
@@ -97,42 +109,59 @@ def winnow_dup_pairs(sf_dir: str) -> ray.data.Dataset:
     def pairs_in_bucket(g: pa.Table) -> pa.Table:
         f = g["fp"].to_numpy(zero_copy_only=False)
         d = g["doc_id"].to_numpy(zero_copy_only=False)
+        if len(f) == 0:
+            return empty
         order = np.lexsort((d, f))
         fs, ds_ = f[order], d[order]
         new = np.empty(len(fs), bool)
-        if len(fs) == 0:
-            return pa.table({"pair": pa.array([], pa.int64())})
         new[0] = True
         new[1:] = fs[1:] != fs[:-1]
         starts = np.flatnonzero(new)
         sizes = np.diff(np.append(starts, len(fs)))
         keep = (sizes >= 2) & (sizes <= WINNOW_FP_DF_CAP)
-        pairs = []
+        pa_, pb_ = [], []
         for s, sz in zip(starts[keep], sizes[keep]):
             seg = ds_[s:s + sz]          # sz ≤ cap: tiny, docs distinct
             a, b2 = np.triu_indices(sz, k=1)
-            pairs.append(seg[a] << np.int64(32) | seg[b2])
-        if not pairs:
-            return pa.table({"pair": pa.array([], pa.int64())})
-        return pa.table({"pair": pa.array(np.concatenate(pairs))})
+            pa_.append(seg[a])
+            pb_.append(seg[b2])
+        if not pa_:
+            return empty
+        a = np.concatenate(pa_)
+        b = np.concatenate(pb_)
+        # partial count within the bucket (the same pair recurs here when
+        # several of its shared fps hash to this bucket)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        new = np.empty(len(a), bool)
+        new[0] = True
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(a)))
+        return pa.table({"id_a": pa.array(a[starts]),
+                         "id_b": pa.array(b[starts]),
+                         "shared": pa.array(cnt.astype(np.int64))})
 
     fps = _docs(sf_dir).map_batches(distinct_fp, batch_format="pyarrow",
                                     zero_copy_batch=True)
-    pair_rows = fps.groupby("_bucket").map_groups(pairs_in_bucket,
-                                                  batch_format="pyarrow")
-    counted = pair_rows.groupby("pair").count()
+    partials = fps.groupby("_bucket").map_groups(pairs_in_bucket,
+                                                 batch_format="pyarrow")
 
     def finish(b: pa.Table) -> pa.Table:
-        keep = _pc.greater_equal(b["count()"],
-                                 pa.scalar(WINNOW_PAIR_MIN_SHARED))
-        b = b.filter(keep)
-        p = b["pair"].to_numpy(zero_copy_only=False)
-        return pa.table({"id_a": pa.array(p >> np.int64(32)),
-                         "id_b": pa.array(p & np.int64((1 << 32) - 1)),
-                         "shared": b["count()"]})
+        t = b.group_by(["id_a", "id_b"]).aggregate([("shared", "sum")])
+        t = pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+                      "shared": t["shared_sum"]})
+        return t.filter(_pc.greater_equal(
+            t["shared"], pa.scalar(WINNOW_PAIR_MIN_SHARED, pa.int64())))
 
-    return counted.map_batches(finish, batch_format="pyarrow",
-                               zero_copy_batch=True)
+    # the final pair table is small (dup-bounded) → driver-side pandas,
+    # the near-dup family convention (minhash_pairs/simhash_pairs): Ray
+    # 2.49 drops the schema of ANY zero-row Dataset in to_pandas, so a
+    # Dataset return could never carry typed-empty through the gate
+    out = partials.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)
+    tbls = [t for t in ray.get(out.to_arrow_refs()) if t.num_columns]
+    return (pa.concat_tables(tbls) if tbls else empty).to_pandas()
 
 
 def dedup_near_corpus(sf_dir: str) -> ray.data.Dataset:

@@ -132,6 +132,14 @@ def winnow_fingerprints(batch: pa.Table, text_col: str = "text",
             continue
         cp = np.frombuffer(s.encode("utf-32-le"),
                            dtype=np.uint32).astype(np.uint64)
+        if len(cp) >= (1 << WINNOW_POS_BITS):
+            # beyond the packed position field the uint64 borrow would
+            # corrupt fp bits silently AND diverge from the SQL twin
+            raise ValueError(
+                f"winnow_fingerprints: doc {did} has {len(cp)} chars — "
+                f"the packed position field caps docs at "
+                f"{(1 << WINNOW_POS_BITS) - 1} chars; split or truncate "
+                "upstream")
         n = len(cp) - WINNOW_K + 1
         if n < WINNOW_W:
             continue

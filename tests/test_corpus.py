@@ -496,10 +496,29 @@ def test_winnow_dup_pairs_finds_injected_overlap(tmp_path):
         "lang": ["en"] * 3, "source": ["t"] * 3,
         "n_chars": pa.array([1, 1, 1], pa.int64())})
     _pq.write_table(rows, str(tmp_path / "documents.parquet"))
-    out = winnow_dup_pairs(str(tmp_path)).to_pandas()
+    out = winnow_dup_pairs(str(tmp_path))
     assert len(out) == 1
     assert (out.id_a[0], out.id_b[0]) == (1, 2)
     assert out.shared[0] >= 4
+
+
+def test_winnow_dup_pairs_dup_free_corpus_keeps_schema(tmp_path):
+    """A corpus with zero qualifying pairs must return a TYPED empty
+    result (the driver gate compares schemas even at zero rows)."""
+    import pyarrow.parquet as _pq
+
+    from pyofs_ray.pipelines.corpus import winnow_dup_pairs
+
+    rows = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": ["alpha bravo charlie delta echo foxtrot golf hotel x",
+                 "completely different content with no overlap at all y"],
+        "lang": ["en"] * 2, "source": ["t"] * 2,
+        "n_chars": pa.array([1, 1], pa.int64())})
+    _pq.write_table(rows, str(tmp_path / "documents.parquet"))
+    out = winnow_dup_pairs(str(tmp_path))
+    assert len(out) == 0
+    assert sorted(out.columns) == ["id_a", "id_b", "shared"]
 
 
 def test_hash_split_exhaustive_disjoint_consistent():
