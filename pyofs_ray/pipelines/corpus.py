@@ -147,21 +147,22 @@ def winnow_dup_pairs(sf_dir: str) -> pd.DataFrame:
     partials = fps.groupby("_bucket").map_groups(pairs_in_bucket,
                                                  batch_format="pyarrow")
 
-    def finish(b: pa.Table) -> pa.Table:
-        t = b.group_by(["id_a", "id_b"]).aggregate([("shared", "sum")])
-        t = pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
-                      "shared": t["shared_sum"]})
-        return t.filter(_pc.greater_equal(
-            t["shared"], pa.scalar(WINNOW_PAIR_MIN_SHARED, pa.int64())))
-
-    # the final pair table is small (dup-bounded) → driver-side pandas,
-    # the near-dup family convention (minhash_pairs/simhash_pairs): Ray
-    # 2.49 drops the schema of ANY zero-row Dataset in to_pandas, so a
-    # Dataset return could never carry typed-empty through the gate
-    out = partials.repartition(1).map_batches(
-        finish, batch_format="pyarrow", batch_size=None)
-    tbls = [t for t in ray.get(out.to_arrow_refs()) if t.num_columns]
-    return (pa.concat_tables(tbls) if tbls else empty).to_pandas()
+    # The partial pair table is dup-bounded (per-fp contribution ≤
+    # C(cap,2)), so the cross-bucket merge happens driver-side — the
+    # near-dup family's bounded-driver convention (union-find in
+    # minhash_dedup_corpus) — leaving ONE all-to-all in the whole plan.
+    # pandas return: Ray 2.49 drops the schema of ANY zero-row Dataset in
+    # to_pandas, so a Dataset could never carry typed-empty to the gate.
+    tbls = [t for t in ray.get(partials.to_arrow_refs()) if t.num_columns]
+    if not tbls:
+        return empty.to_pandas()
+    t = (pa.concat_tables(tbls).group_by(["id_a", "id_b"])
+         .aggregate([("shared", "sum")]))
+    t = pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+                  "shared": t["shared_sum"]})
+    return t.filter(_pc.greater_equal(
+        t["shared"], pa.scalar(WINNOW_PAIR_MIN_SHARED,
+                               pa.int64()))).to_pandas()
 
 
 def dedup_near_corpus(sf_dir: str) -> ray.data.Dataset:
