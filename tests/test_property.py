@@ -148,3 +148,39 @@ def test_window_bounds_vs_bruteforce(data):
                    if ks[j] == ks[i] and ts[i] - w <= ts[j] <= ts[i]]
         # bounds delimit a contiguous run holding exactly those members
         assert members == list(range(lo[i], hi[i]))
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=st.data())
+def test_winnow_vs_scalar_reference(data):
+    """Vectorized winnowing vs a direct scalar re-implementation over
+    random small-alphabet strings (dense hash collisions, repeated
+    k-grams, boundary lengths)."""
+    import pyarrow as pa
+
+    from pyofs_ray.stages.text import (WINNOW_BASE, WINNOW_FP_BITS,
+                                       WINNOW_K, WINNOW_POS_BITS, WINNOW_W,
+                                       winnow_fingerprints)
+
+    s = data.draw(st.text(alphabet="abc", min_size=0, max_size=40))
+    out = winnow_fingerprints(
+        pa.table({"doc_id": pa.array([1], pa.int64()), "text": [s]}))
+    got = set(zip(out["pos"].to_pylist(), out["fp"].to_pylist()))
+
+    cp = [ord(c) for c in s]
+    n = len(cp) - WINNOW_K + 1
+    exp = set()
+    if n >= WINNOW_W:
+        hs = []
+        for i in range(n):
+            h = 0
+            for j in range(WINNOW_K):
+                h = (h + cp[i + j] * WINNOW_BASE ** (WINNOW_K - 1 - j))
+            hs.append((h % (1 << 64)) % (1 << WINNOW_FP_BITS))
+        pos_mod = 1 << WINNOW_POS_BITS
+        for e in range(WINNOW_W - 1, n):
+            window = [(hs[i] * pos_mod + (pos_mod - (i + 1)), i)
+                      for i in range(e - WINNOW_W + 1, e + 1)]
+            v, i = min(window)
+            exp.add((i + 1, hs[i]))
+    assert got == exp, (s, sorted(got), sorted(exp))
