@@ -107,3 +107,17 @@ pairs AS (
 SELECT id_a, id_b, shared FROM pairs
 WHERE shared >= {WINNOW_PAIR_MIN_SHARED}
 """
+
+
+def quality_scores_sql(table: str = "documents", text_col: str = "text",
+                       id_col: str = "doc_id") -> str:
+    """Twin of `stages/text.quality_scores`."""
+    from ..stages.text import STOPWORD_RE
+    return f"""
+SELECT {id_col},
+       {_count(text_col, TOKEN_RE)} AS n_tokens,
+       {_count(text_col, STOPWORD_RE)} AS n_stopwords,
+       CAST({_count(text_col, STOPWORD_RE)} AS DOUBLE)
+       / ({_count(text_col, TOKEN_RE)} + 1) AS stopword_ratio
+FROM {table}
+"""

@@ -408,6 +408,20 @@ from .core.sqlgen_text import winnow_pairs_sql  # noqa: E402
 register("winnow_dup_pairs", corpus.winnow_dup_pairs, winnow_pairs_sql())
 
 
+def _doc_quality(sf_dir: str):
+    from .stages.text import quality_scores
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return ds.map_batches(quality_scores, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+from .core.sqlgen_text import quality_scores_sql  # noqa: E402
+
+register("doc_quality", _doc_quality, quality_scores_sql())
+
+
 def _video_frame_features(sf_dir: str):
     """FAKV1 clips from doc ids → actor-pool frame sampling (every 2nd
     frame) → exact per-frame mean. Oracle recomputes from the generator

@@ -161,3 +161,24 @@ def winnow_fingerprints(batch: pa.Table, text_col: str = "text",
     return pa.table({"doc_id": pa.array(np.concatenate(out_ids)),
                      "pos": pa.array(np.concatenate(out_pos)),
                      "fp": pa.array(np.concatenate(out_fp))})
+
+
+# word-boundary English stopword markers — RE2 on BOTH sides (pyarrow
+# count_substring_regex and DuckDB regexp_extract_all), case-insensitive
+STOPWORD_RE = (r"(?i)\b(?:the|a|an|and|or|of|to|in|is|it|that|was|for|on"
+               r"|with|as|at|by|be|this)\b")
+
+
+def quality_scores(batch: pa.Table, text_col: str = "text",
+                   id_col: str = "doc_id") -> pa.Table:
+    """Quality-scoring signals: token count, stopword hits, and the
+    stopword ratio (stopwords / (tokens + 1)) — the classic natural-text
+    vs boilerplate/gibberish discriminator; ratio derived by ONE IEEE
+    division from exact int64 counts (bit-reproducible, SQL-mirrored)."""
+    t = batch[text_col]
+    n_tokens = pc.cast(pc.count_substring_regex(t, TOKEN_RE), pa.int64())
+    n_stop = pc.cast(pc.count_substring_regex(t, STOPWORD_RE), pa.int64())
+    denom = pc.cast(pc.add(n_tokens, pa.scalar(1, pa.int64())), pa.float64())
+    ratio = pc.divide(pc.cast(n_stop, pa.float64()), denom)
+    return pa.table({id_col: batch[id_col], "n_tokens": n_tokens,
+                     "n_stopwords": n_stop, "stopword_ratio": ratio})
