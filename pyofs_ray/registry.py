@@ -35,9 +35,11 @@ def register(name: str, fn: Callable[[str], Any], sql: str | None = None) -> Non
 
 
 def register_recall_gated(name: str, fn: Callable[[str], Any],
-                          baseline: str, tau: float) -> None:
+                          baseline: str, tau: float,
+                          cols: tuple[str, ...] = ("query_id", "vec_id")
+                          ) -> None:
     QUERIES[name] = fn
-    RECALL_GATES[name] = (baseline, tau)
+    RECALL_GATES[name] = (baseline, tau, cols)
 
 
 # ---------------------------------------------------------------- geocode/cells
@@ -420,6 +422,23 @@ def _doc_quality(sf_dir: str):
 from .core.sqlgen_text import quality_scores_sql  # noqa: E402
 
 register("doc_quality", _doc_quality, quality_scores_sql())
+
+
+def _embedding_dup_pairs_ivf(sf_dir: str):
+    """IVF-bucketed embedding near-dup — the higher-dup-rate scale path;
+    recall-gated against the oracle-exact banded-LSH pairs."""
+    import pyarrow.parquet as _pq
+
+    from .stages.ann import embedding_dup_pairs_ivf
+
+    n = _pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    return embedding_dup_pairs_ivf(ds, threshold=0.95, corpus_rows=n)
+
+
+register_recall_gated("embedding_dup_pairs_ivf", _embedding_dup_pairs_ivf,
+                      "embedding_dup_pairs", 0.8, cols=("id_a", "id_b"))
 
 
 def _video_frame_features(sf_dir: str):

@@ -447,3 +447,86 @@ def ann_topk_lsh(ds: ray.data.Dataset, queries: pa.Table, k: int = 5,
     sims = ds.map_batches(probe_fn, batch_format="pyarrow",
                           zero_copy_batch=True)
     return _finish_topk(sims, k, exclude_self)
+
+
+def embedding_dup_pairs_ivf(ds: ray.data.Dataset, threshold: float = 0.95,
+                            assign_probes: int = 2,
+                            nlist: int | None = None,
+                            corpus_rows: int | None = None,
+                            target_list_rows: int = 1024) -> pd.DataFrame:
+    """IVF-bucketed embedding near-dup pairs — the higher-dup-rate scale
+    path next to the banded sign-LSH `embedding_dup_pairs`: vectors
+    bucket by their ``assign_probes`` nearest coarse centroids; a pair
+    sharing ANY assigned list meets in one exact-cosine kernel. One
+    groupby exchange; normalized embeddings travel as float32 blobs
+    (binary column — the repo's ragged-payload convention).
+
+    ``nlist`` defaults to ``max(ivf_lists_for(N), N / target_list_rows)``
+    (capped 2¹⁶) so per-list populations stay ~``target_list_rows`` and
+    within-list work stays ~linear in N; beyond the 2¹⁶-list cap a
+    hierarchical (two-level) IVF is the named extension. Recall is
+    probabilistic (boundary pairs can split across lists even at 2
+    probes) — gated against the oracle-exact LSH pairs in the checker and
+    by the injected-dup pytest.
+    """
+    if corpus_rows is None:
+        corpus_rows = ds.count()
+    if nlist is None:
+        nlist = int(min(max(ivf_lists_for(corpus_rows),
+                            corpus_rows // target_list_rows), 1 << 16))
+    train = _ivf_train_matrix(ds, corpus_rows, max(2048, 8 * nlist))
+    cents = ivf_centroids(train, nlist=min(nlist, len(train)))
+    cents_ref = ray.put(cents)
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        m = _normalize(_embedding_matrix(b)).astype(np.float32)
+        vids = b["vec_id"].to_numpy(zero_copy_only=False)
+        p = min(assign_probes, len(c))
+        top = np.argsort(-(m @ c.T), axis=1)[:, :p]
+        blobs = [m[i].tobytes() for i in range(len(m))]
+        lst, vid, emb = [], [], []
+        for j in range(p):
+            lst.append(top[:, j].astype(np.int64))
+            vid.append(vids)
+            emb.extend(blobs)
+        return pa.table({"lst": pa.array(np.concatenate(lst)),
+                         "vec_id": pa.array(np.concatenate(vid)),
+                         "emb": pa.array(emb, pa.binary())})
+
+    def pairs_in_list(g: pa.Table) -> pa.Table:
+        vids = g["vec_id"].to_numpy(zero_copy_only=False)
+        blobs = g["emb"].to_pylist()
+        n = len(vids)
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if n < 2:
+            return empty
+        m = np.stack([np.frombuffer(x, dtype=np.float32) for x in blobs])
+        sims = (m @ m.T).astype(np.float64)
+        ia, ib = np.triu_indices(n, k=1)
+        hit = sims[ia, ib] >= threshold
+        ia, ib = ia[hit], ib[hit]
+        va, vb = vids[ia], vids[ib]
+        # the same vec enters a list via multiple probes: drop self-pairs
+        keep = va != vb
+        va, vb, cs = va[keep], vb[keep], sims[ia, ib][keep]
+        id_a, id_b = np.minimum(va, vb), np.maximum(va, vb)
+        return pa.table({"id_a": pa.array(id_a), "id_b": pa.array(id_b),
+                         "cosine": pa.array(cs)})
+
+    out = (ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby("lst").map_groups(pairs_in_list,
+                                        batch_format="pyarrow"))
+    # pair-bounded driver dedupe (a pair surfaces once per shared list)
+    tbls = [t for t in ray.get(out.to_arrow_refs()) if t.num_columns]
+    if not tbls:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
+    df = pa.concat_tables(tbls).to_pandas()
+    return (df.groupby(["id_a", "id_b"], as_index=False)
+              .cosine.max().sort_values(["id_a", "id_b"])
+              .reset_index(drop=True))

@@ -76,10 +76,11 @@ def main():
             from pyofs_ray.registry import RECALL_GATES
             gate = RECALL_GATES.get(name)
             if gate:
-                base_name, tau = gate
+                base_name, tau, cols = gate
+                cols = list(cols)
                 base_df = to_pandas(qs[base_name](sf_dir))
-                bset = set(map(tuple, base_df[["query_id", "vec_id"]].to_numpy()))
-                got = set(map(tuple, ray_df[["query_id", "vec_id"]].to_numpy()))
+                bset = set(map(tuple, base_df[cols].to_numpy()))
+                got = set(map(tuple, ray_df[cols].to_numpy()))
                 recall = len(bset & got) / len(bset) if bset else 1.0
                 ok = recall >= tau
                 print(f"{name}: recall-gate {'OK' if ok else 'FAIL'} "

@@ -104,6 +104,23 @@ def test_embedding_dup_pairs_finds_injected_dups():
     assert all(a >= 100 or b >= 100 for a, b in got)
 
 
+def test_embedding_dup_pairs_ivf_finds_injected_dups():
+    """The IVF-bucketed near-dup path must find the same injected dups as
+    the banded-LSH path (boundary pairs covered by the 2-probe assign)."""
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(50, 16)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(50)]
+    rows.append({"vec_id": 100, "embedding": (base[3] + 1e-4).tolist()})
+    rows.append({"vec_id": 101, "embedding": base[7].tolist()})
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    from pyofs_ray.stages.ann import embedding_dup_pairs_ivf
+    pairs = embedding_dup_pairs_ivf(ds, threshold=0.99, corpus_rows=52)
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (3, 100) in got and (7, 101) in got
+    assert (pairs.cosine >= 0.99).all()
+    assert all(a >= 100 or b >= 100 for a, b in got)
+
+
 def test_windows_oracles(duck_smoke):
     from .conftest import assert_matches_oracle
     for name in ("events_sessionize", "top_order_per_customer",
@@ -178,13 +195,14 @@ def test_recall_gates_pass_at_smoke_scale():
     """Every RECALL_GATES entry must clear its tau against its oracle-exact
     baseline at smoke scale — the checker's gate, exercised in-tree."""
     from pyofs_ray.registry import RECALL_GATES
-    assert set(RECALL_GATES) == {"ann_topk_lsh", "ann_topk_ivf"}
-    for name, (base_name, tau) in RECALL_GATES.items():
+    assert set(RECALL_GATES) == {"ann_topk_lsh", "ann_topk_ivf",
+                                 "embedding_dup_pairs_ivf"}
+    for name, (base_name, tau, cols) in RECALL_GATES.items():
         base = QUERIES[base_name](SF_SMOKE)
         approx = QUERIES[name](SF_SMOKE)
-        bset = set(map(tuple, base[["query_id", "vec_id"]].to_numpy()))
-        got = set(map(tuple, approx[["query_id", "vec_id"]].to_numpy()))
-        recall = len(bset & got) / len(bset)
+        bset = set(map(tuple, base[list(cols)].to_numpy()))
+        got = set(map(tuple, approx[list(cols)].to_numpy()))
+        recall = len(bset & got) / len(bset) if bset else 1.0
         assert recall >= tau, f"{name}: recall {recall:.3f} < tau {tau}"
 
 
