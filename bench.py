@@ -39,7 +39,7 @@ BENCH_QUERIES = [
     # round 3 additions
     "curate_corpus", "events_asof_order", "events_sliding_window",
     "events_incident_window", "clicks_nearest_error", "audio_features",
-    "winnow_dup_pairs",
+    "winnow_dup_pairs", "embedding_dup_pairs_ivf",
 ]
 
 
