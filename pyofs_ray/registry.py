@@ -22,10 +22,13 @@ ORACLES: dict[str, str] = {}
 
 # Approximate queries whose output cannot bit-match a SQL twin, gated
 # instead on recall against an oracle-EXACT baseline query: the checker
-# computes |approx ∩ exact| / |exact| over (query_id, vec_id) result pairs
-# and fails below tau. Taus are set from measured recall across
-# sf0.001/0.01/0.1 (LSH 0.62–0.80, IVF 0.85–0.95) with headroom.
-RECALL_GATES: dict[str, tuple[str, float]] = {}
+# computes |approx ∩ exact| / |exact| over the gate's key columns
+# (default (query_id, vec_id); pair queries use (id_a, id_b)) and fails
+# below tau. Taus are set from measured recall across sf0.001/0.01/0.1
+# (LSH 0.62–0.80, IVF 0.85–0.95) with headroom. An empty baseline makes
+# the gate vacuously pass (recall 1.0) — such gates lean on their
+# injected-dup pytests for real recall evidence.
+RECALL_GATES: dict[str, tuple[str, float, tuple[str, ...]]] = {}
 
 
 def register(name: str, fn: Callable[[str], Any], sql: str | None = None) -> None:

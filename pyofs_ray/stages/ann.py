@@ -197,19 +197,34 @@ def ivf_lists_for(corpus_rows: int) -> int:
                        IVF_LISTS, 1 << 16))
 
 
+def _chunked_argmax(m: np.ndarray, cents: np.ndarray,
+                    chunk: int = 1024) -> np.ndarray:
+    """argmax(m @ cents.T, axis=1) without materializing the full
+    (rows × nlist) similarity matrix — at nlist = 2¹⁶ and a large train
+    sample that matrix is tens of GB; chunking bounds it at
+    chunk × nlist × 8 bytes (~0.5 GB at the caps)."""
+    out = np.empty(len(m), np.int64)
+    for s in range(0, len(m), chunk):
+        out[s:s + chunk] = np.argmax(m[s:s + chunk] @ cents.T, axis=1)
+    return out
+
+
 def ivf_centroids(sample: np.ndarray, nlist: int = IVF_LISTS,
                   iters: int = IVF_LLOYD_ITERS) -> np.ndarray:
     """Deterministic IVF coarse centroids: seed with the first ``nlist``
     sample vectors, then a few Lloyd iterations (cosine/spherical k-means:
-    re-normalize means). No RNG — same input → same index."""
+    re-normalize means; chunked assignment bounds memory at large nlist).
+    No RNG — same input → same index."""
     m = _normalize(sample.astype(np.float64))
     cents = m[:nlist].copy()
     for _ in range(iters):
-        assign = np.argmax(m @ cents.T, axis=1)
-        for c in range(len(cents)):
-            sel = assign == c
-            if sel.any():
-                cents[c] = m[sel].mean(axis=0)
+        assign = _chunked_argmax(m, cents)
+        # vectorized per-cluster means: sum rows by assignment bucket
+        sums = np.zeros_like(cents)
+        np.add.at(sums, assign, m)
+        counts = np.bincount(assign, minlength=len(cents)).astype(np.float64)
+        nonzero = counts > 0
+        cents[nonzero] = sums[nonzero] / counts[nonzero, None]
         cents = _normalize(cents)
     return cents
 
@@ -340,6 +355,17 @@ def embedding_dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
         small_rows=0 if force_distributed else None, spill=spill,
         rows_hint=docs_hint * num_bands if docs_hint else None).materialize()
 
+    return _verify_cosine_pairs(cand, ds, threshold, force_distributed)
+
+
+def _verify_cosine_pairs(cand, ds: ray.data.Dataset, threshold: float,
+                         force_distributed: bool) -> pd.DataFrame:
+    """Shared exact-cosine verify tail for the embedding near-dup family:
+    join embeddings (packed blobs) back onto the pair-bounded candidate
+    set, verify cos ≥ threshold, dedupe bucket repeats driver-side
+    (result-bounded)."""
+    from .pairs import attach_candidate_signatures
+
     def sig(b: pa.Table) -> pa.Table:
         m = _embedding_matrix(b)  # float64 rows → packed blobs
         return pa.table({"vec_id": b["vec_id"],
@@ -367,7 +393,7 @@ def embedding_dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
     out = paired.map_batches(verify, batch_format="pandas").to_pandas()
     if out.empty:
         return empty
-    out = out.drop_duplicates(["id_a", "id_b"])  # band dupes, result-bounded
+    out = out.drop_duplicates(["id_a", "id_b"])  # bucket dupes, result-bounded
     return (out[out.cosine >= threshold]
             .sort_values(["id_a", "id_b"]).reset_index(drop=True))
 
@@ -453,80 +479,56 @@ def embedding_dup_pairs_ivf(ds: ray.data.Dataset, threshold: float = 0.95,
                             assign_probes: int = 2,
                             nlist: int | None = None,
                             corpus_rows: int | None = None,
-                            target_list_rows: int = 1024) -> pd.DataFrame:
-    """IVF-bucketed embedding near-dup pairs — the higher-dup-rate scale
-    path next to the banded sign-LSH `embedding_dup_pairs`: vectors
-    bucket by their ``assign_probes`` nearest coarse centroids; a pair
-    sharing ANY assigned list meets in one exact-cosine kernel. One
-    groupby exchange; normalized embeddings travel as float32 blobs
-    (binary column — the repo's ragged-payload convention).
+                            force_distributed: bool = False,
+                            spill: bool | None = None) -> pd.DataFrame:
+    """IVF-bucketed embedding near-dup pairs — a data-adaptive bucketing
+    next to the banded sign-LSH `embedding_dup_pairs`: each vector emits
+    its ``assign_probes`` nearest coarse-centroid ids as bucket keys and
+    everything downstream is the SHARED candidate machinery
+    (`stages/pairs.py`): ids-only shuffle (embeddings never travel through
+    the exchange), distributed ≥2-member filter, `max_bucket` truncation
+    of hot lists (a viral dup cluster concentrates in one centroid — the
+    same bounded-bucket policy as the sketch paths), parquet-spill above
+    the size threshold, then the exact-cosine verify over the
+    pair-bounded candidates.
 
-    ``nlist`` defaults to ``max(ivf_lists_for(N), N / target_list_rows)``
-    (capped 2¹⁶) so per-list populations stay ~``target_list_rows`` and
-    within-list work stays ~linear in N; beyond the 2¹⁶-list cap a
-    hierarchical (two-level) IVF is the named extension. Recall is
-    probabilistic (boundary pairs can split across lists even at 2
-    probes) — gated against the oracle-exact LSH pairs in the checker and
-    by the injected-dup pytest.
+    ``nlist`` defaults to `ivf_lists_for` (~√N, 2¹⁶ cap) — centroid
+    training stays driver-feasible (chunked Lloyd assignment in
+    `ivf_centroids`); a hierarchical two-level IVF is the named extension
+    beyond the cap. Recall is data-dependent (boundary pairs can split
+    across lists even at 2 probes); the injected-dup pytest is the
+    recall evidence — the checker's gate vs the LSH pairs is vacuous on
+    the dup-free fixture (baseline empty ⇒ recall 1.0 by convention).
     """
+    from .pairs import candidate_pairs
+
     if corpus_rows is None:
         corpus_rows = ds.count()
     if nlist is None:
-        nlist = int(min(max(ivf_lists_for(corpus_rows),
-                            corpus_rows // target_list_rows), 1 << 16))
-    train = _ivf_train_matrix(ds, corpus_rows, max(2048, 8 * nlist))
+        nlist = ivf_lists_for(corpus_rows)
+    train = _ivf_train_matrix(ds, corpus_rows,
+                              min(max(2048, 8 * nlist), 1 << 18))
     cents = ivf_centroids(train, nlist=min(nlist, len(train)))
     cents_ref = ray.put(cents)
 
-    def assign(b: pa.Table) -> pa.Table:
+    def bucketize(b: pa.Table) -> pa.Table:
         c = ray.get(cents_ref)
-        m = _normalize(_embedding_matrix(b)).astype(np.float32)
-        vids = b["vec_id"].to_numpy(zero_copy_only=False)
+        m = _normalize(_embedding_matrix(b))
+        vids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         p = min(assign_probes, len(c))
-        top = np.argsort(-(m @ c.T), axis=1)[:, :p]
-        blobs = [m[i].tobytes() for i in range(len(m))]
-        lst, vid, emb = [], [], []
-        for j in range(p):
-            lst.append(top[:, j].astype(np.int64))
-            vid.append(vids)
-            emb.extend(blobs)
-        return pa.table({"lst": pa.array(np.concatenate(lst)),
-                         "vec_id": pa.array(np.concatenate(vid)),
-                         "emb": pa.array(emb, pa.binary())})
+        s = m @ c.T
+        if p < s.shape[1]:
+            top = np.argpartition(-s, p - 1, axis=1)[:, :p]  # unordered ok
+        else:
+            top = np.broadcast_to(np.arange(s.shape[1]),
+                                  (len(m), s.shape[1])).copy()
+        return pa.table({"bkey": pa.array(top.astype(np.int64).ravel()),
+                         "vec_id": pa.array(np.repeat(vids, p))})
 
-    def pairs_in_list(g: pa.Table) -> pa.Table:
-        vids = g["vec_id"].to_numpy(zero_copy_only=False)
-        blobs = g["emb"].to_pylist()
-        n = len(vids)
-        empty = pa.table({"id_a": pa.array([], pa.int64()),
-                          "id_b": pa.array([], pa.int64()),
-                          "cosine": pa.array([], pa.float64())})
-        if n < 2:
-            return empty
-        m = np.stack([np.frombuffer(x, dtype=np.float32) for x in blobs])
-        sims = (m @ m.T).astype(np.float64)
-        ia, ib = np.triu_indices(n, k=1)
-        hit = sims[ia, ib] >= threshold
-        ia, ib = ia[hit], ib[hit]
-        va, vb = vids[ia], vids[ib]
-        # the same vec enters a list via multiple probes: drop self-pairs
-        keep = va != vb
-        va, vb, cs = va[keep], vb[keep], sims[ia, ib][keep]
-        id_a, id_b = np.minimum(va, vb), np.maximum(va, vb)
-        return pa.table({"id_a": pa.array(id_a), "id_b": pa.array(id_b),
-                         "cosine": pa.array(cs)})
-
-    out = (ds.map_batches(assign, batch_format="pyarrow",
-                          zero_copy_batch=True)
-             .groupby("lst").map_groups(pairs_in_list,
-                                        batch_format="pyarrow"))
-    # pair-bounded driver dedupe (a pair surfaces once per shared list)
-    tbls = [t for t in ray.get(out.to_arrow_refs()) if t.num_columns]
-    if not tbls:
-        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                             "id_b": pd.Series([], dtype="int64"),
-                             "cosine": pd.Series([], dtype="float64")})
-    df = pa.concat_tables(tbls).to_pandas()
-    return (df.groupby(["id_a", "id_b"], as_index=False)
-              .cosine.max().sort_values(["id_a", "id_b"])
-              .reset_index(drop=True))
+    emitted = ds.map_batches(bucketize, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    cand = candidate_pairs(
+        emitted, key="bkey", id_col="vec_id",
+        small_rows=0 if force_distributed else None, spill=spill,
+        rows_hint=corpus_rows * assign_probes).materialize()
+    return _verify_cosine_pairs(cand, ds, threshold, force_distributed)

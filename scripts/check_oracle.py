@@ -83,8 +83,11 @@ def main():
                 got = set(map(tuple, ray_df[cols].to_numpy()))
                 recall = len(bset & got) / len(bset) if bset else 1.0
                 ok = recall >= tau
+                note = "" if bset else \
+                    " [baseline empty: vacuous — pytest carries recall]"
                 print(f"{name}: recall-gate {'OK' if ok else 'FAIL'} "
-                      f"(recall={recall:.3f} vs {base_name}, tau={tau})")
+                      f"(recall={recall:.3f} vs {base_name}, tau={tau})"
+                      f"{note}")
                 if not ok:
                     fails += 1
                 continue

@@ -15,7 +15,7 @@ from .conftest import SF_SMOKE, assert_matches_oracle
 
 
 @pytest.mark.parametrize("name", ["text_stats", "lang_id", "doc_fingerprint",
-                                  "dedup_exact", "ann_topk"])
+                                  "dedup_exact", "ann_topk", "doc_quality"])
 def test_corpus_oracle(name, duck_smoke):
     assert_matches_oracle(QUERIES[name](SF_SMOKE), duck_smoke, ORACLES[name])
 
