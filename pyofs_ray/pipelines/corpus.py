@@ -58,6 +58,14 @@ def simhash_pairs(sf_dir: str) -> pd.DataFrame:
                                    docs_hint=_docs_count(sf_dir))
 
 
+def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
+    """EXACT 5-gram-Jaccard >= 0.6 pairs via prefix-filtered AllPairs — the
+    sixth dedup family member; equals the SQL twin at any threshold by the
+    prefix theorem (no LSH recall assumption)."""
+    return dedup.jaccard_dedup_pairs(_docs(sf_dir), threshold=0.6,
+                                     docs_hint=_docs_count(sf_dir))
+
+
 WINNOW_PAIR_MIN_SHARED = 4   # pair qualifies at >= this many shared fps
 WINNOW_FP_DF_CAP = 8         # drop fingerprints appearing in > this many docs
 

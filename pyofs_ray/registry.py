@@ -203,6 +203,11 @@ register("minhash_pairs", corpus.minhash_pairs,
          sqlgen_dedup.minhash_pairs_sql(0.8))
 register("simhash_pairs", corpus.simhash_pairs,
          sqlgen_dedup.simhash_pairs_sql(3))
+# exact n-gram Jaccard (prefix-filter AllPairs) — same exact-Jaccard twin
+# as minhash_pairs but at tau=0.6 and with recall 1.0 by THEOREM, so this
+# equality holds at any threshold, not only where LSH recall is 1.0
+register("ngram_jaccard_pairs", corpus.ngram_jaccard_pairs,
+         sqlgen_dedup.minhash_pairs_sql(0.6))
 register("dedup_near_corpus", corpus.dedup_near_corpus,
          sqlgen_dedup.dedup_corpus_sql(0.8))
 register("dedup_near_corpus_distributed", corpus.dedup_near_corpus_distributed,

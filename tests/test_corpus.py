@@ -640,3 +640,61 @@ def test_curate_corpus_oracle_and_checkpoint(duck_smoke, monkeypatch):
     key = ckpt.sort_values("doc_id").reset_index(drop=True)
     assert key.equals(ref.sort_values("doc_id").reset_index(drop=True))
     assert len(spills) == 1 and spills[0] > 0
+
+
+def test_ngram_jaccard_pairs_exact_both_prefix_paths():
+    """AllPairs exact Jaccard: finds the injected dup cluster with exact
+    scores, identical output from the broadcast-df and distributed-prefix
+    paths, and equals a brute-force all-pairs reference."""
+    ds = _dup_corpus()
+    # brute reference over the same corpus
+    docs = ds.to_pandas()
+    grams = {r.doc_id: dedup._shingle_hashes(r.text) for r in docs.itertuples()}
+    ids = sorted(grams)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            j = dedup.jaccard(grams[a], grams[b])
+            if j >= 0.6:
+                want[(a, b)] = j
+
+    got = dedup.jaccard_dedup_pairs(ds, threshold=0.6)
+    got_pairs = {(int(r.id_a), int(r.id_b)): r.jaccard for r in got.itertuples()}
+    assert got_pairs.keys() == want.keys()
+    for k in want:
+        assert got_pairs[k] == want[k]  # exact, not approximate
+
+    dist = dedup.jaccard_dedup_pairs(ds, threshold=0.6, force_distributed=True,
+                                     distributed_prefix=True)
+    pd.testing.assert_frame_equal(got, dist)
+
+
+def test_ngram_jaccard_prefix_indexes_fewer_rows_than_full_index():
+    """The df-ordered prefix emits strictly fewer index rows than the full
+    inverted index (the whole point of the AllPairs filter)."""
+    ds = _dup_corpus()
+    full = ds.map_batches(
+        lambda b: dedup._distinct_gram_rows(b, "doc_id"),
+        batch_format="pyarrow").count()
+    prefix = dedup.jaccard_candidate_rows(ds, 0.6).count()
+    assert 0 < prefix < full
+    # tau=0.9 keeps even less than tau=0.6
+    tighter = dedup.jaccard_candidate_rows(ds, 0.9).count()
+    assert tighter < prefix
+
+
+def test_ngram_jaccard_short_and_empty_docs():
+    """Short docs share the sentinel gram (J=1.0 pairs); empty corpus keeps
+    a typed empty frame."""
+    ds = ray.data.from_arrow(pa.Table.from_pylist([
+        {"doc_id": 1, "text": "ab"},
+        {"doc_id": 2, "text": "cd"},
+        {"doc_id": 3, "text": "a much longer document about foxes"}]))
+    out = dedup.jaccard_dedup_pairs(ds, threshold=0.6)
+    assert set(map(tuple, out[["id_a", "id_b"]].to_numpy())) == {(1, 2)}
+    assert out.jaccard.iloc[0] == 1.0
+
+    empty = ray.data.from_arrow(pa.Table.from_pylist(
+        [{"doc_id": 1, "text": "only one doc here at all"}]))
+    out2 = dedup.jaccard_dedup_pairs(empty, threshold=0.6)
+    assert len(out2) == 0 and list(out2.columns) == ["id_a", "id_b", "jaccard"]
