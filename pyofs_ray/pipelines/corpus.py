@@ -342,3 +342,50 @@ def ann_topk_ivf(sf_dir: str) -> pd.DataFrame:
     n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
     return ann.ann_topk_ivf(ds, _query_vectors(sf_dir), k=TOPK, nprobe=6,
                             corpus_rows=n)
+
+
+TOP_TOKENS_K = 25
+
+
+def top_tokens(sf_dir: str, k: int = TOP_TOKENS_K) -> ray.data.Dataset:
+    """Corpus heavy hitters: top-k whitespace tokens by global count
+    (ties broken token-ascending). Classic vocabulary/boilerplate audit.
+
+    Scale shape: per-batch Arrow group_by compresses each block to its
+    distinct tokens before the ONE vocab-bounded exchange; the finish is
+    per-block partial top-k (any global top-k row is necessarily inside
+    its block's top-k under the same total order) coalesced into a single
+    bounded k-row reduce — no sort all-to-all."""
+    ds = _docs(sf_dir, columns=("text",))
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern_regex(b["text"], r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        g = pa.table({"token": toks}).group_by("token").aggregate(
+            [("token", "count")])
+        return pa.table({"token": g["token"],
+                         "cnt": g["token_count"].cast(pa.int64())})
+
+    from ray.data.aggregate import Sum
+    counts = (ds.map_batches(partial_counts, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .groupby("token").aggregate(Sum("cnt", alias_name="n")))
+
+    def topk(b: pa.Table) -> pa.Table:
+        idx = pa.compute.sort_indices(
+            b, sort_keys=[("n", "descending"), ("token", "ascending")])
+        return b.take(idx[:k]).select(["token", "n"])
+
+    return (counts.map_batches(topk, batch_format="pyarrow")
+                  .repartition(1)
+                  .map_batches(topk, batch_format="pyarrow"))
+
+
+TOP_TOKENS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token FROM documents
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM toks WHERE token <> ''
+GROUP BY token ORDER BY n DESC, token ASC LIMIT {TOP_TOKENS_K}
+"""

@@ -253,3 +253,59 @@ def cell_distinct_langs(sf_dir: str, zoom: int = geom.BASE_ZOOM,
                      .map_groups(count_per_cell, batch_format="pyarrow"))
     return (dedup.repartition(1)
                  .map_batches(count_per_cell, batch_format="pyarrow"))
+
+
+def host_stats(sf_dir: str, final_mode: str = "small") -> ray.data.Dataset:
+    """Per-host URL analytics: parse the host out of each page url (Arrow
+    split kernel — no Python in the hot path) and aggregate doc_count /
+    n_chars_sum / mean_chars / n_langs per host.
+
+    Skew is the point: the pages corpus routes ~70% of docs to one hot host
+    (`sources/pages.py`), so a naive groupby(host) would hand one reducer
+    most of the corpus. The two-level shape is skew-neutral: per-BATCH
+    Arrow partials over (host, lang) compress the hot host to <=1 row per
+    (batch, lang) before the exchange, and the exchange itself spreads by
+    the (host, lang) pair. mean_chars derives from the int64 sums AFTER
+    the final reduce (single IEEE division — bit-exact vs the SQL twin).
+    """
+    ds = pages_dataset(sf_dir, with_html=False)
+
+    def partial(b: pa.Table) -> pa.Table:
+        host = pc.list_element(pc.split_pattern(b["url"], "/"), 2)
+        t = pa.table({"host": host, "lang": b["lang"],
+                      "n_chars": pc.utf8_length(b["text"]).cast(pa.int64())})
+        g = t.group_by(["host", "lang"]).aggregate(
+            [("n_chars", "sum"), ("n_chars", "count")])
+        return pa.table({"host": g["host"], "lang": g["lang"],
+                         "chars": g["n_chars_sum"].cast(pa.int64()),
+                         "cnt": g["n_chars_count"].cast(pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.agg import auto_partitions
+    per_pair = (ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                  .repartition(auto_partitions())
+                  .groupby(["host", "lang"])
+                  .aggregate(Sum("chars", alias_name="chars"),
+                             Sum("cnt", alias_name="cnt")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        g = b.group_by("host").aggregate(
+            [("chars", "sum"), ("cnt", "sum"), ("lang", "count")])
+        chars = g["chars_sum"].cast(pa.int64())
+        cnt = g["cnt_sum"].cast(pa.int64())
+        return pa.table({
+            "host": g["host"],
+            "doc_count": cnt,
+            "n_chars_sum": chars,
+            "n_langs": g["lang_count"].cast(pa.int64()),
+            "mean_chars": pc.divide(chars.cast(pa.float64()),
+                                    cnt.cast(pa.float64())),
+        })
+
+    if final_mode == "grouped":
+        return per_pair.groupby("host").map_groups(finish,
+                                                   batch_format="pyarrow")
+    # pair set bounded by hosts x languages — one coalesced Arrow finish
+    return per_pair.repartition(1).map_batches(finish, batch_format="pyarrow")

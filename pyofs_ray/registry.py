@@ -30,6 +30,20 @@ ORACLES: dict[str, str] = {}
 # injected-dup pytests for real recall evidence.
 RECALL_GATES: dict[str, tuple[str, float, tuple[str, ...]]] = {}
 
+# Scalar-sketch queries gated on RELATIVE ERROR against an exact SQL value:
+# the checker runs ``exact_sql`` in DuckDB and fails the query if
+# ``|approx - exact| / exact > max_rel_err``. Bounds are set from the
+# sketch's published error (HLL at p=12: 1.04/sqrt(4096) ≈ 1.6% standard
+# error; the 5% gate is ≈3 sigma).
+ERROR_GATES: dict[str, tuple[str, str, float]] = {}
+
+
+def register_error_gated(name: str, fn: Callable[[str], Any],
+                         exact_sql: str, col: str,
+                         max_rel_err: float) -> None:
+    QUERIES[name] = fn
+    ERROR_GATES[name] = (exact_sql, col, max_rel_err)
+
 
 def register(name: str, fn: Callable[[str], Any], sql: str | None = None) -> None:
     QUERIES[name] = fn
@@ -208,6 +222,7 @@ register("simhash_pairs", corpus.simhash_pairs,
 # equality holds at any threshold, not only where LSH recall is 1.0
 register("ngram_jaccard_pairs", corpus.ngram_jaccard_pairs,
          sqlgen_dedup.minhash_pairs_sql(0.6))
+register("top_tokens", corpus.top_tokens, corpus.TOP_TOKENS_SQL)
 register("dedup_near_corpus", corpus.dedup_near_corpus,
          sqlgen_dedup.dedup_corpus_sql(0.8))
 register("dedup_near_corpus_distributed", corpus.dedup_near_corpus_distributed,
@@ -705,6 +720,24 @@ FROM pages""",
 
 
 register(
+    "host_stats",
+    flagship.host_stats,
+    f"""{sqlgen.pages_prefix()},
+per AS (
+  SELECT SPLIT_PART(url, '/', 3) AS host, lang,
+         CAST(SUM(LENGTH(text)) AS BIGINT) AS chars,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pages GROUP BY 1, 2
+)
+SELECT host,
+       CAST(SUM(cnt) AS BIGINT) AS doc_count,
+       CAST(SUM(chars) AS BIGINT) AS n_chars_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_langs,
+       CAST(SUM(chars) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS mean_chars
+FROM per GROUP BY host""",
+)
+
+register(
     "cell_distinct_langs",
     flagship.cell_distinct_langs,
     f"""{sqlgen.pages_prefix()}
@@ -726,7 +759,10 @@ def _approx_distinct_texts(sf_dir: str):
     return pd.DataFrame({"approx_distinct": [approx_distinct(ds, "text")]})
 
 
-register("approx_distinct_texts", _approx_distinct_texts)  # rows-only (sketch)
+register_error_gated(
+    "approx_distinct_texts", _approx_distinct_texts,
+    exact_sql="SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS v FROM documents",
+    col="approx_distinct", max_rel_err=0.05)
 register("rel_priority_revenue_native", relational.priority_revenue_native,
          relational.PRIORITY_REVENUE_SQL)
 

