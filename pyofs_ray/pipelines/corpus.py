@@ -389,3 +389,26 @@ SELECT token, CAST(COUNT(*) AS BIGINT) AS n
 FROM toks WHERE token <> ''
 GROUP BY token ORDER BY n DESC, token ASC LIMIT {TOP_TOKENS_K}
 """
+
+
+SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SPLIT_SALT = 23
+CONTAM_TAU = 0.6
+
+
+def split_contamination(sf_dir: str) -> pd.DataFrame:
+    """Train/eval contamination audit: exact-Jaccard near-dup pairs that
+    CROSS split boundaries (a train doc near-duplicating a val/test doc
+    leaks eval data into training). Composes the prefix-filtered AllPairs
+    join with the deterministic hash splits; the split label is a pure
+    function of doc_id, so it attaches to the pair-bounded result with a
+    vectorized kernel — no corpus join, no extra exchange."""
+    from ..stages.sample import split_labels
+
+    pairs = dedup.jaccard_dedup_pairs(_docs(sf_dir), threshold=CONTAM_TAU,
+                                      docs_hint=_docs_count(sf_dir))
+    sa = split_labels(pairs["id_a"].to_numpy(), SPLITS, SPLIT_SALT)
+    sb = split_labels(pairs["id_b"].to_numpy(), SPLITS, SPLIT_SALT)
+    pairs = pairs.assign(split_a=sa, split_b=sb)
+    return (pairs[sa != sb]
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))

@@ -272,7 +272,7 @@ register("doc_stratified_sample", _doc_stratified_sample,
                                _STRATA_RATES, _STRATA_DEFAULT, salt=17,
                                select="doc_id, lang, n_chars"))
 
-_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLITS = corpus.SPLITS  # one definition — split_contamination shares it
 
 
 def _doc_splits(sf_dir: str):
@@ -290,6 +290,21 @@ from .core.sqlgen_sample import hash_split_sql  # noqa: E402
 register("doc_splits", _doc_splits,
          hash_split_sql("documents", "doc_id", _SPLITS, salt=23,
                         select="doc_id, lang"))
+
+# train/eval contamination: exact-Jaccard pairs crossing split boundaries —
+# the AllPairs join composed with the hash splits (split label is a pure
+# function of doc_id on the Ray side; the twin joins the split CTE twice)
+register(
+    "split_contamination", corpus.split_contamination,
+    f"""WITH {sqlgen_dedup.pairs_ctes('documents', corpus.CONTAM_TAU)},
+sp AS ({hash_split_sql('documents', 'doc_id', _SPLITS,
+                       salt=corpus.SPLIT_SALT, select='doc_id')})
+SELECT p.id_a, p.id_b, p.jaccard,
+       sa.split AS split_a, sb.split AS split_b
+FROM pairs p
+JOIN sp sa ON sa.doc_id = p.id_a
+JOIN sp sb ON sb.doc_id = p.id_b
+WHERE sa.split <> sb.split""")
 
 
 # -------------------------------- compositing / stencil / validation (A4/J5/J6/A6)

@@ -36,6 +36,32 @@ def hash_sample(ds: ray.data.Dataset, key_col: str, rate: float,
     return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def split_bounds(splits: dict[str, float]) -> tuple[np.ndarray, np.ndarray]:
+    """(bounds, labels) for `split_labels` — bounds from ROUNDED CUMULATIVE
+    fractions (rounding each fraction separately can overflow the
+    denominator by the accumulated rounding error); remainder label ''."""
+    den = 1 << 20
+    bounds, labels, cum = [], [], 0.0
+    for name, frac in splits.items():
+        cum += frac
+        bounds.append(int(round(cum * den)))
+        labels.append(name)
+    if bounds and bounds[-1] > den:
+        raise ValueError(f"hash_split: fractions sum to {cum:.4f} > 1")
+    labels.append("")
+    return np.array(bounds, dtype=np.uint64), np.array(labels)
+
+
+def split_labels(keys: np.ndarray, splits: dict[str, float],
+                 salt: int = 0) -> np.ndarray:
+    """Split label per int64 key — the pure-function kernel under
+    `hash_split`; usable anywhere a key is at hand (no join needed)."""
+    b_arr, lab_arr = split_bounds(splits)
+    h = splitmix64(keys.astype(np.int64).view(np.uint64)
+                   ^ np.uint64(salt)) % np.uint64(1 << 20)
+    return lab_arr[np.searchsorted(b_arr, h, side="right")]
+
+
 def hash_split(ds: ray.data.Dataset, key_col: str,
                splits: dict[str, float], salt: int = 0,
                out_col: str = "split") -> ray.data.Dataset:
@@ -46,25 +72,12 @@ def hash_split(ds: ray.data.Dataset, key_col: str,
     construction, stable under re-partitioning/resume, and consistent
     with ``hash_sample`` at the same salt (the first split IS that
     sample)."""
-    den = 1 << 20
-    # bounds from ROUNDED CUMULATIVE fractions (rounding each fraction
-    # separately can overflow den by the accumulated rounding error)
-    bounds, labels, cum = [], [], 0.0
-    for name, frac in splits.items():
-        cum += frac
-        bounds.append(int(round(cum * den)))
-        labels.append(name)
-    if bounds and bounds[-1] > den:
-        raise ValueError(f"hash_split: fractions sum to {cum:.4f} > 1")
-    labels.append("")
-    lab_arr = np.array(labels)
-    b_arr = np.array(bounds, dtype=np.uint64)
+    split_bounds(splits)  # validate fractions eagerly, not per batch
 
     def assign(b: pa.Table) -> pa.Table:
-        k = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = splitmix64(k.view(np.uint64) ^ np.uint64(salt)) % np.uint64(den)
-        idx = np.searchsorted(b_arr, h, side="right")
-        return b.append_column(out_col, pa.array(lab_arr[idx]))
+        k = b[key_col].to_numpy(zero_copy_only=False)
+        return b.append_column(out_col,
+                               pa.array(split_labels(k, splits, salt)))
 
     return ds.map_batches(assign, batch_format="pyarrow",
                           zero_copy_batch=True)

@@ -17,7 +17,8 @@ from .conftest import SF_SMOKE, assert_matches_oracle
 @pytest.mark.parametrize("name", ["text_stats", "lang_id", "doc_fingerprint",
                                   "dedup_exact", "ann_topk", "doc_quality",
                                   "top_tokens", "host_stats",
-                                  "ngram_jaccard_pairs"])
+                                  "ngram_jaccard_pairs",
+                                  "split_contamination"])
 def test_corpus_oracle(name, duck_smoke):
     assert_matches_oracle(QUERIES[name](SF_SMOKE), duck_smoke, ORACLES[name])
 
