@@ -86,10 +86,10 @@ SELECT id_a, id_b, jaccard FROM pairs
 """
 
 
-def survivor_ctes(table: str = "documents", threshold: float = 0.8) -> str:
-    """CTE chain ``g..pairs, edges, reach, rep, survivors`` — keep-one
-    near-dup survivors (all columns of ``table``; each Jaccard-≥τ connected
-    component keeps its min doc_id). Must sit inside a WITH RECURSIVE."""
+def component_ctes(table: str = "documents", threshold: float = 0.8) -> str:
+    """CTE chain ``g..pairs, edges, reach, rep`` — per dup-cluster member
+    its component label (min reachable id). Must sit inside a WITH
+    RECURSIVE; keep-one and keep-best survivors both build on it."""
     return f"""{pairs_ctes(table, threshold)},
 edges AS (
   SELECT id_a AS a, id_b AS b FROM pairs
@@ -101,11 +101,39 @@ reach(id, r) AS (
   UNION
   SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
 ),
-rep AS (SELECT id, LEAST(id, MIN(r)) AS rep FROM reach GROUP BY id),
+rep AS (SELECT id, LEAST(id, MIN(r)) AS rep FROM reach GROUP BY id)"""
+
+
+def survivor_ctes(table: str = "documents", threshold: float = 0.8) -> str:
+    """``component_ctes`` + ``survivors`` — keep-one near-dup survivors
+    (all columns of ``table``; each component keeps its min doc_id)."""
+    return f"""{component_ctes(table, threshold)},
 survivors AS (
   SELECT d.* FROM {table} d LEFT JOIN rep ON d.doc_id = rep.id
   WHERE rep.id IS NULL OR rep.rep = d.doc_id
 )"""
+
+
+def dedup_corpus_keep_best_sql(threshold: float = 0.8,
+                               table: str = "documents",
+                               quality_col: str = "n_chars") -> str:
+    """Surviving doc ids under the keep-BEST rule: each Jaccard-≥τ
+    component keeps its highest-``quality_col`` member (ties → min id)
+    instead of its min id — the curation rule real pipelines use (keep
+    the longest/cleanest copy of each near-dup cluster)."""
+    return f"""
+WITH RECURSIVE {component_ctes(table, threshold)},
+ranked AS (
+  SELECT rep.id, ROW_NUMBER() OVER (
+      PARTITION BY rep.rep
+      ORDER BY d.{quality_col} DESC, rep.id ASC) AS rn
+  FROM rep JOIN {table} d ON d.doc_id = rep.id
+)
+SELECT d.doc_id FROM {table} d LEFT JOIN rep ON d.doc_id = rep.id
+WHERE rep.id IS NULL
+UNION ALL
+SELECT id AS doc_id FROM ranked WHERE rn = 1
+"""
 
 
 def simhash_cte() -> str:

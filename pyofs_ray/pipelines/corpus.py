@@ -412,3 +412,12 @@ def split_contamination(sf_dir: str) -> pd.DataFrame:
     pairs = pairs.assign(split_a=sa, split_b=sb)
     return (pairs[sa != sb]
             .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
+def dedup_near_corpus_keep_best(sf_dir: str) -> ray.data.Dataset:
+    """Keep-best near-dup dedup: per Jaccard-≥0.8 component keep the
+    longest doc (n_chars, ties min id) — the curation rule real pipelines
+    prefer over keep-min-id."""
+    docs = _docs(sf_dir, columns=("doc_id", "text", "n_chars"))
+    return dedup.minhash_dedup_corpus_keep_best(
+        docs, threshold=0.8, docs_hint=_docs_count(sf_dir))

@@ -227,6 +227,8 @@ register("dedup_near_corpus", corpus.dedup_near_corpus,
          sqlgen_dedup.dedup_corpus_sql(0.8))
 register("dedup_near_corpus_distributed", corpus.dedup_near_corpus_distributed,
          sqlgen_dedup.dedup_corpus_sql(0.8))
+register("dedup_near_corpus_keep_best", corpus.dedup_near_corpus_keep_best,
+         sqlgen_dedup.dedup_corpus_keep_best_sql(0.8))
 
 from .core.sqlgen_curate import curate_corpus_sql  # noqa: E402
 

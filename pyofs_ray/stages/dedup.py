@@ -705,3 +705,61 @@ def jaccard_dedup_pairs(ds: ray.data.Dataset, threshold: float = 0.6,
         rows_hint=docs_hint * 64 if docs_hint else None).materialize()
     return _verify_jaccard_pairs(cand, ds, id_col, text_col, threshold,
                                  force_distributed)
+
+
+def minhash_dedup_corpus_keep_best(ds: ray.data.Dataset,
+                                   threshold: float = 0.8,
+                                   id_col: str = "doc_id",
+                                   text_col: str = "text",
+                                   quality_col: str = "n_chars",
+                                   docs_hint: int | None = None
+                                   ) -> ray.data.Dataset:
+    """Keep-BEST near-dup dedup: each Jaccard-≥τ component keeps its
+    highest-``quality_col`` member (ties → min id) instead of its min id —
+    the rule real curation pipelines use (keep the longest/cleanest copy).
+
+    Scale shape mirrors keep-one (`minhash_dedup_corpus`): components from
+    the pair-bounded verified set; member qualities fetched with ONE
+    broadcast semi-filter pass over the streaming corpus (the member set is
+    bounded by dup docs, never the corpus); the final drop set broadcasts
+    back as an ``is_in`` filter. ``ds`` must carry ``quality_col``.
+    """
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    pairs = minhash_dedup_pairs(ds, threshold, id_col, text_col,
+                                docs_hint=docs_hint)
+    comp = union_find_components(pairs)  # NON-root members -> root
+    if len(pairs) == 0:
+        return ds.map_batches(lambda b: b.select([id_col]),
+                              batch_format="pyarrow")
+    # full membership: roots map to themselves (union_find_components only
+    # records non-roots — keep-one never needs the roots, keep-best does)
+    members = np.unique(np.concatenate(
+        [pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()])).astype(np.int64)
+    mem_ref = _ray.put(pa.array(members, pa.int64()))
+
+    def member_quality(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b[id_col], value_set=_ray.get(mem_ref))
+        return b.filter(keep).select([id_col, quality_col])
+
+    mq = ds.map_batches(member_quality, batch_format="pyarrow").to_pandas()
+    mid = mq[id_col].to_numpy()
+    qual = mq[quality_col].to_numpy()
+    rep = np.array([comp.get(int(i), int(i)) for i in mid], np.int64)
+    # per component: quality DESC, id ASC — first row is the keeper
+    order = np.lexsort((mid, -qual, rep))
+    rep_s, mid_s = rep[order], mid[order]
+    first = np.empty(len(rep_s), bool)
+    if len(rep_s):
+        first[0] = True
+        first[1:] = rep_s[1:] != rep_s[:-1]
+    drop = np.sort(mid_s[~first])
+    drop_ref = _ray.put(pa.array(drop, pa.int64()))
+
+    def filt(b: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.is_in(b[id_col], value_set=_ray.get(drop_ref)))
+        return b.filter(keep).select([id_col])
+
+    return ds.map_batches(filt, batch_format="pyarrow")

@@ -719,3 +719,33 @@ def test_top_tokens_tie_break_at_boundary():
                            sort_keys=[("n", "descending"), ("token", "ascending")])
     top3 = pa.table({"token": g["token"], "n": g["token_count"]}).take(idx[:3])
     assert top3["token"].to_pylist() == ["a", "b", "c"]
+
+
+def test_keep_best_prefers_quality_over_min_id(duck_smoke):
+    """keep-best keeps the LONGEST member of each dup cluster even when it
+    has the highest id (where keep-one would keep the min id)."""
+    base = ("the quick brown fox jumps over the lazy dog and runs into the "
+            "deep green forest looking for tasty snacks every morning ")
+    rows = [{"doc_id": i, "text": f"filler document {i} {i**3}",
+             "n_chars": 0} for i in range(10)]
+    # cluster: 50 (short) ~ 51 (short) ~ 52 (longest, highest id)
+    rows.append({"doc_id": 50, "text": base * 2, "n_chars": 0})
+    rows.append({"doc_id": 51, "text": base * 2, "n_chars": 0})
+    rows.append({"doc_id": 52, "text": base * 2 + base[:40], "n_chars": 0})
+    for r in rows:
+        r["n_chars"] = len(r["text"])
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+    best = set(dedup.minhash_dedup_corpus_keep_best(ds).to_pandas()
+               ["doc_id"].tolist())
+    one = set(dedup.minhash_dedup_corpus(ds).to_pandas()["doc_id"].tolist())
+    assert 52 in best and 50 not in best and 51 not in best
+    assert 50 in one and 52 not in one
+    assert best - {50, 51, 52} == one - {50, 51, 52}  # non-dups untouched
+
+    # tie on quality -> min id: 50 vs 51 are identical length
+    rows2 = [r for r in rows if r["doc_id"] != 52]
+    ds2 = ray.data.from_arrow(pa.Table.from_pylist(rows2))
+    best2 = set(dedup.minhash_dedup_corpus_keep_best(ds2).to_pandas()
+                ["doc_id"].tolist())
+    assert 50 in best2 and 51 not in best2
