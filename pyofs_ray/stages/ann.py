@@ -197,6 +197,27 @@ def ivf_lists_for(corpus_rows: int) -> int:
                        IVF_LISTS, 1 << 16))
 
 
+IVF_DUP_LIST_TARGET = 16  # target per-list population for dup-pair bucketing
+
+
+def ivf_dup_lists_for(corpus_rows: int) -> int:
+    """nlist for NEAR-DUP bucketing: ~N/16 rounded to a power of two.
+
+    Different sizing than top-k search (`ivf_lists_for`, ~√N): a search
+    probe scans its nprobe lists once per QUERY, so per-list ~√N balances
+    list count against list size; dup-pair bucketing ENUMERATES C(size, 2)
+    pairs inside every list, so per-list population must stay O(1) for the
+    candidate count to stay linear in N — √N-sized lists make it N^1.5
+    (measured: 2k dup-free vectors at nlist=64 emit ~120k candidate pairs,
+    pushing the verify over the broadcast threshold into distributed
+    joins; at per-list ~16 the same corpus emits ~60k and stays on the
+    broadcast path). Past the 2¹⁶ cap the hierarchical two-level IVF named
+    in `embedding_dup_pairs_ivf` is the extension."""
+    n = max(int(corpus_rows), 1)
+    return int(np.clip(1 << int(np.ceil(np.log2(
+        max(n / IVF_DUP_LIST_TARGET, 1.0)))), IVF_LISTS, 1 << 16))
+
+
 def _chunked_argmax(m: np.ndarray, cents: np.ndarray,
                     chunk: int = 1024) -> np.ndarray:
     """argmax(m @ cents.T, axis=1) without materializing the full
@@ -366,6 +387,26 @@ def _verify_cosine_pairs(cand, ds: ray.data.Dataset, threshold: float,
     (result-bounded)."""
     from .pairs import attach_candidate_signatures
 
+    def drop_batch_dupes(b: pa.Table) -> pa.Table:
+        # bucket repeats (a pair sharing several probed cells/bands) are
+        # dropped per batch BEFORE embeddings attach — for the coalesced
+        # small path this is one batch, i.e. a full dedupe; duplicates
+        # that survive across batches on the large path fall to the final
+        # result-bounded drop_duplicates
+        a = b["id_a"].to_numpy(zero_copy_only=False)
+        bb = b["id_b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((bb, a))
+        a_s, b_s = a[order], bb[order]
+        keep = np.empty(len(a_s), bool)
+        if len(a_s):
+            keep[0] = True
+            keep[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+        return pa.table({"id_a": pa.array(a_s[keep]),
+                         "id_b": pa.array(b_s[keep])})
+
+    cand = cand.map_batches(drop_batch_dupes, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
     def sig(b: pa.Table) -> pa.Table:
         m = _embedding_matrix(b)  # float64 rows → packed blobs
         return pa.table({"vec_id": b["vec_id"],
@@ -381,12 +422,16 @@ def _verify_cosine_pairs(cand, ds: ray.data.Dataset, threshold: float,
         return empty
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        cos = np.empty(len(df), np.float64)
+        if not len(df):
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64),
+                                 "cosine": pd.Series([], dtype=float)})
+        # equal-width blobs → one frombuffer + reshape, batch-normalized
+        # row dot products (no per-pair Python)
         ea, eb = df["emb_a"].to_numpy(), df["emb_b"].to_numpy()
-        for i in range(len(df)):  # loop over *pairs* — the true work unit
-            a = np.frombuffer(ea[i], dtype=np.float64)
-            b_ = np.frombuffer(eb[i], dtype=np.float64)
-            cos[i] = (_normalize(a[None, :]) @ _normalize(b_[None, :]).T)[0, 0]
+        ma = np.frombuffer(b"".join(ea), dtype=np.float64).reshape(len(df), -1)
+        mb = np.frombuffer(b"".join(eb), dtype=np.float64).reshape(len(df), -1)
+        cos = np.einsum("ij,ij->i", _normalize(ma), _normalize(mb))
         return pd.DataFrame({"id_a": df["id_a"].to_numpy(),
                              "id_b": df["id_b"].to_numpy(), "cosine": cos})
 
@@ -492,7 +537,8 @@ def embedding_dup_pairs_ivf(ds: ray.data.Dataset, threshold: float = 0.95,
     the size threshold, then the exact-cosine verify over the
     pair-bounded candidates.
 
-    ``nlist`` defaults to `ivf_lists_for` (~√N, 2¹⁶ cap) — centroid
+    ``nlist`` defaults to `ivf_dup_lists_for` (~N/16, 2¹⁶ cap — per-list
+    population O(1), NOT the √N search sizing; see its docstring) — centroid
     training stays driver-feasible (chunked Lloyd assignment in
     `ivf_centroids`); a hierarchical two-level IVF is the named extension
     beyond the cap. Recall is data-dependent (boundary pairs can split
@@ -505,7 +551,7 @@ def embedding_dup_pairs_ivf(ds: ray.data.Dataset, threshold: float = 0.95,
     if corpus_rows is None:
         corpus_rows = ds.count()
     if nlist is None:
-        nlist = ivf_lists_for(corpus_rows)
+        nlist = ivf_dup_lists_for(corpus_rows)
     train = _ivf_train_matrix(ds, corpus_rows,
                               min(max(2048, 8 * nlist), 1 << 18))
     cents = ivf_centroids(train, nlist=min(nlist, len(train)))
