@@ -374,8 +374,10 @@ def embedding_dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
     cand = candidate_pairs(
         emitted, key="bkey", id_col="vec_id",
         small_rows=0 if force_distributed else None, spill=spill,
-        rows_hint=docs_hint * num_bands if docs_hint else None).materialize()
+        rows_hint=docs_hint * num_bands if docs_hint else None)
 
+    # no materialize here: _verify_cosine_pairs chains its bucket-dup drop
+    # onto the candidate plan and materializes ONCE after it
     return _verify_cosine_pairs(cand, ds, threshold, force_distributed)
 
 
@@ -404,8 +406,58 @@ def _verify_cosine_pairs(cand, ds: ray.data.Dataset, threshold: float,
         return pa.table({"id_a": pa.array(a_s[keep]),
                          "id_b": pa.array(b_s[keep])})
 
+    # materialize: attach consumes the candidate set several times (size
+    # probe, id pull, the join itself) — left lazy, each consumption would
+    # re-run the dedupe map
     cand = cand.map_batches(drop_batch_dupes, batch_format="pyarrow",
-                            zero_copy_batch=True)
+                            zero_copy_batch=True).materialize()
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                          "id_b": pd.Series([], dtype=np.int64),
+                          "cosine": pd.Series([], dtype=float)})
+    from .pairs import SMALL_PAIRS
+    n_pairs = cand.count()  # free: cand is materialized
+    if n_pairs == 0:
+        return empty
+    if not force_distributed and n_pairs <= SMALL_PAIRS:
+        # SMALL path — pair set is driver-bounded by definition (the
+        # function returns it to the driver anyway). ONE distributed pass
+        # remains: the candidate-id semi-filter over the corpus; the
+        # cosine itself runs vectorized on the bounded pulled set. This
+        # replaces 4 near-empty plan executions (dedupe, id pull, sig
+        # table, verify map) that cost ~1 s fixed wall each in Ray 2.49.
+        pairs_df = cand.to_pandas()  # materialized: no plan re-execution
+        ia_ = pairs_df["id_a"].to_numpy()
+        ib_ = pairs_df["id_b"].to_numpy()
+        need_ref = ray.put(pa.array(
+            np.unique(np.concatenate([ia_, ib_])), pa.int64()))
+
+        def filt(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            keep = pc.is_in(b["vec_id"], value_set=ray.get(need_ref))
+            return b.filter(keep)
+
+        sub = ds.map_batches(filt, batch_format="pyarrow").to_pandas()
+        sid = sub["vec_id"].to_numpy()
+        order = np.argsort(sid)
+        sid_sorted = sid[order]
+        mat = _normalize(np.stack(sub["embedding"].to_numpy())
+                         .astype(np.float64))[order]
+
+        def rows_for(want: np.ndarray) -> np.ndarray:
+            idx = np.searchsorted(sid_sorted, want)
+            ok = (idx < len(sid_sorted)) & (
+                sid_sorted[np.minimum(idx, len(sid_sorted) - 1)] == want)
+            if not ok.all():
+                raise KeyError(
+                    f"_verify_cosine_pairs: candidate id(s) "
+                    f"{np.asarray(want)[~ok][:5]!r} missing from the corpus")
+            return idx
+
+        cos = np.einsum("ij,ij->i", mat[rows_for(ia_)], mat[rows_for(ib_)])
+        out = pd.DataFrame({"id_a": ia_, "id_b": ib_, "cosine": cos})
+        out = out.drop_duplicates(["id_a", "id_b"])  # cross-batch dupes
+        return (out[out.cosine >= threshold]
+                .sort_values(["id_a", "id_b"]).reset_index(drop=True))
 
     def sig(b: pa.Table) -> pa.Table:
         m = _embedding_matrix(b)  # float64 rows → packed blobs
@@ -414,10 +466,7 @@ def _verify_cosine_pairs(cand, ds: ray.data.Dataset, threshold: float,
                                          pa.binary())})
 
     paired = attach_candidate_signatures(
-        cand, ds, "vec_id", sig, small_pairs=0 if force_distributed else None)
-    empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
-                          "id_b": pd.Series([], dtype=np.int64),
-                          "cosine": pd.Series([], dtype=float)})
+        cand, ds, "vec_id", sig, small_pairs=0)
     if paired is None:
         return empty
 
@@ -576,5 +625,6 @@ def embedding_dup_pairs_ivf(ds: ray.data.Dataset, threshold: float = 0.95,
     cand = candidate_pairs(
         emitted, key="bkey", id_col="vec_id",
         small_rows=0 if force_distributed else None, spill=spill,
-        rows_hint=corpus_rows * assign_probes).materialize()
+        rows_hint=corpus_rows * assign_probes)
+    # no materialize here: the verify dedupes then materializes once
     return _verify_cosine_pairs(cand, ds, threshold, force_distributed)
