@@ -121,3 +121,25 @@ SELECT {id_col},
        / ({_count(text_col, TOKEN_RE)} + 1) AS stopword_ratio
 FROM {table}
 """
+
+
+def token_repetition_sql(table: str = "documents", text_col: str = "text",
+                         id_col: str = "doc_id") -> str:
+    """Twin of `stages/text.token_repetition`."""
+    return f"""
+WITH tk AS (
+  SELECT {id_col}, unnest(regexp_split_to_array({text_col}, '\\s+')) AS tok
+  FROM {table}
+),
+f AS (SELECT {id_col}, tok FROM tk WHERE tok <> ''),
+agg AS (
+  SELECT {id_col}, COUNT(*) AS total, COUNT(DISTINCT tok) AS dist
+  FROM f GROUP BY {id_col}
+)
+SELECT d.{id_col},
+       CAST(COALESCE(a.total, 0) AS BIGINT) AS n_ws_tokens,
+       CAST(COALESCE(a.dist, 0) AS BIGINT) AS n_distinct_tokens,
+       CAST(COALESCE(a.total, 0) - COALESCE(a.dist, 0) AS DOUBLE)
+       / (COALESCE(a.total, 0) + 1) AS repetition_ratio
+FROM {table} d LEFT JOIN agg a ON d.{id_col} = a.{id_col}
+"""

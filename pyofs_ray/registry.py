@@ -459,9 +459,23 @@ def _doc_quality(sf_dir: str):
                           zero_copy_batch=True)
 
 
-from .core.sqlgen_text import quality_scores_sql  # noqa: E402
+from .core.sqlgen_text import quality_scores_sql, token_repetition_sql  # noqa: E402
 
 register("doc_quality", _doc_quality, quality_scores_sql())
+
+
+def _doc_repetition(sf_dir: str):
+    """Within-document token-repetition quality signal (Gopher-style):
+    repeated-token fraction flags boilerplate/keyword-stuffed pages."""
+    from .stages.text import token_repetition
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return ds.map_batches(token_repetition, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+register("doc_repetition", _doc_repetition, token_repetition_sql())
 
 
 def _embedding_dup_pairs_ivf(sf_dir: str):

@@ -182,3 +182,34 @@ def quality_scores(batch: pa.Table, text_col: str = "text",
     ratio = pc.divide(pc.cast(n_stop, pa.float64()), denom)
     return pa.table({id_col: batch[id_col], "n_tokens": n_tokens,
                      "n_stopwords": n_stop, "stopword_ratio": ratio})
+
+
+def token_repetition(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Within-document token repetition (Gopher-style quality signal):
+    whitespace-token count, distinct-token count, and
+    ``repetition_ratio = (total - distinct) / (total + 1)`` — high values
+    flag boilerplate/keyword-stuffed pages. All-Arrow: split → flatten
+    with parent indices → (row, token) distinct via one Arrow group_by;
+    the ratio is ONE IEEE division of exact int64 counts (SQL-mirrored)."""
+    import numpy as np
+    arr = batch[text_col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    lists = pc.split_pattern_regex(arr, r"\s+")
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists)
+    mask = pc.not_equal(flat, "")
+    flat_t = flat.filter(mask)
+    parent_t = parent.filter(mask).to_numpy(zero_copy_only=False)
+    n = len(batch)
+    total = np.bincount(parent_t, minlength=n).astype(np.int64)
+    g = (pa.table({"p": pa.array(parent_t), "t": flat_t})
+         .group_by(["p", "t"]).aggregate([]))
+    distinct = np.bincount(g["p"].to_numpy(zero_copy_only=False),
+                           minlength=n).astype(np.int64)
+    rep = (total - distinct).astype(np.float64) / (total + 1).astype(np.float64)
+    return pa.table({id_col: batch[id_col],
+                     "n_ws_tokens": pa.array(total),
+                     "n_distinct_tokens": pa.array(distinct),
+                     "repetition_ratio": pa.array(rep)})

@@ -18,7 +18,7 @@ from .conftest import SF_SMOKE, assert_matches_oracle
                                   "dedup_exact", "ann_topk", "doc_quality",
                                   "top_tokens", "host_stats",
                                   "ngram_jaccard_pairs",
-                                  "split_contamination"])
+                                  "split_contamination", "doc_repetition"])
 def test_corpus_oracle(name, duck_smoke):
     assert_matches_oracle(QUERIES[name](SF_SMOKE), duck_smoke, ORACLES[name])
 
@@ -749,3 +749,16 @@ def test_keep_best_prefers_quality_over_min_id(duck_smoke):
     best2 = set(dedup.minhash_dedup_corpus_keep_best(ds2).to_pandas()
                 ["doc_id"].tolist())
     assert 50 in best2 and 51 not in best2
+
+
+def test_token_repetition_kernel_edges():
+    """Empty text, all-repeats, and all-distinct docs score correctly."""
+    from pyofs_ray.stages.text import token_repetition
+    b = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": pa.array(["", "a a a a", "w x y z", "  b  b  "])})
+    out = token_repetition(b).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_ws_tokens"] == 0 and out.loc[1, "repetition_ratio"] == 0.0
+    assert out.loc[2, "n_ws_tokens"] == 4 and out.loc[2, "n_distinct_tokens"] == 1
+    assert out.loc[2, "repetition_ratio"] == 3 / 5
+    assert out.loc[3, "repetition_ratio"] == 0.0
+    assert out.loc[4, "n_ws_tokens"] == 2 and out.loc[4, "n_distinct_tokens"] == 1
