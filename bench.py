@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     "curate_corpus", "events_asof_order", "events_sliding_window",
     "events_incident_window", "clicks_nearest_error", "audio_features",
     "winnow_dup_pairs", "embedding_dup_pairs_ivf",
+    # round 3 late block
+    "ngram_jaccard_pairs", "host_stats", "top_tokens",
+    "split_contamination", "dedup_near_corpus_keep_best", "doc_repetition",
 ]
 
 
