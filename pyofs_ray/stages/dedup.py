@@ -697,6 +697,11 @@ def jaccard_dedup_pairs(ds: ray.data.Dataset, threshold: float = 0.6,
     """
     if distributed_prefix is None and force_distributed:
         distributed_prefix = True
+    if distributed_prefix is None and docs_hint and docs_hint > 2_000_000:
+        # pre-select from the metadata row count: the auto probe pins the
+        # full inverted index in the object store to count the vocabulary,
+        # which is exactly what the distributed path exists to avoid
+        distributed_prefix = True
     prefix_rows = jaccard_candidate_rows(ds, threshold, id_col, text_col,
                                          distributed_prefix)
     cand = candidate_pairs(
