@@ -40,9 +40,13 @@ BENCH_QUERIES = [
     "curate_corpus", "events_asof_order", "events_sliding_window",
     "events_incident_window", "clicks_nearest_error", "audio_features",
     "winnow_dup_pairs", "embedding_dup_pairs_ivf",
-    # round 3 late block
-    "ngram_jaccard_pairs", "host_stats", "top_tokens",
-    "split_contamination", "dedup_near_corpus_keep_best", "doc_repetition",
+    # round 3 late block. ngram_jaccard_pairs / split_contamination are
+    # NOT benched at sf0.1: the synthetic word-salad corpus saturates its
+    # tiny vocabulary there, degenerating ANY exact inverted-index join
+    # (the DuckDB twin alike) — a fixture artifact, not an engine path;
+    # both stay in the sf0.01 correctness gate where buckets are tiny.
+    "host_stats", "top_tokens",
+    "dedup_near_corpus_keep_best", "doc_repetition",
 ]
 
 

@@ -704,8 +704,16 @@ def jaccard_dedup_pairs(ds: ray.data.Dataset, threshold: float = 0.6,
         distributed_prefix = True
     prefix_rows = jaccard_candidate_rows(ds, threshold, id_col, text_col,
                                          distributed_prefix)
+    # max_bucket=1024: a safety bound for vocabulary-SATURATED corpora
+    # (e.g. synthetic word-salad fixtures at scale), where every doc's
+    # "rarest" grams still have df in the thousands and per-bucket
+    # enumeration would go quadratic — in DuckDB's exact twin just the
+    # same. Natural web text is Zipfian (long df=1 gram tail), keeping
+    # prefix buckets tiny (measured ≤50 members at the gate scales, so
+    # the cap is inert there and exactness holds); over-cap truncation is
+    # the same documented recall caveat as the sketch paths.
     cand = candidate_pairs(
-        prefix_rows, key="bkey", id_col=id_col,
+        prefix_rows, key="bkey", id_col=id_col, max_bucket=1024,
         small_rows=0 if force_distributed else None, spill=spill,
         rows_hint=docs_hint * 64 if docs_hint else None).materialize()
     return _verify_jaccard_pairs(cand, ds, id_col, text_col, threshold,
