@@ -421,3 +421,58 @@ def dedup_near_corpus_keep_best(sf_dir: str) -> ray.data.Dataset:
     docs = _docs(sf_dir, columns=("doc_id", "text", "n_chars"))
     return dedup.minhash_dedup_corpus_keep_best(
         docs, threshold=0.8, docs_hint=_docs_count(sf_dir))
+
+
+def corpus_lang_report(sf_dir: str) -> ray.data.Dataset:
+    """Per-language curation dashboard: doc count, char volume, token and
+    stopword totals, mean length and corpus-level stopword ratio — the
+    summary a data curator reads before setting per-language sampling
+    rates. One skew-tolerant exchange (per-batch Arrow partials over lang);
+    every float derives from exact int64 sums by a single IEEE division."""
+    from ..stages.text import quality_scores
+
+    ds = _docs(sf_dir, columns=("doc_id", "text", "lang"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = quality_scores(b)
+        t = pa.table({"lang": b["lang"],
+                      "n_chars": pc.utf8_length(b["text"]).cast(pa.int64()),
+                      "n_tokens": q["n_tokens"],
+                      "n_stopwords": q["n_stopwords"]})
+        g = t.group_by("lang").aggregate(
+            [("n_chars", "sum"), ("n_tokens", "sum"),
+             ("n_stopwords", "sum"), ("lang", "count")])
+        return pa.table({"lang": g["lang"],
+                         "chars": g["n_chars_sum"].cast(pa.int64()),
+                         "toks": g["n_tokens_sum"].cast(pa.int64()),
+                         "stops": g["n_stopwords_sum"].cast(pa.int64()),
+                         "cnt": g["lang_count"].cast(pa.int64())})
+
+    from ray.data.aggregate import Sum
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby("lang")
+             .aggregate(Sum("chars", alias_name="n_chars_sum"),
+                        Sum("toks", alias_name="n_tokens_sum"),
+                        Sum("stops", alias_name="n_stopwords_sum"),
+                        Sum("cnt", alias_name="doc_count")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        chars = b["n_chars_sum"].combine_chunks() if isinstance(
+            b["n_chars_sum"], pa.ChunkedArray) else b["n_chars_sum"]
+        return pa.table({
+            "lang": b["lang"], "doc_count": b["doc_count"],
+            "n_chars_sum": b["n_chars_sum"],
+            "n_tokens_sum": b["n_tokens_sum"],
+            "n_stopwords_sum": b["n_stopwords_sum"],
+            "mean_chars": pc.divide(
+                pc.cast(b["n_chars_sum"], pa.float64()),
+                pc.cast(b["doc_count"], pa.float64())),
+            "stopword_ratio": pc.divide(
+                pc.cast(b["n_stopwords_sum"], pa.float64()),
+                pc.cast(pc.add(b["n_tokens_sum"],
+                               pa.scalar(1, pa.int64())), pa.float64())),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)

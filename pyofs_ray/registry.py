@@ -478,6 +478,31 @@ def _doc_repetition(sf_dir: str):
 register("doc_repetition", _doc_repetition, token_repetition_sql())
 
 
+def _corpus_lang_report_sql() -> str:
+    from .core.sqlgen_text import _count
+    from .stages.text import STOPWORD_RE, TOKEN_RE
+    return f"""
+WITH per AS (
+  SELECT lang,
+         CAST(LENGTH(text) AS BIGINT) AS chars,
+         {_count('text', TOKEN_RE)} AS toks,
+         {_count('text', STOPWORD_RE)} AS stops
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS doc_count,
+       CAST(SUM(chars) AS BIGINT) AS n_chars_sum,
+       CAST(SUM(toks) AS BIGINT) AS n_tokens_sum,
+       CAST(SUM(stops) AS BIGINT) AS n_stopwords_sum,
+       CAST(SUM(chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_chars,
+       CAST(SUM(stops) AS DOUBLE) / CAST(SUM(toks) + 1 AS DOUBLE) AS stopword_ratio
+FROM per GROUP BY lang"""
+
+
+register("corpus_lang_report", corpus.corpus_lang_report,
+         _corpus_lang_report_sql())
+
+
 def _embedding_dup_pairs_ivf(sf_dir: str):
     """IVF-bucketed embedding near-dup — the higher-dup-rate scale path;
     recall-gated against the oracle-exact banded-LSH pairs."""

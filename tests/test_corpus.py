@@ -18,7 +18,8 @@ from .conftest import SF_SMOKE, assert_matches_oracle
                                   "dedup_exact", "ann_topk", "doc_quality",
                                   "top_tokens", "host_stats",
                                   "ngram_jaccard_pairs",
-                                  "split_contamination", "doc_repetition"])
+                                  "split_contamination", "doc_repetition",
+                                  "corpus_lang_report"])
 def test_corpus_oracle(name, duck_smoke):
     assert_matches_oracle(QUERIES[name](SF_SMOKE), duck_smoke, ORACLES[name])
 
