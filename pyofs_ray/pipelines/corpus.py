@@ -458,8 +458,6 @@ def corpus_lang_report(sf_dir: str) -> ray.data.Dataset:
                         Sum("cnt", alias_name="doc_count")))
 
     def finish(b: pa.Table) -> pa.Table:
-        chars = b["n_chars_sum"].combine_chunks() if isinstance(
-            b["n_chars_sum"], pa.ChunkedArray) else b["n_chars_sum"]
         return pa.table({
             "lang": b["lang"], "doc_count": b["doc_count"],
             "n_chars_sum": b["n_chars_sum"],

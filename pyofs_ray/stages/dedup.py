@@ -639,7 +639,14 @@ def jaccard_candidate_rows(ds: ray.data.Dataset, threshold: float,
             sg, sc = ray.get(ref)
             g = b["bkey"].to_numpy(zero_copy_only=False).view(np.uint64)
             ids = b[id_col].to_numpy(zero_copy_only=False)
-            df = sc[np.searchsorted(sg, g)]
+            idx = np.searchsorted(sg, g)
+            # the vocab is built from these same rows, so every gram must
+            # hit; a miss would silently take a neighbor's df (the
+            # mis-attach class ADVICE flagged in pairs.py) — raise instead
+            if len(g) and not (sg[np.minimum(idx, len(sg) - 1)] == g).all():
+                raise KeyError("jaccard prefix: gram missing from the "
+                               "broadcast df table")
+            df = sc[idx]
             # docs never span batches: segment by id, order (df, gram)
             seg_order = np.lexsort((g, df, ids))
             ids_s, g_s, df_s = ids[seg_order], g[seg_order], df[seg_order]
