@@ -556,10 +556,27 @@ GROUP BY media_id, frame_idx, width, height
 
 register("video_frame_features", _video_frame_features, VIDEO_FRAMES_SQL)
 
-from .core.sqlgen_track import particle_track_sql  # noqa: E402
+from .core.sqlgen_track import (  # noqa: E402
+    particle_track_gridded_sql, particle_track_sql)
 
 # bit-exact recursive-CTE twin of the RK4 advection loop
 register("particle_track", _particle_track, particle_track_sql())
+
+
+def _particle_track_gridded(sf_dir: str):
+    """ST4/J4 full form: RK4 advection through a bilinear-space ×
+    linear-time interpolated velocity cube (reference
+    `particle_contour.py:249-298`), cube held by the stepper (actor state
+    at scale), particles carrying their clock in the rows."""
+    from .stages.tracking import circle_seeds, default_gridded_field, track
+
+    out = track(circle_seeds(48, radius=400.0), field=default_gridded_field(),
+                dt=30.0, steps=20, snapshot_every=5, order=4, t_start=0.0)
+    return out.select_columns(["step", "particle_id", "x", "y", "t"])
+
+
+register("particle_track_gridded", _particle_track_gridded,
+         particle_track_gridded_sql())
 
 
 # ------------------------------------------ contour arc-length resample (P2)

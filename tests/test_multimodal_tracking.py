@@ -159,3 +159,88 @@ def test_video_frame_sampling():
     # real codecs are clearly-marked stubs
     with pytest.raises(NotImplementedError):
         FrameSampler(decoder="ffmpeg")
+
+
+# ---------------------------------------------------------- gridded field
+
+def test_gridded_field_exact_at_nodes():
+    # interpolation at exact grid nodes returns the cube value bitwise
+    f = tracking.default_gridded_field()
+    g = tracking.DEFAULT_GRID
+    # interior nodes (fraction 0 on every axis) are bitwise-exact; the
+    # topmost node goes through the f=1.0 lerp leg (a + (b-a)*1), which is
+    # only exact to rounding — checked with isclose below.
+    xs = g["x0"] + g["dx"] * np.array([0, 3], np.float64)
+    ys = g["y0"] + g["dy"] * np.array([2, 0], np.float64)
+    ts = g["t0"] + g["dtg"] * np.array([1, 3], np.float64)
+    u, v = f.velocity(xs, ys, ts)
+    for n, (xi, yi, ti) in enumerate(zip([0, 3], [2, 0], [1, 3])):
+        assert u[n] == f.u[ti, yi, xi]
+        assert v[n] == f.v[ti, yi, xi]
+    corner = (np.array([g["x0"] + g["dx"] * (g["nx"] - 1.0)]),
+              np.array([g["y0"] + g["dy"] * (g["ny"] - 1.0)]),
+              np.array([g["t0"] + g["dtg"] * (g["nt"] - 1.0)]))
+    uc, vc = f.velocity(*corner)
+    assert np.isclose(uc[0], f.u[-1, -1, -1], rtol=1e-12)
+    assert np.isclose(vc[0], f.v[-1, -1, -1], rtol=1e-12)
+
+
+def test_gridded_field_clamps_outside_domain():
+    # nearest-edge fallback: far outside the cube == at the boundary
+    f = tracking.default_gridded_field()
+    far = np.array([1e9, -1e9])
+    edge = np.array([1000.0, -1000.0])  # domain corners
+    uf, vf = f.velocity(far, far, np.array([1e9, -1e9]))
+    ue, ve = f.velocity(edge, edge, np.array([600.0, 0.0]))
+    assert np.array_equal(uf, ue) and np.array_equal(vf, ve)
+
+
+def test_gridded_field_midpoint_is_mean_of_neighbors():
+    # fx=fy=ft=0.5 → trilinear value == mean of the 8 surrounding nodes
+    f = tracking.default_gridded_field()
+    g = tracking.DEFAULT_GRID
+    x = np.array([g["x0"] + 1.5 * g["dx"]])
+    y = np.array([g["y0"] + 2.5 * g["dy"]])
+    t = np.array([g["t0"] + 0.5 * g["dtg"]])
+    u, _ = f.velocity(x, y, t)
+    block = f.u[0:2, 2:4, 1:3]
+    assert np.isclose(u[0], block.mean(), rtol=1e-12)
+
+
+def test_gridded_track_matches_numpy_oracle_bitwise():
+    # independent scalar re-implementation of RK4-through-cube, bitwise
+    seeds = tracking.circle_seeds(8, radius=400.0)
+    field = tracking.default_gridded_field()
+    dt, steps = 30.0, 20
+    out = tracking.track(seeds, field=field, dt=dt, steps=steps,
+                         snapshot_every=steps, order=4).to_pandas()
+    last = out[out.step == steps].sort_values("particle_id")
+    x = seeds["x"].to_numpy().astype(np.float64)
+    y = seeds["y"].to_numpy().astype(np.float64)
+    t = np.zeros_like(x)
+    for _ in range(steps):
+        th, tf = t + dt / 2, t + dt
+        u1, v1 = field.velocity(x, y, t)
+        u2, v2 = field.velocity(x + u1 * dt / 2, y + v1 * dt / 2, th)
+        u3, v3 = field.velocity(x + u2 * dt / 2, y + v2 * dt / 2, th)
+        u4, v4 = field.velocity(x + u3 * dt, y + v3 * dt, tf)
+        x = x + (u1 + 2 * u2 + 2 * u3 + u4) * dt / 6
+        y = y + (v1 + 2 * v2 + 2 * v3 + v4) * dt / 6
+        t = tf
+    assert np.array_equal(last.x.to_numpy(), x)
+    assert np.array_equal(last.y.to_numpy(), y)
+    assert np.array_equal(last.t.to_numpy(), t)
+
+
+def test_gridded_track_actor_pool_matches_tasks():
+    # ST4 shape: the cube held in an actor pool gives identical output
+    seeds = tracking.circle_seeds(8, radius=400.0)
+    a = tracking.track(seeds, field=tracking.default_gridded_field(),
+                       dt=30.0, steps=4, snapshot_every=4, order=4,
+                       use_actors=True, concurrency=(1, 2)).to_pandas()
+    b = tracking.track(seeds, field=tracking.default_gridded_field(),
+                       dt=30.0, steps=4, snapshot_every=4, order=4).to_pandas()
+    a = a.sort_values(["step", "particle_id"]).reset_index(drop=True)
+    b = b.sort_values(["step", "particle_id"]).reset_index(drop=True)
+    assert np.array_equal(a.x.to_numpy(), b.x.to_numpy())
+    assert np.array_equal(a.y.to_numpy(), b.y.to_numpy())
