@@ -503,21 +503,71 @@ register("corpus_lang_report", corpus.corpus_lang_report,
          _corpus_lang_report_sql())
 
 
-def _embedding_dup_pairs_ivf(sf_dir: str):
-    """IVF-bucketed embedding near-dup — the higher-dup-rate scale path;
-    recall-gated against the oracle-exact banded-LSH pairs."""
-    import pyarrow.parquet as _pq
+# The fixture corpus is dup-free at τ=0.95 (max pairwise cosine ≈ 0.51), so
+# an unseeded recall gate is vacuous (0-pair baseline → recall ≡ 1.0). The
+# seeded variants below inject exact-copy dups deterministically INSIDE the
+# query — every vec_id % SEED_MOD == 0 re-appears as vec_id + SEED_OFFSET —
+# so the exact baseline emits one pair per seed (cosine exactly at the 1.0
+# ceiling vs the 0.51 fixture gap: no borderline) and the IVF gate measures
+# a real, non-empty recall.
+_SEED_MOD = 29
+_SEED_OFFSET = 1_000_000_000
 
-    from .stages.ann import embedding_dup_pairs_ivf
+
+def _seeded_embeddings(sf_dir: str):
+    """Single-scan seeding: each batch appends copies of its seed rows."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
 
     n = _pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
     ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                             columns=["vec_id", "embedding"])
-    return embedding_dup_pairs_ivf(ds, threshold=0.95, corpus_rows=n)
+
+    def seed(b: _pa.Table) -> _pa.Table:
+        import numpy as _np
+
+        vid = b["vec_id"].to_numpy(zero_copy_only=False).astype(_np.int64)
+        dup = b.filter(_pa.array(vid % _SEED_MOD == 0))
+        dup = dup.set_column(dup.schema.get_field_index("vec_id"), "vec_id",
+                             _pc.add(dup["vec_id"], _SEED_OFFSET))
+        return _pa.concat_tables([b, dup])
+
+    seeded = ds.map_batches(seed, batch_format="pyarrow")
+    return seeded, n + (n + _SEED_MOD - 1) // _SEED_MOD
+
+
+def _embedding_dup_pairs_seeded(sf_dir: str):
+    """Oracle-EXACT baseline on the seeded corpus: banded LSH + exact
+    verify finds precisely the injected (i, i + SEED_OFFSET) pairs; ids
+    only in the output, so the SQL twin is pure generator arithmetic."""
+    from .stages.ann import embedding_dup_pairs
+
+    seeded, n = _seeded_embeddings(sf_dir)
+    pairs = embedding_dup_pairs(seeded, threshold=0.95, docs_hint=n)
+    return (pairs[["id_a", "id_b"]].sort_values(["id_a", "id_b"])
+            .reset_index(drop=True))
+
+
+register("embedding_dup_pairs_seeded", _embedding_dup_pairs_seeded,
+         f"""SELECT vec_id AS id_a, vec_id + {_SEED_OFFSET} AS id_b
+FROM embeddings WHERE vec_id % {_SEED_MOD} = 0""")
+
+
+def _embedding_dup_pairs_ivf(sf_dir: str):
+    """IVF-bucketed embedding near-dup — the higher-dup-rate scale path;
+    recall-gated against the seeded oracle-exact banded-LSH pairs (a
+    NON-empty baseline: round-3 verdict flagged the unseeded gate as
+    vacuous on the dup-free fixture)."""
+    from .stages.ann import embedding_dup_pairs_ivf
+
+    seeded, n = _seeded_embeddings(sf_dir)
+    return embedding_dup_pairs_ivf(seeded, threshold=0.95, corpus_rows=n)
 
 
 register_recall_gated("embedding_dup_pairs_ivf", _embedding_dup_pairs_ivf,
-                      "embedding_dup_pairs", 0.8, cols=("id_a", "id_b"))
+                      "embedding_dup_pairs_seeded", 0.8,
+                      cols=("id_a", "id_b"))
 
 
 def _video_frame_features(sf_dir: str):
