@@ -727,12 +727,25 @@ def jaccard_dedup_pairs(ds: ray.data.Dataset, threshold: float = 0.6,
                                  force_distributed)
 
 
+def _keep_best_drop_rows(g: pd.DataFrame, id_col: str,
+                         quality_col: str) -> pd.DataFrame:
+    """One near-dup component → its drop rows (every member except the
+    quality-DESC / id-ASC argmax keeper)."""
+    ids = g[id_col].to_numpy()
+    order = np.lexsort((ids, -g[quality_col].to_numpy()))
+    mask = np.ones(len(ids), bool)
+    mask[order[0]] = False
+    return pd.DataFrame({id_col: ids[mask]})
+
+
 def minhash_dedup_corpus_keep_best(ds: ray.data.Dataset,
                                    threshold: float = 0.8,
                                    id_col: str = "doc_id",
                                    text_col: str = "text",
                                    quality_col: str = "n_chars",
-                                   docs_hint: int | None = None
+                                   docs_hint: int | None = None,
+                                   distributed_cc: bool = False,
+                                   drop_filter: str = "broadcast"
                                    ) -> ray.data.Dataset:
     """Keep-BEST near-dup dedup: each Jaccard-≥τ component keeps its
     highest-``quality_col`` member (ties → min id) instead of its min id —
@@ -743,10 +756,55 @@ def minhash_dedup_corpus_keep_best(ds: ray.data.Dataset,
     broadcast semi-filter pass over the streaming corpus (the member set is
     bounded by dup docs, never the corpus); the final drop set broadcasts
     back as an ``is_in`` filter. ``ds`` must carry ``quality_col``.
+
+    ``distributed_cc=True`` is the extreme-dup-rate form (same flag as
+    keep-one): the pair set stays a Dataset end to end, components come
+    from distributed min-label propagation, member qualities attach via a
+    bucketed hash join, and the keeper argmax runs as a per-component
+    ``groupby(label).map_groups`` — no driver pull anywhere. Combine with
+    ``drop_filter="anti_join"`` when even the drop set outgrows a
+    broadcast.
     """
     import pyarrow.compute as pc
 
     import ray as _ray
+
+    from .join import bucketed_hash_join
+
+    def _ids_only(b: pa.Table) -> pa.Table:
+        return b.select([id_col])
+
+    if distributed_cc:
+        pairs_ds = minhash_dedup_pairs_ds(ds, threshold, id_col, text_col,
+                                          docs_hint=docs_hint)
+        lab = label_propagation_components(pairs_ds)
+        if lab.count() == 0:
+            return ds.map_batches(_ids_only, batch_format="pyarrow")
+        labq = lab.map_batches(
+            lambda b: b.rename_columns([id_col, "label"]),
+            batch_format="pyarrow")
+        corpus_q = ds.map_batches(lambda b: b.select([id_col, quality_col]),
+                                  batch_format="pyarrow")
+        # members ⊆ corpus: inner join attaches each member's quality —
+        # bucketed (member set may outgrow a broadcast at these dup rates)
+        joined = bucketed_hash_join(labq, corpus_q, key=id_col)
+        drop_ds = joined.groupby("label").map_groups(
+            lambda g: _keep_best_drop_rows(g, id_col, quality_col),
+            batch_format="pandas")
+        if drop_filter == "anti_join":
+            return bucketed_hash_join(
+                ds.map_batches(_ids_only, batch_format="pyarrow"),
+                drop_ds, key=id_col, join_type="anti")
+        pulled = drop_ds.to_pandas()
+        drop = (np.sort(pulled[id_col].to_numpy().astype(np.int64))
+                if len(pulled) else np.array([], np.int64))
+        drop_ref = _ray.put(pa.array(drop, pa.int64()))
+
+        def filt_d(b: pa.Table) -> pa.Table:
+            keep = pc.invert(pc.is_in(b[id_col], value_set=_ray.get(drop_ref)))
+            return b.filter(keep).select([id_col])
+
+        return ds.map_batches(filt_d, batch_format="pyarrow")
 
     pairs = minhash_dedup_pairs(ds, threshold, id_col, text_col,
                                 docs_hint=docs_hint)

@@ -756,6 +756,56 @@ def test_keep_best_prefers_quality_over_min_id(duck_smoke):
     assert 50 in best2 and 51 not in best2
 
 
+def test_keep_best_distributed_matches_driver_at_extreme_dup_rate():
+    """Adversarial extreme-dup corpus (most docs are near-dups, several
+    clusters, chained similarity): the distributed_cc + anti_join path must
+    return the same survivor set as the driver-side union-find path."""
+    base = ("the quick brown fox jumps over the lazy dog and runs into the "
+            "deep green forest looking for tasty snacks every morning ")
+    alt = ("pack my box with five dozen liquor jugs while the sphinx of "
+           "black quartz judges my vow quite carefully each evening too ")
+    rows = []
+    # cluster A: ids 0..7 near-identical, best = 7 (longest)
+    for i in range(8):
+        rows.append({"doc_id": i, "text": base * 3 + base[: 5 * i]})
+    # cluster B: ids 20..25 near-identical, best = 20 (tie -> min id)
+    for i in range(6):
+        rows.append({"doc_id": 20 + i, "text": alt * 3})
+    # a few genuinely distinct singletons (short same-template texts are
+    # themselves near-dups under char-shingle Jaccard)
+    singles = ["astronomy telescopes resolve distant spiral galaxies nightly",
+               "recipe calls for flour butter sugar eggs and vanilla extract",
+               "volcanic basalt columns line the rugged icelandic coastline"]
+    for i, txt in enumerate(singles):
+        rows.append({"doc_id": 100 + i, "text": txt})
+    for r in rows:
+        r["n_chars"] = len(r["text"])
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+    driver = set(dedup.minhash_dedup_corpus_keep_best(ds).to_pandas()
+                 ["doc_id"].tolist())
+    dist = set(dedup.minhash_dedup_corpus_keep_best(
+        ds, distributed_cc=True).to_pandas()["doc_id"].tolist())
+    dist_aj = set(dedup.minhash_dedup_corpus_keep_best(
+        ds, distributed_cc=True, drop_filter="anti_join").to_pandas()
+        ["doc_id"].tolist())
+    assert driver == dist == dist_aj
+    assert 7 in driver and 20 in driver
+    assert driver & set(range(7)) == set()
+    assert driver & set(range(21, 26)) == set()
+    assert {100, 101, 102} <= driver
+
+
+def test_keep_best_distributed_dup_free_corpus():
+    """distributed_cc on a dup-free corpus: empty components, all ids kept."""
+    rows = [{"doc_id": i, "text": f"completely unrelated text {i} {i**7}",
+             "n_chars": 30} for i in range(12)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = set(dedup.minhash_dedup_corpus_keep_best(
+        ds, distributed_cc=True).to_pandas()["doc_id"].tolist())
+    assert out == set(range(12))
+
+
 def test_token_repetition_kernel_edges():
     """Empty text, all-repeats, and all-distinct docs score correctly."""
     from pyofs_ray.stages.text import token_repetition
