@@ -47,6 +47,10 @@ BENCH_QUERIES = [
     # both stay in the sf0.01 correctness gate where buckets are tiny.
     "host_stats", "top_tokens",
     "dedup_near_corpus_keep_best", "doc_repetition",
+    # round 4: exact Jaccard through the DISTRIBUTED prefix path on a
+    # Zipfian-vocabulary corpus (the broadcast-path queries above stay
+    # gated out of sf0.1 per the saturation note)
+    "ngram_jaccard_pairs_zipf",
 ]
 
 

@@ -474,3 +474,76 @@ def corpus_lang_report(sf_dir: str) -> ray.data.Dataset:
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+# -------------------------- Zipfian-vocabulary exact Jaccard (scale form)
+# The driver fixture's word-salad corpus SATURATES its gram vocabulary at
+# sf0.1, degenerating ANY exact inverted-index join (round-3 note). This
+# variant synthesizes a Zipf-shaped vocabulary from doc ids — half the
+# positions draw a HEAD token (64-word boilerplate vocabulary → high-df
+# grams the prefix filter must exclude), half draw a TAIL token (uniform
+# over 2^20 → the long df≈1 gram tail the AllPairs prefix exploits; a
+# head-only vocabulary re-creates the saturation bug: every prefix bucket
+# goes hot and candidates grow quadratically). Exact-copy dups are seeded
+# (doc_id % 41 == 0 re-emitted at +1e9) so the pair set is non-empty and
+# known by construction: the oracle is pure id arithmetic.
+ZIPF_TOKENS_PER_DOC = 48
+ZIPF_HEAD_VOCAB = 64
+ZIPF_TAIL_VOCAB = 1 << 20
+ZIPF_SEED_MOD = 41
+ZIPF_SEED_OFFSET = 1_000_000_000
+
+_B36 = np.frombuffer(b"0123456789abcdefghijklmnopqrstuvwxyz", np.uint8)
+
+
+def _b36_tokens(vals: np.ndarray, width: int = 5) -> np.ndarray:
+    """Base-36 token strings (vectorized): digit-only tokens would fold the
+    byte-5-gram space to ~10^5 combos and saturate it at bench scale (the
+    exact bug this corpus exists to avoid); 36^5 ≈ 60M keeps tail grams at
+    df≈1. Width 5 ⇒ each token is itself one 5-gram plus 4 token-crossing
+    grams with its successor."""
+    out = np.empty((len(vals), width), np.uint8)
+    v = vals.astype(np.int64).copy()
+    for i in range(width - 1, -1, -1):
+        out[:, i] = _B36[v % 36]
+        v //= 36
+    return out.view(f"S{width}").ravel()
+
+
+def zipf_text_batch(b: pa.Table) -> pa.Table:
+    """Deterministic Zipf-ish synthetic text per doc_id + seeded dup copies
+    (single scan, copies appended in-batch like the embedding seeding)."""
+    from ..core.hashing import splitmix64
+
+    ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(ids)
+    j = np.arange(ZIPF_TOKENS_PER_DOC, dtype=np.uint64)
+    keys = ids.astype(np.uint64)[:, None] * np.uint64(64) + j[None, :]
+    h = splitmix64(keys.ravel())
+    head = ((h >> np.uint64(1)) % np.uint64(ZIPF_HEAD_VOCAB)).astype(np.int64)
+    tail = (ZIPF_HEAD_VOCAB
+            + ((h >> np.uint64(7)) % np.uint64(ZIPF_TAIL_VOCAB)).astype(np.int64))
+    tok = np.where((h & np.uint64(1)).astype(bool), head, tail)
+    words = _b36_tokens(tok).reshape(n, ZIPF_TOKENS_PER_DOC)
+    sp = np.full((n, ZIPF_TOKENS_PER_DOC), b" ", dtype="S1")
+    sp[:, -1] = b""
+    joined = np.char.add(words, sp).view(
+        f"S{ZIPF_TOKENS_PER_DOC * 6}").ravel()
+    texts = pa.array(joined.astype("U"))
+    mask = ids % ZIPF_SEED_MOD == 0
+    out_ids = np.concatenate([ids, ids[mask] + ZIPF_SEED_OFFSET])
+    out_txt = pa.concat_arrays([texts, texts.take(pa.array(np.flatnonzero(mask)))])
+    return pa.table({"doc_id": pa.array(out_ids), "text": out_txt})
+
+
+def ngram_jaccard_pairs_zipf(sf_dir: str) -> pd.DataFrame:
+    """Exact n-gram Jaccard over the Zipfian corpus via the DISTRIBUTED
+    prefix path (partial-df + bucketed join + doc-keyed prefix groups) —
+    the 100 TB shape the saturated fixture can't exercise; benched at
+    sf0.1 where the broadcast-vocab variants are gated out."""
+    ds = (_docs(sf_dir, columns=("doc_id",))
+          .map_batches(zipf_text_batch, batch_format="pyarrow"))
+    n = _docs_count(sf_dir)
+    return dedup.jaccard_dedup_pairs(ds, threshold=0.8,
+                                     distributed_prefix=True,
+                                     docs_hint=n + n // ZIPF_SEED_MOD + 1)

@@ -255,6 +255,19 @@ def cell_distinct_langs(sf_dir: str, zoom: int = geom.BASE_ZOOM,
                  .map_batches(count_per_cell, batch_format="pyarrow"))
 
 
+def url_host(urls) -> pa.Array:
+    """Third '/'-separated segment of each url with DuckDB
+    SPLIT_PART(url, '/', 3) semantics: '' (not an error) when a malformed
+    url has fewer than three segments — `pc.list_element` would raise
+    ArrowInvalid and kill the whole pipeline on one bad row."""
+    parts = pc.split_pattern(urls, "/")
+    sliced = pc.list_slice(parts, 2, 3, return_fixed_size_list=True)
+    if isinstance(sliced, pa.ChunkedArray):
+        sliced = sliced.combine_chunks()
+    return pc.if_else(pc.greater_equal(pc.list_value_length(parts), 3),
+                      sliced.flatten(), pa.scalar("", pa.string()))
+
+
 def host_stats(sf_dir: str, final_mode: str = "small") -> ray.data.Dataset:
     """Per-host URL analytics: parse the host out of each page url (Arrow
     split kernel — no Python in the hot path) and aggregate doc_count /
@@ -271,7 +284,7 @@ def host_stats(sf_dir: str, final_mode: str = "small") -> ray.data.Dataset:
     ds = pages_dataset(sf_dir, with_html=False)
 
     def partial(b: pa.Table) -> pa.Table:
-        host = pc.list_element(pc.split_pattern(b["url"], "/"), 2)
+        host = url_host(b["url"])
         t = pa.table({"host": host, "lang": b["lang"],
                       "n_chars": pc.utf8_length(b["text"]).cast(pa.int64())})
         g = t.group_by(["host", "lang"]).aggregate(

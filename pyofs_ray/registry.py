@@ -553,6 +553,15 @@ register("embedding_dup_pairs_seeded", _embedding_dup_pairs_seeded,
          f"""SELECT vec_id AS id_a, vec_id + {_SEED_OFFSET} AS id_b
 FROM embeddings WHERE vec_id % {_SEED_MOD} = 0""")
 
+# exact Jaccard through the DISTRIBUTED prefix path on a Zipfian-vocabulary
+# corpus (the saturated fixture can't exercise it — round-3 item 4); seeded
+# exact copies make the pair set known by construction, so the twin is id
+# arithmetic and jaccard is exactly 1.0 (n/n in one IEEE divide)
+register("ngram_jaccard_pairs_zipf", corpus.ngram_jaccard_pairs_zipf,
+         f"""SELECT doc_id AS id_a, doc_id + {corpus.ZIPF_SEED_OFFSET} AS id_b,
+       CAST(1.0 AS DOUBLE) AS jaccard
+FROM documents WHERE doc_id % {corpus.ZIPF_SEED_MOD} = 0""")
+
 
 def _embedding_dup_pairs_ivf(sf_dir: str):
     """IVF-bucketed embedding near-dup — the higher-dup-rate scale path;

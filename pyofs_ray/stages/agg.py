@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -72,6 +73,47 @@ def auto_partitions() -> int:
     import ray
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     return max(2, cpus // 4)
+
+
+def bucketed_int64_group_sum(ds: ray.data.Dataset, key: str,
+                             sum_cols: Sequence[str],
+                             num_buckets: int | None = None
+                             ) -> ray.data.Dataset:
+    """Exact per-key int64 sums over an int64 key via an explicit
+    hash-bucket exchange: tag ``hash(key) % B`` per batch, ONE
+    ``groupby(_bucket)`` over ~4×CPU distinct values, Arrow ``group_by``
+    combine inside each bucket group.
+
+    Why not ``groupby(key).aggregate(Sum)``: Ray 2.49's sort-based
+    aggregate degrades badly on HIGH-CARDINALITY keys (measured on a 406k
+    partial-row / 351k-key gram-df table: 50 s direct, 11 s after
+    repartition, 0.9 s this shape — the sort's boundary sampling and
+    per-key merge dominate). A same-key-same-bucket exchange with ~B
+    distinct sort values keeps the all-to-all trivial and every combine
+    vectorized. The caller should pre-combine per batch
+    (``partial_group_sums``) when batches repeat keys."""
+    if num_buckets is None:
+        import ray as _ray
+        cpus = int(_ray.cluster_resources().get("CPU", 8)) \
+            if _ray.is_initialized() else 8
+        num_buckets = max(8, cpus)
+    sum_cols = list(sum_cols)
+    nb = np.uint64(num_buckets)
+
+    def tag(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False).view(np.uint64)
+        bk = ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) % nb
+        return b.append_column("_bucket", pa.array(bk.astype(np.int64)))
+
+    def combine(g: pa.Table) -> pa.Table:
+        gg = g.group_by(key).aggregate([(c, "sum") for c in sum_cols])
+        cols = {key: gg[key]}
+        for c in sum_cols:
+            cols[c] = gg[f"{c}_sum"].cast(pa.int64())
+        return pa.table(cols)
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+              .groupby("_bucket").map_groups(combine, batch_format="pyarrow"))
 
 
 def two_stage_cell_agg(

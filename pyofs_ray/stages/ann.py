@@ -437,6 +437,14 @@ def _verify_cosine_pairs(cand, ds: ray.data.Dataset, threshold: float,
             return b.filter(keep)
 
         sub = ds.map_batches(filt, batch_format="pyarrow").to_pandas()
+        if sub.empty:
+            # candidate ids entirely absent from the corpus: np.stack on a
+            # zero-row column raises an opaque ValueError before rows_for
+            # can raise its descriptive KeyError — raise it here instead
+            raise KeyError(
+                f"_verify_cosine_pairs: none of the candidate ids (e.g. "
+                f"{np.unique(np.concatenate([ia_, ib_]))[:5]!r}) have a "
+                "corpus row — candidate/corpus id spaces disagree")
         sid = sub["vec_id"].to_numpy()
         order = np.argsort(sid)
         sid_sorted = sid[order]

@@ -165,6 +165,30 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 1.0
 
 
+def jaccard_blob_batch(ga: np.ndarray, gb: np.ndarray) -> np.ndarray:
+    """Exact Jaccard for a BATCH of (sorted-unique uint64 gram blob) pairs,
+    fully vectorized: tag every gram with its pair index, lexsort the A∪B
+    concatenation once, count adjacent (pair, gram) duplicates — each can
+    occur at most twice (once per side), so a duplicate IS an intersection
+    member. Replaces the per-pair Python loop (round-3 item 7); int64
+    counts divide to the identical IEEE double as the scalar
+    ``jaccard`` (inter, union < 2^53)."""
+    n = len(ga)
+    if n == 0:
+        return np.empty(0, np.float64)
+    ca = np.fromiter((len(x) for x in ga), np.int64, n) // 8
+    cb = np.fromiter((len(x) for x in gb), np.int64, n) // 8
+    grams = np.frombuffer(b"".join(ga) + b"".join(gb), np.uint64)
+    idx = np.concatenate([np.repeat(np.arange(n, dtype=np.int64), ca),
+                          np.repeat(np.arange(n, dtype=np.int64), cb)])
+    order = np.lexsort((grams, idx))
+    idx_s, gr_s = idx[order], grams[order]
+    eq = (idx_s[1:] == idx_s[:-1]) & (gr_s[1:] == gr_s[:-1])
+    inter = np.bincount(idx_s[1:][eq], minlength=n)
+    union = ca + cb - inter
+    return inter / union  # union >= 1 always (every doc has >= 1 gram)
+
+
 def minhash_candidate_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
                             text_col: str = "text",
                             force_distributed: bool = False,
@@ -227,11 +251,8 @@ def _verify_jaccard_pairs(cand: ray.data.Dataset, ds: ray.data.Dataset,
         return _typed_empty(_EMPTY_JACCARD)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        jac = np.empty(len(df), np.float64)
-        ga, gb = df["grams_a"].to_numpy(), df["grams_b"].to_numpy()
-        for i in range(len(df)):  # loop over *pairs* — the true work unit
-            jac[i] = jaccard(np.frombuffer(ga[i], dtype=np.uint64),
-                             np.frombuffer(gb[i], dtype=np.uint64))
+        jac = jaccard_blob_batch(df["grams_a"].to_numpy(),
+                                 df["grams_b"].to_numpy())
         return pd.DataFrame({"id_a": df["id_a"].to_numpy(),
                              "id_b": df["id_b"].to_numpy(), "jaccard": jac})
 
@@ -272,11 +293,8 @@ def minhash_dedup_pairs_ds(ds: ray.data.Dataset, threshold: float = 0.8,
         return empty
 
     def verify_filter(df: pd.DataFrame) -> pd.DataFrame:
-        jac = np.empty(len(df), np.float64)
-        ga, gb = df["grams_a"].to_numpy(), df["grams_b"].to_numpy()
-        for i in range(len(df)):
-            jac[i] = jaccard(np.frombuffer(ga[i], dtype=np.uint64),
-                             np.frombuffer(gb[i], dtype=np.uint64))
+        jac = jaccard_blob_batch(df["grams_a"].to_numpy(),
+                                 df["grams_b"].to_numpy())
         out = pd.DataFrame({"id_a": df["id_a"].to_numpy(),
                             "id_b": df["id_b"].to_numpy(), "jaccard": jac})
         return out[out.jaccard >= threshold]
@@ -577,29 +595,80 @@ BROADCAST_VOCAB = 2_000_000
 
 def _distinct_gram_rows(b: pa.Table, id_col: str,
                         text_col: str = "text") -> pa.Table:
-    """Distinct (bkey, id) byte-5-gram rows per doc — the inverted-index
+    """Distinct (bkey, id, ng) byte-5-gram rows per doc — the inverted-index
     emission (bkey = int64 view of the FNV-1a hash; short docs take the
     same 0xDEADBEEF sentinel as `shingle_sets_batch`, so set semantics
-    match the verify step and the SQL twin exactly)."""
+    match the verify step and the SQL twin exactly). ``ng`` repeats the
+    doc's DISTINCT gram count on every row: downstream prefix selection
+    derives its n from the rows it sees, and Ray can slice a map task's
+    output blocks at arbitrary row offsets (batch = block), so a doc's rows
+    CAN span batches at scale — ng lets prefix_emit detect a torn segment
+    and fail loudly instead of silently computing a too-short prefix."""
     from ..core.hashing import gram_hash_matrix
     grams, valid = gram_hash_matrix(b[text_col], SHINGLE_K)
     ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     out_g: list[np.ndarray] = []
     out_i: list[np.ndarray] = []
+    out_n: list[np.ndarray] = []
     for i in range(len(grams)):  # per-doc np.unique on matrix slices
         g = grams[i][valid[i]]
         g = np.unique(g) if len(g) else np.array([0xDEADBEEF], np.uint64)
         out_g.append(g)
         out_i.append(np.full(len(g), ids[i], np.int64))
+        out_n.append(np.full(len(g), len(g), np.int64))
     gg = np.concatenate(out_g) if out_g else np.array([], np.uint64)
     ii = np.concatenate(out_i) if out_i else np.array([], np.int64)
+    nn = np.concatenate(out_n) if out_n else np.array([], np.int64)
     return pa.table({"bkey": pa.array(gg.view(np.int64)),
-                     id_col: pa.array(ii)})
+                     id_col: pa.array(ii), "ng": pa.array(nn)})
 
 
 def _prefix_len(n: int | np.ndarray, tau: float):
     """AllPairs prefix length n - ceil(tau*n) + 1 (>=1 for n>=1)."""
     return n - np.ceil(tau * n).astype(np.int64) + 1
+
+
+def _prefix_select(b: pa.Table, id_col: str, sg: np.ndarray, sc: np.ndarray,
+                   threshold: float) -> tuple[np.ndarray, np.ndarray]:
+    """Broadcast-path prefix selection over one (bkey, id, ng) batch:
+    attach df from the sorted broadcast vocab (sg=grams, sc=counts), rank
+    each doc's grams (df ASC, gram ASC), keep the AllPairs prefix. Returns
+    (kept uint64 grams, kept ids)."""
+    g = b["bkey"].to_numpy(zero_copy_only=False).view(np.uint64)
+    ids = b[id_col].to_numpy(zero_copy_only=False)
+    ng = b["ng"].to_numpy(zero_copy_only=False)
+    idx = np.searchsorted(sg, g)
+    # the vocab is built from these same rows, so every gram must hit; a
+    # miss would silently take a neighbor's df (the mis-attach class
+    # ADVICE flagged in pairs.py) — raise instead
+    if len(g) and not (sg[np.minimum(idx, len(sg) - 1)] == g).all():
+        raise KeyError("jaccard prefix: gram missing from the "
+                       "broadcast df table")
+    df = sc[idx]
+    # segment by id, order (df, gram)
+    seg_order = np.lexsort((g, df, ids))
+    ids_s, g_s = ids[seg_order], g[seg_order]
+    # rank within each id segment
+    change = np.empty(len(ids_s), bool)
+    if len(ids_s):
+        change[0] = True
+        change[1:] = ids_s[1:] != ids_s[:-1]
+    starts = np.flatnonzero(change)
+    seg_id = np.cumsum(change) - 1
+    rank = np.arange(len(ids_s)) - starts[seg_id]
+    sizes = np.diff(np.append(starts, len(ids_s)))
+    # a doc's rows CAN be torn across blocks once a map task's output
+    # exceeds target_max_block_size (batch = block at batch_size=None): a
+    # torn segment would silently compute its prefix from the wrong n and
+    # DROP true-prefix grams, voiding the recall-1.0 theorem — compare
+    # each segment's size against the emitted per-doc gram count
+    if len(ids_s) and not (sizes == ng[seg_order][starts]).all():
+        raise RuntimeError(
+            "jaccard prefix: a doc's gram rows were split across "
+            "batches (segment size != per-doc gram count) — run "
+            "with distributed_prefix=True, which groups by doc id")
+    keep = rank < _prefix_len(sizes, threshold)[seg_id]
+    return g_s[keep], ids_s[keep]
 
 
 def jaccard_candidate_rows(ds: ray.data.Dataset, threshold: float,
@@ -637,50 +706,58 @@ def jaccard_candidate_rows(ds: ray.data.Dataset, threshold: float,
 
         def prefix_emit(b: pa.Table) -> pa.Table:
             sg, sc = ray.get(ref)
-            g = b["bkey"].to_numpy(zero_copy_only=False).view(np.uint64)
-            ids = b[id_col].to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(sg, g)
-            # the vocab is built from these same rows, so every gram must
-            # hit; a miss would silently take a neighbor's df (the
-            # mis-attach class ADVICE flagged in pairs.py) — raise instead
-            if len(g) and not (sg[np.minimum(idx, len(sg) - 1)] == g).all():
-                raise KeyError("jaccard prefix: gram missing from the "
-                               "broadcast df table")
-            df = sc[idx]
-            # docs never span batches: segment by id, order (df, gram)
-            seg_order = np.lexsort((g, df, ids))
-            ids_s, g_s, df_s = ids[seg_order], g[seg_order], df[seg_order]
-            # rank within each id segment
-            change = np.empty(len(ids_s), bool)
-            if len(ids_s):
-                change[0] = True
-                change[1:] = ids_s[1:] != ids_s[:-1]
-            starts = np.flatnonzero(change)
-            seg_id = np.cumsum(change) - 1
-            rank = np.arange(len(ids_s)) - starts[seg_id]
-            sizes = np.diff(np.append(starts, len(ids_s)))
-            keep = rank < _prefix_len(sizes, threshold)[seg_id]
-            return pa.table({"bkey": pa.array(g_s[keep].view(np.int64)),
-                             id_col: pa.array(ids_s[keep])})
+            g, ids = _prefix_select(b, id_col, sg, sc, threshold)
+            return pa.table({"bkey": pa.array(g.view(np.int64)),
+                             id_col: pa.array(ids)})
 
-        return rows.map_batches(prefix_emit, batch_format="pyarrow")
+        return rows.map_batches(prefix_emit, batch_format="pyarrow",
+                                batch_size=None)
 
-    # distributed prefix: df via gram-keyed map_groups, prefix via
-    # doc-keyed map_groups — both exchanges key-bounded
-    def with_df(g: pd.DataFrame) -> pd.DataFrame:
-        return g.assign(df=np.int64(len(g)))
+    # distributed prefix: df attaches via partial-count → bucketed group-sum
+    # → bucketed hash join (all Arrow-vectorized; the former per-gram
+    # map_groups paid pandas overhead on every HOT gram's huge group);
+    # prefix selection runs vectorized over doc-hash bucket groups (a
+    # doc-keyed map_groups would pay Ray's high-cardinality sort + one
+    # pandas call per doc; hashing doc ids into ~CPU buckets keeps all of a
+    # doc's rows in ONE group while the kernel ranks every doc at once)
+    from .agg import bucketed_int64_group_sum, partial_group_sums
+    from .join import bucketed_hash_join
 
-    def doc_prefix(g: pd.DataFrame) -> pd.DataFrame:
-        gv = g["bkey"].to_numpy().view(np.uint64)
-        dfv = g["df"].to_numpy()
-        order = np.lexsort((gv, dfv))
-        k = int(_prefix_len(np.int64(len(g)), threshold))
-        take = order[:k]
-        return pd.DataFrame({"bkey": gv[take].view(np.int64),
-                             id_col: g[id_col].to_numpy()[take]})
+    dft = bucketed_int64_group_sum(
+        rows.map_batches(
+            lambda b: partial_group_sums(b.select(["bkey"]), ["bkey"],
+                                         (), count_name="df"),
+            batch_format="pyarrow", zero_copy_batch=True),
+        key="bkey", sum_cols=["df"])
+    dfd = bucketed_hash_join(rows, dft, key="bkey")
 
-    dfd = rows.groupby("bkey").map_groups(with_df, batch_format="pandas")
-    return dfd.groupby(id_col).map_groups(doc_prefix, batch_format="pandas")
+    def tag_doc(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).view(np.uint64)
+        bk = ((ids * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) % \
+            np.uint64(64)
+        return b.append_column("_dbucket", pa.array(bk.astype(np.int64)))
+
+    def bucket_prefix(g: pa.Table) -> pa.Table:
+        gv = g["bkey"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        dfv = g["df"].to_numpy(zero_copy_only=False)
+        ng = g["ng"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((gv, dfv, ids))
+        ids_s = ids[order]
+        change = np.empty(len(ids_s), bool)
+        if len(ids_s):
+            change[0] = True
+            change[1:] = ids_s[1:] != ids_s[:-1]
+        starts = np.flatnonzero(change)
+        seg_id = np.cumsum(change) - 1
+        rank = np.arange(len(ids_s)) - starts[seg_id]
+        keep = rank < _prefix_len(ng[order], threshold)
+        return pa.table({"bkey": pa.array(gv[order][keep].view(np.int64)),
+                         id_col: pa.array(ids_s[keep])})
+
+    return (dfd.map_batches(tag_doc, batch_format="pyarrow")
+               .groupby("_dbucket")
+               .map_groups(bucket_prefix, batch_format="pyarrow"))
 
 
 def jaccard_dedup_pairs(ds: ray.data.Dataset, threshold: float = 0.6,
@@ -716,13 +793,15 @@ def jaccard_dedup_pairs(ds: ray.data.Dataset, threshold: float = 0.6,
     # "rarest" grams still have df in the thousands and per-bucket
     # enumeration would go quadratic — in DuckDB's exact twin just the
     # same. Natural web text is Zipfian (long df=1 gram tail), keeping
-    # prefix buckets tiny (measured ≤50 members at the gate scales, so
-    # the cap is inert there and exactness holds); over-cap truncation is
-    # the same documented recall caveat as the sketch paths.
+    # prefix buckets tiny (measured ≤50 members at the gate scales).
+    # overcap="raise": exactness is THIS path's contract, so an over-cap
+    # prefix bucket fails loudly instead of silently truncating into an
+    # oracle divergence (the sketch paths keep silent truncation).
     cand = candidate_pairs(
         prefix_rows, key="bkey", id_col=id_col, max_bucket=1024,
         small_rows=0 if force_distributed else None, spill=spill,
-        rows_hint=docs_hint * 64 if docs_hint else None).materialize()
+        rows_hint=docs_hint * 64 if docs_hint else None,
+        overcap="raise").materialize()
     return _verify_jaccard_pairs(cand, ds, id_col, text_col, threshold,
                                  force_distributed)
 

@@ -24,9 +24,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Sum
 
-from .agg import auto_partitions, partial_group_sums
+from .agg import partial_group_sums
 
 # Deterministic guard against adversarial hot buckets (e.g. a boilerplate
 # string shared by millions of pages): a bucket is truncated to its
@@ -43,11 +42,17 @@ def hot_bucket_keys(emitted: ray.data.Dataset, key: str) -> np.ndarray:
     The pulled array is bounded by the number of true near-dup buckets —
     the full (8–20)×corpus bucket-size table never leaves the cluster.
     """
-    sizes = (emitted.map_batches(
-                 lambda b: partial_group_sums(b, [key], (), count_name="n"),
-                 batch_format="pyarrow", zero_copy_batch=True)
-             .repartition(auto_partitions())
-             .groupby(key).aggregate(Sum("n", alias_name="n")))
+    from .agg import bucketed_int64_group_sum
+
+    # bucketed int64 group-sum, NOT groupby(key).aggregate: the bucket-size
+    # table has near-corpus key cardinality, exactly where Ray 2.49's
+    # sort-based aggregate degrades (see bucketed_int64_group_sum)
+    sizes = bucketed_int64_group_sum(
+        emitted.map_batches(
+            lambda b: partial_group_sums(b.select([key]), [key],
+                                         (), count_name="n"),
+            batch_format="pyarrow", zero_copy_batch=True),
+        key=key, sum_cols=["n"])
     hot = sizes.map_batches(
         lambda b: b.filter(pc.greater_equal(b["n"], 2)).select([key]),
         batch_format="pyarrow", zero_copy_batch=True).to_pandas()
@@ -87,9 +92,19 @@ def hot_bucket_rows(emitted: ray.data.Dataset, key: str) -> tuple[ray.data.Datas
     return emitted.map_batches(filt, batch_format="pyarrow"), hot
 
 
+def _overcap_error(key_val, size: int, max_bucket: int) -> ValueError:
+    return ValueError(
+        f"candidate bucket {key_val!r} has {size} members > max_bucket="
+        f"{max_bucket}: truncation would silently drop pairs, but this "
+        "caller registered the path as EXACT (overcap='raise'). Raise "
+        "max_bucket, or run exact dedup first to collapse the boilerplate "
+        "cluster, or accept sketch semantics with overcap='truncate'.")
+
+
 def enumerate_bucket_pairs(rows: ray.data.Dataset, key: str, id_col: str,
                            payload_cols: Sequence[str] = (),
-                           max_bucket: int = DEFAULT_MAX_BUCKET) -> ray.data.Dataset:
+                           max_bucket: int = DEFAULT_MAX_BUCKET,
+                           overcap: str = "truncate") -> ray.data.Dataset:
     """Distributed pair enumeration: one ``map_groups`` per hot bucket
     (hot buckets are few — the per-group Python cost is paid only where a
     real candidate cluster exists). Emits (id_a, id_b[, <c>_a, <c>_b…])
@@ -100,7 +115,10 @@ def enumerate_bucket_pairs(rows: ray.data.Dataset, key: str, id_col: str,
     def enum(g: pd.DataFrame) -> pd.DataFrame:
         # one row per id (a cross-band key collision can land the same doc
         # in one merged bucket twice — a self-pair must not be emitted)
-        g = g.sort_values(id_col).drop_duplicates(id_col).head(max_bucket)
+        g = g.sort_values(id_col).drop_duplicates(id_col)
+        if overcap == "raise" and len(g) > max_bucket:
+            raise _overcap_error(g[key].iloc[0], len(g), max_bucket)
+        g = g.head(max_bucket)
         ids = g[id_col].to_numpy()
         if len(ids) < 2:
             return _empty_pairs(payload_cols, g)
@@ -134,7 +152,8 @@ SMALL_EMITTED_ROWS = 2_000_000
 
 
 def _enum_all_buckets(df: pd.DataFrame, key: str, id_col: str,
-                      payload_cols: Sequence[str], max_bucket: int) -> pd.DataFrame:
+                      payload_cols: Sequence[str], max_bucket: int,
+                      overcap: str = "truncate") -> pd.DataFrame:
     """Vectorized pair enumeration over every ≥2-member bucket of one
     coalesced sketch table (run-length ranges per sorted key)."""
     df = (df.sort_values([key, id_col])
@@ -142,6 +161,12 @@ def _enum_all_buckets(df: pd.DataFrame, key: str, id_col: str,
     k = df[key].to_numpy()
     starts = np.nonzero(np.r_[True, k[1:] != k[:-1]])[0]
     ends = np.append(starts[1:], len(k))
+    if overcap == "raise" and len(k):
+        sizes = ends - starts
+        bad = np.flatnonzero(sizes > max_bucket)
+        if len(bad):
+            raise _overcap_error(k[starts[bad[0]]], int(sizes[bad[0]]),
+                                 max_bucket)
     ids = df[id_col].to_numpy()
     payload = {c: df[c].to_numpy() for c in payload_cols}
     out_a, out_b = [], []
@@ -226,7 +251,8 @@ def candidate_pairs(emitted: ray.data.Dataset, key: str, id_col: str,
                     small_rows: int | None = None,
                     spill: bool | None = None,
                     rows_hint: int | None = None,
-                    spill_dir: str | None = None) -> ray.data.Dataset:
+                    spill_dir: str | None = None,
+                    overcap: str = "truncate") -> ray.data.Dataset:
     """(bucket_key, id[, payload]) rows → candidate (id_a, id_b[, payload])
     pairs, fully in-pipeline. Pairs may repeat across buckets; dedupe
     downstream (after the exact verify, where the data is smallest).
@@ -249,12 +275,14 @@ def candidate_pairs(emitted: ray.data.Dataset, key: str, id_col: str,
     if emitted.count() <= small_rows:
         payload_cols = list(payload_cols)
         return emitted.repartition(1).map_batches(
-            lambda df: _enum_all_buckets(df, key, id_col, payload_cols, max_bucket),
+            lambda df: _enum_all_buckets(df, key, id_col, payload_cols,
+                                         max_bucket, overcap),
             batch_format="pandas", batch_size=None)
     rows, hot = hot_bucket_rows(emitted, key)
     if len(hot) == 0:
         return _empty_pairs_dataset(emitted, payload_cols)
-    return enumerate_bucket_pairs(rows, key, id_col, payload_cols, max_bucket)
+    return enumerate_bucket_pairs(rows, key, id_col, payload_cols, max_bucket,
+                                  overcap)
 
 
 # Below this candidate-pair count the signature table (2×pairs rows) is a

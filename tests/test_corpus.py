@@ -708,22 +708,23 @@ def test_ngram_jaccard_short_and_empty_docs():
     assert len(out2) == 0 and list(out2.columns) == ["id_a", "id_b", "jaccard"]
 
 
-def test_top_tokens_tie_break_at_boundary():
-    """Ties at the k-th boundary resolve token-ascending, deterministically."""
-    from pyofs_ray.pipelines import corpus
+def test_top_tokens_tie_break_at_boundary(monkeypatch):
+    """top_tokens ITSELF (per-block partial top-k → coalesced final top-k)
+    resolves a tie sitting exactly at the k-th boundary token-ascending —
+    exercising the real pipeline, not an inline re-implementation (round-3
+    ADVICE: the previous form never called corpus.top_tokens)."""
     import pyofs_ray.pipelines.corpus as c
-    ds = ray.data.from_arrow(pa.Table.from_pylist(
-        [{"text": "b b a a c c d"}]))
-    # monkey-free: call the internals directly on a tiny corpus via _docs
-    # replacement — easier to exercise the kernel inline:
-    import pyarrow.compute as pc2
-    toks = pc2.list_flatten(pc2.split_pattern_regex(
-        pa.array(["b b a a c c d"]), r"\s+"))
-    g = pa.table({"token": toks}).group_by("token").aggregate([("token", "count")])
-    idx = pc2.sort_indices(pa.table({"token": g["token"], "n": g["token_count"]}),
-                           sort_keys=[("n", "descending"), ("token", "ascending")])
-    top3 = pa.table({"token": g["token"], "n": g["token_count"]}).take(idx[:3])
-    assert top3["token"].to_pylist() == ["a", "b", "c"]
+
+    # 3 blocks so the partial-top-k-per-block then final-top-k COMPOSITION
+    # runs; global counts a:5 b:4 c:3 d:3 e:3 f:1 put a 3-way count tie
+    # across the k=4 boundary -> token-ascending keeps c, d and drops e
+    blocks = ["a a a e e e", "b b b b a a c", "c c d d d f"]
+    multi = ray.data.from_arrow(
+        [pa.table({"text": pa.array([t])}) for t in blocks])
+    monkeypatch.setattr(c, "_docs", lambda sf_dir, columns=("text",): multi)
+    out = c.top_tokens("ignored", k=4).to_pandas()
+    assert out.token.tolist() == ["a", "b", "c", "d"]
+    assert out.n.tolist() == [5, 4, 3, 3]
 
 
 def test_keep_best_prefers_quality_over_min_id(duck_smoke):
@@ -817,3 +818,64 @@ def test_token_repetition_kernel_edges():
     assert out.loc[2, "repetition_ratio"] == 3 / 5
     assert out.loc[3, "repetition_ratio"] == 0.0
     assert out.loc[4, "n_ws_tokens"] == 2 and out.loc[4, "n_distinct_tokens"] == 1
+
+
+def test_prefix_select_raises_on_torn_doc_segment():
+    """ADVICE r3: a doc whose gram rows were split across blocks must fail
+    loudly (wrong-n prefix would silently drop true-prefix grams)."""
+    sg = np.array([10, 20, 30, 40], np.uint64)
+    sc = np.array([1, 1, 2, 1], np.int64)
+    # doc 7 emitted ng=3 grams but this batch only carries 2 of them
+    torn = pa.table({"bkey": pa.array(np.array([10, 20], np.uint64).view(np.int64)),
+                     "doc_id": pa.array([7, 7], type=pa.int64()),
+                     "ng": pa.array([3, 3], type=pa.int64())})
+    with pytest.raises(RuntimeError, match="split across batches"):
+        dedup._prefix_select(torn, "doc_id", sg, sc, 0.6)
+    # intact segment passes and keeps the df-rarest prefix
+    ok = pa.table({"bkey": pa.array(np.array([10, 20, 30], np.uint64).view(np.int64)),
+                   "doc_id": pa.array([7, 7, 7], type=pa.int64()),
+                   "ng": pa.array([3, 3, 3], type=pa.int64())})
+    g, ids = dedup._prefix_select(ok, "doc_id", sg, sc, 0.6)
+    # n=3, tau=0.6 -> prefix len 3 - ceil(1.8) + 1 = 2; df order puts
+    # gram 30 (df=2) last, so the prefix is {10, 20}
+    assert sorted(g.tolist()) == [10, 20] and ids.tolist() == [7, 7]
+
+
+def test_overcap_raise_vs_truncate():
+    """Exact paths must refuse silent bucket truncation (overcap='raise');
+    sketch paths keep the documented graceful cap."""
+    from pyofs_ray.stages.pairs import _enum_all_buckets
+    df = pd.DataFrame({"bkey": [1] * 5 + [2] * 2,
+                       "doc_id": list(range(5)) + [10, 11]})
+    out = _enum_all_buckets(df, "bkey", "doc_id", (), max_bucket=3)
+    # bucket 1 truncated to its 3 smallest ids -> C(3,2)=3 pairs + 1
+    assert len(out) == 4
+    with pytest.raises(ValueError, match="max_bucket"):
+        _enum_all_buckets(df, "bkey", "doc_id", (), max_bucket=3,
+                          overcap="raise")
+    # under-cap buckets never trigger the guard
+    ok = _enum_all_buckets(df, "bkey", "doc_id", (), max_bucket=8,
+                           overcap="raise")
+    assert len(ok) == 10 + 1
+
+
+def test_jaccard_blob_batch_matches_scalar():
+    """The vectorized blob-batch Jaccard must equal the scalar kernel
+    bitwise on random sorted-unique gram sets (incl. disjoint and equal)."""
+    rng = np.random.default_rng(11)
+    ga, gb, want = [], [], []
+    for _ in range(60):
+        a = np.unique(rng.integers(0, 500, rng.integers(1, 40),
+                                   dtype=np.uint64))
+        b = np.unique(rng.integers(0, 500, rng.integers(1, 40),
+                                   dtype=np.uint64))
+        ga.append(a.tobytes()); gb.append(b.tobytes())
+        want.append(dedup.jaccard(a, b))
+    x = np.unique(rng.integers(0, 99, 7, dtype=np.uint64))
+    ga.append(x.tobytes()); gb.append(x.tobytes()); want.append(1.0)
+    ga.append(np.array([1], np.uint64).tobytes())
+    gb.append(np.array([2], np.uint64).tobytes()); want.append(0.0)
+    got = dedup.jaccard_blob_batch(np.array(ga, object), np.array(gb, object))
+    assert np.array_equal(got, np.array(want))
+    assert len(dedup.jaccard_blob_batch(np.array([], object),
+                                        np.array([], object))) == 0
