@@ -638,6 +638,66 @@ register("particle_track_gridded", _particle_track_gridded,
          particle_track_gridded_sql())
 
 
+# ------------------------------------------ pass-time ephemeris (ST5 full)
+def _pass_windows(sf_dir: str):
+    """Periodic ephemeris expanded over the events table's time span
+    (reference `viirs.py:929-1013` store_viirs_pass_times +
+    `:1016-1075` get_pass_times)."""
+    import pyarrow as _pa
+    from ray.data.aggregate import Max, Min
+
+    from .stages.ephemeris import pass_windows
+
+    def as_us(b: "_pa.Table") -> "_pa.Table":
+        return _pa.table({"ts": b["ts"].cast(_pa.int64())})
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts"])
+    mm = ev.map_batches(as_us, batch_format="pyarrow").aggregate(
+        Min("ts", alias_name="lo"), Max("ts", alias_name="hi"))
+    return pass_windows(int(mm["lo"]), int(mm["hi"]))
+
+
+def _events_pass_asof(sf_dir: str):
+    """Latest pass <= each event ts: broadcast-searchsorted as-of against
+    the small ephemeris side (`viirs.py:1016-1075` composed with the
+    event stream)."""
+    from .stages.ephemeris import attach_last_pass
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts"])
+    return attach_last_pass(ev, ts_col="ts").select_columns(
+        ["event_id", "ts_us", "pass_us"])
+
+
+def _eph_sql_parts(extra_before: int = 0) -> str:
+    from .stages.ephemeris import (EPOCH_US, JITTER_MOD, N_PASSES, PERIOD_US,
+                                   SPACING_US)
+    return f"""w AS (SELECT CAST(epoch_us(MIN(ts)) AS BIGINT) AS t0,
+           CAST(epoch_us(MAX(ts)) AS BIGINT) AS t1 FROM events),
+ks AS (SELECT unnest(generate_series((t0 - {EPOCH_US}) // {PERIOD_US} - {extra_before},
+                                     (t1 - {EPOCH_US}) // {PERIOD_US})) AS period,
+              t0, t1 FROM w),
+px AS (SELECT unnest(generate_series(0, {N_PASSES - 1})) AS pass_idx),
+allp AS (SELECT period, pass_idx,
+                {EPOCH_US} + period * {PERIOD_US} + pass_idx * {SPACING_US}
+                  + ((pass_idx * pass_idx * 37) % {JITTER_MOD}) * 1000000 AS pass_us,
+                t0, t1
+         FROM ks CROSS JOIN px)"""
+
+
+register("pass_windows", _pass_windows, f"""
+WITH {_eph_sql_parts()}
+SELECT period, pass_idx, pass_us FROM allp
+WHERE pass_us >= t0 AND pass_us < t1""")
+
+register("events_pass_asof", _events_pass_asof, f"""
+WITH {_eph_sql_parts(extra_before=1)}
+SELECT e.event_id, CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
+       (SELECT MAX(pass_us) FROM allp
+        WHERE pass_us <= epoch_us(e.ts)) AS pass_us
+FROM events e""")
+
+
 # ------------------------------------------ contour arc-length resample (P2)
 # Deterministic test ring: an axis-aligned staircase around a 400×300
 # rectangle with UNEQUAL vertex spacing (perimeter positions below; corners

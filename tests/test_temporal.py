@@ -206,3 +206,61 @@ def test_sliding_window_fallback_matches_packed():
     packed = _window(tbl, window_us=win)
     looped = _window(tbl, window_us=win, pack_limit=1)
     assert packed.equals(looped)
+
+
+# ------------------------------------------------- pass-time ephemeris (ST5)
+
+def test_pass_windows_basic_and_boundaries():
+    from pyofs_ray.stages import ephemeris as eph
+    # one full period: exactly N_PASSES rows, strictly increasing
+    t0 = eph.EPOCH_US + 5 * eph.PERIOD_US
+    out = eph.pass_windows(t0, t0 + eph.PERIOD_US).to_pandas()
+    assert len(out) == eph.N_PASSES
+    ts = out.sort_values(["period", "pass_idx"]).pass_us.to_numpy()
+    assert (np.diff(ts) > 0).all()
+    assert (out.period == 5).all()
+    # window straddling a period boundary sees both periods' passes
+    mid = eph.EPOCH_US + 6 * eph.PERIOD_US
+    strad = eph.pass_windows(mid - eph.SPACING_US * 3,
+                             mid + eph.SPACING_US * 3).to_pandas()
+    assert set(strad.period) == {5, 6}
+    # offsets match the generator arithmetic bit-for-bit
+    off = eph.pass_offsets_us()
+    assert off[0] == 0
+    assert off[7] == 7 * eph.SPACING_US + ((49 * 37) % 97) * 1_000_000
+
+
+def test_pass_windows_empty_interval_yields_next_pass():
+    from pyofs_ray.stages import ephemeris as eph
+    # a 1s window between two passes is empty -> the reference guarantees
+    # >= 1 result: the first pass at/after t0
+    off = eph.pass_offsets_us()
+    gap_start = eph.EPOCH_US + off[10] + 200_000_000  # 200s after pass 10
+    out = eph.pass_windows(gap_start, gap_start + 1_000_000).to_pandas()
+    assert len(out) == 1
+    assert out.pass_us.iloc[0] == eph.EPOCH_US + off[11]
+    assert out.pass_idx.iloc[0] == 11
+    with pytest.raises(ValueError):
+        eph.pass_windows(gap_start, gap_start)
+
+
+def test_attach_last_pass_matches_numpy():
+    from pyofs_ray.stages import ephemeris as eph
+    rng = np.random.default_rng(3)
+    base = eph.EPOCH_US + 2 * eph.PERIOD_US
+    tus = base + rng.integers(0, 2 * eph.PERIOD_US, 500)
+    ev = ray.data.from_arrow(pa.table({
+        "event_id": pa.array(np.arange(500, dtype=np.int64)),
+        "ts": pa.array(tus.astype(np.int64))}))
+    out = (eph.attach_last_pass(ev, ts_col="ts").to_pandas()
+           .sort_values("event_id"))
+    passes = eph.pass_times_array(1, 4)
+    want = passes[np.searchsorted(passes, tus, side="right") - 1]
+    assert np.array_equal(out.pass_us.to_numpy(), want)
+    assert (out.pass_us <= out.ts_us).all()
+    # an event exactly ON a pass maps to that pass
+    ev2 = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([0], pa.int64()),
+        "ts": pa.array([int(passes[100])], pa.int64())}))
+    o2 = eph.attach_last_pass(ev2, ts_col="ts").to_pandas()
+    assert o2.pass_us.iloc[0] == passes[100]
