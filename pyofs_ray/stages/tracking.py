@@ -266,6 +266,100 @@ def track(seeds: pa.Table, field=None, dt: float = 60.0, steps: int = 60,
     return out
 
 
+def track_checkpointed(seeds: pa.Table, out_dir: str, field=None,
+                       dt: float = 60.0, steps: int = 60,
+                       snapshot_every: int = 10, order: int = 4,
+                       t_start: float = 0.0, fail_after: int | None = None,
+                       use_actors: bool = False,
+                       concurrency=(1, 4)) -> ray.data.Dataset:
+    """`track` with DURABLE snapshots (P3 polish, round-3 item 8): every
+    coarse snapshot is an atomic manifest-committed parquet partition
+    (`state.manifest`), so a killed tracking run resumes from the LAST
+    committed snapshot instead of step 0 — snapshots are full particle
+    state, and steps are pure functions of state, so the continuation is
+    bit-identical to an uninterrupted run.
+
+    ``fail_after`` injects a crash after N commits *in this invocation*
+    (the kill/restart test hook, as `run_partitioned`). Returns the full
+    snapshot Dataset read back from the committed partitions (step,
+    particle_id, x, y[, t])."""
+    import os
+
+    from ..state.manifest import Manifest, write_and_commit
+
+    if steps % snapshot_every:
+        raise ValueError("steps must be a multiple of snapshot_every "
+                         "(resume state is only durable at snapshots)")
+    man = Manifest(out_dir)
+    done = man.committed()
+    snap_steps = list(range(0, steps + 1, snapshot_every))
+
+    def unit(s: int) -> str:
+        return f"step_{s:06d}"
+
+    # resume point: the longest COMMITTED PREFIX (commits are ordered, so
+    # a crash loses at most the in-flight snapshot; a gap from manual
+    # deletion forces recompute from the last contiguous snapshot)
+    resume = -1
+    for s in snap_steps:
+        if unit(s) not in done:
+            break
+        resume = s
+
+    lineage = f"rk{order} dt={dt} snapshot_every={snapshot_every}"
+    time_dep = bool(getattr(field, "time_dependent", False))
+    commits = 0
+
+    def stamp(step: int):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "step", pa.array(np.full(len(b), step, np.int64)))
+        return fn
+
+    def commit(s: int, state: ray.data.Dataset) -> None:
+        nonlocal commits
+        if fail_after is not None and commits >= fail_after:
+            raise RuntimeError(f"injected failure after {commits} commits")
+        write_and_commit(man, out_dir, unit(s),
+                         state.map_batches(stamp(s), batch_format="pyarrow"),
+                         lineage)
+        commits += 1
+
+    if resume < 0:
+        if time_dep and "t" not in seeds.column_names:
+            seeds = seeds.append_column(
+                "t", pa.array(np.full(len(seeds), float(t_start), np.float64)))
+        ds = ray.data.from_arrow(seeds)
+        commit(0, ds)
+        resume = 0
+    elif resume < steps:
+        ds = (ray.data.read_parquet(os.path.join(out_dir, unit(resume)))
+              .map_batches(lambda b: b.drop_columns(["step"]),
+                           batch_format="pyarrow").materialize())
+
+    stepper = AdvectStep(field=field, dt=dt, order=order)
+    for s in range(resume + 1, steps + 1):
+        if use_actors:
+            stepped = ds.map_batches(
+                AdvectStep,
+                fn_constructor_kwargs={"field": field, "dt": dt, "order": order},
+                batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
+        else:
+            stepped = ds.map_batches(stepper, batch_format="pyarrow")
+        ds = stepped.materialize()
+        if s % snapshot_every == 0:
+            commit(s, ds)
+
+    # Ray 2.49 read_parquet treats LIST entries as files — expand each
+    # committed partition dir to its parquet files
+    paths = []
+    for s in snap_steps:
+        d = os.path.join(out_dir, unit(s))
+        paths.extend(sorted(os.path.join(d, f) for f in os.listdir(d)
+                            if f.endswith(".parquet")))
+    return ray.data.read_parquet(paths)
+
+
 def resample_contour(snapshot: pa.Table, n_out: int) -> pa.Table:
     """Arc-length re-parameterization of an ordered particle ring to
     ``n_out`` equally-spaced vertices — `particle_contour.py:1031-1062`

@@ -92,6 +92,11 @@ def _write_and_commit(man: Manifest, out_dir: str, unit: str,
         lineage=lineage, committed_at=time.time()))
 
 
+# public name: iterative operators (e.g. `stages.tracking.track_checkpointed`)
+# commit their own unit sequence through the same atomic write + manifest row
+write_and_commit = _write_and_commit
+
+
 def run_partitioned(
     out_dir: str,
     units: Sequence[str],
