@@ -75,16 +75,18 @@ def auto_partitions() -> int:
     return max(2, cpus // 4)
 
 
-def bucketed_int64_group_sum(ds: ray.data.Dataset, key: str,
-                             sum_cols: Sequence[str],
-                             num_buckets: int | None = None
-                             ) -> ray.data.Dataset:
-    """Exact per-key int64 sums over an int64 key via an explicit
-    hash-bucket exchange: tag ``hash(key) % B`` per batch, ONE
-    ``groupby(_bucket)`` over ~4×CPU distinct values, Arrow ``group_by``
+def bucketed_group_agg(ds: ray.data.Dataset, keys: Sequence[str],
+                       aggs: Sequence[tuple[str, str, str]],
+                       num_buckets: int | None = None) -> ray.data.Dataset:
+    """Exact per-key aggregation over int64 key column(s) via an explicit
+    hash-bucket exchange: tag ``hash(keys) % B`` per batch, ONE
+    ``groupby(_bucket)`` over ~CPU distinct values, Arrow ``group_by``
     combine inside each bucket group.
 
-    Why not ``groupby(key).aggregate(Sum)``: Ray 2.49's sort-based
+    ``aggs``: (column, fn, out_name) triples, fn ∈ {"sum", "min", "max"}
+    (the decomposable aggregates — combine-of-partials == global).
+
+    Why not ``groupby(keys).aggregate(...)``: Ray 2.49's sort-based
     aggregate degrades badly on HIGH-CARDINALITY keys (measured on a 406k
     partial-row / 351k-key gram-df table: 50 s direct, 11 s after
     repartition, 0.9 s this shape — the sort's boundary sampling and
@@ -97,23 +99,57 @@ def bucketed_int64_group_sum(ds: ray.data.Dataset, key: str,
         cpus = int(_ray.cluster_resources().get("CPU", 8)) \
             if _ray.is_initialized() else 8
         num_buckets = max(8, cpus)
-    sum_cols = list(sum_cols)
+    keys = list(keys)
+    aggs = list(aggs)
     nb = np.uint64(num_buckets)
+    _PHI = np.uint64(0x9E3779B97F4A7C15)
+
+    def col_words(col) -> np.ndarray:
+        """(n, k) uint64 word matrix per key column — int64 keys as one
+        word, string/binary keys as their fixed-width padded bytes (all
+        vectorized; group_by itself handles the native type)."""
+        v = col.to_numpy(zero_copy_only=False)
+        if v.dtype.kind in "iu":
+            return v.astype(np.int64).view(np.uint64)[:, None]
+        s = v.astype("S")  # fixed-width bytes, NUL-padded
+        n, w = len(s), s.dtype.itemsize
+        k = max(1, -(-w // 8))
+        buf = np.zeros((n, k * 8), np.uint8)
+        if w:
+            buf[:, :w] = s.view(np.uint8).reshape(n, w)
+        return buf.view(np.uint64)
 
     def tag(b: pa.Table) -> pa.Table:
-        k = b[key].to_numpy(zero_copy_only=False).view(np.uint64)
-        bk = ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) % nb
-        return b.append_column("_bucket", pa.array(bk.astype(np.int64)))
+        h = np.zeros(len(b), np.uint64)
+        with np.errstate(over="ignore"):
+            for k in keys:
+                for j_col in col_words(b[k]).T:
+                    h = (h ^ j_col) * _PHI
+                    h ^= h >> np.uint64(29)
+        return b.append_column(
+            "_bucket", pa.array(((h >> np.uint64(3)) % nb).astype(np.int64)))
 
     def combine(g: pa.Table) -> pa.Table:
-        gg = g.group_by(key).aggregate([(c, "sum") for c in sum_cols])
-        cols = {key: gg[key]}
-        for c in sum_cols:
-            cols[c] = gg[f"{c}_sum"].cast(pa.int64())
+        gg = g.group_by(keys).aggregate([(c, fn) for c, fn, _ in aggs])
+        cols = {k: gg[k] for k in keys}
+        for c, fn, out in aggs:
+            col = gg[f"{c}_{fn}"]
+            if pa.types.is_integer(col.type):
+                col = col.cast(pa.int64())
+            cols[out] = col
         return pa.table(cols)
 
     return (ds.map_batches(tag, batch_format="pyarrow")
               .groupby("_bucket").map_groups(combine, batch_format="pyarrow"))
+
+
+def bucketed_int64_group_sum(ds: ray.data.Dataset, key: str,
+                             sum_cols: Sequence[str],
+                             num_buckets: int | None = None
+                             ) -> ray.data.Dataset:
+    """Single-key all-sum convenience wrapper of `bucketed_group_agg`."""
+    return bucketed_group_agg(ds, [key], [(c, "sum", c) for c in sum_cols],
+                              num_buckets=num_buckets)
 
 
 def two_stage_cell_agg(

@@ -34,7 +34,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Min, Sum
 
 from ..core.hashing import splitmix64
 from .pairs import candidate_pairs
@@ -56,14 +55,14 @@ def exact_dedup(ds: ray.data.Dataset, id_col: str = "doc_id",
             "cnt": g[f"{id_col}_count"].cast(pa.int64()),
         })
 
-    from .agg import auto_partitions
+    from .agg import bucketed_group_agg
 
-    agg = (ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-             .repartition(auto_partitions())
-             .groupby("text_hash")
-             .aggregate(Min("min_id", alias_name="doc_id"),
-                        Sum("cnt", alias_name="dup_count")))
-    return agg
+    # text_hash cardinality ≈ corpus size: the bucketed exchange form, not
+    # Ray's sort-based aggregate (see bucketed_group_agg)
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["text_hash"],
+        aggs=[("min_id", "min", "doc_id"), ("cnt", "sum", "dup_count")])
 
 
 # ------------------------------------------------------------ shingles
@@ -277,8 +276,6 @@ def minhash_dedup_pairs_ds(ds: ray.data.Dataset, threshold: float = 0.8,
     anti-join drop filters) need — at dup rates where the pair set itself
     outgrows one driver, the pandas-returning variant would OOM before
     any downstream distributed step ran."""
-    from ray.data.aggregate import Max
-
     from .pairs import attach_candidate_signatures
 
     cand = minhash_candidate_pairs(ds, id_col, text_col, force_distributed,
@@ -303,10 +300,13 @@ def minhash_dedup_pairs_ds(ds: ray.data.Dataset, threshold: float = 0.8,
     if verified.count() == 0:  # typed empty (zero-row blocks lose schema)
         return empty
     # band dupes: the same pair can surface from several bands — dedupe
-    # distributed (jaccard is identical across duplicates, Max is a no-op
-    # combiner that keeps the schema)
-    return (verified.groupby(["id_a", "id_b"])
-            .aggregate(Max("jaccard", alias_name="jaccard")))
+    # distributed (jaccard is identical across duplicates, max is a no-op
+    # combiner that keeps the schema); bucketed form — the pair-key
+    # cardinality is the verified pair count (see bucketed_group_agg)
+    from .agg import bucketed_group_agg
+    return bucketed_group_agg(
+        verified.map_batches(lambda b: b, batch_format="pyarrow"),
+        keys=["id_a", "id_b"], aggs=[("jaccard", "max", "jaccard")])
 
 
 # ------------------------------------------------- near-dup corpus dedup
@@ -325,9 +325,8 @@ def label_propagation_components(pairs: ray.data.Dataset,
     count is bounded by the largest component's diameter (near-dup clusters
     are dense, so typically 2–3)."""
     import pyarrow.compute as pc  # noqa: F401  (kept local: hot import)
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Sum
 
-    from .agg import auto_partitions
     from .join import bucketed_hash_join
 
     if pairs.count() == 0:  # dup-free corpus: no components
@@ -344,9 +343,20 @@ def label_propagation_components(pairs: ray.data.Dataset,
         return pa.table({"id": pa.concat_arrays(
             [b["id_a"].combine_chunks(), b["id_b"].combine_chunks()])})
 
-    labels = (edges.map_batches(_ids, batch_format="pyarrow")
-                   .groupby("id").aggregate(Min("id", alias_name="label"))
-                   .materialize())
+    from .agg import bucketed_group_agg
+
+    def _min_label(ds_in: ray.data.Dataset) -> ray.data.Dataset:
+        # id cardinality = member count (the whole point of this path is
+        # extreme dup rates) — bucketed exchange, not sort-aggregate
+        return bucketed_group_agg(ds_in, keys=["id"],
+                                  aggs=[("label", "min", "label")])
+
+    def _self_labels(b: pa.Table) -> pa.Table:
+        ids = _ids(b)["id"]
+        return pa.table({"id": ids, "label": ids})
+
+    labels = _min_label(
+        edges.map_batches(_self_labels, batch_format="pyarrow")).materialize()
 
     def _lab_sum(ls: ray.data.Dataset) -> int:
         return ls.aggregate(Sum("label", alias_name="s"))["s"]
@@ -369,11 +379,9 @@ def label_propagation_components(pairs: ray.data.Dataset,
                                            b["label_a"].combine_chunks()]),
             })
 
-        labels = (e.map_batches(msgs, batch_format="pyarrow")
-                   .union(labels)
-                   .repartition(auto_partitions())
-                   .groupby("id").aggregate(Min("label", alias_name="label"))
-                   .materialize())
+        labels = _min_label(
+            e.map_batches(msgs, batch_format="pyarrow")
+             .union(labels)).materialize()
         cur = _lab_sum(labels)
         if cur == prev:
             return labels

@@ -75,3 +75,42 @@ def test_salted_agg_equals_unsalted():
                                   ).to_pandas().sort_values("cell_id").reset_index(drop=True)
     assert plain[["cell_id", "n_chars_sum", "doc_count"]].equals(
         salted[["cell_id", "n_chars_sum", "doc_count"]])
+
+
+def test_bucketed_group_agg_matches_pandas_groupby():
+    """The hash-bucket exchange aggregate must equal a plain groupby
+    bitwise for sum/min/max over high-cardinality int64 keys (incl.
+    negative keys and composite keys)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from pyofs_ray.stages.agg import bucketed_group_agg
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    k = rng.integers(-5000, 5000, n)
+    v = rng.integers(-10**12, 10**12, n)
+    t = pa.table({"k": pa.array(k), "v": pa.array(v)})
+    ds = ray.data.from_arrow(t).repartition(6)
+    out = (bucketed_group_agg(ds, keys=["k"],
+                              aggs=[("v", "sum", "s"), ("v", "min", "lo"),
+                                    ("v", "max", "hi")])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = (pd.DataFrame({"k": k, "v": v}).groupby("k")["v"]
+            .agg(["sum", "min", "max"]).reset_index())
+    assert np.array_equal(out.k.to_numpy(), want.k.to_numpy())
+    assert np.array_equal(out.s.to_numpy(), want["sum"].to_numpy())
+    assert np.array_equal(out.lo.to_numpy(), want["min"].to_numpy())
+    assert np.array_equal(out.hi.to_numpy(), want["max"].to_numpy())
+
+    # composite key
+    k2 = rng.integers(0, 50, n)
+    t2 = pa.table({"a": pa.array(k), "b": pa.array(k2), "v": pa.array(v)})
+    out2 = (bucketed_group_agg(ray.data.from_arrow(t2).repartition(4),
+                               keys=["a", "b"], aggs=[("v", "sum", "s")])
+            .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    want2 = (pd.DataFrame({"a": k, "b": k2, "v": v})
+             .groupby(["a", "b"])["v"].sum().reset_index())
+    assert np.array_equal(out2.s.to_numpy(), want2.v.to_numpy())
