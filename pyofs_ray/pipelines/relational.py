@@ -832,3 +832,56 @@ def priority_revenue_native(sf_dir: str) -> ray.data.Dataset:
         })
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------- analytic window functions
+def events_lag_delta(sf_dir: str) -> ray.data.Dataset:
+    """Per-user inter-event gap: LAG(ts) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id) + the µs delta. The per-key ordered-window
+    analogue of the reference's consecutive-pass scans
+    (`viirs.py:1016-1075` walks a time-ordered pass sequence).
+
+    Scale shape: ONE bucket exchange on user_id, vectorized
+    lexsort+shift kernel per bucket group (`stages/analytic.lag_delta`)."""
+    from ..stages.analytic import lag_delta
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id"])
+    return lag_delta(ds, key="user_id", ts="ts", tiebreak="event_id")
+
+
+EVENTS_LAG_DELTA_SQL = """
+SELECT event_id, user_id, ts,
+       LAG(ts) OVER w AS prev_ts,
+       CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS BIGINT) AS delta_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def customer_running_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Per-customer cumulative order revenue: SUM(cents) OVER
+    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS
+    UNBOUNDED PRECEDING). Exact int64 cents throughout (same scaling
+    convention as Q1)."""
+    from ..stages.analytic import running_sum
+    ds = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    ds = ds.map_batches(lambda b: pa.table({
+        "o_orderkey": b["o_orderkey"], "o_custkey": b["o_custkey"],
+        "o_orderdate": b["o_orderdate"],
+        "price_c": _cents(b["o_totalprice"])}), batch_format="pyarrow")
+    return running_sum(ds, key="o_custkey", ts="o_orderdate",
+                       tiebreak="o_orderkey", value="price_c",
+                       out="running_c")
+
+
+CUSTOMER_RUNNING_REVENUE_SQL = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS running_c
+FROM orders
+"""

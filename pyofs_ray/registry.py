@@ -994,3 +994,8 @@ SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_steps,
             ELSE NULL END AS mean_chars
 FROM hourly GROUP BY 1""",
 )
+
+register("events_lag_delta", relational.events_lag_delta,
+         relational.EVENTS_LAG_DELTA_SQL)
+register("customer_running_revenue", relational.customer_running_revenue,
+         relational.CUSTOMER_RUNNING_REVENUE_SQL)

@@ -1,0 +1,126 @@
+"""Per-key ordered analytic (window) functions: LAG deltas and running
+(cumulative) aggregates.
+
+Reference analogue: PyOFS orders observations per station/pass and walks
+consecutive snapshots (`/root/reference/main/tracking/particle_contour.py`
+steps trajectories through time-ordered fields; `viirs.py:1016-1075` scans
+a time-ordered pass sequence). The SQL-window generalization — "previous
+row's value within my key's timeline" (LAG) and "sum of my key's history
+up to me" (running SUM) — is a first-class feature a training-data
+pipeline needs (inter-event gaps, per-user cumulative exposure, per-host
+crawl cadence).
+
+Execution model (same contract as ``temporal.asof_join`` /
+``agg.bucketed_group_agg``):
+
+* ONE ``groupby`` exchange on ``key % num_buckets`` — the bucket is the
+  scheduling unit, the key the correctness unit (a key never splits
+  across buckets).
+* Inside each bucket group the kernel is ONE ``np.lexsort`` over
+  ``(tiebreak, ts, key)`` plus vectorized segment ops (shift / cumsum) —
+  no per-key Python loop, no driver participation.
+* Skew: a hot key concentrates its rows in one bucket task (inherent to
+  per-key ordered semantics); mitigation is more buckets so other keys
+  do not queue behind it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from .temporal import _ts_i64
+
+
+def _tag_bucket(ds: ray.data.Dataset, key: str, cols: list[str],
+                num_buckets: int) -> ray.data.Dataset:
+    def tag(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b.select(cols)
+        return t.append_column("_bucket", pa.array(k % num_buckets))
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def _segments(k: np.ndarray) -> np.ndarray:
+    """Boolean new-segment mask over a key array already sorted by key."""
+    new = np.empty(len(k), bool)
+    if len(k):
+        new[0] = True
+        new[1:] = k[1:] != k[:-1]
+    return new
+
+
+def lag_delta(ds: ray.data.Dataset, *, key: str, ts: str, tiebreak: str,
+              num_buckets: int = 64) -> ray.data.Dataset:
+    """LAG(ts) OVER (PARTITION BY key ORDER BY ts, tiebreak) plus the
+    microsecond delta to it. Output columns: ``tiebreak, key, ts,
+    prev_ts (nullable timestamp[us]), delta_us (nullable int64)`` — the
+    first row of each key's timeline carries nulls, matching SQL LAG."""
+    cols = [tiebreak, key, ts]
+    tagged = _tag_bucket(ds, key, cols, num_buckets)
+
+    def kern(g: pa.Table) -> pa.Table:
+        k = g[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = _ts_i64(g[ts], ts)
+        tb = g[tiebreak].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((tb, t, k))
+        ks, tsrt = k[order], t[order]
+        new = _segments(ks)
+        prev = np.empty(len(tsrt), np.int64)
+        if len(tsrt):
+            prev[0] = 0
+            prev[1:] = tsrt[:-1]
+        valid = ~new
+        delta = tsrt - prev
+        ts_type = g.schema.field(ts).type
+        prev_col = pa.Array.from_pandas(prev, mask=new, type=pa.int64())
+        return pa.table({
+            tiebreak: pa.array(tb[order]),
+            key: pa.array(ks),
+            ts: pa.array(tsrt).cast(ts_type),
+            "prev_ts": prev_col.cast(ts_type),
+            "delta_us": pa.Array.from_pandas(
+                np.where(valid, delta, 0), mask=new, type=pa.int64()),
+        })
+
+    return tagged.groupby("_bucket").map_groups(kern, batch_format="pyarrow")
+
+
+def running_sum(ds: ray.data.Dataset, *, key: str, ts: str, tiebreak: str,
+                value: str, out: str = "running",
+                num_buckets: int = 64) -> ray.data.Dataset:
+    """SUM(value) OVER (PARTITION BY key ORDER BY ts, tiebreak ROWS
+    UNBOUNDED PRECEDING) — int64 exact (callers pass scaled-cents values;
+    the cumsum never leaves int64). Output: ``tiebreak, key, ts, value,
+    out``."""
+    cols = [tiebreak, key, ts, value]
+    tagged = _tag_bucket(ds, key, cols, num_buckets)
+
+    def kern(g: pa.Table) -> pa.Table:
+        k = g[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = _ts_i64(g[ts], ts)
+        tb = g[tiebreak].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = g[value].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((tb, t, k))
+        ks, vs = k[order], v[order]
+        cs = np.cumsum(vs)
+        new = _segments(ks)
+        starts = np.flatnonzero(new)
+        n = len(ks)
+        if n:
+            excl = cs - vs  # exclusive prefix sum
+            base = np.repeat(excl[starts], np.diff(np.append(starts, n)))
+            run = cs - base
+        else:
+            run = cs
+        ts_type = g.schema.field(ts).type
+        return pa.table({
+            tiebreak: pa.array(tb[order]),
+            key: pa.array(ks),
+            ts: pa.array(t[order]).cast(ts_type),
+            value: pa.array(vs),
+            out: pa.array(run),
+        })
+
+    return tagged.groupby("_bucket").map_groups(kern, batch_format="pyarrow")

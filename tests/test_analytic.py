@@ -1,0 +1,77 @@
+"""Per-key analytic window functions (LAG delta, running SUM): oracle
+parity at smoke scale plus adversarial kernel edges (key boundaries,
+equal-ts tiebreaks, single-row keys, cross-bucket independence)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from pyofs_ray.pipelines import relational
+from pyofs_ray.stages.analytic import lag_delta, running_sum
+
+from .conftest import SF_SMOKE, assert_matches_oracle
+
+
+@pytest.mark.parametrize("fn,sql", [
+    (relational.events_lag_delta, relational.EVENTS_LAG_DELTA_SQL),
+    (relational.customer_running_revenue,
+     relational.CUSTOMER_RUNNING_REVENUE_SQL),
+])
+def test_analytic_oracles(fn, sql, duck_smoke):
+    assert_matches_oracle(fn(SF_SMOKE), duck_smoke, sql)
+
+
+def _tbl(keys, ts_us, ids, vals=None):
+    cols = {
+        "id": pa.array(np.asarray(ids, np.int64)),
+        "k": pa.array(np.asarray(keys, np.int64)),
+        "ts": pa.array(np.asarray(ts_us, "datetime64[us]")),
+    }
+    if vals is not None:
+        cols["v"] = pa.array(np.asarray(vals, np.int64))
+    return ray.data.from_arrow(pa.table(cols))
+
+
+def test_lag_delta_key_boundaries_and_ties():
+    # key 1: two rows at the SAME ts — tiebreak id orders them; key 2:
+    # single row (null prev); rows arrive shuffled across keys
+    ds = _tbl(keys=[1, 2, 1, 1], ts_us=[100, 50, 100, 300],
+              ids=[7, 9, 3, 8])
+    out = (lag_delta(ds, key="k", ts="ts", tiebreak="id", num_buckets=4)
+           .to_pandas().sort_values(["k", "ts", "id"]).reset_index(drop=True))
+    # key 1 order: (100,id3) -> (100,id7) -> (300,id8)
+    deltas = out["delta_us"].tolist()
+    assert np.isnan(deltas[0])          # first row of key 1
+    assert deltas[1] == 0               # same-ts successor via tiebreak
+    assert deltas[2] == 200
+    assert np.isnan(deltas[3])          # key 2's only row
+    assert out["prev_ts"].isna().tolist() == [True, False, False, True]
+
+
+def test_running_sum_segments_and_negatives():
+    # negative values + a key whose rows land amid other keys' rows
+    ds = _tbl(keys=[5, 6, 5, 6, 5], ts_us=[1, 1, 2, 2, 3],
+              ids=[1, 2, 3, 4, 5], vals=[10, -7, -3, 20, 4])
+    out = (running_sum(ds, key="k", ts="ts", tiebreak="id", value="v",
+                       out="run", num_buckets=3)
+           .to_pandas().sort_values(["k", "ts"]).reset_index(drop=True))
+    assert out[out.k == 5]["run"].tolist() == [10, 7, 11]
+    assert out[out.k == 6]["run"].tolist() == [-7, 13]
+
+
+def test_lag_delta_bucket_independence():
+    # identical timelines on keys that hash to DIFFERENT buckets must not
+    # interleave: every key sees only its own history
+    n_keys, per = 17, 5
+    keys = np.repeat(np.arange(n_keys, dtype=np.int64), per)
+    ts = np.tile(np.arange(per, dtype=np.int64) * 10, n_keys)
+    ids = np.arange(n_keys * per, dtype=np.int64)
+    ds = _tbl(keys, ts, ids)
+    out = (lag_delta(ds, key="k", ts="ts", tiebreak="id", num_buckets=4)
+           .to_pandas())
+    assert len(out) == n_keys * per
+    assert int(out["prev_ts"].isna().sum()) == n_keys  # one start per key
+    assert set(out["delta_us"].dropna().astype(int)) == {10}
