@@ -547,3 +547,36 @@ def ngram_jaccard_pairs_zipf(sf_dir: str) -> pd.DataFrame:
     return dedup.jaccard_dedup_pairs(ds, threshold=0.8,
                                      distributed_prefix=True,
                                      docs_hint=n + n // ZIPF_SEED_MOD + 1)
+
+
+DISTINCTIVE_K = 3
+
+
+def doc_distinctive_terms(sf_dir: str, k: int = DISTINCTIVE_K) -> ray.data.Dataset:
+    """TF-IDF-style distinctive terms: per doc, the top-k whitespace
+    tokens by (tf DESC, df ASC, token ASC) — see `stages/tfidf.py` for
+    the two-exchange scale shape and the pure-integer ranking rationale."""
+    from ..stages.tfidf import distinctive_terms
+    return distinctive_terms(_docs(sf_dir), k=k)
+
+
+DISTINCTIVE_TERMS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE token <> '' GROUP BY doc_id, token
+), df AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, token FROM toks WHERE token <> '')
+  GROUP BY token
+), ranked AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.token ASC)
+             AS rn
+  FROM tf JOIN df USING (token)
+)
+SELECT doc_id, token, tf, df FROM ranked WHERE rn <= {DISTINCTIVE_K}
+"""

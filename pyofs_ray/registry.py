@@ -999,3 +999,5 @@ register("events_lag_delta", relational.events_lag_delta,
          relational.EVENTS_LAG_DELTA_SQL)
 register("customer_running_revenue", relational.customer_running_revenue,
          relational.CUSTOMER_RUNNING_REVENUE_SQL)
+register("doc_distinctive_terms", corpus.doc_distinctive_terms,
+         corpus.DISTINCTIVE_TERMS_SQL)

@@ -1,0 +1,121 @@
+"""TF-IDF-style distinctive-term extraction: per document, the top-k
+tokens ranked by (tf DESC, df ASC, token ASC) — highest in-document
+frequency, rarest corpus-wide.
+
+Pure-integer ranking: the classic ``tf·ln(N/df)`` score orders ties the
+same way but its transcendental ``ln`` is not reproducible bit-for-bit
+across libm implementations, so the operator ranks on the exact (tf, df)
+integer pair instead and emits both counts — callers can derive any float
+score with a single IEEE op downstream, and the DuckDB twin is exact.
+
+Scale shape — TWO all-to-all exchanges over the (doc, token) row stream:
+
+1. token-hash bucket exchange carrying BOTH row kinds from ONE corpus
+   scan: per-batch Arrow ``group_by`` compresses each block to its
+   distinct (doc, token, tf) rows plus per-token df partials (a doc's
+   rows never span blocks — each doc is one input row); inside a bucket
+   group the partials combine to the global df and attach to the tf rows
+   via vectorized ``pc.index_in``.
+2. doc-hash bucket exchange for the per-document top-k: one lexsort +
+   segment-rank kernel per bucket group (no per-doc Python).
+
+A plain ``groupby(token)`` / ``groupby(doc)`` would hit Ray 2.49's
+sort-aggregate pathology on these corpus-cardinality keys (see
+``agg.bucketed_group_agg``); both exchanges here sort ~B bucket values.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..core.hashing import fnv1a64
+
+
+def distinctive_terms(docs: ray.data.Dataset, *, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 3,
+                      num_buckets: int = 64) -> ray.data.Dataset:
+    """Top-k distinctive whitespace tokens per document (tf DESC, df ASC,
+    token ASC). Output columns: ``doc_id, token, tf, df`` (exact int64
+    counts; no floats)."""
+
+    def tf_and_df_partials(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(b[text_col], r"\s+")
+        doc = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        ids = b[id_col].take(doc.filter(keep))
+        flat = flat.filter(keep)
+        tf = (pa.table({"doc_id": ids, "token": flat})
+              .group_by(["doc_id", "token"]).aggregate([("token", "count")]))
+        dfp = (tf.select(["token"]).group_by("token")
+               .aggregate([("token", "count")]))
+        n_tf, n_df = len(tf), len(dfp)
+        token = pa.concat_arrays([tf["token"].combine_chunks(),
+                                  dfp["token"].combine_chunks()])
+        out = pa.table({
+            "token": token,
+            "doc_id": pa.concat_arrays([
+                tf["doc_id"].combine_chunks().cast(pa.int64()),
+                pa.nulls(n_df, pa.int64())]),
+            "n": pa.concat_arrays([
+                tf["token_count"].combine_chunks().cast(pa.int64()),
+                dfp["token_count"].combine_chunks().cast(pa.int64())]),
+            "_side": pa.array(np.r_[np.ones(n_tf, np.int8),
+                                    np.zeros(n_df, np.int8)]),
+        })
+        bucket = fnv1a64(token) % np.uint64(num_buckets)
+        return out.append_column("_bucket", pa.array(bucket.astype(np.int64)))
+
+    tagged = docs.map_batches(tf_and_df_partials, batch_format="pyarrow")
+
+    def attach_df(g: pa.Table) -> pa.Table:
+        is_tf = pc.equal(g["_side"], pa.scalar(1, pa.int8()))
+        tf_rows = g.filter(is_tf)
+        dfp = g.filter(pc.invert(is_tf))
+        df = dfp.select(["token", "n"]).group_by("token").aggregate(
+            [("n", "sum")])
+        idx = pc.index_in(tf_rows["token"], value_set=df["token"].combine_chunks())
+        if pc.any(pc.is_null(idx)).as_py():
+            # every tf row's token has a df partial from its own batch
+            raise KeyError("distinctive_terms: token missing from the "
+                           "combined df map — bucket tags diverged")
+        doc = tf_rows["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": tf_rows["doc_id"],
+            "token": tf_rows["token"],
+            "tf": tf_rows["n"],
+            "df": df["n_sum"].combine_chunks().cast(pa.int64()).take(idx),
+            "_b2": pa.array(doc % num_buckets),
+        })
+
+    with_df = tagged.groupby("_bucket").map_groups(
+        attach_df, batch_format="pyarrow")
+
+    def topk(g: pa.Table) -> pa.Table:
+        doc = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = g["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dfv = g["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # fixed-width '<U' so the lexsort compares in C (code-point order
+        # == DuckDB's binary collation on this ASCII vocabulary)
+        token = np.asarray(g["token"].to_pylist(), dtype=str)
+        order = np.lexsort((token, dfv, -tf, doc))
+        ds_, n = doc[order], len(doc)
+        new = np.empty(n, bool)
+        if n:
+            new[0] = True
+            new[1:] = ds_[1:] != ds_[:-1]
+        pos = np.arange(n, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(new, pos, -1))
+        rank = pos - seg_start
+        sel = order[rank < k]
+        return pa.table({
+            "doc_id": pa.array(doc[sel]),
+            "token": pa.array(token[sel].tolist(), type=pa.string()),
+            "tf": pa.array(tf[sel]),
+            "df": pa.array(dfv[sel]),
+        })
+
+    return with_df.groupby("_b2").map_groups(topk, batch_format="pyarrow")
