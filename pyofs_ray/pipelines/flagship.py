@@ -9,6 +9,7 @@ expressed as one lazy streaming Dataset graph.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -322,3 +323,46 @@ def host_stats(sf_dir: str, final_mode: str = "small") -> ray.data.Dataset:
                                                    batch_format="pyarrow")
     # pair set bounded by hosts x languages — one coalesced Arrow finish
     return per_pair.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------- canonical-URL dedup
+_MESSY_SUFFIX = np.array(["", "#frag", "?utm_source=x&utm_campaign=y", "/"])
+
+
+def _messy_variants(b: pa.Table) -> pa.Table:
+    """Deterministic messy-URL seeding (fixture construction, like the
+    seeded embedding dups): each page emits its original row plus ONE
+    variant — uppercased scheme://host, a fragment, utm params, or a
+    trailing slash by ``page_key % 4`` — fetched 1 s later, so the
+    canonical keep-first survivor is always the original fetch."""
+    from ..stages.canon import _PREFIX_RE
+    url = b["url"].combine_chunks() if isinstance(b["url"], pa.ChunkedArray) \
+        else b["url"]
+    ts = np.asarray(b["warc_ts"].to_numpy(zero_copy_only=False)).view(np.int64)
+    k = b["page_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = (k % 4).astype(np.int64)
+    pref = pc.fill_null(pc.struct_field(
+        pc.extract_regex(url, rf"(?P<p>{_PREFIX_RE})"), "p"), "")
+    rest = pc.replace_substring_regex(url, pattern=_PREFIX_RE,
+                                      replacement="", max_replacements=1)
+    upper = pc.binary_join_element_wise(pc.utf8_upper(pref), rest, "")
+    base = pc.if_else(pc.equal(pa.array(v), pa.scalar(0, pa.int64())),
+                      upper, url)
+    messy = pc.binary_join_element_wise(
+        base, pa.array(_MESSY_SUFFIX[v]), "")
+    return pa.table({
+        "url": pa.concat_arrays([url, messy]),
+        "ts": pa.array(np.concatenate([ts, ts + 1_000_000])
+                       ).cast(pa.timestamp("us")),
+    })
+
+
+def dedup_canonical_url(sf_dir: str) -> ray.data.Dataset:
+    """Canonical-URL exact dedup over the pages corpus + seeded messy
+    variants: one row per canonical URL with the earliest fetch time and
+    the variant count (`stages/canon.py` — per-batch RE2 kernel + ONE
+    bucketed exchange; no text bytes are ever read)."""
+    from ..stages.canon import canonical_url_dedup
+    pages = pages_dataset(sf_dir, with_text=False, keep_key=True)
+    messy = pages.map_batches(_messy_variants, batch_format="pyarrow")
+    return canonical_url_dedup(messy, url_col="url", ts_col="ts")

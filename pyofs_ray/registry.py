@@ -1001,3 +1001,32 @@ register("customer_running_revenue", relational.customer_running_revenue,
          relational.CUSTOMER_RUNNING_REVENUE_SQL)
 register("doc_distinctive_terms", corpus.doc_distinctive_terms,
          corpus.DISTINCTIVE_TERMS_SQL)
+
+register("dedup_canonical_url", flagship.dedup_canonical_url, f"""
+{sqlgen.pages_prefix()},
+messy AS (
+  SELECT url, warc_ts AS ts FROM pages
+  UNION ALL
+  SELECT CASE page_key % 4
+           WHEN 0 THEN UPPER(regexp_extract(url, '^[^/]*//[^/]*'))
+                       || regexp_replace(url, '^[^/]*//[^/]*', '')
+           WHEN 1 THEN url || '#frag'
+           WHEN 2 THEN url || '?utm_source=x&utm_campaign=y'
+           ELSE url || '/'
+         END AS url,
+         warc_ts + INTERVAL 1 SECOND AS ts
+  FROM pages
+),
+canon AS (
+  SELECT LOWER(regexp_extract(c3, '^[^/]*//[^/]*'))
+           || regexp_replace(c3, '^[^/]*//[^/]*', '') AS canon_url,
+         ts
+  FROM (
+    SELECT regexp_replace(regexp_replace(regexp_replace(url, '#.*$', ''),
+             '[?&]utm_[^&#]*', '', 'g'), '/$', '') AS c3, ts
+    FROM messy)
+)
+SELECT canon_url, MIN(ts) AS first_ts,
+       CAST(COUNT(*) AS BIGINT) AS dup_count
+FROM canon GROUP BY canon_url
+""")

@@ -25,7 +25,8 @@ import ray.data
 from .readers import read_parquet_clean
 
 
-def _derive_pages(batch: pa.Table, with_html: bool) -> pa.Table:
+def _derive_pages(batch: pa.Table, with_html: bool,
+                  with_text: bool = True, keep_key: bool = False) -> pa.Table:
     doc_id = batch["doc_id"].combine_chunks() if isinstance(batch["doc_id"], pa.ChunkedArray) else batch["doc_id"]
     k = doc_id.to_numpy(zero_copy_only=False).astype(np.int64)
     host = np.where(k % 10 < 7, 0, k % 97).astype(np.int64)
@@ -41,9 +42,12 @@ def _derive_pages(batch: pa.Table, with_html: bool) -> pa.Table:
     cols = {
         "url": url,
         "warc_ts": pa.array(warc_ts, type=pa.timestamp("us")),
-        "text": batch["text"],
-        "lang": batch["lang"],
     }
+    if with_text:
+        cols["text"] = batch["text"]
+        cols["lang"] = batch["lang"]
+    if keep_key:
+        cols["page_key"] = doc_id
     if with_html:
         html = pc.binary_join_element_wise(
             pa.array(["<html><body>"] * len(batch)), batch["text"].cast(pa.string()),
@@ -56,7 +60,9 @@ REPLICA_STRIDE = 10_000_000  # page_key offset between replicas
 
 
 def pages_dataset(sf_dir: str, with_html: bool = False, replicate: int = 1,
-                  override_num_blocks: int | None = None) -> ray.data.Dataset:
+                  override_num_blocks: int | None = None,
+                  with_text: bool = True,
+                  keep_key: bool = False) -> ray.data.Dataset:
     """Read `documents` and derive the pages table (streaming, no shuffle).
 
     ``replicate=R`` synthesizes an R×-larger corpus deterministically: each
@@ -83,7 +89,7 @@ def pages_dataset(sf_dir: str, with_html: bool = False, replicate: int = 1,
                 _derive_pages(t.set_column(idx, "doc_id",
                                            pc.add(t["doc_id"],
                                                   pa.scalar(int(i) * REPLICA_STRIDE, pa.int64()))),
-                              with_html)
+                              with_html, with_text, keep_key)
                 for i in b["id"].to_pylist()
             ]
             return pa.concat_tables(parts)
@@ -94,10 +100,13 @@ def pages_dataset(sf_dir: str, with_html: bool = False, replicate: int = 1,
                              override_num_blocks=max(1, replicate // per_task))
         return ids.map_batches(derive_replica_ids, batch_format="pyarrow",
                                batch_size=per_task)
+    cols = ["doc_id", "text", "lang"] if with_text else ["doc_id"]
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text", "lang"],
+                               columns=cols,
                                override_num_blocks=override_num_blocks)
-    return ds.map_batches(lambda b: _derive_pages(b, with_html), batch_format="pyarrow")
+    return ds.map_batches(
+        lambda b: _derive_pages(b, with_html, with_text, keep_key),
+        batch_format="pyarrow")
 
 
 def materialize_pages_parquet(sf_dir: str, out_dir: str, replicate: int = 1,
