@@ -366,3 +366,33 @@ def dedup_canonical_url(sf_dir: str) -> ray.data.Dataset:
     pages = pages_dataset(sf_dir, with_text=False, keep_key=True)
     messy = pages.map_batches(_messy_variants, batch_format="pyarrow")
     return canonical_url_dedup(messy, url_col="url", ts_col="ts")
+
+
+# ---------------------------------------------- incremental-crawl diff
+def crawl_diff(sf_dir: str) -> ray.data.Dataset:
+    """Added/removed URLs between two crawl snapshots (deterministic
+    fixture: snapshot B drops every page_key % 7 == 3 and adds a re-keyed
+    page for every doc_id % 5 == 0). ONE bucket exchange for both EXCEPT
+    directions — see `stages/diff.snapshot_diff`."""
+    from ..sources.pages import REPLICA_STRIDE, _derive_pages
+    from ..sources.readers import read_parquet_clean
+    from ..stages.diff import snapshot_diff
+
+    snap_a = pages_dataset(sf_dir, with_text=False, keep_key=True)
+
+    def drop_some(b: pa.Table) -> pa.Table:
+        k = b["page_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.filter(pa.array(k % 7 != 3))
+
+    def new_pages(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        shifted = d[d % 5 == 0] + REPLICA_STRIDE
+        return _derive_pages(pa.table({"doc_id": pa.array(shifted)}),
+                             with_html=False, with_text=False, keep_key=True)
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id"])
+    snap_b = (pages_dataset(sf_dir, with_text=False, keep_key=True)
+              .map_batches(drop_some, batch_format="pyarrow")
+              .union(docs.map_batches(new_pages, batch_format="pyarrow")))
+    return snapshot_diff(snap_a, snap_b, key="page_key", payload=["url"])

@@ -885,3 +885,35 @@ SELECT o_orderkey, o_custkey, o_orderdate,
            AS BIGINT) AS running_c
 FROM orders
 """
+
+
+def customer_order_totals_outer(sf_dir: str) -> ray.data.Dataset:
+    """All customers with their lifetime spend — LEFT OUTER so customers
+    with no orders survive with a null total (the classic outer-join
+    completeness report; `join.bucketed_hash_join(join_type="left_outer")`
+    — both sides large, one bucket exchange each)."""
+    from ..stages.agg import bucketed_group_agg
+    from ..stages.join import bucketed_hash_join
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_totalprice"])
+    orders = orders.map_batches(lambda b: pa.table({
+        "c_custkey": b["o_custkey"], "price_c": _cents(b["o_totalprice"])}),
+        batch_format="pyarrow")
+    totals = bucketed_group_agg(orders, keys=["c_custkey"],
+                                aggs=[("price_c", "sum", "total_c")])
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_mktsegment"])
+    return bucketed_hash_join(cust, totals, key="c_custkey",
+                              join_type="left_outer")
+
+
+CUSTOMER_ORDER_TOTALS_OUTER_SQL = """
+SELECT c.c_custkey, c.c_mktsegment, o.total_c
+FROM customer c
+LEFT JOIN (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_c
+  FROM orders GROUP BY o_custkey
+) o ON c.c_custkey = o.o_custkey
+"""

@@ -1030,3 +1030,25 @@ SELECT canon_url, MIN(ts) AS first_ts,
        CAST(COUNT(*) AS BIGINT) AS dup_count
 FROM canon GROUP BY canon_url
 """)
+
+register("customer_order_totals_outer", relational.customer_order_totals_outer,
+         relational.CUSTOMER_ORDER_TOTALS_OUTER_SQL)
+
+register("crawl_diff", flagship.crawl_diff, f"""
+{sqlgen.pages_prefix()},
+snap_a AS (SELECT page_key, url FROM pages),
+snap_b AS (
+  SELECT page_key, url FROM pages WHERE page_key % 7 <> 3
+  UNION ALL
+  SELECT doc_id + 10000000 AS page_key,
+         'https://h' || CAST(CASE WHEN (doc_id + 10000000) % 10 < 7 THEN 0
+                                  ELSE (doc_id + 10000000) % 97 END AS VARCHAR)
+           || '.example.com/p/' || CAST(doc_id + 10000000 AS VARCHAR) AS url
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT url, 'removed' AS status
+FROM (SELECT url FROM snap_a EXCEPT SELECT url FROM snap_b)
+UNION ALL
+SELECT url, 'added' AS status
+FROM (SELECT url FROM snap_b EXCEPT SELECT url FROM snap_a)
+""")

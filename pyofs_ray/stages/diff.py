@@ -1,0 +1,67 @@
+"""Snapshot set-difference: added/removed rows between two crawls.
+
+Reference analogue: PyOFS's completeness audit diffs the expected file
+inventory against what exists on disk (`state/manifest.audit_missing`,
+reference `viirs.py` skip-existing scans). The dataset generalization
+diffs two corpus snapshots by key — the incremental-crawl primitive
+("what did this crawl add, what disappeared") a 100 TB pipeline runs
+between refreshes instead of reprocessing everything.
+
+Scale shape: ONE ``key % B`` bucket exchange carrying BOTH snapshots
+side-tagged (a key lands in exactly one bucket, so membership is decided
+locally); inside each bucket group one vectorized ``np.isin``
+(unique-key sorted membership) per direction. No driver pull, no
+sort-based groupby over corpus-cardinality keys, no second exchange —
+a pair of EXCEPTs for the price of one shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def snapshot_diff(a: ray.data.Dataset, b: ray.data.Dataset, *, key: str,
+                  payload: list[str], num_buckets: int = 64,
+                  statuses: tuple[str, str] = ("removed", "added")
+                  ) -> ray.data.Dataset:
+    """Rows of ``a`` whose ``key`` is absent from ``b`` (status
+    ``statuses[0]``) plus rows of ``b`` absent from ``a``
+    (``statuses[1]``). Keys must be unique within each snapshot (crawl
+    snapshots are keyed); payload columns are carried through untouched.
+    Output columns: ``payload..., status``."""
+    cols = [key] + [c for c in payload if c != key]
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            return (t.select(cols)
+                     .append_column("_bucket", pa.array(k % num_buckets))
+                     .append_column("_side", pa.array(
+                         np.full(len(t), side, np.int8))))
+        return fn
+
+    both = a.map_batches(tag(0), batch_format="pyarrow").union(
+        b.map_batches(tag(1), batch_format="pyarrow"))
+
+    out_cols = [c for c in payload]
+
+    def diff_bucket(g: pa.Table) -> pa.Table:
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        keys = g[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        a_mask, b_mask = side == 0, side == 1
+        a_keys, b_keys = keys[a_mask], keys[b_mask]
+        removed = a_mask.copy()
+        removed[a_mask] = ~np.isin(a_keys, b_keys, assume_unique=True)
+        added = b_mask.copy()
+        added[b_mask] = ~np.isin(b_keys, a_keys, assume_unique=True)
+        sel = np.flatnonzero(removed | added)
+        out = g.select(out_cols).take(pa.array(sel))
+        status = np.where(removed[sel], statuses[0], statuses[1])
+        return out.append_column("status",
+                                 pa.array(status.tolist(), type=pa.string()))
+
+    return both.groupby("_bucket").map_groups(diff_bucket,
+                                              batch_format="pyarrow")

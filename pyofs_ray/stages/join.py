@@ -90,8 +90,10 @@ def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
     scheduling unit, so B should be ≳ cluster cores).
 
     ``join_type``: ``"inner"`` (default, output = left ⊕ right columns),
-    ``"semi"`` / ``"anti"`` (output = left columns only; right side acts as
-    a distributed filter — the scale form of a broadcast keep/drop set).
+    ``"left_outer"`` (every left row survives; unmatched right payload is
+    null), ``"semi"`` / ``"anti"`` (output = left columns only; right side
+    acts as a distributed filter — the scale form of a broadcast keep/drop
+    set).
     """
 
     def _as_arrow(ds: ray.data.Dataset) -> tuple[ray.data.Dataset, pa.Schema]:
@@ -137,8 +139,8 @@ def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
     # Per-bucket join runs in Arrow end to end: the null-padded union
     # columns NEVER pass through pandas float64, so int64 payloads ≥ 2^53
     # (packed cell_ids, 64-bit hashes) stay exact.
-    arrow_jt = {"inner": "inner", "semi": "left semi",
-                "anti": "left anti"}[join_type]
+    arrow_jt = {"inner": "inner", "left_outer": "left outer",
+                "semi": "left semi", "anti": "left anti"}[join_type]
 
     def join_bucket(g: pa.Table) -> pa.Table:
         side = g["_side"]
