@@ -396,3 +396,57 @@ def crawl_diff(sf_dir: str) -> ray.data.Dataset:
               .map_batches(drop_some, batch_format="pyarrow")
               .union(docs.map_batches(new_pages, batch_format="pyarrow")))
     return snapshot_diff(snap_a, snap_b, key="page_key", payload=["url"])
+
+
+def crawl_diff_3way(sf_dir: str) -> ray.data.Dataset:
+    """Full incremental-crawl diff: added + removed + MODIFIED pages
+    (md5-of-text fingerprint change on pages present in both snapshots —
+    the byte-identity audit of FIXTURES.md applied across crawls).
+    Fixture: snapshot B drops page_key % 7 == 3, rewrites the text of
+    page_key % 11 == 5 (' v2' suffix), and adds a re-keyed page per
+    doc_id % 5 == 0. Still ONE bucket exchange; only (key, url, md5)
+    rows shuffle — text bytes never leave their read task."""
+    from ..sources.pages import REPLICA_STRIDE, _derive_pages
+    from ..sources.readers import read_parquet_clean
+    from ..stages.diff import snapshot_diff
+    from ..stages.text import fingerprint
+
+    sel = ["page_key", "url", "text_hash"]
+
+    def hashed(b: pa.Table) -> pa.Table:
+        return fingerprint(b).select(sel)
+
+    snap_a = (pages_dataset(sf_dir, keep_key=True)
+              .map_batches(hashed, batch_format="pyarrow"))
+
+    def b_base(b: pa.Table) -> pa.Table:
+        k = b["page_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = b.filter(pa.array(k % 7 != 3))
+        k = b["page_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        text = pc.if_else(
+            pa.array(k % 11 == 5),
+            pc.binary_join_element_wise(b["text"].combine_chunks()
+                                        if isinstance(b["text"],
+                                                      pa.ChunkedArray)
+                                        else b["text"],
+                                        pa.array([" v2"] * len(b)), ""),
+            b["text"])
+        b = b.set_column(b.schema.get_field_index("text"), "text", text)
+        return fingerprint(b).select(sel)
+
+    def b_new(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = d % 5 == 0
+        t = pa.table({"doc_id": pa.array(d[keep] + REPLICA_STRIDE),
+                      "text": b["text"].filter(pa.array(keep)),
+                      "lang": b["lang"].filter(pa.array(keep))})
+        pages = _derive_pages(t, with_html=False, keep_key=True)
+        return fingerprint(pages).select(sel)
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text", "lang"])
+    snap_b = (pages_dataset(sf_dir, keep_key=True)
+              .map_batches(b_base, batch_format="pyarrow")
+              .union(docs.map_batches(b_new, batch_format="pyarrow")))
+    return snapshot_diff(snap_a, snap_b, key="page_key", payload=["url"],
+                         compare="text_hash")

@@ -1052,3 +1052,29 @@ UNION ALL
 SELECT url, 'added' AS status
 FROM (SELECT url FROM snap_b EXCEPT SELECT url FROM snap_a)
 """)
+
+register("crawl_diff_3way", flagship.crawl_diff_3way, f"""
+{sqlgen.pages_prefix()},
+snap_a AS (SELECT page_key, url, md5(text) AS h FROM pages),
+snap_b AS (
+  SELECT page_key, url,
+         md5(CASE WHEN page_key % 11 = 5 THEN text || ' v2' ELSE text END)
+             AS h
+  FROM pages WHERE page_key % 7 <> 3
+  UNION ALL
+  SELECT doc_id + 10000000 AS page_key,
+         'https://h' || CAST(CASE WHEN (doc_id + 10000000) % 10 < 7 THEN 0
+                                  ELSE (doc_id + 10000000) % 97 END AS VARCHAR)
+           || '.example.com/p/' || CAST(doc_id + 10000000 AS VARCHAR) AS url,
+         md5(text) AS h
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT a.url, 'removed' AS status FROM snap_a a
+LEFT JOIN snap_b b USING (page_key) WHERE b.page_key IS NULL
+UNION ALL
+SELECT b.url, 'added' AS status FROM snap_b b
+LEFT JOIN snap_a a USING (page_key) WHERE a.page_key IS NULL
+UNION ALL
+SELECT a.url, 'modified' AS status FROM snap_a a
+JOIN snap_b b USING (page_key) WHERE a.h <> b.h
+""")

@@ -25,14 +25,21 @@ import ray.data
 
 def snapshot_diff(a: ray.data.Dataset, b: ray.data.Dataset, *, key: str,
                   payload: list[str], num_buckets: int = 64,
-                  statuses: tuple[str, str] = ("removed", "added")
+                  compare: str | None = None,
+                  statuses: tuple[str, str, str] = ("removed", "added",
+                                                    "modified")
                   ) -> ray.data.Dataset:
     """Rows of ``a`` whose ``key`` is absent from ``b`` (status
     ``statuses[0]``) plus rows of ``b`` absent from ``a``
-    (``statuses[1]``). Keys must be unique within each snapshot (crawl
-    snapshots are keyed); payload columns are carried through untouched.
-    Output columns: ``payload..., status``."""
-    cols = [key] + [c for c in payload if c != key]
+    (``statuses[1]``). With ``compare`` set (a content-fingerprint
+    column, e.g. md5 of text), keys present in BOTH snapshots whose
+    fingerprint changed are emitted too — the ``a``-side row with status
+    ``statuses[2]`` — making this the full incremental-crawl 3-way diff
+    in the same single exchange. Keys must be unique within each
+    snapshot (crawl snapshots are keyed); payload columns are carried
+    through untouched. Output columns: ``payload..., status``."""
+    cols = [key] + [c for c in dict.fromkeys(
+        payload + ([compare] if compare else [])) if c != key]
 
     def tag(side: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -53,13 +60,24 @@ def snapshot_diff(a: ray.data.Dataset, b: ray.data.Dataset, *, key: str,
         keys = g[key].to_numpy(zero_copy_only=False).astype(np.int64)
         a_mask, b_mask = side == 0, side == 1
         a_keys, b_keys = keys[a_mask], keys[b_mask]
+        a_in_b = np.isin(a_keys, b_keys, assume_unique=True)
         removed = a_mask.copy()
-        removed[a_mask] = ~np.isin(a_keys, b_keys, assume_unique=True)
+        removed[a_mask] = ~a_in_b
         added = b_mask.copy()
         added[b_mask] = ~np.isin(b_keys, a_keys, assume_unique=True)
-        sel = np.flatnonzero(removed | added)
+        modified = np.zeros(len(g), bool)
+        if compare is not None and a_in_b.any():
+            cmp = np.asarray(g[compare].to_pylist(), dtype=str)
+            b_order = np.argsort(b_keys, kind="stable")
+            b_sorted = b_keys[b_order]
+            pos = np.searchsorted(b_sorted, a_keys[a_in_b])
+            b_rows = np.flatnonzero(b_mask)[b_order[pos]]
+            a_rows = np.flatnonzero(a_mask)[a_in_b]
+            modified[a_rows] = cmp[a_rows] != cmp[b_rows]
+        sel = np.flatnonzero(removed | added | modified)
         out = g.select(out_cols).take(pa.array(sel))
-        status = np.where(removed[sel], statuses[0], statuses[1])
+        status = np.where(removed[sel], statuses[0],
+                          np.where(added[sel], statuses[1], statuses[2]))
         return out.append_column("status",
                                  pa.array(status.tolist(), type=pa.string()))
 

@@ -56,3 +56,25 @@ def test_registered_diff_oracles(duck_smoke):
     for name in ("crawl_diff", "customer_order_totals_outer"):
         assert_matches_oracle(QUERIES[name](SF_SMOKE), duck_smoke,
                               ORACLES[name])
+
+
+def test_snapshot_diff_modified():
+    a = ray.data.from_arrow(pa.table({
+        "page_key": pa.array([1, 2, 3], pa.int64()),
+        "url": pa.array(["u1", "u2", "u3"]),
+        "h": pa.array(["aa", "bb", "cc"])}))
+    b = ray.data.from_arrow(pa.table({
+        "page_key": pa.array([2, 3, 4], pa.int64()),
+        "url": pa.array(["u2", "u3", "u4"]),
+        "h": pa.array(["bb", "CHANGED", "dd"])}))
+    out = (snapshot_diff(a, b, key="page_key", payload=["url"],
+                         compare="h", num_buckets=2)
+           .to_pandas().sort_values("url").reset_index(drop=True))
+    assert list(out.url) == ["u1", "u3", "u4"]
+    assert list(out.status) == ["removed", "modified", "added"]
+    assert "h" not in out.columns
+
+
+def test_crawl_diff_3way_oracle(duck_smoke):
+    assert_matches_oracle(QUERIES["crawl_diff_3way"](SF_SMOKE), duck_smoke,
+                          ORACLES["crawl_diff_3way"])
