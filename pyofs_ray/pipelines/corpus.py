@@ -580,3 +580,32 @@ WITH toks AS (
 )
 SELECT doc_id, token, tf, df FROM ranked WHERE rn <= {DISTINCTIVE_K}
 """
+
+
+def doc_clean(sf_dir: str) -> ray.data.Dataset:
+    """Normalization + stopword-removal pass over the corpus (training-
+    data prep: the transform every LLM pipeline runs before tokenization).
+    Stateless vectorized map_batches — see `stages/text.normalize_clean`."""
+    from ..stages.text import normalize_clean
+    return _docs(sf_dir).map_batches(normalize_clean,
+                                     batch_format="pyarrow")
+
+
+def _clean_stoplist_sql() -> str:
+    from ..stages.text import CLEAN_STOPWORDS
+    return ", ".join(f"'{w}'" for w in CLEAN_STOPWORDS)
+
+
+DOC_CLEAN_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                        ' '),
+           x -> x NOT IN ({_clean_stoplist_sql()})) AS kept
+  FROM documents
+)
+SELECT doc_id, array_to_string(kept, ' ') AS clean_text,
+       CAST(len(kept) AS BIGINT) AS n_kept_tokens
+FROM toks
+"""

@@ -1078,3 +1078,5 @@ UNION ALL
 SELECT a.url, 'modified' AS status FROM snap_a a
 JOIN snap_b b USING (page_key) WHERE a.h <> b.h
 """)
+
+register("doc_clean", corpus.doc_clean, corpus.DOC_CLEAN_SQL)

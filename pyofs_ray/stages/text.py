@@ -213,3 +213,37 @@ def token_repetition(batch: pa.Table, text_col: str = "text",
                      "n_ws_tokens": pa.array(total),
                      "n_distinct_tokens": pa.array(distinct),
                      "repetition_ratio": pa.array(rep)})
+
+
+# ---------------------------------------------- normalization / cleaning
+# tiny cleaning stoplist (fixture-hot function words); real deployments
+# broadcast a per-language list — the kernel shape is identical
+CLEAN_STOPWORDS = ("the", "and", "of", "a", "is", "in", "to", "it")
+
+
+def normalize_clean(batch: pa.Table, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    stopwords: tuple[str, ...] = CLEAN_STOPWORDS) -> pa.Table:
+    """Text normalization for training-data prep: lowercase → collapse
+    whitespace runs → trim → drop stopword tokens → re-join. Fully
+    vectorized: RE2 + one flatten/filter/rebuild of the token list array
+    (offsets recomputed by a bincount — no per-row Python). Mirrors the
+    DuckDB ``list_filter(string_split(...))`` twin byte-for-byte on ASCII
+    (no NFC — DuckDB has no normalization kernel, so it is out of the
+    oracle-checked contract; documented, not silently approximated)."""
+    t = pc.utf8_lower(batch[text_col])
+    t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+    t = pc.utf8_trim_whitespace(t)
+    toks = t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
+    toks = pc.split_pattern(toks, " ")
+    flat = pc.list_flatten(toks)
+    keep = pc.invert(pc.is_in(flat, value_set=pa.array(list(stopwords))))
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    counts = np.bincount(parents[keep_np], minlength=len(batch))
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    rebuilt = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                       flat.filter(keep))
+    clean = pc.binary_join(rebuilt, " ")
+    return pa.table({id_col: batch[id_col], "clean_text": clean,
+                     "n_kept_tokens": pa.array(counts.astype(np.int64))})
