@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     # Zipfian-vocabulary corpus (the broadcast-path queries above stay
     # gated out of sf0.1 per the saturation note)
     "ngram_jaccard_pairs_zipf",
+    # round 4 continuation: window analytics, tf-idf, canonical-url /
+    # incremental-crawl ops, text prep
+    "events_lag_delta", "customer_running_revenue", "doc_distinctive_terms",
+    "dedup_canonical_url", "crawl_diff_3way", "doc_clean", "doc_redact",
 ]
 
 

@@ -609,3 +609,58 @@ SELECT doc_id, array_to_string(kept, ' ') AS clean_text,
        CAST(len(kept) AS BIGINT) AS n_kept_tokens
 FROM toks
 """
+
+
+_PII_SUFFIXES = (" contact bob@example.com now",
+                 " server at 10.1.2.3 replied",
+                 " mail ann.lee+x@sub.domain.org or 192.168.0.255 end",
+                 "")
+
+
+def doc_redact(sf_dir: str) -> ray.data.Dataset:
+    """PII redaction over the corpus. The fixture corpus carries no PII,
+    so the query seeds deterministic emails/IPs by doc_id % 4 on BOTH
+    gate sides (like the seeded embedding dups) — the redaction kernel
+    itself is `stages/text.redact_pii`."""
+    import numpy as np
+
+    from ..stages.text import redact_pii
+    suffixes = np.array(_PII_SUFFIXES)
+
+    def seed_and_redact(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        text = b["text"].combine_chunks() if isinstance(
+            b["text"], pa.ChunkedArray) else b["text"]
+        seeded = pc.binary_join_element_wise(
+            text, pa.array(suffixes[d % 4]), "")
+        return redact_pii(b.set_column(
+            b.schema.get_field_index("text"), "text", seeded))
+
+    return _docs(sf_dir).map_batches(seed_and_redact,
+                                     batch_format="pyarrow")
+
+
+def _doc_redact_sql() -> str:
+    from ..stages.text import EMAIL_RE, IPV4_RE
+    cases = "\n".join(
+        f"           WHEN {i} THEN '{s.replace(chr(39), chr(39)*2)}'"
+        for i, s in enumerate(_PII_SUFFIXES[:3]))
+    return f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || CASE doc_id % 4
+{cases}
+           ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{IPV4_RE}', '<IP>', 'g') AS redacted_text,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT) AS n_ips
+FROM seeded
+"""
+
+
+DOC_REDACT_SQL = _doc_redact_sql()

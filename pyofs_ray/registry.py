@@ -1080,3 +1080,5 @@ JOIN snap_b b USING (page_key) WHERE a.h <> b.h
 """)
 
 register("doc_clean", corpus.doc_clean, corpus.DOC_CLEAN_SQL)
+
+register("doc_redact", corpus.doc_redact, corpus.DOC_REDACT_SQL)

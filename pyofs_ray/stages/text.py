@@ -247,3 +247,27 @@ def normalize_clean(batch: pa.Table, text_col: str = "text",
     clean = pc.binary_join(rebuilt, " ")
     return pa.table({id_col: batch[id_col], "clean_text": clean,
                      "n_kept_tokens": pa.array(counts.astype(np.int64))})
+
+
+# ---------------------------------------------------------- PII redaction
+# RE2 on both sides (pyarrow.compute and DuckDB regexp_*) — identical
+# non-overlapping leftmost matching, so counts AND rewritten strings agree
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def redact_pii(batch: pa.Table, text_col: str = "text",
+               id_col: str = "doc_id") -> pa.Table:
+    """PII redaction pass (training-data prep): replace emails and IPv4
+    addresses with typed sentinels, counting each. Emails first — the
+    ``<EMAIL>`` sentinel contains no digits, so the IP pass can never
+    match inside it. Stateless vectorized RE2; real deployments extend
+    the pattern set, the kernel shape is identical."""
+    t = batch[text_col]
+    n_email = pc.cast(pc.count_substring_regex(t, EMAIL_RE), pa.int64())
+    n_ip = pc.cast(pc.count_substring_regex(t, IPV4_RE), pa.int64())
+    r = pc.replace_substring_regex(t, pattern=EMAIL_RE,
+                                   replacement="<EMAIL>")
+    r = pc.replace_substring_regex(r, pattern=IPV4_RE, replacement="<IP>")
+    return pa.table({id_col: batch[id_col], "redacted_text": r,
+                     "n_emails": n_email, "n_ips": n_ip})
