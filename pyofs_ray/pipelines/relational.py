@@ -917,3 +917,75 @@ LEFT JOIN (
   FROM orders GROUP BY o_custkey
 ) o ON c.c_custkey = o.o_custkey
 """
+
+
+HIST_BIN_CENTS = 500  # $5-wide value bins
+
+
+def event_value_histogram(sf_dir: str) -> ray.data.Dataset:
+    """Per-type fixed-width value histogram: bin = floor(cents / 500)
+    (exact int arithmetic; the distributed-histogram shape — per-batch
+    partial counts collapse each block to its occupied bins BEFORE the
+    (type, bin)-bounded exchange, so the shuffle moves histograms, not
+    rows)."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b["value"]),
+                             pc.is_valid(b["event_type"])))
+        val_c = _cents(b["value"]).to_numpy(zero_copy_only=False)
+        # floor division toward -inf (numpy //) — mirrored in SQL via
+        # DuckDB's FLOOR(x / w) on exact integer division
+        bins = np.floor_divide(val_c, HIST_BIN_CENTS)
+        return pa.table({"event_type": b["event_type"],
+                         "bin": pa.array(bins.astype(np.int64))})
+
+    return two_stage_cell_agg(ds.map_batches(prep, batch_format="pyarrow"),
+                              keys=("event_type", "bin"), int_sum_cols=(),
+                              count_name="n")
+
+
+EVENT_VALUE_HISTOGRAM_SQL = f"""
+SELECT event_type,
+       CAST(FLOOR(CAST(ROUND(value * 100) AS BIGINT) / {HIST_BIN_CENTS}.0)
+            AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+WHERE value IS NOT NULL AND event_type IS NOT NULL
+GROUP BY event_type, bin
+"""
+
+
+def orders_percent_rank(sf_dir: str) -> ray.data.Dataset:
+    """Per-customer spend ranking: each order's rank and normalized
+    percent rank within its customer (price DESC, orderkey ASC) —
+    `stages/analytic.rank_in_key`."""
+    from ..stages.analytic import rank_in_key
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_custkey",
+                                     "o_totalprice"])
+    ds = ds.map_batches(lambda b: pa.table({
+        "o_orderkey": b["o_orderkey"], "o_custkey": b["o_custkey"],
+        "price_c": _cents(b["o_totalprice"])}), batch_format="pyarrow")
+    return rank_in_key(ds, key="o_custkey", value="price_c",
+                       tiebreak="o_orderkey")
+
+
+ORDERS_PERCENT_RANK_SQL = """
+WITH r AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY CAST(ROUND(o_totalprice * 100)
+                                          AS BIGINT) DESC,
+                                     o_orderkey ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS cnt
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, price_c, CAST(rn AS BIGINT) AS rn,
+       CASE WHEN cnt > 1
+            THEN (CAST(rn AS DOUBLE) - 1.0) / (cnt - 1)
+            ELSE 0.0 END AS pct_rank
+FROM r
+"""

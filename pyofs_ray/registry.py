@@ -1082,3 +1082,8 @@ JOIN snap_b b USING (page_key) WHERE a.h <> b.h
 register("doc_clean", corpus.doc_clean, corpus.DOC_CLEAN_SQL)
 
 register("doc_redact", corpus.doc_redact, corpus.DOC_REDACT_SQL)
+
+register("event_value_histogram", relational.event_value_histogram,
+         relational.EVENT_VALUE_HISTOGRAM_SQL)
+register("orders_percent_rank", relational.orders_percent_rank,
+         relational.ORDERS_PERCENT_RANK_SQL)

@@ -124,3 +124,41 @@ def running_sum(ds: ray.data.Dataset, *, key: str, ts: str, tiebreak: str,
         })
 
     return tagged.groupby("_bucket").map_groups(kern, batch_format="pyarrow")
+
+
+def rank_in_key(ds: ray.data.Dataset, *, key: str, value: str,
+                tiebreak: str, descending: bool = True,
+                num_buckets: int = 64) -> ray.data.Dataset:
+    """ROW_NUMBER + normalized percent rank per key, ordered by
+    ``(value DESC|ASC, tiebreak ASC)`` — the tiebreak makes the ordering
+    total, so rank is deterministic and the SQL twin is exact. Output:
+    ``tiebreak, key, value, rn (1-based int64), pct_rank (float64;
+    (rn-1)/(n-1), 0.0 for single-row keys — ONE IEEE division from exact
+    ints)``."""
+    cols = [tiebreak, key, value]
+    tagged = _tag_bucket(ds, key, cols, num_buckets)
+
+    def kern(g: pa.Table) -> pa.Table:
+        k = g[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = g[value].to_numpy(zero_copy_only=False).astype(np.int64)
+        tb = g[tiebreak].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((tb, -v if descending else v, k))
+        ks = k[order]
+        n = len(ks)
+        new = _segments(ks)
+        pos = np.arange(n, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(new, pos, -1))
+        rn = pos - seg_start + 1
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, n))
+        cnt = np.repeat(sizes, sizes)
+        pct = np.where(cnt > 1, (rn - 1) / np.maximum(cnt - 1, 1), 0.0)
+        return pa.table({
+            tiebreak: pa.array(tb[order]),
+            key: pa.array(ks),
+            value: pa.array(v[order]),
+            "rn": pa.array(rn),
+            "pct_rank": pa.array(pct),
+        })
+
+    return tagged.groupby("_bucket").map_groups(kern, batch_format="pyarrow")

@@ -75,3 +75,27 @@ def test_lag_delta_bucket_independence():
     assert len(out) == n_keys * per
     assert int(out["prev_ts"].isna().sum()) == n_keys  # one start per key
     assert set(out["delta_us"].dropna().astype(int)) == {10}
+
+
+def test_rank_in_key_ties_and_percent():
+    from pyofs_ray.stages.analytic import rank_in_key
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "k": pa.array([7, 7, 7, 8], pa.int64()),
+        "v": pa.array([50, 50, 10, 99], pa.int64()),
+    }))
+    out = (rank_in_key(ds, key="k", value="v", tiebreak="id",
+                       num_buckets=4)
+           .to_pandas().sort_values(["k", "rn"]).reset_index(drop=True))
+    # equal values rank by tiebreak id ASC; single-row key → pct 0.0
+    assert out[out.k == 7].rn.tolist() == [1, 2, 3]
+    assert out[out.k == 7].id.tolist() == [1, 2, 3]
+    assert out[out.k == 7].pct_rank.tolist() == [0.0, 0.5, 1.0]
+    assert out[out.k == 8].pct_rank.tolist() == [0.0]
+
+
+def test_histogram_and_rank_oracles(duck_smoke):
+    from pyofs_ray.registry import ORACLES, QUERIES
+    for name in ("event_value_histogram", "orders_percent_rank"):
+        assert_matches_oracle(QUERIES[name](SF_SMOKE), duck_smoke,
+                              ORACLES[name])
