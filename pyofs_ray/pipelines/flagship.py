@@ -405,48 +405,61 @@ def crawl_diff_3way(sf_dir: str) -> ray.data.Dataset:
     Fixture: snapshot B drops page_key % 7 == 3, rewrites the text of
     page_key % 11 == 5 (' v2' suffix), and adds a re-keyed page per
     doc_id % 5 == 0. Still ONE bucket exchange; only (key, url, md5)
-    rows shuffle — text bytes never leave their read task."""
+    rows shuffle — text bytes never leave their read task.
+
+    Single corpus scan: every batch emits its A rows, B-base rows AND
+    B-new rows together (`snapshot_diff_tagged`) — the source is shared,
+    so reading and deriving it once instead of three times is the whole
+    read cost; unmodified B-base fingerprints are copied from the A pass
+    instead of re-hashing (md5 runs once per distinct text)."""
     from ..sources.pages import REPLICA_STRIDE, _derive_pages
     from ..sources.readers import read_parquet_clean
-    from ..stages.diff import snapshot_diff
+    from ..stages.diff import snapshot_diff_tagged
     from ..stages.text import fingerprint
 
-    sel = ["page_key", "url", "text_hash"]
-
-    def hashed(b: pa.Table) -> pa.Table:
-        return fingerprint(b).select(sel)
-
-    snap_a = (pages_dataset(sf_dir, keep_key=True)
-              .map_batches(hashed, batch_format="pyarrow"))
-
-    def b_base(b: pa.Table) -> pa.Table:
-        k = b["page_key"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = b.filter(pa.array(k % 7 != 3))
-        k = b["page_key"].to_numpy(zero_copy_only=False).astype(np.int64)
-        text = pc.if_else(
-            pa.array(k % 11 == 5),
-            pc.binary_join_element_wise(b["text"].combine_chunks()
-                                        if isinstance(b["text"],
-                                                      pa.ChunkedArray)
-                                        else b["text"],
-                                        pa.array([" v2"] * len(b)), ""),
-            b["text"])
-        b = b.set_column(b.schema.get_field_index("text"), "text", text)
-        return fingerprint(b).select(sel)
-
-    def b_new(b: pa.Table) -> pa.Table:
+    def emit_sides(b: pa.Table) -> pa.Table:
         d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = d % 5 == 0
-        t = pa.table({"doc_id": pa.array(d[keep] + REPLICA_STRIDE),
-                      "text": b["text"].filter(pa.array(keep)),
-                      "lang": b["lang"].filter(pa.array(keep))})
-        pages = _derive_pages(t, with_html=False, keep_key=True)
-        return fingerprint(pages).select(sel)
+        pages = _derive_pages(b, with_html=False, keep_key=True)
+        a = fingerprint(pages)
+        url = a["url"].combine_chunks()
+        h_a = a["text_hash"].combine_chunks()
+        keep_b = d % 7 != 3
+        mod = keep_b & (d % 11 == 5)
+        # B-base hashes: copy A's except the modified rows (md5 of the
+        # rewritten text, computed only for that slice)
+        h_b = np.asarray(h_a.to_pylist(), dtype=object)
+        if mod.any():
+            mod_idx = np.flatnonzero(mod)
+            mod_text = pc.binary_join_element_wise(
+                pages["text"].take(pa.array(mod_idx)),
+                pa.array([" v2"] * len(mod_idx)), "")
+            h_b[mod_idx] = fingerprint(
+                pa.table({"text": mod_text}))["text_hash"].to_pylist()
+        new = d % 5 == 0
+        pages_new = _derive_pages(
+            pa.table({"doc_id": pa.array(d[new] + REPLICA_STRIDE),
+                      "text": b["text"].filter(pa.array(new)),
+                      "lang": b["lang"].filter(pa.array(new))}),
+            with_html=False, keep_key=True)
+        hn = fingerprint(pages_new)
+        kb = pa.array(np.flatnonzero(keep_b))
+        return pa.table({
+            "page_key": pa.concat_arrays([
+                pages["page_key"].combine_chunks(),
+                pages["page_key"].combine_chunks().take(kb),
+                pages_new["page_key"].combine_chunks()]),
+            "url": pa.concat_arrays([
+                url, url.take(kb), hn["url"].combine_chunks()]),
+            "text_hash": pa.concat_arrays([
+                h_a, pa.array(h_b[keep_b].tolist(), type=pa.string()),
+                hn["text_hash"].combine_chunks()]),
+            "_side": pa.array(np.r_[
+                np.zeros(len(d), np.int8),
+                np.ones(int(keep_b.sum()) + len(pages_new), np.int8)]),
+        })
 
     docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                               columns=["doc_id", "text", "lang"])
-    snap_b = (pages_dataset(sf_dir, keep_key=True)
-              .map_batches(b_base, batch_format="pyarrow")
-              .union(docs.map_batches(b_new, batch_format="pyarrow")))
-    return snapshot_diff(snap_a, snap_b, key="page_key", payload=["url"],
-                         compare="text_hash")
+    both = docs.map_batches(emit_sides, batch_format="pyarrow")
+    return snapshot_diff_tagged(both, key="page_key", payload=["url"],
+                                compare="text_hash")

@@ -52,6 +52,38 @@ def snapshot_diff(a: ray.data.Dataset, b: ray.data.Dataset, *, key: str,
 
     both = a.map_batches(tag(0), batch_format="pyarrow").union(
         b.map_batches(tag(1), batch_format="pyarrow"))
+    return _diff_tagged(both, key=key, payload=payload, compare=compare,
+                        statuses=statuses)
+
+
+def snapshot_diff_tagged(both: ray.data.Dataset, *, key: str,
+                         payload: list[str], num_buckets: int = 64,
+                         compare: str | None = None,
+                         statuses: tuple[str, str, str] = ("removed",
+                                                           "added",
+                                                           "modified")
+                         ) -> ray.data.Dataset:
+    """``snapshot_diff`` for callers that derive BOTH snapshots from one
+    scan: ``both`` already carries an ``_side`` int8 column (0 = a,
+    1 = b). Saves re-reading and re-deriving a shared source per side —
+    at 100 TB the diff's cost is the read, so emitting the two sides from
+    one pass halves it."""
+    cols = [key] + [c for c in dict.fromkeys(
+        payload + ([compare] if compare else [])) if c != key]
+
+    def tag_bucket(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return (t.select(cols + ["_side"])
+                 .append_column("_bucket", pa.array(k % num_buckets)))
+
+    both = both.map_batches(tag_bucket, batch_format="pyarrow")
+    return _diff_tagged(both, key=key, payload=payload, compare=compare,
+                        statuses=statuses)
+
+
+def _diff_tagged(both: ray.data.Dataset, *, key: str, payload: list[str],
+                 compare: str | None,
+                 statuses: tuple[str, str, str]) -> ray.data.Dataset:
 
     out_cols = [c for c in payload]
 
