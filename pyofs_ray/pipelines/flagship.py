@@ -463,3 +463,23 @@ def crawl_diff_3way(sf_dir: str) -> ray.data.Dataset:
     both = docs.map_batches(emit_sides, batch_format="pyarrow")
     return snapshot_diff_tagged(both, key="page_key", payload=["url"],
                                 compare="text_hash")
+
+
+def host_crawl_cadence(sf_dir: str) -> ray.data.Dataset:
+    """Per-host fetch cadence: LAG(warc_ts) within each host's fetch
+    timeline — the crawl-politeness audit (how close together did we hit
+    one host). String-keyed window: the host buckets by fnv1a64 but
+    segments by the string itself (`stages/analytic._key_sortable`), and
+    the fixture's 70%-one-host skew makes this the adversarial hot-key
+    case for the per-key window contract."""
+    from ..stages.analytic import lag_delta
+
+    pages = pages_dataset(sf_dir, with_text=False, keep_key=True)
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"page_key": b["page_key"],
+                         "host": url_host(b["url"]),
+                         "warc_ts": b["warc_ts"]})
+
+    rows = pages.map_batches(prep, batch_format="pyarrow")
+    return lag_delta(rows, key="host", ts="warc_ts", tiebreak="page_key")

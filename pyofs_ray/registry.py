@@ -1087,3 +1087,14 @@ register("event_value_histogram", relational.event_value_histogram,
          relational.EVENT_VALUE_HISTOGRAM_SQL)
 register("orders_percent_rank", relational.orders_percent_rank,
          relational.ORDERS_PERCENT_RANK_SQL)
+
+register("host_crawl_cadence", flagship.host_crawl_cadence, f"""
+{sqlgen.pages_prefix()}
+SELECT page_key, SPLIT_PART(url, '/', 3) AS host, warc_ts,
+       LAG(warc_ts) OVER w AS prev_ts,
+       CAST(epoch_us(warc_ts) - epoch_us(LAG(warc_ts) OVER w) AS BIGINT)
+           AS delta_us
+FROM pages
+WINDOW w AS (PARTITION BY SPLIT_PART(url, '/', 3)
+             ORDER BY warc_ts, page_key)
+""")

@@ -30,15 +30,39 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from ..core.hashing import fnv1a64
 from .temporal import _ts_i64
+
+
+def _bucket_of(col, num_buckets: int) -> np.ndarray:
+    """Per-row int64 bucket tag. Integer keys mod directly; string keys
+    hash via fnv1a64 — bucketing only, never segmenting, so a 64-bit
+    collision cannot merge two keys (ordering compares the strings)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        return (col.to_numpy(zero_copy_only=False).astype(np.int64)
+                % num_buckets)
+    return (fnv1a64(col) % np.uint64(num_buckets)).astype(np.int64)
+
+
+def _key_sortable(col) -> np.ndarray:
+    """numpy view of the key column that lexsort compares in C: int64
+    for integers, fixed-width '<U' for strings (code-point order ==
+    DuckDB's binary collation on ASCII keys)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        return col.to_numpy(zero_copy_only=False).astype(np.int64)
+    return np.asarray(col.to_pylist(), dtype=str)
 
 
 def _tag_bucket(ds: ray.data.Dataset, key: str, cols: list[str],
                 num_buckets: int) -> ray.data.Dataset:
     def tag(b: pa.Table) -> pa.Table:
-        k = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
         t = b.select(cols)
-        return t.append_column("_bucket", pa.array(k % num_buckets))
+        return t.append_column(
+            "_bucket", pa.array(_bucket_of(b[key], num_buckets)))
     return ds.map_batches(tag, batch_format="pyarrow")
 
 
@@ -61,7 +85,7 @@ def lag_delta(ds: ray.data.Dataset, *, key: str, ts: str, tiebreak: str,
     tagged = _tag_bucket(ds, key, cols, num_buckets)
 
     def kern(g: pa.Table) -> pa.Table:
-        k = g[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = _key_sortable(g[key])
         t = _ts_i64(g[ts], ts)
         tb = g[tiebreak].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((tb, t, k))
@@ -77,7 +101,7 @@ def lag_delta(ds: ray.data.Dataset, *, key: str, ts: str, tiebreak: str,
         prev_col = pa.Array.from_pandas(prev, mask=new, type=pa.int64())
         return pa.table({
             tiebreak: pa.array(tb[order]),
-            key: pa.array(ks),
+            key: g[key].take(pa.array(order)),
             ts: pa.array(tsrt).cast(ts_type),
             "prev_ts": prev_col.cast(ts_type),
             "delta_us": pa.Array.from_pandas(
@@ -98,7 +122,7 @@ def running_sum(ds: ray.data.Dataset, *, key: str, ts: str, tiebreak: str,
     tagged = _tag_bucket(ds, key, cols, num_buckets)
 
     def kern(g: pa.Table) -> pa.Table:
-        k = g[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = _key_sortable(g[key])
         t = _ts_i64(g[ts], ts)
         tb = g[tiebreak].to_numpy(zero_copy_only=False).astype(np.int64)
         v = g[value].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -117,7 +141,7 @@ def running_sum(ds: ray.data.Dataset, *, key: str, ts: str, tiebreak: str,
         ts_type = g.schema.field(ts).type
         return pa.table({
             tiebreak: pa.array(tb[order]),
-            key: pa.array(ks),
+            key: g[key].take(pa.array(order)),
             ts: pa.array(t[order]).cast(ts_type),
             value: pa.array(vs),
             out: pa.array(run),
@@ -139,7 +163,7 @@ def rank_in_key(ds: ray.data.Dataset, *, key: str, value: str,
     tagged = _tag_bucket(ds, key, cols, num_buckets)
 
     def kern(g: pa.Table) -> pa.Table:
-        k = g[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = _key_sortable(g[key])
         v = g[value].to_numpy(zero_copy_only=False).astype(np.int64)
         tb = g[tiebreak].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((tb, -v if descending else v, k))
@@ -155,7 +179,7 @@ def rank_in_key(ds: ray.data.Dataset, *, key: str, value: str,
         pct = np.where(cnt > 1, (rn - 1) / np.maximum(cnt - 1, 1), 0.0)
         return pa.table({
             tiebreak: pa.array(tb[order]),
-            key: pa.array(ks),
+            key: g[key].take(pa.array(order)),
             value: pa.array(v[order]),
             "rn": pa.array(rn),
             "pct_rank": pa.array(pct),

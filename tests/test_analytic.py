@@ -99,3 +99,20 @@ def test_histogram_and_rank_oracles(duck_smoke):
     for name in ("event_value_histogram", "orders_percent_rank"):
         assert_matches_oracle(QUERIES[name](SF_SMOKE), duck_smoke,
                               ORACLES[name])
+
+
+def test_lag_delta_string_keys():
+    # string-keyed window: buckets by hash, segments by the string —
+    # keys sharing a bucket must not merge
+    from pyofs_ray.stages.analytic import lag_delta as _lag
+    tbl = pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "host": pa.array(["a.com", "b.com", "a.com", "b.com"]),
+        "ts": pa.array(np.array([10, 20, 30, 40], "datetime64[us]")),
+    })
+    out = (_lag(ray.data.from_arrow(tbl), key="host", ts="ts",
+                tiebreak="id", num_buckets=1)   # force shared bucket
+           .to_pandas().sort_values(["host", "ts"]).reset_index(drop=True))
+    assert out[out.host == "a.com"].delta_us.dropna().tolist() == [20]
+    assert out[out.host == "b.com"].delta_us.dropna().tolist() == [20]
+    assert int(out.prev_ts.isna().sum()) == 2
