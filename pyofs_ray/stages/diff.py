@@ -92,6 +92,14 @@ def _diff_tagged(both: ray.data.Dataset, *, key: str, payload: list[str],
         keys = g[key].to_numpy(zero_copy_only=False).astype(np.int64)
         a_mask, b_mask = side == 0, side == 1
         a_keys, b_keys = keys[a_mask], keys[b_mask]
+        # the membership kernel assumes unique keys per snapshot; a
+        # violated contract must fail loudly, not mis-diff silently
+        for nm, arr in (("a", a_keys), ("b", b_keys)):
+            if len(arr) and len(np.unique(arr)) != len(arr):
+                raise ValueError(
+                    f"snapshot_diff: snapshot {nm} repeats key(s) in "
+                    f"column {key!r} — snapshots must be keyed (dedup "
+                    "upstream, e.g. canonical_url_dedup)")
         a_in_b = np.isin(a_keys, b_keys, assume_unique=True)
         removed = a_mask.copy()
         removed[a_mask] = ~a_in_b
@@ -99,6 +107,11 @@ def _diff_tagged(both: ray.data.Dataset, *, key: str, payload: list[str],
         added[b_mask] = ~np.isin(b_keys, a_keys, assume_unique=True)
         modified = np.zeros(len(g), bool)
         if compare is not None and a_in_b.any():
+            if g[compare].null_count:
+                # str(None) would silently compare as the literal 'None'
+                raise ValueError(
+                    f"snapshot_diff: compare column {compare!r} contains "
+                    "nulls — fingerprint every row or drop compare")
             cmp = np.asarray(g[compare].to_pylist(), dtype=str)
             b_order = np.argsort(b_keys, kind="stable")
             b_sorted = b_keys[b_order]

@@ -78,3 +78,12 @@ def test_snapshot_diff_modified():
 def test_crawl_diff_3way_oracle(duck_smoke):
     assert_matches_oracle(QUERIES["crawl_diff_3way"](SF_SMOKE), duck_smoke,
                           ORACLES["crawl_diff_3way"])
+
+
+def test_snapshot_diff_duplicate_keys_raise():
+    import pytest
+    a = _snap([1, 1], ["u1", "u1b"])
+    b = _snap([2], ["u2"])
+    with pytest.raises(Exception, match="repeats key"):
+        snapshot_diff(a, b, key="page_key", payload=["url"],
+                      num_buckets=1).materialize()
