@@ -40,6 +40,13 @@ def _bucket_of(col, num_buckets: int) -> np.ndarray:
     collision cannot merge two keys (ordering compares the strings)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if col.null_count:
+        # a null int key would view as INT64_MIN, a null string as the
+        # literal 'None' — both silently diverge from SQL's NULL group
+        raise ValueError("analytic window: the partition key contains "
+                         "nulls — filter or fill them upstream (SQL "
+                         "windows put NULL keys in their own partition; "
+                         "mirror that explicitly if you need it)")
     if pa.types.is_integer(col.type):
         return (col.to_numpy(zero_copy_only=False).astype(np.int64)
                 % num_buckets)

@@ -116,3 +116,16 @@ def test_lag_delta_string_keys():
     assert out[out.host == "a.com"].delta_us.dropna().tolist() == [20]
     assert out[out.host == "b.com"].delta_us.dropna().tolist() == [20]
     assert int(out.prev_ts.isna().sum()) == 2
+
+
+def test_null_key_raises():
+    import pytest
+    from pyofs_ray.stages.analytic import lag_delta as _lag
+    tbl = pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "k": pa.array([1, None], pa.int64()),
+        "ts": pa.array(np.array([10, 20], "datetime64[us]")),
+    })
+    with pytest.raises(Exception, match="nulls"):
+        _lag(ray.data.from_arrow(tbl), key="k", ts="ts",
+             tiebreak="id", num_buckets=2).materialize()
