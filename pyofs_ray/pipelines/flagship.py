@@ -483,3 +483,84 @@ def host_crawl_cadence(sf_dir: str) -> ray.data.Dataset:
 
     rows = pages.map_batches(prep, batch_format="pyarrow")
     return lag_delta(rows, key="host", ts="warc_ts", tiebreak="page_key")
+
+
+def crawl_delta_stats(sf_dir: str) -> ray.data.Dataset:
+    """Incremental-refresh accounting: per diff status, how many pages
+    and how many text chars does the new crawl actually require
+    processing (added + modified = the work list; removed = the purge
+    list). The 100 TB point of the diff: the downstream pipeline touches
+    ONLY this delta instead of re-reading the corpus. Same single-scan
+    shape as `crawl_diff_3way` with n_chars carried as payload; the
+    reduce is status-bounded (3 rows)."""
+    from ..sources.pages import REPLICA_STRIDE, _derive_pages
+    from ..sources.readers import read_parquet_clean
+    from ..stages.diff import snapshot_diff_tagged
+    from ..stages.text import fingerprint
+
+    def emit_sides(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pages = _derive_pages(b, with_html=False, keep_key=True)
+        a = fingerprint(pages)
+        n_chars = pc.utf8_length(pages["text"]).cast(pa.int64())
+        h_a = a["text_hash"].combine_chunks()
+        keep_b = d % 7 != 3
+        mod = keep_b & (d % 11 == 5)
+        h_b = np.asarray(h_a.to_pylist(), dtype=object)
+        nc_b = n_chars.to_numpy(zero_copy_only=False).astype(np.int64)
+        if mod.any():
+            mod_idx = np.flatnonzero(mod)
+            mod_text = pc.binary_join_element_wise(
+                pages["text"].take(pa.array(mod_idx)),
+                pa.array([" v2"] * len(mod_idx)), "")
+            h_b[mod_idx] = fingerprint(
+                pa.table({"text": mod_text}))["text_hash"].to_pylist()
+            nc_b = nc_b.copy()
+            nc_b[mod_idx] += 3  # len(' v2')
+        new = d % 5 == 0
+        pages_new = _derive_pages(
+            pa.table({"doc_id": pa.array(d[new] + REPLICA_STRIDE),
+                      "text": b["text"].filter(pa.array(new)),
+                      "lang": b["lang"].filter(pa.array(new))}),
+            with_html=False, keep_key=True)
+        hn = fingerprint(pages_new)
+        nc_new = pc.utf8_length(pages_new["text"]).cast(pa.int64())
+        kb = pa.array(np.flatnonzero(keep_b))
+        return pa.table({
+            "page_key": pa.concat_arrays([
+                pages["page_key"].combine_chunks(),
+                pages["page_key"].combine_chunks().take(kb),
+                pages_new["page_key"].combine_chunks()]),
+            "n_chars": pa.concat_arrays([
+                n_chars.combine_chunks() if isinstance(
+                    n_chars, pa.ChunkedArray) else n_chars,
+                pa.array(nc_b[keep_b]),
+                nc_new.combine_chunks() if isinstance(
+                    nc_new, pa.ChunkedArray) else nc_new]),
+            "text_hash": pa.concat_arrays([
+                h_a, pa.array(h_b[keep_b].tolist(), type=pa.string()),
+                hn["text_hash"].combine_chunks()]),
+            "_side": pa.array(np.r_[
+                np.zeros(len(d), np.int8),
+                np.ones(int(keep_b.sum()) + len(pages_new), np.int8)]),
+        })
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text", "lang"])
+    both = docs.map_batches(emit_sides, batch_format="pyarrow")
+    delta = snapshot_diff_tagged(both, key="page_key",
+                                 payload=["n_chars"], compare="text_hash")
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("status").aggregate([("n_chars", "sum"),
+                                            ("status", "count")])
+        return pa.table({"status": g["status"],
+                         "chars": g["n_chars_sum"].cast(pa.int64()),
+                         "pages": g["status_count"].cast(pa.int64())})
+
+    import ray.data.aggregate as agg_mod
+    final = (delta.map_batches(partial, batch_format="pyarrow")
+             .groupby("status")
+             .aggregate(agg_mod.Sum("chars", alias_name="total_chars"),
+                        agg_mod.Sum("pages", alias_name="n_pages")))
+    return final

@@ -1098,3 +1098,37 @@ FROM pages
 WINDOW w AS (PARTITION BY SPLIT_PART(url, '/', 3)
              ORDER BY warc_ts, page_key)
 """)
+
+register("crawl_delta_stats", flagship.crawl_delta_stats, f"""
+{sqlgen.pages_prefix()},
+snap_a AS (SELECT page_key, url, md5(text) AS h, LENGTH(text) AS nc
+           FROM pages),
+snap_b AS (
+  SELECT page_key, url,
+         md5(CASE WHEN page_key % 11 = 5 THEN text || ' v2' ELSE text END)
+             AS h,
+         LENGTH(CASE WHEN page_key % 11 = 5 THEN text || ' v2'
+                     ELSE text END) AS nc
+  FROM pages WHERE page_key % 7 <> 3
+  UNION ALL
+  SELECT doc_id + 10000000 AS page_key,
+         'https://h' || CAST(CASE WHEN (doc_id + 10000000) % 10 < 7 THEN 0
+                                  ELSE (doc_id + 10000000) % 97 END AS VARCHAR)
+           || '.example.com/p/' || CAST(doc_id + 10000000 AS VARCHAR) AS url,
+         md5(text) AS h, LENGTH(text) AS nc
+  FROM documents WHERE doc_id % 5 = 0
+),
+delta AS (
+  SELECT a.nc, 'removed' AS status FROM snap_a a
+  LEFT JOIN snap_b b USING (page_key) WHERE b.page_key IS NULL
+  UNION ALL
+  SELECT b.nc, 'added' AS status FROM snap_b b
+  LEFT JOIN snap_a a USING (page_key) WHERE a.page_key IS NULL
+  UNION ALL
+  SELECT a.nc, 'modified' AS status FROM snap_a a
+  JOIN snap_b b USING (page_key) WHERE a.h <> b.h
+)
+SELECT status, CAST(SUM(nc) AS BIGINT) AS total_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_pages
+FROM delta GROUP BY status
+""")

@@ -87,3 +87,8 @@ def test_snapshot_diff_duplicate_keys_raise():
     with pytest.raises(Exception, match="repeats key"):
         snapshot_diff(a, b, key="page_key", payload=["url"],
                       num_buckets=1).materialize()
+
+
+def test_crawl_delta_stats_oracle(duck_smoke):
+    assert_matches_oracle(QUERIES["crawl_delta_stats"](SF_SMOKE),
+                          duck_smoke, ORACLES["crawl_delta_stats"])
