@@ -1132,3 +1132,44 @@ SELECT status, CAST(SUM(nc) AS BIGINT) AS total_chars,
        CAST(COUNT(*) AS BIGINT) AS n_pages
 FROM delta GROUP BY status
 """)
+
+
+# ------------------------------------------------- link-graph analytics (r4)
+from .stages import linkgraph  # noqa: E402
+
+
+def _doc_count(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+    return pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+
+def _link_pagerank(sf_dir: str):
+    n = _doc_count(sf_dir)
+    ids = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+    return linkgraph.pagerank(linkgraph.initial_ranks(ids, n), n)
+
+
+def _link_indegree(sf_dir: str):
+    n = _doc_count(sf_dir)
+    ids = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+    return linkgraph.indegree_stats(ids, n)
+
+
+register("link_pagerank", _link_pagerank, linkgraph.pagerank_sql())
+register("link_indegree", _link_indegree, linkgraph.indegree_sql())
+
+
+# ------------------------------------------------- inverted index (r4)
+from .stages import postings  # noqa: E402
+from .sources.pages import pages_dataset  # noqa: E402
+
+
+def _url_token_index(sf_dir: str):
+    pages = pages_dataset(sf_dir, with_text=False, keep_key=True)
+    return postings.url_token_index(pages)
+
+
+register("url_token_index", _url_token_index,
+         postings.url_token_index_sql(sqlgen.pages_prefix()))

@@ -1,0 +1,173 @@
+"""Link-graph analytics over the page corpus: deterministic synthetic
+out-link generation, integer PageRank, and in-degree statistics.
+
+The web-graph analogue of the reference's iterative field propagation
+(`/root/reference/main/tracking/particle_contour.py:60-120` advances state
+through repeated pure steps; here the state is a rank vector advanced
+through repeated sparse matrix-vector products).
+
+Scale shape
+-----------
+Edges are a pure function of the source id (out-degree ``1 + src % 4``,
+targets ``(src*7919 + j*104729 + 1) % n``), so the edge table is NEVER
+materialized or shuffled: each iteration is one ``map_batches`` that
+flat-expands a rank batch into (dst, contribution) rows — plus a zero
+self-row per node so rankless nodes survive the reduce — followed by ONE
+`bucketed_int64_group_sum` exchange keyed on the node id. Three
+iterations = three exchanges total; ranks never land on the driver.
+
+Exactness
+---------
+All arithmetic is int64 floor math on non-negative operands (rank scaled
+by 10^12, damping as ``(85 * m) // 100``), so contribution sums are
+order-independent and the DuckDB twin (unrolled iteration CTEs with the
+same generator expressions) is bit-exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from .agg import bucketed_group_agg, bucketed_int64_group_sum
+
+RANK_SCALE = 10**12
+DAMP_NUM = 85      # damping 0.85 as an exact integer ratio
+DAMP_DEN = 100
+EDGE_MUL = 7919    # src multiplier (prime)
+EDGE_JMUL = 104729  # per-slot offset multiplier (prime)
+
+
+def _out_edges(node: np.ndarray, n_nodes: int
+               ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized deterministic out-links for a batch of node ids.
+
+    Returns (src_repeated, dst, segment_j): ``1 + src % 4`` targets per
+    source, ``dst = (src*EDGE_MUL + j*EDGE_JMUL + 1) % n_nodes``.
+    """
+    deg = 1 + (node % 4)
+    src_rep = np.repeat(node, deg)
+    starts = np.cumsum(deg) - deg
+    j = np.arange(len(src_rep), dtype=np.int64) - np.repeat(starts, deg)
+    dst = (src_rep * EDGE_MUL + j * EDGE_JMUL + 1) % n_nodes
+    return src_rep, dst, j
+
+
+def pagerank(ranks: ray.data.Dataset, n_nodes: int, iterations: int = 3,
+             num_buckets: int | None = None) -> ray.data.Dataset:
+    """Integer PageRank over the deterministic link graph.
+
+    ``ranks``: Dataset with int64 columns (node, rank); every node id in
+    [0, n_nodes) must appear exactly once. Returns the same schema after
+    ``iterations`` sparse propagation rounds.
+    """
+    base = (RANK_SCALE * (DAMP_DEN - DAMP_NUM)) // (DAMP_DEN * n_nodes)
+
+    def expand(b: pa.Table) -> pa.Table:
+        node = b["node"].to_numpy().astype(np.int64)
+        rank = b["rank"].to_numpy().astype(np.int64)
+        deg = 1 + (node % 4)
+        contrib = rank // deg
+        src_rep, dst, _ = _out_edges(node, n_nodes)
+        out_node = np.concatenate([node, dst])
+        out_c = np.concatenate(
+            [np.zeros(len(node), np.int64), np.repeat(contrib, deg)])
+        return pa.table({"node": pa.array(out_node, pa.int64()),
+                         "contrib": pa.array(out_c, pa.int64())})
+
+    def apply_rank(b: pa.Table) -> pa.Table:
+        m = b["contrib"].to_numpy().astype(np.int64)
+        rank = base + (DAMP_NUM * m) // DAMP_DEN
+        return pa.table({"node": b["node"].cast(pa.int64()),
+                         "rank": pa.array(rank, pa.int64())})
+
+    for _ in range(iterations):
+        ranks = bucketed_int64_group_sum(
+            ranks.map_batches(expand, batch_format="pyarrow"),
+            "node", ["contrib"], num_buckets=num_buckets
+        ).map_batches(apply_rank, batch_format="pyarrow")
+    return ranks
+
+
+def initial_ranks(doc_ids: ray.data.Dataset, n_nodes: int,
+                  id_col: str = "doc_id") -> ray.data.Dataset:
+    """Uniform starting rank vector (RANK_SCALE // n per node)."""
+    r0 = RANK_SCALE // n_nodes
+
+    def init(b: pa.Table) -> pa.Table:
+        node = b[id_col].cast(pa.int64())
+        return pa.table({"node": node,
+                         "rank": pa.array(np.full(len(b), r0, np.int64))})
+
+    return doc_ids.map_batches(init, batch_format="pyarrow")
+
+
+def indegree_stats(doc_ids: ray.data.Dataset, n_nodes: int,
+                   id_col: str = "doc_id",
+                   num_buckets: int | None = None) -> ray.data.Dataset:
+    """Per-target in-link statistics: in_degree + min source id, for
+    targets with at least one in-link (GROUP BY dst semantics)."""
+
+    def expand(b: pa.Table) -> pa.Table:
+        node = b[id_col].to_numpy().astype(np.int64)
+        src_rep, dst, _ = _out_edges(node, n_nodes)
+        return pa.table({"node": pa.array(dst, pa.int64()),
+                         "src": pa.array(src_rep, pa.int64()),
+                         "one": pa.array(np.ones(len(dst), np.int64))})
+
+    return bucketed_group_agg(
+        doc_ids.map_batches(expand, batch_format="pyarrow"),
+        ["node"],
+        [("one", "sum", "in_degree"), ("src", "min", "min_src")],
+        num_buckets=num_buckets)
+
+
+# ------------------------------------------------------------------ SQL twins
+
+def edges_cte(table: str = "documents", id_col: str = "doc_id") -> str:
+    """Shared CTE prefix: node count + the deterministic edge generator."""
+    return f"""
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {table}),
+js AS (SELECT UNNEST([CAST(0 AS BIGINT), 1, 2, 3]) AS j),
+edges AS (
+  SELECT d.{id_col} AS src,
+         (d.{id_col} * {EDGE_MUL} + js.j * {EDGE_JMUL} + 1) % nn.n AS dst
+  FROM {table} d CROSS JOIN nn CROSS JOIN js
+  WHERE js.j <= d.{id_col} % 4
+)"""
+
+
+def pagerank_sql(iterations: int = 3, table: str = "documents",
+                 id_col: str = "doc_id") -> str:
+    """Unrolled-iteration DuckDB twin of `pagerank` (bit-exact int64
+    floor arithmetic; SUM promoted to HUGEINT then cast back)."""
+    parts = [f"WITH {edges_cte(table, id_col)}",
+             f"""r0 AS (
+  SELECT d.{id_col} AS node,
+         CAST({RANK_SCALE} AS BIGINT) // nn.n AS rank
+  FROM {table} d CROSS JOIN nn)"""]
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        parts.append(f"""s{i} AS (
+  SELECT e.dst AS node,
+         CAST(SUM(r.rank // (1 + e.src % 4)) AS BIGINT) AS m
+  FROM edges e JOIN {prev} r ON r.node = e.src
+  GROUP BY e.dst)""")
+        parts.append(f"""r{i} AS (
+  SELECT d.{id_col} AS node,
+         ({RANK_SCALE} * {DAMP_DEN - DAMP_NUM}) // ({DAMP_DEN} * nn.n)
+           + ({DAMP_NUM} * COALESCE(s{i}.m, 0)) // {DAMP_DEN} AS rank
+  FROM {table} d CROSS JOIN nn
+  LEFT JOIN s{i} ON s{i}.node = d.{id_col})""")
+        prev = f"r{i}"
+    return (",\n".join(parts)
+            + f"\nSELECT node, rank FROM {prev}")
+
+
+def indegree_sql(table: str = "documents", id_col: str = "doc_id") -> str:
+    return f"""WITH {edges_cte(table, id_col)}
+SELECT dst AS node,
+       CAST(COUNT(*) AS BIGINT) AS in_degree,
+       CAST(MIN(src) AS BIGINT) AS min_src
+FROM edges GROUP BY dst"""

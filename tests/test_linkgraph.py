@@ -1,0 +1,81 @@
+"""Link-graph analytics: integer PageRank + in-degree vs brute numpy."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from pyofs_ray.stages import linkgraph as lg
+
+
+def _brute_pagerank(n: int, iterations: int) -> np.ndarray:
+    node = np.arange(n, dtype=np.int64)
+    rank = np.full(n, lg.RANK_SCALE // n, np.int64)
+    base = (lg.RANK_SCALE * (lg.DAMP_DEN - lg.DAMP_NUM)) \
+        // (lg.DAMP_DEN * n)
+    for _ in range(iterations):
+        deg = 1 + node % 4
+        contrib = rank // deg
+        m = np.zeros(n, np.int64)
+        for j in range(4):
+            mask = j <= node % 4
+            dst = (node[mask] * lg.EDGE_MUL + j * lg.EDGE_JMUL + 1) % n
+            np.add.at(m, dst, contrib[mask])
+        rank = base + (lg.DAMP_NUM * m) // lg.DAMP_DEN
+    return rank
+
+
+def _ids_ds(n: int, blocks: int = 4) -> ray.data.Dataset:
+    return ray.data.from_arrow(
+        pa.table({"doc_id": np.arange(n, dtype=np.int64)})
+    ).repartition(blocks)
+
+
+@pytest.mark.parametrize("n,iters", [(97, 1), (500, 3)])
+def test_pagerank_bitwise_vs_brute(n, iters):
+    got = (lg.pagerank(lg.initial_ranks(_ids_ds(n), n), n, iterations=iters)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert np.array_equal(got["node"].to_numpy(), np.arange(n))
+    assert np.array_equal(got["rank"].to_numpy(), _brute_pagerank(n, iters))
+
+
+def test_pagerank_bucket_count_independent():
+    n = 211
+    a = (lg.pagerank(lg.initial_ranks(_ids_ds(n), n), n, num_buckets=3)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    b = (lg.pagerank(lg.initial_ranks(_ids_ds(n, blocks=1), n), n,
+                     num_buckets=16)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    assert a.equals(b)
+
+
+def test_pagerank_mass_bounded():
+    # floor divisions only LOSE mass: total rank stays <= RANK_SCALE
+    n = 256
+    got = lg.pagerank(lg.initial_ranks(_ids_ds(n), n), n).to_pandas()
+    total = int(got["rank"].sum())
+    assert total <= lg.RANK_SCALE
+    assert total >= int(0.9 * lg.RANK_SCALE)  # and doesn't collapse
+
+
+def test_indegree_vs_brute():
+    n = 300
+    node = np.arange(n, dtype=np.int64)
+    deg = 1 + node % 4
+    src_rep = np.repeat(node, deg)
+    starts = np.cumsum(deg) - deg
+    j = np.arange(len(src_rep), dtype=np.int64) - np.repeat(starts, deg)
+    dst = (src_rep * lg.EDGE_MUL + j * lg.EDGE_JMUL + 1) % n
+
+    got = (lg.indegree_stats(_ids_ds(n), n)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    want_nodes = np.unique(dst)
+    assert np.array_equal(got["node"].to_numpy(), want_nodes)
+    want_deg = np.bincount(dst, minlength=n)[want_nodes]
+    assert np.array_equal(got["in_degree"].to_numpy(), want_deg)
+    order = np.lexsort((src_rep, dst))
+    first_src = src_rep[order][np.searchsorted(dst[order], want_nodes)]
+    # min per dst: sorted by (dst, src) -> first src in each dst segment
+    assert np.array_equal(got["min_src"].to_numpy(), first_src)
