@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     # incremental-crawl ops, text prep
     "events_lag_delta", "customer_running_revenue", "doc_distinctive_terms",
     "dedup_canonical_url", "crawl_diff_3way", "doc_clean", "doc_redact",
+    # round 4 late block: link-graph analytics, inverted index, crawl policy
+    "link_pagerank", "link_indegree", "url_token_index",
+    "url_blocklist_filter",
 ]
 
 

@@ -1173,3 +1173,30 @@ def _url_token_index(sf_dir: str):
 
 register("url_token_index", _url_token_index,
          postings.url_token_index_sql(sqlgen.pages_prefix()))
+
+
+# ------------------------------------------------- crawl policy filter (r4)
+from .stages.canon import url_policy_filter  # noqa: E402
+
+_BLOCK_HOST_EXACT = ("h13.example.com",)
+_BLOCK_HOST_SUFFIX = ("3.example.com",)
+_BLOCK_PATH_PREFIX = ("/p/1",)
+
+
+def _url_blocklist_filter(sf_dir: str):
+    pages = pages_dataset(sf_dir, with_text=False, keep_key=True)
+    return url_policy_filter(
+        pages.select_columns(["page_key", "url"]),
+        host_exact=_BLOCK_HOST_EXACT,
+        host_suffix=_BLOCK_HOST_SUFFIX,
+        path_prefix=_BLOCK_PATH_PREFIX)
+
+
+register("url_blocklist_filter", _url_blocklist_filter, f"""
+{sqlgen.pages_prefix()}
+SELECT page_key, url FROM pages
+WHERE NOT (
+  SPLIT_PART(url, '/', 3) IN ('h13.example.com')
+  OR SPLIT_PART(url, '/', 3) LIKE '%3.example.com'
+  OR regexp_replace(url, '^[^/]*//[^/]*', '') LIKE '/p/1%'
+)""")

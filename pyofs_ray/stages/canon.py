@@ -90,3 +90,55 @@ def canonical_url_dedup(ds: ray.data.Dataset, *, url_col: str = "url",
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+# ------------------------------------------------------- crawl policy filter
+
+def url_host_part(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Third '/'-separated url segment with SPLIT_PART(url,'/',3)
+    semantics ('' when malformed) — the shared host-parse contract
+    (`pipelines/flagship.url_host` is the same kernel; duplicated here
+    because stages must not import pipelines)."""
+    parts = pc.split_pattern(urls, "/")
+    sliced = pc.list_slice(parts, 2, 3, return_fixed_size_list=True)
+    if isinstance(sliced, pa.ChunkedArray):
+        sliced = sliced.combine_chunks()
+    return pc.if_else(pc.greater_equal(pc.list_value_length(parts), 3),
+                      sliced.flatten(), pa.scalar("", pa.string()))
+
+
+def url_policy_filter(ds: ray.data.Dataset,
+                      host_exact: tuple[str, ...] = (),
+                      host_suffix: tuple[str, ...] = (),
+                      path_prefix: tuple[str, ...] = (),
+                      url_col: str = "url") -> ray.data.Dataset:
+    """Crawl blocklist filter: drop rows whose url matches ANY rule —
+    exact host, host suffix (domain-level block), or path prefix
+    (robots-style Disallow). The web analogue of the reference's
+    study-area gating (`/root/reference/main/dataset/rtofs.py:182-188`
+    keeps only in-domain records before any expensive work).
+
+    Scale shape: the ruleset is a small broadcast side captured in the
+    closure (shipped once per task, never shuffled); each rule is one
+    vectorized Arrow kernel over the batch (`is_in` / `ends_with` /
+    `starts_with`), so cost is O(rules × rows) C-kernel work with no
+    exchange at all — a pure streaming filter."""
+    exact_set = pa.array(list(host_exact), pa.string())
+
+    def keep(b: pa.Table) -> pa.Table:
+        urls = b[url_col].combine_chunks() \
+            if isinstance(b[url_col], pa.ChunkedArray) else b[url_col]
+        host = url_host_part(urls)
+        path = pc.replace_substring_regex(urls, pattern=_PREFIX_RE,
+                                          replacement="",
+                                          max_replacements=1)
+        blocked = pa.array(np.zeros(len(b), bool))
+        if len(exact_set):
+            blocked = pc.or_(blocked, pc.is_in(host, value_set=exact_set))
+        for s in host_suffix:
+            blocked = pc.or_(blocked, pc.ends_with(host, pattern=s))
+        for p in path_prefix:
+            blocked = pc.or_(blocked, pc.starts_with(path, pattern=p))
+        return b.filter(pc.invert(blocked))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

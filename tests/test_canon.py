@@ -54,3 +54,42 @@ def test_canonical_dedup_keep_first():
 def test_dedup_canonical_url_oracle(duck_smoke):
     assert_matches_oracle(QUERIES["dedup_canonical_url"](SF_SMOKE),
                           duck_smoke, ORACLES["dedup_canonical_url"])
+
+
+# ------------------------------------------------------- url_policy_filter
+
+def _survivors(urls, **rules):
+    from pyofs_ray.stages.canon import url_policy_filter
+    ds = ray.data.from_arrow(pa.table({
+        "page_key": pa.array(range(len(urls)), pa.int64()),
+        "url": pa.array(urls, pa.string())}))
+    return list(url_policy_filter(ds, **rules).to_pandas()["url"])
+
+
+def test_policy_filter_each_rule_kind():
+    urls = ["https://h13.example.com/a",      # exact host block
+            "https://h23.example.com/b",      # suffix block (…3.example.com)
+            "https://h4.example.com/p/10",    # path-prefix block (/p/1…)
+            "https://h4.example.com/p/20",    # survives
+            "https://h4.example.com/p/2"]     # survives
+    got = _survivors(urls, host_exact=("h13.example.com",),
+                     host_suffix=("3.example.com",),
+                     path_prefix=("/p/1",))
+    assert got == urls[3:]
+
+
+def test_policy_filter_no_rules_is_identity():
+    urls = ["https://a.com/x", "https://b.com/y"]
+    assert _survivors(urls) == urls
+
+
+def test_policy_filter_malformed_url_survives():
+    # <3 '/'-segments → host '' (SPLIT_PART semantics), path = whole url
+    urls = ["nohost", "https://h13.example.com/z"]
+    got = _survivors(urls, host_exact=("h13.example.com",))
+    assert got == ["nohost"]
+
+
+def test_url_blocklist_filter_oracle(duck_smoke):
+    assert_matches_oracle(QUERIES["url_blocklist_filter"](SF_SMOKE),
+                          duck_smoke, ORACLES["url_blocklist_filter"])

@@ -79,3 +79,11 @@ def test_indegree_vs_brute():
     first_src = src_rep[order][np.searchsorted(dst[order], want_nodes)]
     # min per dst: sorted by (dst, src) -> first src in each dst segment
     assert np.array_equal(got["min_src"].to_numpy(), first_src)
+
+
+def test_link_queries_oracle(duck_smoke):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+    from pyofs_ray.registry import ORACLES, QUERIES
+    for name in ("link_pagerank", "link_indegree"):
+        assert_matches_oracle(QUERIES[name](SF_SMOKE), duck_smoke,
+                              ORACLES[name])

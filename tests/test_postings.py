@@ -62,3 +62,10 @@ def test_cross_block_token_merges():
     df, head = idx["same"]
     assert df == 30
     assert head == ",".join(str(i) for i in range(8))
+
+
+def test_url_token_index_oracle(duck_smoke):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+    from pyofs_ray.registry import ORACLES, QUERIES
+    assert_matches_oracle(QUERIES["url_token_index"](SF_SMOKE), duck_smoke,
+                          ORACLES["url_token_index"])
