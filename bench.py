@@ -58,6 +58,10 @@ BENCH_QUERIES = [
     # round 4 late block: link-graph analytics, inverted index, crawl policy
     "link_pagerank", "link_indegree", "url_token_index",
     "url_blocklist_filter",
+    # round 4 late block 2: WET extraction, geo-constrained ANN, host
+    # authority rollup, per-host crawl budget
+    "html_extract_text", "ann_topk_bbox", "host_authority",
+    "host_quota_sample",
 ]
 
 

@@ -664,3 +664,63 @@ FROM seeded
 
 
 DOC_REDACT_SQL = _doc_redact_sql()
+
+
+# ---------------------------------------------- geo-constrained ANN (r4)
+
+BBOX_W, BBOX_E = -90_000, 90_000   # milli-degrees
+BBOX_S, BBOX_N = -45_000, 45_000
+
+
+def ann_topk_bbox(sf_dir: str) -> pd.DataFrame:
+    """Geo-constrained exact top-k: candidates restricted to embeddings
+    whose page geocodes inside a bbox (the graft's geospatial × webtext
+    fusion — 'similar pages NEAR here'). Query vectors stay unrestricted.
+
+    Scale shape: the in-bbox id set comes from the geocode pipeline as a
+    Dataset (never the driver) and meets the embeddings in ONE bucketed
+    semi-join exchange (`join.bucketed_hash_join(join_type="semi")` —
+    the is_in-mask form carries the list<float> payload Acero refuses);
+    the filtered base then streams through the brute top-k probe against
+    the broadcast query matrix.
+    """
+    from ..pipelines import flagship
+    from ..stages.join import bucketed_hash_join
+
+    ids = (flagship.geocoded_pages(sf_dir)
+           .map_batches(_bbox_ids, batch_format="pyarrow"))
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    in_bbox = bucketed_hash_join(emb, ids, key="vec_id", join_type="semi")
+    return ann.ann_topk_brute(in_bbox, _query_vectors(sf_dir), k=TOPK,
+                              exclude_self=True)
+
+
+def _bbox_ids(b: "pa.Table") -> "pa.Table":
+    import pyarrow.compute as _pc
+    lon, lat = b["lon_milli"], b["lat_milli"]
+    keep = _pc.and_(
+        _pc.and_(_pc.greater_equal(lon, BBOX_W), _pc.less_equal(lon, BBOX_E)),
+        _pc.and_(_pc.greater_equal(lat, BBOX_S), _pc.less_equal(lat, BBOX_N)))
+    return pa.table({"vec_id": b["page_key"].filter(keep).cast(pa.int64())})
+
+
+ANN_TOPK_BBOX_SQL = """
+SELECT query_id, vec_id, rank FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                      e.vec_id ASC) AS rank
+  FROM (
+    SELECT em.* FROM embeddings em
+    JOIN (SELECT page_key FROM pages
+          WHERE lon_milli BETWEEN {w} AND {e}
+            AND lat_milli BETWEEN {s} AND {n}) p
+      ON em.vec_id = p.page_key
+  ) e
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id < {nq}) q
+  WHERE e.vec_id != q.vec_id
+) WHERE rank <= {k}
+"""

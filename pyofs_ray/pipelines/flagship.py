@@ -564,3 +564,105 @@ def crawl_delta_stats(sf_dir: str) -> ray.data.Dataset:
              .aggregate(agg_mod.Sum("chars", alias_name="total_chars"),
                         agg_mod.Sum("pages", alias_name="n_pages")))
     return final
+
+
+# ---------------------------------------------- link authority per host (r4)
+
+def host_authority(sf_dir: str) -> ray.data.Dataset:
+    """Domain authority by in-links: the deterministic link graph's
+    per-target in-degree (`stages/linkgraph.indegree_stats`), joined to
+    the pages table for the host string, rolled up per host.
+
+    Composition evidence for the iterative + join + string-rollup chain:
+    in-degree reduce (1 exchange) → bucketed hash join on the page key
+    (1 exchange; the pages side ships only (node, url)) → skew-neutral
+    per-batch (host) partials into `bucketed_group_agg` (1 exchange —
+    the hot host collapses to ≤1 row per batch before the shuffle).
+    """
+    import pyarrow.parquet as pq
+
+    from ..sources.readers import read_parquet_clean
+    from ..stages import linkgraph
+    from ..stages.agg import bucketed_group_agg
+    from ..stages.join import bucketed_hash_join
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ids = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+    ind = linkgraph.indegree_stats(ids, n)  # (node, in_degree, min_src)
+
+    pages = pages_dataset(sf_dir, with_text=False, keep_key=True)
+
+    def as_node(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["page_key"].cast(pa.int64()),
+                         "url": b["url"]})
+
+    joined = bucketed_hash_join(
+        ind, pages.map_batches(as_node, batch_format="pyarrow"),
+        key="node")
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"host": url_host(b["url"]),
+                      "in_links": b["in_degree"].cast(pa.int64()),
+                      "one": pa.array(np.ones(len(b), np.int64)),
+                      "max_d": b["in_degree"].cast(pa.int64())})
+        g = t.group_by(["host"]).aggregate(
+            [("in_links", "sum"), ("one", "sum"), ("max_d", "max")])
+        return pa.table({"host": g["host"],
+                         "in_links": g["in_links_sum"].cast(pa.int64()),
+                         "one": g["one_sum"].cast(pa.int64()),
+                         "max_d": g["max_d_max"].cast(pa.int64())})
+
+    return bucketed_group_agg(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["host"],
+        [("in_links", "sum", "in_links_total"),
+         ("one", "sum", "n_pages_linked"),
+         ("max_d", "max", "max_in_degree")])
+
+
+# ---------------------------------------------- per-host crawl budget (r4)
+
+HOST_QUOTA_K = 16
+HOST_QUOTA_SALT = 0
+
+
+def host_quota_sample(sf_dir: str, k: int = HOST_QUOTA_K) -> ray.data.Dataset:
+    """Crawl-budget enforcement: keep at most ``k`` pages per host,
+    chosen by the deterministic splitmix64(page_key) draw — an unbiased,
+    partitioning-independent per-domain cap (the corpus-balancing
+    counterpart of `stratified_hash_sample`: instead of a per-stratum
+    RATE, a per-stratum COUNT, so the 70 %-one-host fixture skew cannot
+    dominate the output).
+
+    Scale shape: `composite.topk_per_key` — per-batch top-k partials mean
+    the exchange moves ≤ k rows per (host, batch); splitmix64 is a
+    bijection on uint64 so the draw order is tie-free and the keep set is
+    exactly reproducible on any cluster shape (same guarantee the SQL
+    twin's ROW_NUMBER-over-draw expresses).
+    """
+    from ..core.hashing import splitmix64
+    from ..stages.composite import topk_per_key
+
+    pages = pages_dataset(sf_dir, with_text=False, keep_key=True)
+
+    def prep(b: pa.Table) -> pa.Table:
+        keys = b["page_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        draw = splitmix64(keys.view(np.uint64) ^ np.uint64(HOST_QUOTA_SALT))
+        return pa.table({"host": url_host(b["url"]),
+                         "page_key": pa.array(keys),
+                         "url": b["url"],
+                         "draw": pa.array(draw, pa.uint64())})
+
+    kept = topk_per_key(
+        pages.map_batches(prep, batch_format="pyarrow"),
+        keys=("host",), order_cols=("draw",), k=k,
+        payload_cols=("page_key", "url"), descending=False)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({"host": b["host"],
+                         "page_key": b["page_key"].cast(pa.int64()),
+                         "url": b["url"],
+                         "rank": b["rank"].cast(pa.int64())})
+
+    return kept.map_batches(finish, batch_format="pyarrow")

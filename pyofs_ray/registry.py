@@ -1200,3 +1200,76 @@ WHERE NOT (
   OR SPLIT_PART(url, '/', 3) LIKE '%3.example.com'
   OR regexp_replace(url, '^[^/]*//[^/]*', '') LIKE '/p/1%'
 )""")
+
+
+# ------------------------------------------------- html -> text (r4)
+from .stages.extract import extract_text  # noqa: E402
+
+
+def _html_extract_text(sf_dir: str):
+    """WET extraction: the text column is DROPPED and re-derived from the
+    html bytes; the oracle's `SELECT url, text FROM pages` then proves the
+    extraction byte-identical per url (the north-star clause)."""
+    pages = pages_dataset(sf_dir, with_html=True, keep_key=True)
+    raw = pages.drop_columns(["text"]).select_columns(
+        ["page_key", "url", "html"])
+    return extract_text(raw).select_columns(["page_key", "url", "text"])
+
+
+register("html_extract_text", _html_extract_text, f"""
+{sqlgen.pages_prefix()}
+SELECT page_key, url, text FROM pages""")
+
+
+# ------------------------------------------------- geo-constrained ANN (r4)
+register(
+    "ann_topk_bbox", corpus.ann_topk_bbox,
+    sqlgen.pages_prefix() + corpus.ANN_TOPK_BBOX_SQL.format(
+        w=corpus.BBOX_W, e=corpus.BBOX_E, s=corpus.BBOX_S, n=corpus.BBOX_N,
+        nq=corpus.NUM_QUERIES, k=corpus.TOPK))
+
+
+register("host_authority", flagship.host_authority, f"""
+{sqlgen.pages_prefix()},
+{linkgraph.edges_cte()},
+ind AS (
+  SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS in_degree
+  FROM edges GROUP BY dst
+)
+SELECT SPLIT_PART(p.url, '/', 3) AS host,
+       CAST(SUM(i.in_degree) AS BIGINT) AS in_links_total,
+       CAST(COUNT(*) AS BIGINT) AS n_pages_linked,
+       CAST(MAX(i.in_degree) AS BIGINT) AS max_in_degree
+FROM ind i JOIN pages p ON p.page_key = i.node
+GROUP BY 1""")
+
+
+from .core.sqlgen_sample import MOD64 as _SM_MOD64  # noqa: E402
+from .core.sqlgen_sample import _C1 as _SM_C1  # noqa: E402
+from .core.sqlgen_sample import _C2 as _SM_C2  # noqa: E402
+from .core.sqlgen_sample import _GOLDEN as _SM_GOLDEN  # noqa: E402
+from .core.sqlgen_sample import _mulmod64, to_u64  # noqa: E402
+
+
+def _host_quota_sql(k: int) -> str:
+    key = to_u64("page_key")
+    return f"""{sqlgen.pages_prefix()},
+q0 AS (SELECT page_key, url,
+              (({key}) + {_SM_GOLDEN}) % {_SM_MOD64} AS z0 FROM pages),
+q1 AS (SELECT *, {_mulmod64('xor(z0, z0 >> 30)', _SM_C1)} AS z1 FROM q0),
+q2 AS (SELECT *, {_mulmod64('xor(z1, z1 >> 27)', _SM_C2)} AS z2 FROM q1),
+drawn AS (
+  SELECT page_key, url, SPLIT_PART(url, '/', 3) AS host,
+         xor(z2, z2 >> 31) AS draw
+  FROM q2
+)
+SELECT host, page_key, url, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT host, page_key, url,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY draw, page_key) AS rn
+  FROM drawn)
+WHERE rn <= {k}"""
+
+
+register("host_quota_sample",
+         lambda sf: flagship.host_quota_sample(sf),
+         _host_quota_sql(flagship.HOST_QUOTA_K))

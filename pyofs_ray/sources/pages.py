@@ -49,9 +49,17 @@ def _derive_pages(batch: pa.Table, with_html: bool,
     if keep_key:
         cols["page_key"] = doc_id
     if with_html:
+        # realistic-enough markup for the WET-extraction stage: a head
+        # script block whose CONTENT must be stripped (not just its tags)
+        # plus nested body tags — stripping all of it must reproduce the
+        # text column byte-for-byte (`stages/extract.py`)
+        n_chars = pc.utf8_length(batch["text"].cast(pa.string()))
         html = pc.binary_join_element_wise(
-            pa.array(["<html><body>"] * len(batch)), batch["text"].cast(pa.string()),
-            pa.array(["</body></html>"] * len(batch)), "")
+            pa.array(["<html><head><script>var n="] * len(batch)),
+            n_chars.cast(pa.string()),
+            pa.array([";</script></head><body><p>"] * len(batch)),
+            batch["text"].cast(pa.string()),
+            pa.array(["</p></body></html>"] * len(batch)), "")
         cols["html"] = html.cast(pa.binary())
     return pa.table(cols)
 

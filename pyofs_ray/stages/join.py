@@ -147,7 +147,17 @@ def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
         l = g.filter(pc.equal(side, 0)).select(lcols)
         r = g.filter(pc.equal(side, 1)).select(rcols)
         if join_type in ("semi", "anti"):
-            return l.join(r.select([key]), keys=key, join_type=arrow_jt)
+            # membership mask, not an Acero join: identical semantics
+            # (dup right keys collapse in the value set) and it carries
+            # ANY left payload — Acero refuses list<…> non-key fields
+            # (e.g. embedding columns through a bbox semi-filter)
+            rk = r[key]
+            if isinstance(rk, pa.ChunkedArray):
+                rk = rk.combine_chunks()
+            mask = pc.is_in(l[key], value_set=rk)
+            if join_type == "anti":
+                mask = pc.invert(mask)
+            return l.filter(mask)
         return l.join(r, keys=key, join_type=arrow_jt,
                       left_suffix="", right_suffix=suffix)
 
