@@ -1273,3 +1273,27 @@ WHERE rn <= {k}"""
 register("host_quota_sample",
          lambda sf: flagship.host_quota_sample(sf),
          _host_quota_sql(flagship.HOST_QUOTA_K))
+
+
+# ------------------------------------------------- spatial radius join (r4)
+from .stages.knn import radius_join  # noqa: E402
+
+_RADIUS_MILLI = 10_000
+
+
+def _stations_within_radius(sf_dir: str):
+    ds = flagship.geocoded_pages(sf_dir).select_columns(
+        ["page_key", "url", "lon_milli", "lat_milli"])
+    return radius_join(ds, _RADIUS_MILLI).select_columns(
+        ["page_key", "url", "station_id", "d2"])
+
+
+register("stations_within_radius", _stations_within_radius, f"""
+{sqlgen.pages_prefix()},
+{sqlgen_knn.stations_cte()}
+SELECT page_key, url, station_id, d2 FROM (
+  SELECT p.page_key, p.url, s.station_id,
+         (p.lon_milli - s.s_lon) * (p.lon_milli - s.s_lon)
+           + (p.lat_milli - s.s_lat) * (p.lat_milli - s.s_lat) AS d2
+  FROM pages p CROSS JOIN stations s
+) WHERE d2 <= {_RADIUS_MILLI} * {_RADIUS_MILLI}""")

@@ -182,3 +182,85 @@ def knn_join(ds: ray.data.Dataset, station_rows: list[dict] | None = None, k: in
 
     return ds.map_batches(join_batch, batch_format="pyarrow",
                           batch_size=batch_size, zero_copy_batch=True)
+
+
+# ---------------------------------------------------- radius join (J4 range)
+
+def _radius_pairs_brute(index: StationIndex, lon: np.ndarray,
+                        lat: np.ndarray, r2: int):
+    d2 = ((lon[:, None] - index.lon[None, :]) ** 2
+          + (lat[:, None] - index.lat[None, :]) ** 2)
+    rows, cols = np.nonzero(d2 <= r2)
+    return rows, cols, d2[rows, cols]
+
+
+def _radius_pairs_rings(index: StationIndex, lon: np.ndarray,
+                        lat: np.ndarray, radius: int):
+    """Candidate cells = Chebyshev rings until the ring's distance lower
+    bound exceeds the radius; exact mask within candidates. Cost scales
+    with stations inside the radius, not the catalog size."""
+    r2 = radius * radius
+    qx, qy = geom.cell_xy(lon, lat, RING_ZOOM)
+    cell_key = qx * (1 << RING_ZOOM) + qy
+    max_ring = radius // index.min_dim + 1
+    out_rows, out_cols, out_d2 = [], [], []
+    for key in np.unique(cell_key):
+        sel = np.nonzero(cell_key == key)[0]
+        cx, cy = int(key) >> RING_ZOOM, int(key) & ((1 << RING_ZOOM) - 1)
+        cand = []
+        for r in range(0, max_ring + 1):
+            for c in index._ring_cells(cx, cy, r):
+                b = index.buckets.get(c)
+                if b is not None:
+                    cand.append(b)
+        if not cand:
+            continue
+        ci = np.concatenate(cand)
+        d2 = ((lon[sel][:, None] - index.lon[ci][None, :]) ** 2
+              + (lat[sel][:, None] - index.lat[ci][None, :]) ** 2)
+        rr, cc = np.nonzero(d2 <= r2)
+        out_rows.append(sel[rr])
+        out_cols.append(ci[cc])
+        out_d2.append(d2[rr, cc])
+    if not out_rows:
+        e = np.empty(0, np.int64)
+        return e, e, e
+    return (np.concatenate(out_rows), np.concatenate(out_cols),
+            np.concatenate(out_d2))
+
+
+def radius_join(ds: ray.data.Dataset, radius_milli: int,
+                station_rows: list[dict] | None = None,
+                kernel: str = "rings",
+                batch_size: int = 65536) -> ray.data.Dataset:
+    """Spatial range join: every (page, station) pair within
+    ``radius_milli`` (inclusive) in squared planar milli-degree distance —
+    the range-query sibling of `knn_join` (the reference's fixed-radius
+    buoy/study-area matching, `data_buoy.py:301-323`, as a join emitting
+    ALL in-range pairs rather than the k nearest).
+
+    Same scale shape as `knn_join`'s task mode: stations broadcast via
+    ``ray.put`` + per-worker memoized index, zero exchanges; output rows
+    are bounded by pairs-in-radius per batch.
+    """
+    ref = ray.put(station_rows if station_rows is not None
+                  else fixture_stations())
+    r2 = radius_milli * radius_milli
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        index = _memo_index(ref)
+        lon = batch["lon_milli"].to_numpy(zero_copy_only=False)
+        lat = batch["lat_milli"].to_numpy(zero_copy_only=False)
+        if kernel == "rings":
+            rows, cols, d2 = _radius_pairs_rings(index, lon, lat,
+                                                 radius_milli)
+        else:
+            rows, cols, d2 = _radius_pairs_brute(index, lon, lat, r2)
+        out = batch.take(pa.array(rows))
+        return (out.append_column("station_id",
+                                  pa.array(index.ids[cols]))
+                   .append_column("d2", pa.array(d2.astype(np.int64),
+                                                 pa.int64())))
+
+    return ds.map_batches(join_batch, batch_format="pyarrow",
+                          batch_size=batch_size, zero_copy_batch=True)

@@ -62,3 +62,36 @@ def test_knn_oracle(duck_smoke):
 def test_knn_brute_kernel_matches_oracle(duck_smoke):
     assert_matches_oracle(_knn_rows(SF_SMOKE, kernel="brute"), duck_smoke,
                           ORACLES["knn_stations"])
+
+
+# ------------------------------------------------------------- radius join
+
+def test_radius_kernels_equal_and_inclusive():
+    import numpy as np
+    from pyofs_ray.sources.fixtures import stations
+    from pyofs_ray.stages.knn import (StationIndex, _radius_pairs_brute,
+                                      _radius_pairs_rings)
+    idx = StationIndex(stations())
+    rng = np.random.RandomState(7)
+    lon = rng.randint(-179_000, 179_000, 200).astype(np.int64)
+    lat = rng.randint(-84_000, 84_000, 200).astype(np.int64)
+    # include a query exactly AT a station: d2=0 must be emitted
+    lon[0], lat[0] = idx.lon[0], idx.lat[0]
+    for radius in (0, 5_000, 10_000, 50_000):
+        br, bc, bd = _radius_pairs_brute(idx, lon, lat, radius * radius)
+        rr, rc, rd = _radius_pairs_rings(idx, lon, lat, radius)
+        b = sorted(zip(br.tolist(), bc.tolist(), bd.tolist()))
+        r = sorted(zip(rr.tolist(), rc.tolist(), rd.tolist()))
+        assert b == r
+    # inclusivity at the exact boundary
+    q_lon = np.array([idx.lon[0] + 7], np.int64)
+    q_lat = np.array([idx.lat[0]], np.int64)
+    br, bc, bd = _radius_pairs_rings(idx, q_lon, q_lat, 7)
+    assert (0, 49) in set(zip(bc.tolist(), bd.tolist())) or 49 in bd.tolist()
+
+
+def test_stations_within_radius_oracle(duck_smoke):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+    from pyofs_ray.registry import ORACLES, QUERIES
+    assert_matches_oracle(QUERIES["stations_within_radius"](SF_SMOKE),
+                          duck_smoke, ORACLES["stations_within_radius"])
