@@ -61,7 +61,7 @@ BENCH_QUERIES = [
     # round 4 late block 2: WET extraction, geo-constrained ANN, host
     # authority rollup, per-host crawl budget
     "html_extract_text", "ann_topk_bbox", "host_authority",
-    "host_quota_sample", "stations_within_radius",
+    "host_quota_sample", "stations_within_radius", "redirect_resolution",
 ]
 
 

@@ -1297,3 +1297,24 @@ SELECT page_key, url, station_id, d2 FROM (
            + (p.lat_milli - s.s_lat) * (p.lat_milli - s.s_lat) AS d2
   FROM pages p CROSS JOIN stations s
 ) WHERE d2 <= {_RADIUS_MILLI} * {_RADIUS_MILLI}""")
+
+
+# ------------------------------------------------- redirect resolution (r4)
+_REDIR_ROUNDS = 2  # chains ≤ 3 hops → 2 pointer-doubling rounds
+
+
+def _redirect_resolution(sf_dir: str):
+    import pyarrow as _pa
+
+    ids = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+    resolved = linkgraph.resolve_redirects(
+        linkgraph.redirect_pointers(ids), rounds=_REDIR_ROUNDS)
+    return resolved.map_batches(
+        lambda b: _pa.table({"node": b["node"],
+                             "final_node": b["ptr"]}),
+        batch_format="pyarrow")
+
+
+register("redirect_resolution", _redirect_resolution,
+         linkgraph.resolve_redirects_sql(_REDIR_ROUNDS))

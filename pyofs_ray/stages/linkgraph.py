@@ -171,3 +171,73 @@ SELECT dst AS node,
        CAST(COUNT(*) AS BIGINT) AS in_degree,
        CAST(MIN(src) AS BIGINT) AS min_src
 FROM edges GROUP BY dst"""
+
+
+# ------------------------------------------- redirect resolution (pointer x2)
+
+REDIR_MOD = 4  # chain fixture: k redirects to k-1 unless k % REDIR_MOD == 0
+
+
+def redirect_pointers(doc_ids: ray.data.Dataset,
+                      id_col: str = "doc_id") -> ray.data.Dataset:
+    """Initial pointer table for the deterministic redirect fixture:
+    every page with ``k % REDIR_MOD != 0`` redirects to ``k-1`` (chains of
+    length ≤ REDIR_MOD-1 ending at the multiple-of-REDIR_MOD terminal);
+    terminals point at themselves."""
+
+    def init(b: pa.Table) -> pa.Table:
+        k = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ptr = np.where(k % REDIR_MOD == 0, k, k - 1)
+        return pa.table({"node": pa.array(k),
+                         "ptr": pa.array(ptr, pa.int64())})
+
+    return doc_ids.map_batches(init, batch_format="pyarrow")
+
+
+def resolve_redirects(ptrs: ray.data.Dataset, rounds: int = 2,
+                      num_buckets: int = 64) -> ray.data.Dataset:
+    """Pointer doubling: after round i every node's pointer has jumped
+    2^i hops, so ``rounds = ceil(log2(max_chain))`` resolves every chain —
+    the LOG-round iterative primitive (label propagation is the LINEAR
+    one; a 1B-long redirect set with chains ≤ 2^r needs only r bucketed
+    self-joins, each ONE exchange).
+
+    Self-pointing terminals make the join total: ptr(ptr) always exists,
+    so an inner join loses nothing and no driver-side fix-up is needed.
+    """
+    from .join import bucketed_hash_join
+
+    for _ in range(rounds):
+        # ptr2(node) = ptr(ptr(node)): join left.ptr against right.node
+        left = ptrs.map_batches(
+            lambda b: pa.table({"node": b["node"],
+                                "join_key": b["ptr"]}),
+            batch_format="pyarrow")
+        right = ptrs.map_batches(
+            lambda b: pa.table({"join_key": b["node"],
+                                "ptr": b["ptr"]}),
+            batch_format="pyarrow")
+        joined = bucketed_hash_join(left, right, key="join_key",
+                                    num_buckets=num_buckets)
+        ptrs = joined.map_batches(
+            lambda b: pa.table({"node": b["node"], "ptr": b["ptr"]}),
+            batch_format="pyarrow")
+    return ptrs
+
+
+def resolve_redirects_sql(rounds: int = 2, table: str = "documents",
+                          id_col: str = "doc_id") -> str:
+    """Unrolled pointer-doubling twin (pure int64 arithmetic)."""
+    parts = [f"""WITH r0 AS (
+  SELECT {id_col} AS node,
+         CASE WHEN {id_col} % {REDIR_MOD} = 0 THEN {id_col}
+              ELSE {id_col} - 1 END AS ptr
+  FROM {table})"""]
+    prev = "r0"
+    for i in range(1, rounds + 1):
+        parts.append(f"""r{i} AS (
+  SELECT a.node, b.ptr
+  FROM {prev} a JOIN {prev} b ON b.node = a.ptr)""")
+        prev = f"r{i}"
+    return (",\n".join(parts)
+            + f"\nSELECT node, ptr AS final_node FROM {prev}")

@@ -87,3 +87,37 @@ def test_link_queries_oracle(duck_smoke):
     for name in ("link_pagerank", "link_indegree"):
         assert_matches_oracle(QUERIES[name](SF_SMOKE), duck_smoke,
                               ORACLES[name])
+
+
+def test_redirect_resolution_terminals():
+    from pyofs_ray.stages import linkgraph as lgm
+    n = 203  # not a multiple of REDIR_MOD: last chain is partial
+    ids = _ids_ds(n)
+    ids = ids.map_batches(
+        lambda b: b.rename_columns(["doc_id"]), batch_format="pyarrow")
+    got = (lgm.resolve_redirects(lgm.redirect_pointers(ids), rounds=2)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    node = np.arange(n)
+    want = (node // lgm.REDIR_MOD) * lgm.REDIR_MOD
+    assert np.array_equal(got["node"].to_numpy(), node)
+    assert np.array_equal(got["ptr"].to_numpy(), want)
+
+
+def test_redirect_one_round_insufficient_two_enough():
+    # chain length 3 (k=3 -> 2 -> 1 -> 0): one doubling round reaches only
+    # 2 hops; two rounds reach 4 — the log-round contract
+    from pyofs_ray.stages import linkgraph as lgm
+    ids = ray.data.from_arrow(pa.table({"doc_id": np.arange(4, dtype=np.int64)}))
+    one = (lgm.resolve_redirects(lgm.redirect_pointers(ids), rounds=1)
+           .to_pandas().sort_values("node"))
+    assert one.loc[one.node == 3, "ptr"].item() == 1
+    two = (lgm.resolve_redirects(lgm.redirect_pointers(ids), rounds=2)
+           .to_pandas().sort_values("node"))
+    assert two.loc[two.node == 3, "ptr"].item() == 0
+
+
+def test_redirect_resolution_oracle(duck_smoke):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+    from pyofs_ray.registry import ORACLES, QUERIES
+    assert_matches_oracle(QUERIES["redirect_resolution"](SF_SMOKE),
+                          duck_smoke, ORACLES["redirect_resolution"])
