@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     # authority rollup, per-host crawl budget
     "html_extract_text", "ann_topk_bbox", "host_authority",
     "host_quota_sample", "stations_within_radius", "redirect_resolution",
+    "cell_top_hosts",
 ]
 
 

@@ -666,3 +666,53 @@ def host_quota_sample(sf_dir: str, k: int = HOST_QUOTA_K) -> ray.data.Dataset:
                          "rank": b["rank"].cast(pa.int64())})
 
     return kept.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------- top hosts per cell (r4)
+
+CELL_TOP_HOSTS_K = 3
+CELL_TOP_HOSTS_ZOOM = 4
+
+
+def cell_top_hosts(sf_dir: str, k: int = CELL_TOP_HOSTS_K,
+                   zoom: int = CELL_TOP_HOSTS_ZOOM) -> ray.data.Dataset:
+    """Top-k hosts per coarse spatial cell by page count — the geo × web
+    composition (who dominates each region of the tile map): per-batch
+    (cell, host) Arrow partials → `bucketed_group_agg` count reduce →
+    `topk_per_key` (count DESC, host ASC). Coarse zoom keeps the per-cell
+    host list meaningful at fixture scale; both stages are the skew-neutral
+    shapes used by `host_stats` / `top_order_per_customer`."""
+    from ..stages.agg import bucketed_group_agg
+    from ..stages.composite import topk_per_key
+
+    ds = geocoded_pages(sf_dir, zoom=zoom).select_columns(
+        ["cell_id", "url"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"cell_id": b["cell_id"].cast(pa.int64()),
+                      "host": url_host(b["url"]),
+                      "one": pa.array(np.ones(len(b), np.int64))})
+        g = t.group_by(["cell_id", "host"]).aggregate([("one", "sum")])
+        return pa.table({"cell_id": g["cell_id"], "host": g["host"],
+                         "one": g["one_sum"].cast(pa.int64())})
+
+    counts = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["cell_id", "host"], [("one", "sum", "n_pages")])
+
+    # mixed order (n_pages DESC, host ASC) under topk_per_key's single
+    # ascending flag: negate the count and sort everything ascending
+    counts = counts.map_batches(
+        lambda b: b.append_column(
+            "neg_n", pc.negate_checked(b["n_pages"].cast(pa.int64()))),
+        batch_format="pyarrow")
+    kept = topk_per_key(counts, keys=("cell_id",),
+                        order_cols=("neg_n", "host"), k=k,
+                        payload_cols=("host", "n_pages"),
+                        descending=False)
+    return kept.map_batches(
+        lambda b: pa.table({"cell_id": b["cell_id"].cast(pa.int64()),
+                            "host": b["host"],
+                            "n_pages": b["n_pages"].cast(pa.int64()),
+                            "rank": b["rank"].cast(pa.int64())}),
+        batch_format="pyarrow")

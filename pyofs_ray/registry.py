@@ -1318,3 +1318,18 @@ def _redirect_resolution(sf_dir: str):
 
 register("redirect_resolution", _redirect_resolution,
          linkgraph.resolve_redirects_sql(_REDIR_ROUNDS))
+
+
+register("cell_top_hosts", flagship.cell_top_hosts, f"""
+{sqlgen.pages_prefix()},
+counts AS (
+  SELECT {sqlgen.cell_expr(flagship.CELL_TOP_HOSTS_ZOOM)} AS cell_id,
+         SPLIT_PART(url, '/', 3) AS host,
+         CAST(COUNT(*) AS BIGINT) AS n_pages
+  FROM pages GROUP BY 1, 2
+)
+SELECT cell_id, host, n_pages, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY cell_id ORDER BY n_pages DESC, host ASC) AS rn
+  FROM counts)
+WHERE rn <= {flagship.CELL_TOP_HOSTS_K}""")

@@ -85,3 +85,22 @@ def test_host_quota_cap_and_determinism():
     b = (host_quota_sample(SF_SMOKE, k=4).to_pandas()
          .sort_values(["host", "rank"]).reset_index(drop=True))
     assert a.equals(b)
+
+
+def test_cell_top_hosts_oracle(duck_smoke):
+    assert_matches_oracle(QUERIES["cell_top_hosts"](SF_SMOKE), duck_smoke,
+                          ORACLES["cell_top_hosts"])
+
+
+def test_cell_top_hosts_rank_and_ties():
+    from pyofs_ray.pipelines.flagship import cell_top_hosts
+    out = (cell_top_hosts(SF_SMOKE, k=3).to_pandas()
+           .sort_values(["cell_id", "rank"]).reset_index(drop=True))
+    for _, g in out.groupby("cell_id"):
+        counts = g.n_pages.tolist()
+        assert counts == sorted(counts, reverse=True)  # count DESC
+        assert g["rank"].tolist() == list(range(1, len(g) + 1))
+        for i in range(len(g) - 1):  # equal counts → host ASC
+            if counts[i] == counts[i + 1]:
+                assert g.host.iloc[i] < g.host.iloc[i + 1]
+        assert len(g) <= 3
