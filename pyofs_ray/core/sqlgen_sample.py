@@ -100,3 +100,16 @@ def stratified_sample_sql(table: str, key_col: str, stratum_col: str,
                           'stratified_sample_sql')}
 SELECT {select} FROM q2 WHERE xor(z2, z2 >> 31) % {_DEN} < {thr}
 """
+
+
+def weighted_sample_sql(table: str, key_col: str, weight_col: str,
+                        cap: int, per_unit: int, salt: int = 0,
+                        select: str = "*") -> str:
+    """Twin of `stages/sample.weighted_hash_sample`: per-row integer
+    threshold ``LEAST(weight, cap) * per_unit`` against the same draw."""
+    return f"""{_mix_ctes(table, key_col, salt, select,
+                          'weighted_sample_sql')}
+SELECT {select} FROM q2
+WHERE xor(z2, z2 >> 31) % {_DEN}
+      < LEAST({weight_col}, {cap}) * {per_unit}
+"""

@@ -724,3 +724,79 @@ SELECT query_id, vec_id, rank FROM (
   WHERE e.vec_id != q.vec_id
 ) WHERE rank <= {k}
 """
+
+
+# --------------------------------------------- percentile length outliers
+OUTLIER_PCT = 99  # integer percent: threshold = min v with 100·cum ≥ pct·N
+
+
+def doc_length_outliers(sf_dir: str, pct: int = OUTLIER_PCT
+                        ) -> ray.data.Dataset:
+    """Documents longer than the corpus's exact ``pct``-th length
+    percentile (the distribution-aware form of a fixed length cutoff —
+    PyOFS filters fields by DOP/quality thresholds the same way, e.g.
+    `hf_radar.py:136-173`; here the cutoff is derived from the data).
+
+    Scale shape: pass 1 collapses the corpus to its length HISTOGRAM
+    (two-stage count per distinct n_chars — value-bounded, never
+    row-bounded); the threshold (smallest v with ``100·cumcount ≥
+    pct·N`` — all-integer, no float percentile) is a one-row driver pull.
+    Pass 2 streams the corpus once more with a broadcast scalar filter.
+    Output is outlier-bounded (~(100-pct)% of rows)."""
+    from ..stages.agg import two_stage_cell_agg
+
+    ds = _docs(sf_dir, columns=("doc_id", "n_chars"))
+    hist = two_stage_cell_agg(ds, keys=("n_chars",), int_sum_cols=(),
+                              count_name="cnt")
+    hdf = hist.to_pandas()  # value-bounded: distinct lengths, not rows
+    hdf = hdf.sort_values("n_chars")
+    cum = hdf.cnt.to_numpy(np.int64).cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        return ds.filter(lambda _: False)
+    pos = int(np.searchsorted(100 * cum, pct * n))
+    thr = int(hdf.n_chars.to_numpy()[pos])
+
+    def filt(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["n_chars"], thr))
+
+    return ds.map_batches(filt, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def doc_length_outliers_sql(pct: int = OUTLIER_PCT) -> str:
+    return f"""
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+h AS (SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1),
+cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cc FROM h),
+thr AS (SELECT MIN(v) AS t FROM cum CROSS JOIN n
+        WHERE 100 * cc >= {pct} * n.n)
+SELECT doc_id, n_chars FROM documents CROSS JOIN thr
+WHERE n_chars > thr.t"""
+
+
+# ------------------------------------------------- length-weighted sample
+WSAMPLE_CAP = 2000      # chars at which the keep rate saturates
+WSAMPLE_PER_UNIT = 131  # ≈ 25% keep rate at the cap (2000·131 / 2^20)
+WSAMPLE_SALT = 41
+
+
+def doc_weighted_sample(sf_dir: str) -> ray.data.Dataset:
+    """Length-proportional corpus sampling: a document's keep probability
+    grows with ``n_chars`` up to a cap — the deterministic splitmix64
+    variant of importance sampling by content volume."""
+    from ..stages.sample import weighted_hash_sample
+
+    ds = _docs(sf_dir, columns=("doc_id", "lang", "n_chars"))
+    return weighted_hash_sample(ds, "doc_id", "n_chars",
+                                cap=WSAMPLE_CAP, per_unit=WSAMPLE_PER_UNIT,
+                                salt=WSAMPLE_SALT)
+
+
+def doc_weighted_sample_sql() -> str:
+    from ..core.sqlgen_sample import weighted_sample_sql
+    return weighted_sample_sql(
+        "documents", "doc_id", "n_chars",
+        cap=WSAMPLE_CAP, per_unit=WSAMPLE_PER_UNIT, salt=WSAMPLE_SALT,
+        select="doc_id, lang, n_chars")

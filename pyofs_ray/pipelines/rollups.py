@@ -1,0 +1,297 @@
+"""Hierarchical rollups, funnel conversion, grouped correlation, and
+time-decayed counts — analytic extensions of the reference's reporting
+layer (PyOFS aggregates per-cell/per-dataset summaries at several
+granularities, e.g. `wcofs.py:420-453` daily → monthly means; here the
+hierarchy is (region, nation) / (event day) and the engine shape is the
+same two-stage partial → single-exchange reduce).
+
+Exactness: every reduce is int64 (cents / scaled / bit-weights); floats
+are derived by single IEEE ops AFTER the final sum, so each query is
+bit-identical to its DuckDB twin under any parallel schedule.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+
+from ..sources.readers import read_parquet_clean
+from ..stages.agg import bucketed_group_agg, two_stage_cell_agg
+from ..stages.join import broadcast_join
+from .relational import _cents
+
+
+# ------------------------------------------------ ROLLUP(r_name, n_name)
+def orders_rollup_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Revenue rollup over the (region, nation) hierarchy in ONE exchange.
+
+    orders ⋈ customer→nation→region (broadcast small side) → two-stage
+    int-cents sum at the FINEST level (r_name, n_name); the region
+    subtotals and the grand total are then derived from that ≤|nation|-row
+    table in a bounded coalesced finish — never a second pass over the
+    fact table (GROUP BY ROLLUP as partial reuse, SURVEY.md §7.3).
+    Subtotal rows carry NULL keys exactly like the SQL ROLLUP.
+    """
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    nr = nation.join(region, keys="n_regionkey", right_keys="r_regionkey")
+    lookup = cust.join(nr.select(["n_nationkey", "n_name", "r_name"]),
+                       keys="c_nationkey", right_keys="n_nationkey")
+    lookup = lookup.select(["c_custkey", "r_name", "n_name"]) \
+                   .rename_columns(["o_custkey", "r_name", "n_name"])
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": b["o_custkey"],
+                         "price_c": _cents(b["o_totalprice"])})
+
+    joined = broadcast_join(orders.map_batches(prep, batch_format="pyarrow"),
+                            lookup, keys=["o_custkey"])
+    agg = two_stage_cell_agg(joined, keys=("r_name", "n_name"),
+                             int_sum_cols=("price_c",),
+                             count_name="order_count")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        # bounded by |nation| rows: expand the three rollup levels locally
+        fine = df[["r_name", "n_name", "price_c_sum", "order_count"]]
+        reg = (fine.groupby("r_name", sort=False, as_index=False)
+               [["price_c_sum", "order_count"]].sum())
+        reg["n_name"] = None
+        tot = pd.DataFrame({
+            "r_name": [None], "n_name": [None],
+            "price_c_sum": [fine.price_c_sum.sum()],
+            "order_count": [fine.order_count.sum()]})
+        allr = pd.concat([fine, reg, tot], ignore_index=True)
+        return pd.DataFrame({
+            "r_name": allr.r_name, "n_name": allr.n_name,
+            "revenue": allr.price_c_sum.to_numpy(np.int64) / 100.0,
+            "order_count": allr.order_count.astype(np.int64)})
+
+    return agg.repartition(1).map_batches(finish, batch_format="pandas",
+                                          batch_size=None)
+
+
+ORDERS_ROLLUP_SQL = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
+# ------------------------------------------------------ funnel conversion
+_US_PER_DAY = 86_400_000_000
+_FUNNEL_BASE_US = 1_704_067_200_000_000  # TIMESTAMP '2024-01-01' epoch µs
+
+
+def events_funnel(sf_dir: str) -> ray.data.Dataset:
+    """signup → purchase conversion: per-user first-touch times via a
+    two-stage MIN (per-batch `pa.Table.group_by` pre-combine, then one
+    hash-bucket exchange on user_id), then a streaming count of converted
+    users (signup strictly before purchase). The per-user table never
+    lands on the driver — the finish is partial counts → 3-int sum.
+    """
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b["user_id"]),
+                             pc.is_valid(b["ts"])))
+        et = b["event_type"]
+        keep = pc.or_(pc.equal(et, "signup"), pc.equal(et, "purchase"))
+        b = b.filter(keep)
+        ts_us = pc.cast(b["ts"], pa.int64())
+        is_s = pc.equal(b["event_type"], "signup")
+        t = pa.table({
+            "user_id": b["user_id"],
+            "s_us": pc.if_else(is_s, ts_us, pa.scalar(None, pa.int64())),
+            "p_us": pc.if_else(is_s, pa.scalar(None, pa.int64()), ts_us)})
+        # per-batch pre-combine: ≤1 row per user leaves the batch
+        g = t.group_by("user_id").aggregate([("s_us", "min"),
+                                             ("p_us", "min")])
+        return pa.table({"user_id": g["user_id"], "s_us": g["s_us_min"],
+                         "p_us": g["p_us_min"]})
+
+    per_user = bucketed_group_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys=["user_id"],
+        aggs=[("s_us", "min", "s_us"), ("p_us", "min", "p_us")])
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        # all-Arrow int64 (no float round-trip: µs epochs exceed 2^53).
+        # pc.less is NULL when either side is; pc.sum skips NULLs.
+        s, p = b["s_us"], b["p_us"]
+        conv = pc.sum(pc.cast(pc.less(s, p), pa.int64())).as_py() or 0
+        return pa.table({
+            "users_signup": pa.array([len(s) - s.null_count], pa.int64()),
+            "users_purchase": pa.array([len(p) - p.null_count], pa.int64()),
+            "users_converted": pa.array([int(conv)], pa.int64())})
+
+    def final(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "users_signup": pa.array(
+                [pc.sum(b["users_signup"]).as_py() or 0], pa.int64()),
+            "users_purchase": pa.array(
+                [pc.sum(b["users_purchase"]).as_py() or 0], pa.int64()),
+            "users_converted": pa.array(
+                [pc.sum(b["users_converted"]).as_py() or 0], pa.int64())})
+
+    return (per_user.map_batches(partial_counts, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow", batch_size=None))
+
+
+EVENTS_FUNNEL_SQL = """
+WITH m AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IN ('signup', 'purchase')
+  GROUP BY user_id)
+SELECT CAST(COUNT(s) AS BIGINT) AS users_signup,
+       CAST(COUNT(p) AS BIGINT) AS users_purchase,
+       CAST(SUM(CASE WHEN s IS NOT NULL AND p IS NOT NULL AND s < p
+                     THEN 1 ELSE 0 END) AS BIGINT) AS users_converted
+FROM m
+"""
+
+
+# ------------------------------------------- grouped Pearson correlation
+def lineitem_qty_disc_corr(sf_dir: str) -> ray.data.Dataset:
+    """Pearson corr(l_quantity, l_discount) per l_returnflag from six
+    exact int64 moment sums (Σx, Σy, Σx², Σy², Σxy, n in cents) collected
+    in one two-stage exchange; the correlation is derived from the exact
+    integers by a fixed IEEE expression after the final reduce, so the
+    result is reduction-order invariant and bit-equal to the SQL twin.
+
+    Magnitude bound: x ≤ 5·10³ cents, y ≤ 10² cents ⇒ Σx², n·Σxy stay
+    < 2⁶³ up to ~10¹⁰ rows; beyond that, widen to two-limb sums.
+    """
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        x = _cents(b["l_quantity"]).to_numpy(zero_copy_only=False)
+        y = _cents(b["l_discount"]).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "sx": pa.array(x), "sy": pa.array(y),
+            "sxx": pa.array(x * x), "syy": pa.array(y * y),
+            "sxy": pa.array(x * y)})
+
+    agg = two_stage_cell_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys=("l_returnflag",),
+        int_sum_cols=("sx", "sy", "sxx", "syy", "sxy"),
+        count_name="n")
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy()
+        sx = b["sx_sum"].to_numpy()
+        sy = b["sy_sum"].to_numpy()
+        sxx = b["sxx_sum"].to_numpy()
+        syy = b["syy_sum"].to_numpy()
+        sxy = b["sxy_sum"].to_numpy()
+        cov = (n * sxy - sx * sy).astype(np.float64)
+        vx = (n * sxx - sx * sx).astype(np.float64)
+        vy = (n * syy - sy * sy).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            corr = cov / (np.sqrt(vx) * np.sqrt(vy))
+        mask = (vx > 0) & (vy > 0)
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "corr_qty_disc": pa.array(
+                np.where(mask, corr, np.nan), pa.float64(),
+                mask=~mask),
+            "n": pa.array(n, pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+LINEITEM_CORR_SQL = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(qx) AS BIGINT) AS sx, CAST(SUM(dx) AS BIGINT) AS sy,
+         CAST(SUM(qx * qx) AS BIGINT) AS sxx,
+         CAST(SUM(dx * dx) AS BIGINT) AS syy,
+         CAST(SUM(qx * dx) AS BIGINT) AS sxy
+  FROM (SELECT l_returnflag,
+               CAST(ROUND(l_quantity * 100) AS BIGINT) AS qx,
+               CAST(ROUND(l_discount * 100) AS BIGINT) AS dx
+        FROM lineitem)
+  GROUP BY l_returnflag)
+SELECT l_returnflag,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+            END AS corr_qty_disc,
+       n
+FROM s
+"""
+
+
+# --------------------------------------------------- time-decayed counts
+def events_decayed_counts(sf_dir: str) -> ray.data.Dataset:
+    """Recency-weighted activity per event type: weight 2^(day index from
+    2024-01-01) as an exact int64 bit-shift (the integer analogue of an
+    exponential half-life of one day), summed two-stage. Deterministic
+    and overflow-guarded: the prep raises if any day index leaves the
+    0..62 window rather than silently wrapping.
+    """
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b["ts"]),
+                             pc.is_valid(b["event_type"])))
+        ts_us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        day = (ts_us - _FUNNEL_BASE_US) // _US_PER_DAY
+        if len(day) and (day.min() < 0 or day.max() > 62):
+            raise ValueError(
+                f"decay day index out of the exact int64 window: "
+                f"[{day.min()}, {day.max()}]")
+        return pa.table({"event_type": b["event_type"],
+                         "w": pa.array(np.int64(1) << day, pa.int64())})
+
+    agg = two_stage_cell_agg(ds.map_batches(prep, batch_format="pyarrow"),
+                             keys=("event_type",), int_sum_cols=("w",),
+                             count_name="n")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": b["event_type"],
+                         "decayed_weight": b["w_sum"].cast(pa.int64()),
+                         "n": b["n"].cast(pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+EVENTS_DECAYED_SQL = f"""
+SELECT event_type,
+       CAST(SUM(CAST(1 AS BIGINT) << CAST(
+           (CAST(epoch_us(ts) AS BIGINT) - {_FUNNEL_BASE_US})
+             // {_US_PER_DAY} AS BIGINT)) AS BIGINT) AS decayed_weight,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+WHERE ts IS NOT NULL AND event_type IS NOT NULL
+GROUP BY event_type
+"""

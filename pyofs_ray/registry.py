@@ -1333,3 +1333,36 @@ SELECT cell_id, host, n_pages, CAST(rn AS BIGINT) AS rank FROM (
       PARTITION BY cell_id ORDER BY n_pages DESC, host ASC) AS rn
   FROM counts)
 WHERE rn <= {flagship.CELL_TOP_HOSTS_K}""")
+
+
+# ------------------------------------- hierarchical rollup + analytics (r4)
+from .pipelines import rollups  # noqa: E402
+
+register("orders_rollup_revenue", rollups.orders_rollup_revenue,
+         rollups.ORDERS_ROLLUP_SQL)
+register("events_funnel", rollups.events_funnel, rollups.EVENTS_FUNNEL_SQL)
+register("lineitem_qty_disc_corr", rollups.lineitem_qty_disc_corr,
+         rollups.LINEITEM_CORR_SQL)
+register("events_decayed_counts", rollups.events_decayed_counts,
+         rollups.EVENTS_DECAYED_SQL)
+
+
+# ------------------------------------------------------- co-citation (r4)
+from .stages import cocite  # noqa: E402
+
+
+def _link_cocitation(sf_dir: str):
+    n = _doc_count(sf_dir)
+    ids = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+    return cocite.cocitation_topk(ids, n)
+
+
+register("link_cocitation", _link_cocitation, cocite.cocitation_sql())
+
+
+# ------------------------------- percentile outliers + weighted sample (r4)
+register("doc_length_outliers", corpus.doc_length_outliers,
+         corpus.doc_length_outliers_sql())
+register("doc_weighted_sample", corpus.doc_weighted_sample,
+         corpus.doc_weighted_sample_sql())

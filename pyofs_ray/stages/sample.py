@@ -115,3 +115,35 @@ def stratified_hash_sample(ds: ray.data.Dataset, key_col: str,
         return b.filter(pa.array(keep))
 
     return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def weighted_hash_sample(ds: ray.data.Dataset, key_col: str,
+                         weight_col: str, cap: int, per_unit: int,
+                         salt: int = 0) -> ray.data.Dataset:
+    """Importance sampling with a per-ROW keep probability proportional to
+    an integer weight column (e.g. keep long documents more often when
+    balancing a corpus by content volume): keep iff
+    ``splitmix64(key ^ salt) % 2^20 < min(weight, cap) * per_unit``.
+
+    Exact-integer thresholds (``cap * per_unit`` must stay < 2^20 for a
+    true probability; at the cap the keep rate is ``cap*per_unit/2^20``).
+    Same draw as ``hash_sample`` — deterministic, coordination-free,
+    stable under re-partitioning and resume."""
+    den = 1 << 20
+    if cap * per_unit > den:
+        raise ValueError(
+            f"weighted_hash_sample: cap*per_unit = {cap * per_unit} "
+            f"exceeds the 2^20 draw range (keep rate would saturate)")
+
+    def filt(b: pa.Table) -> pa.Table:
+        k = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(k.view(np.uint64) ^ np.uint64(salt))
+        # NULL/negative weights drop the row, matching the SQL twin
+        # (NULL comparison and a negative threshold are both never-true)
+        w = pc.fill_null(b[weight_col], -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        thr = (np.clip(w, 0, cap) * per_unit).astype(np.uint64)
+        keep = ((h % np.uint64(den)) < thr) & (w >= 0)
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)

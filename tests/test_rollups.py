@@ -1,0 +1,114 @@
+"""Oracle-parity + semantic tests for the rollup / funnel / correlation /
+decayed-count / co-citation / weighted-sample additions (sf0.001)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyofs_ray.registry import ORACLES, QUERIES
+
+from .conftest import SF_SMOKE, assert_matches_oracle
+
+NEW = ["orders_rollup_revenue", "events_funnel", "lineitem_qty_disc_corr",
+       "events_decayed_counts", "link_cocitation", "doc_length_outliers",
+       "doc_weighted_sample"]
+
+
+@pytest.mark.parametrize("name", NEW)
+def test_new_oracles(name, duck_smoke):
+    assert_matches_oracle(QUERIES[name](SF_SMOKE), duck_smoke, ORACLES[name])
+
+
+def test_rollup_levels_consistent():
+    df = QUERIES["orders_rollup_revenue"](SF_SMOKE).to_pandas()
+    fine = df[df.r_name.notna() & df.n_name.notna()]
+    reg = df[df.r_name.notna() & df.n_name.isna()]
+    tot = df[df.r_name.isna()]
+    assert len(tot) == 1 and tot.n_name.isna().all()
+    # each region subtotal equals the sum of its nation rows (counts exact)
+    per_region = fine.groupby("r_name").order_count.sum()
+    for _, row in reg.iterrows():
+        assert row.order_count == per_region[row.r_name]
+    assert tot.order_count.iloc[0] == fine.order_count.sum()
+
+
+def test_funnel_bounds():
+    row = QUERIES["events_funnel"](SF_SMOKE).to_pandas().iloc[0]
+    assert 0 <= row.users_converted <= min(row.users_signup,
+                                           row.users_purchase)
+
+
+def test_corr_matches_numpy():
+    """The six-int-sum correlation equals np.corrcoef on the raw columns
+    (to float tolerance — the pipeline's claim is exactness vs the SQL
+    twin, this checks it is also the *right* statistic)."""
+    import duckdb
+
+    df = QUERIES["lineitem_qty_disc_corr"](SF_SMOKE).to_pandas()
+    con = duckdb.connect()
+    raw = con.sql(
+        f"SELECT l_returnflag, CAST(ROUND(l_quantity*100) AS BIGINT) qx, "
+        f"CAST(ROUND(l_discount*100) AS BIGINT) dx "
+        f"FROM read_parquet('{SF_SMOKE}/lineitem.parquet')").df()
+    for _, row in df.iterrows():
+        g = raw[raw.l_returnflag == row.l_returnflag]
+        expect = np.corrcoef(g.qx, g.dx)[0, 1]
+        assert abs(row.corr_qty_disc - expect) < 1e-9
+
+
+def test_cocitation_pair_kernel():
+    """_pair_rows enumerates exactly the within-target index pairs of a
+    mixed multi-segment input (including a duplicated source, which must
+    pair with others but not itself)."""
+    import pyarrow as pa
+
+    from pyofs_ray.stages.cocite import _pair_rows
+
+    g = pa.table({"dst": [7, 7, 7, 9, 9, 5],
+                  "src": [3, 1, 3, 2, 8, 4]})
+    out = _pair_rows(g).to_pandas()
+    pairs = sorted(zip(out.src_a, out.src_b))
+    # dst=7 has srcs {3,1,3}: pairs (1,3) twice, (3,3) excluded
+    # dst=9 has srcs {2,8}: pair (2,8); dst=5 single: none
+    assert pairs == [(1, 3), (1, 3), (2, 8)]
+
+
+def test_weighted_sample_monotone_in_weight():
+    """A row kept at weight w stays kept at any w' > w (same draw,
+    higher threshold) — the defining property of threshold sampling."""
+    import pyarrow as pa
+    import ray.data
+
+    from pyofs_ray.stages.sample import weighted_hash_sample
+
+    ids = np.arange(500, dtype=np.int64)
+    lo = ray.data.from_arrow(pa.table({"k": ids, "w": np.full(500, 100)}))
+    hi = ray.data.from_arrow(pa.table({"k": ids, "w": np.full(500, 900)}))
+    kept_lo = set(weighted_hash_sample(lo, "k", "w", cap=2000, per_unit=131)
+                  .to_pandas().k)
+    kept_hi = set(weighted_hash_sample(hi, "k", "w", cap=2000, per_unit=131)
+                  .to_pandas().k)
+    assert kept_lo <= kept_hi
+    assert len(kept_lo) < len(kept_hi)  # rate really grows with weight
+
+
+def test_weighted_sample_null_and_negative_drop():
+    import pyarrow as pa
+    import ray.data
+
+    from pyofs_ray.stages.sample import weighted_hash_sample
+
+    t = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "w": pa.array([None, -5, 2000], pa.int64())})
+    out = weighted_hash_sample(ray.data.from_arrow(t), "k", "w",
+                               cap=2000, per_unit=131).to_pandas()
+    assert set(out.k) <= {3}
+
+
+def test_length_outliers_are_strictly_above_threshold(duck_smoke):
+    out = QUERIES["doc_length_outliers"](SF_SMOKE).to_pandas()
+    n = duck_smoke.sql("SELECT COUNT(*) FROM documents").fetchone()[0]
+    # ≤ ~1% of the corpus + everything returned is above the min kept length
+    assert len(out) <= max(1, int(0.02 * n))
+    assert (out.n_chars > out.n_chars.min() - 1).all()
