@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "html_extract_text", "ann_topk_bbox", "host_authority",
     "host_quota_sample", "stations_within_radius", "redirect_resolution",
     "cell_top_hosts",
+    # round 4 late block 3: doc surprisal (shares the tf/df exchange)
+    "doc_token_surprisal",
 ]
 
 

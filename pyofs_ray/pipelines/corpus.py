@@ -582,6 +582,39 @@ SELECT doc_id, token, tf, df FROM ranked WHERE rn <= {DISTINCTIVE_K}
 """
 
 
+def doc_token_surprisal(sf_dir: str) -> ray.data.Dataset:
+    """Per-document integer surprisal ``Σ tf · bitlen(N // df)`` — the
+    corpus-statistics doc-quality score (PyOFS ranks fields against
+    dataset-wide statistics the same way; here the statistic is the
+    global document frequency). See `stages/tfidf.token_surprisal` for
+    the partials-only two-exchange shape."""
+    from ..stages.tfidf import token_surprisal
+    return token_surprisal(_docs(sf_dir), _docs_count(sf_dir))
+
+
+TOKEN_SURPRISAL_SQL = """
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE token <> '' GROUP BY doc_id, token
+), df AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+), w AS (
+  SELECT token, CAST(LENGTH(BIN(n.n // df.df)) AS BIGINT) AS w
+  FROM df CROSS JOIN n
+)
+SELECT tf.doc_id,
+       CAST(SUM(tf.tf * w.w) AS BIGINT) AS surprisal,
+       CAST(SUM(tf.tf) AS BIGINT) AS total_tf,
+       CAST(COUNT(*) AS BIGINT) AS n_terms
+FROM tf JOIN w USING (token)
+GROUP BY tf.doc_id
+"""
+
+
 def doc_clean(sf_dir: str) -> ray.data.Dataset:
     """Normalization + stopword-removal pass over the corpus (training-
     data prep: the transform every LLM pipeline runs before tokenization).

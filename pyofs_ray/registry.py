@@ -1001,6 +1001,8 @@ register("customer_running_revenue", relational.customer_running_revenue,
          relational.CUSTOMER_RUNNING_REVENUE_SQL)
 register("doc_distinctive_terms", corpus.doc_distinctive_terms,
          corpus.DISTINCTIVE_TERMS_SQL)
+register("doc_token_surprisal", corpus.doc_token_surprisal,
+         corpus.TOKEN_SURPRISAL_SQL)
 
 register("dedup_canonical_url", flagship.dedup_canonical_url, f"""
 {sqlgen.pages_prefix()},

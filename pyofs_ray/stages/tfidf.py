@@ -34,12 +34,19 @@ import ray.data
 from ..core.hashing import fnv1a64
 
 
-def distinctive_terms(docs: ray.data.Dataset, *, id_col: str = "doc_id",
-                      text_col: str = "text", k: int = 3,
-                      num_buckets: int = 64) -> ray.data.Dataset:
-    """Top-k distinctive whitespace tokens per document (tf DESC, df ASC,
-    token ASC). Output columns: ``doc_id, token, tf, df`` (exact int64
-    counts; no floats)."""
+def tf_df_exchange(docs: ray.data.Dataset, *, id_col: str = "doc_id",
+                   text_col: str = "text", num_buckets: int = 64,
+                   finish=None) -> ray.data.Dataset:
+    """The shared first exchange of the tf·idf family: ONE corpus scan
+    emitting per-batch (doc, token, tf) rows plus per-token df partials,
+    a token-hash bucket exchange, and — inside each bucket group — the
+    global df attached to the tf rows via vectorized ``pc.index_in``.
+
+    ``finish(t)`` (optional) maps the group's attached table
+    ``(doc_id, token, tf, df)`` to that group's output inside the SAME
+    map_groups call — use it to pre-reduce (e.g. per-doc partial sums)
+    without materializing the full (doc, token) row stream between
+    exchanges."""
 
     def tf_and_df_partials(b: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(b[text_col], r"\s+")
@@ -80,19 +87,33 @@ def distinctive_terms(docs: ray.data.Dataset, *, id_col: str = "doc_id",
         idx = pc.index_in(tf_rows["token"], value_set=df["token"].combine_chunks())
         if pc.any(pc.is_null(idx)).as_py():
             # every tf row's token has a df partial from its own batch
-            raise KeyError("distinctive_terms: token missing from the "
+            raise KeyError("tf_df_exchange: token missing from the "
                            "combined df map — bucket tags diverged")
-        doc = tf_rows["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({
+        out = pa.table({
             "doc_id": tf_rows["doc_id"],
             "token": tf_rows["token"],
             "tf": tf_rows["n"],
             "df": df["n_sum"].combine_chunks().cast(pa.int64()).take(idx),
-            "_b2": pa.array(doc % num_buckets),
         })
+        return finish(out) if finish is not None else out
 
-    with_df = tagged.groupby("_bucket").map_groups(
+    return tagged.groupby("_bucket").map_groups(
         attach_df, batch_format="pyarrow")
+
+
+def distinctive_terms(docs: ray.data.Dataset, *, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 3,
+                      num_buckets: int = 64) -> ray.data.Dataset:
+    """Top-k distinctive whitespace tokens per document (tf DESC, df ASC,
+    token ASC). Output columns: ``doc_id, token, tf, df`` (exact int64
+    counts; no floats)."""
+
+    def tag_doc_bucket(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_b2", pa.array(doc % num_buckets))
+
+    with_df = tf_df_exchange(docs, id_col=id_col, text_col=text_col,
+                             num_buckets=num_buckets, finish=tag_doc_bucket)
 
     def topk(g: pa.Table) -> pa.Table:
         doc = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -119,3 +140,56 @@ def distinctive_terms(docs: ray.data.Dataset, *, id_col: str = "doc_id",
         })
 
     return with_df.groupby("_b2").map_groups(topk, batch_format="pyarrow")
+
+
+# bitlen lookup: bitlen(q) = searchsorted([1,2,4,...], q, 'right') — exact
+# integer log2 floor + 1, no libm (the DuckDB twin uses LENGTH(BIN(q)))
+_POW2 = (np.uint64(1) << np.arange(63, dtype=np.uint64)).astype(np.int64)
+
+
+def token_surprisal(docs: ray.data.Dataset, n_docs: int, *,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    num_buckets: int = 64) -> ray.data.Dataset:
+    """Per-document integer surprisal: ``Σ_tokens tf · bitlen(N // df)``
+    — the pure-integer analogue of ``Σ tf·log2(N/df)`` (documents scoring
+    high are dominated by corpus-rare vocabulary; low scores mean
+    boilerplate). Transcendental-free so the DuckDB twin
+    (``LENGTH(BIN(n // df))``) is bit-exact.
+
+    Output: ``doc_id, surprisal, total_tf, n_terms`` (all int64).
+
+    Scale shape: the shared :func:`tf_df_exchange` token-bucket exchange,
+    with the per-doc PARTIAL sums computed inside each bucket group (a
+    doc's tokens span token buckets, so partials — not rows — flow into
+    the second exchange), then one `bucketed_group_agg` over doc_id.
+    Both exchanges carry pre-combined partials, never the raw (doc,
+    token) stream."""
+    from .agg import bucketed_group_agg
+
+    def per_doc_partials(t: pa.Table) -> pa.Table:
+        dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.searchsorted(_POW2, n_docs // dfv, side="right").astype(
+            np.int64)
+        part = pa.table({
+            "doc_id": t["doc_id"],
+            "s": pa.array(tf * w),
+            "t": pa.array(tf),
+            "one": pa.array(np.ones(len(tf), np.int64)),
+        })
+        g = part.group_by("doc_id").aggregate(
+            [("s", "sum"), ("t", "sum"), ("one", "sum")])
+        return pa.table({
+            "doc_id": g["doc_id"],
+            "s": g["s_sum"].combine_chunks().cast(pa.int64()),
+            "t": g["t_sum"].combine_chunks().cast(pa.int64()),
+            "one": g["one_sum"].combine_chunks().cast(pa.int64()),
+        })
+
+    partials = tf_df_exchange(docs, id_col=id_col, text_col=text_col,
+                              num_buckets=num_buckets,
+                              finish=per_doc_partials)
+    return bucketed_group_agg(
+        partials, keys=("doc_id",),
+        aggs=(("s", "sum", "surprisal"), ("t", "sum", "total_tf"),
+              ("one", "sum", "n_terms")))

@@ -9,7 +9,7 @@ import pyarrow as pa
 import ray.data
 
 from pyofs_ray.pipelines import corpus
-from pyofs_ray.stages.tfidf import distinctive_terms
+from pyofs_ray.stages.tfidf import distinctive_terms, token_surprisal
 
 from .conftest import SF_SMOKE, assert_matches_oracle
 
@@ -54,3 +54,24 @@ def test_df_combines_across_blocks():
     # rarest-first: each doc ranks its unique qN token before shared z
     first = out.groupby("doc_id").head(1)
     assert all(first.token.str.startswith("q"))
+
+
+def test_token_surprisal_oracle(duck_smoke):
+    assert_matches_oracle(corpus.doc_token_surprisal(SF_SMOKE),
+                          duck_smoke, corpus.TOKEN_SURPRISAL_SQL)
+
+
+def test_token_surprisal_hand_values():
+    # N=4 docs. df: a=4 (w=bitlen(4//4=1)=1), b=2 (w=bitlen(2)=2),
+    # u0..u3 unique df=1 (w=bitlen(4)=3).
+    texts = ["a a b u0", "a b u1", "a u2", "a u3 u3 u3"]
+    tbl = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                    "text": pa.array(texts)})
+    out = (token_surprisal(ray.data.from_arrow(tbl).repartition(3), 4,
+                           num_buckets=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # doc0: 2·1 + 1·2 + 1·3 = 7; doc1: 1+2+3 = 6; doc2: 1+3 = 4;
+    # doc3: 1 + 3·3 = 10
+    assert list(out.surprisal) == [7, 6, 4, 10]
+    assert list(out.total_tf) == [4, 3, 2, 4]
+    assert list(out.n_terms) == [3, 3, 2, 2]
