@@ -1159,8 +1159,16 @@ def _link_indegree(sf_dir: str):
     return linkgraph.indegree_stats(ids, n)
 
 
+def _link_triangles(sf_dir: str):
+    n = _doc_count(sf_dir)
+    ids = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+    return linkgraph.triangle_counts(ids, n)
+
+
 register("link_pagerank", _link_pagerank, linkgraph.pagerank_sql())
 register("link_indegree", _link_indegree, linkgraph.indegree_sql())
+register("link_triangles", _link_triangles, linkgraph.triangles_sql())
 
 
 # ------------------------------------------------- inverted index (r4)

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from .agg import bucketed_group_agg, bucketed_int64_group_sum
@@ -121,6 +122,128 @@ def indegree_stats(doc_ids: ray.data.Dataset, n_nodes: int,
         ["node"],
         [("one", "sum", "in_degree"), ("src", "min", "min_src")],
         num_buckets=num_buckets)
+
+
+def _pair_bucket(b: np.ndarray, c: np.ndarray, num_buckets: int
+                 ) -> np.ndarray:
+    """Bucket tag for an (int64, int64) edge key — same mix on both the
+    edge and wedge sides so matching pairs land in the same group."""
+    from ..core.hashing import splitmix64
+    h = splitmix64(b.view(np.uint64) ^ splitmix64(c.view(np.uint64)))
+    return ((h >> np.uint64(3)) % np.uint64(num_buckets)).astype(np.int64)
+
+
+def triangle_counts(doc_ids: ray.data.Dataset, n_nodes: int,
+                    id_col: str = "doc_id",
+                    num_buckets: int = 64) -> ray.data.Dataset:
+    """Per-node triangle participation over the undirected link graph
+    (the clustering-coefficient numerator): for every triangle a<b<c each
+    vertex's count increments. Nodes in no triangle are absent (GROUP BY
+    semantics).
+
+    Scale shape — THREE bucket exchanges, never an all-pairs step:
+
+    1. ``u``-bucket exchange: dedupe the (u<v)-oriented edges AND
+       enumerate wedges ``(a,b,c) = (u, v_i, v_j)`` per source segment in
+       the SAME group call (vectorized rank/repeat kernel; wedge count
+       per node is ``deg·(deg-1)/2``, bounded by the generator's ≤8
+       incident edges — the general-graph guard is degree-ordered
+       orientation, which this orientation approximates on the
+       near-regular generator graph).
+    2. (b,c)-pair-hash exchange carrying BOTH deduped edges (side 0) and
+       wedges (side 1): per group, one Acero multi-key semi-join closes
+       the wedges; matched triangles flat-expand to 3 (node, 1) rows.
+    3. node-keyed `bucketed_int64_group_sum` for the counts.
+    """
+
+    def edges_and_wedges(b: pa.Table) -> pa.Table:
+        node = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        src, dst, _ = _out_edges(node, n_nodes)
+        u = np.minimum(src, dst)
+        v = np.maximum(src, dst)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        t = (pa.table({"u": pa.array(u), "v": pa.array(v)})
+             .group_by(["u", "v"]).aggregate([]))  # per-batch dedupe
+        uu = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"u": t["u"], "v": t["v"],
+                         "_bucket": pa.array(uu % num_buckets)})
+
+    tagged = doc_ids.map_batches(edges_and_wedges, batch_format="pyarrow")
+
+    def dedupe_and_wedge(g: pa.Table) -> pa.Table:
+        u = g["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = g["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        if len(u):
+            first = np.empty(len(u), bool)
+            first[0] = True
+            first[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+            u, v = u[first], v[first]
+        n = len(u)
+        # segment ranks within each u run (v ascending → emitted b < c)
+        new = np.empty(n, bool)
+        if n:
+            new[0] = True
+            new[1:] = u[1:] != u[:-1]
+        pos = np.arange(n, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(new, pos, -1))
+        r = pos - seg_start
+        # each position j pairs with the r[j] earlier members of its run
+        rep = np.repeat(pos, r)
+        cum = np.concatenate([[0], np.cumsum(r)])
+        i_local = np.arange(len(rep), dtype=np.int64) - np.repeat(cum[:-1], r)
+        first_idx = np.repeat(seg_start, r) + i_local
+        wb, wc, wa = v[first_idx], v[rep], u[rep]
+        out_b = np.concatenate([u, wb])
+        out_c = np.concatenate([v, wc])
+        out_a = np.concatenate([np.full(n, -1, np.int64), wa])
+        side = np.r_[np.zeros(n, np.int8), np.ones(len(wa), np.int8)]
+        return pa.table({
+            "b": pa.array(out_b), "c": pa.array(out_c),
+            "a": pa.array(out_a), "_side": pa.array(side),
+            "_b2": pa.array(_pair_bucket(out_b, out_c, num_buckets)),
+        })
+
+    mixed = tagged.groupby("_bucket").map_groups(
+        dedupe_and_wedge, batch_format="pyarrow")
+
+    def close_wedges(g: pa.Table) -> pa.Table:
+        is_edge = pc.equal(g["_side"], pa.scalar(0, pa.int8()))
+        edges = g.filter(is_edge).select(["b", "c"])
+        wedges = g.filter(pc.invert(is_edge)).select(["a", "b", "c"])
+        tri = wedges.join(edges, keys=["b", "c"], join_type="left semi")
+        node = pa.concat_arrays([tri["a"].combine_chunks(),
+                                 tri["b"].combine_chunks(),
+                                 tri["c"].combine_chunks()])
+        return pa.table({"node": node,
+                         "one": pa.array(np.ones(len(node), np.int64))})
+
+    counted = mixed.groupby("_b2").map_groups(
+        close_wedges, batch_format="pyarrow")
+    out = bucketed_int64_group_sum(counted, "node", ["one"],
+                                   num_buckets=num_buckets)
+    return out.map_batches(
+        lambda t: pa.table({"node": t["node"], "triangles": t["one"]}),
+        batch_format="pyarrow")
+
+
+def triangles_sql(table: str = "documents", id_col: str = "doc_id") -> str:
+    return f"""WITH {edges_cte(table, id_col)},
+und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        FROM edges WHERE src <> dst),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+) GROUP BY node"""
 
 
 # ------------------------------------------------------------------ SQL twins

@@ -84,9 +84,36 @@ def test_indegree_vs_brute():
 def test_link_queries_oracle(duck_smoke):
     from tests.conftest import SF_SMOKE, assert_matches_oracle
     from pyofs_ray.registry import ORACLES, QUERIES
-    for name in ("link_pagerank", "link_indegree"):
+    for name in ("link_pagerank", "link_indegree", "link_triangles"):
         assert_matches_oracle(QUERIES[name](SF_SMOKE), duck_smoke,
                               ORACLES[name])
+
+
+def test_triangles_vs_brute():
+    # brute-force all undirected edges, enumerate triangles with three
+    # nested membership tests, compare per-node participation counts
+    n = 300
+    node = np.arange(n, dtype=np.int64)
+    src_rep, dst, _ = lg._out_edges(node, n)
+    u = np.minimum(src_rep, dst)
+    v = np.maximum(src_rep, dst)
+    keep = u != v
+    pairs = set(zip(u[keep].tolist(), v[keep].tolist()))
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+    want = {}
+    for a, nbrs in adj.items():
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                if (ns[i], ns[j]) in pairs:
+                    for x in (a, ns[i], ns[j]):
+                        want[x] = want.get(x, 0) + 1
+    got = (lg.triangle_counts(_ids_ds(n, blocks=5), n)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert dict(zip(got.node, got.triangles)) == want
+    assert sum(want.values()) % 3 == 0 and sum(want.values()) > 0
 
 
 def test_redirect_resolution_terminals():
