@@ -63,8 +63,9 @@ BENCH_QUERIES = [
     "html_extract_text", "ann_topk_bbox", "host_authority",
     "host_quota_sample", "stations_within_radius", "redirect_resolution",
     "cell_top_hosts",
-    # round 4 late block 3: doc surprisal (shares the tf/df exchange)
-    "doc_token_surprisal",
+    # round 4 late block 3: doc surprisal (shares the tf/df exchange),
+    # exact grouped quantiles
+    "doc_token_surprisal", "events_value_quantiles",
 ]
 
 

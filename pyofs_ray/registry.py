@@ -1171,6 +1171,20 @@ register("link_indegree", _link_indegree, linkgraph.indegree_sql())
 register("link_triangles", _link_triangles, linkgraph.triangles_sql())
 
 
+# -------------------------------------------- exact grouped quantiles (r4)
+from .stages import quantile  # noqa: E402
+
+
+def _events_value_quantiles(sf_dir: str):
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "value"])
+    return quantile.grouped_low_quantiles(ev, "user_id", "value")
+
+
+register("events_value_quantiles", _events_value_quantiles,
+         quantile.grouped_low_quantiles_sql("events", "user_id", "value"))
+
+
 # ------------------------------------------------- inverted index (r4)
 from .stages import postings  # noqa: E402
 from .sources.pages import pages_dataset  # noqa: E402

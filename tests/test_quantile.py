@@ -1,0 +1,61 @@
+"""Exact grouped low-quantiles: hand-computed selections (ties, repeated
+values, single-row groups), cross-block partial-histogram combining, and
+oracle parity at smoke scale."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from pyofs_ray.stages.quantile import (grouped_low_quantiles,
+                                       grouped_low_quantiles_sql)
+
+from .conftest import SF_SMOKE, assert_matches_oracle
+from pyofs_ray.registry import QUERIES
+
+
+def _run(keys, vals, blocks=3):
+    tbl = pa.table({"k": pa.array(keys, pa.int64()),
+                    "v": pa.array(vals, pa.float64())})
+    ds = ray.data.from_arrow(tbl).repartition(blocks)
+    out = grouped_low_quantiles(ds, "k", "v").to_pandas()
+    return out.sort_values("k").reset_index(drop=True)
+
+
+def test_hand_values_with_ties():
+    # group 1: values 1..4 → n=4; p25: 4cc>=n at v=1; median: 2cc>=4 at
+    # v=2; p75: 4cc>=12 at v=3. group 2: all-equal values — every
+    # quantile is that value. group 3: single row.
+    keys = [1, 1, 1, 1, 2, 2, 2, 3]
+    vals = [4.0, 1.0, 3.0, 2.0, 7.5, 7.5, 7.5, -1.25]
+    out = _run(keys, vals)
+    assert list(out.k) == [1, 2, 3]
+    assert list(out.n) == [4, 3, 1]
+    assert list(out.p25) == [1.0, 7.5, -1.25]
+    assert list(out["median"]) == [2.0, 7.5, -1.25]
+    assert list(out.p75) == [3.0, 7.5, -1.25]
+
+
+def test_low_median_even_count_never_interpolates():
+    # n=2 with values 10, 20: low median selects 10 (2*cc >= n at the
+    # first value) — never 15.0
+    out = _run([5, 5], [20.0, 10.0], blocks=2)
+    assert list(out["median"]) == [10.0]
+
+
+def test_partials_combine_across_blocks():
+    # the same (key, value) pair repeated across many blocks must merge
+    # its partial counts: 7 copies of v=1 and 3 of v=2 → median 1
+    keys = [9] * 10
+    vals = [1.0] * 7 + [2.0] * 3
+    out = _run(keys, vals, blocks=5)
+    assert list(out.n) == [10]
+    assert list(out["median"]) == [1.0]
+    assert list(out.p75) == [2.0]
+
+
+def test_events_value_quantiles_oracle(duck_smoke):
+    assert_matches_oracle(
+        QUERIES["events_value_quantiles"](SF_SMOKE), duck_smoke,
+        grouped_low_quantiles_sql("events", "user_id", "value"))
