@@ -295,3 +295,66 @@ FROM events
 WHERE ts IS NOT NULL AND event_type IS NOT NULL
 GROUP BY event_type
 """
+
+
+# -------------------------------------------------- retention cohorts
+def events_retention_cohorts(sf_dir: str) -> ray.data.Dataset:
+    """Cohort retention matrix: users grouped by the day of their FIRST
+    event (the cohort), counted as active per whole-day offset since —
+    the canonical product-analytics rollup (and the temporal analogue of
+    the reference's per-pass coverage audits: membership derived from
+    each key's earliest record).
+
+    Scale shape — four exchanges, all key-bucketed, no driver state:
+    day-index map → `bucketed_group_agg` min per user (first day) →
+    `bucketed_hash_join` back onto the event stream (both sides keyed
+    user_id) → exact (user, cohort, offset) DISTINCT via a second
+    `bucketed_group_agg` (one output row per triple, immune to Ray
+    slicing a group's output across blocks) → small (cohort, offset)
+    count. All int64 day arithmetic (µs // day on non-negative epochs),
+    bit-exact vs the twin."""
+    from ..stages.join import bucketed_hash_join
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def days(b: pa.Table) -> pa.Table:
+        d = pc.divide(b["ts"].cast(pa.int64()),
+                      pa.scalar(_US_PER_DAY, pa.int64()))
+        return pa.table({"user_id": b["user_id"].cast(pa.int64()), "d": d})
+
+    dd = ev.map_batches(days, batch_format="pyarrow")
+    firsts = bucketed_group_agg(dd, ["user_id"], [("d", "min", "f")])
+    joined = bucketed_hash_join(dd, firsts, key="user_id")
+
+    def triple(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "cohort_day": b["f"],
+            "days_since": pc.subtract(b["d"], b["f"]),
+        })
+
+    tri = joined.map_batches(triple, batch_format="pyarrow")
+    distinct = bucketed_group_agg(
+        tri, ["user_id", "cohort_day", "days_since"],
+        [("user_id", "min", "_x")])
+    agg = two_stage_cell_agg(distinct, keys=("cohort_day", "days_since"),
+                             int_sum_cols=(), count_name="n_users")
+    return agg.map_batches(
+        lambda t: t.select(["cohort_day", "days_since", "n_users"]),
+        batch_format="pyarrow")
+
+
+EVENTS_RETENTION_SQL = f"""
+WITH d AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) // {_US_PER_DAY} AS d
+  FROM events
+), f AS (
+  SELECT user_id, MIN(d) AS f FROM d GROUP BY user_id
+), tri AS (
+  SELECT DISTINCT d.user_id, f.f AS cohort_day, d.d - f.f AS days_since
+  FROM d JOIN f USING (user_id)
+)
+SELECT cohort_day, days_since, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM tri GROUP BY cohort_day, days_since
+"""

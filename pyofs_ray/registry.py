@@ -1369,6 +1369,8 @@ register("lineitem_qty_disc_corr", rollups.lineitem_qty_disc_corr,
          rollups.LINEITEM_CORR_SQL)
 register("events_decayed_counts", rollups.events_decayed_counts,
          rollups.EVENTS_DECAYED_SQL)
+register("events_retention_cohorts", rollups.events_retention_cohorts,
+         rollups.EVENTS_RETENTION_SQL)
 
 
 # ------------------------------------------------------- co-citation (r4)

@@ -12,7 +12,7 @@ from .conftest import SF_SMOKE, assert_matches_oracle
 
 NEW = ["orders_rollup_revenue", "events_funnel", "lineitem_qty_disc_corr",
        "events_decayed_counts", "link_cocitation", "doc_length_outliers",
-       "doc_weighted_sample"]
+       "doc_weighted_sample", "events_retention_cohorts"]
 
 
 @pytest.mark.parametrize("name", NEW)
@@ -31,6 +31,18 @@ def test_rollup_levels_consistent():
     for _, row in reg.iterrows():
         assert row.order_count == per_region[row.r_name]
     assert tot.order_count.iloc[0] == fine.order_count.sum()
+
+
+def test_retention_day0_equals_cohort_size():
+    df = QUERIES["events_retention_cohorts"](SF_SMOKE).to_pandas()
+    # every user is active on their first day, so day-0 rows exist per
+    # cohort and bound every later offset of that cohort
+    day0 = df[df.days_since == 0].set_index("cohort_day").n_users
+    assert (df.days_since >= 0).all()
+    assert set(df.cohort_day) == set(day0.index)
+    later = df[df.days_since > 0]
+    assert (later.n_users.to_numpy()
+            <= day0.loc[later.cohort_day].to_numpy()).all()
 
 
 def test_funnel_bounds():
