@@ -345,6 +345,65 @@ def events_retention_cohorts(sf_dir: str) -> ray.data.Dataset:
         batch_format="pyarrow")
 
 
+WAU_WINDOW = 7  # trailing days per window
+
+
+def events_rolling_active_users(sf_dir: str,
+                                window: int = WAU_WINDOW
+                                ) -> ray.data.Dataset:
+    """Rolling distinct active users (WAU): for every day, the number of
+    distinct users with ≥1 event in the trailing ``window`` days — the
+    rolling COUNT DISTINCT that naive windowing cannot pre-aggregate
+    (distincts don't sum across days).
+
+    Scale shape: distinct (user, day) FIRST (bucketed — collapses each
+    user's intra-day events before any expansion), then a ``window``-fold
+    flat expansion ``day+j``, a second bucketed distinct over the
+    expanded pairs (a user active on several days inside one window must
+    count once), and a small per-day count. Rows exchanged are bounded
+    by ``window × active-user-days``, never raw events."""
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def days(b: pa.Table) -> pa.Table:
+        d = pc.divide(b["ts"].cast(pa.int64()),
+                      pa.scalar(_US_PER_DAY, pa.int64()))
+        return pa.table({"user_id": b["user_id"].cast(pa.int64()), "d": d})
+
+    ud = bucketed_group_agg(
+        ev.map_batches(days, batch_format="pyarrow"),
+        ["user_id", "d"], [("d", "min", "_x")])
+
+    def expand(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = np.tile(np.arange(window, dtype=np.int64), len(u))
+        return pa.table({"user_id": pa.array(np.repeat(u, window)),
+                         "day": pa.array(np.repeat(d, window) + j)})
+
+    pairs = bucketed_group_agg(
+        ud.map_batches(expand, batch_format="pyarrow"),
+        ["user_id", "day"], [("day", "min", "_x")])
+    agg = two_stage_cell_agg(pairs, keys=("day",), int_sum_cols=(),
+                             count_name="wau")
+    return agg.map_batches(lambda t: t.select(["day", "wau"]),
+                           batch_format="pyarrow")
+
+
+EVENTS_WAU_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) AS BIGINT) // {_US_PER_DAY} AS d
+  FROM events
+), js AS (
+  SELECT UNNEST([{", ".join(f"CAST({j} AS BIGINT)" for j in range(WAU_WINDOW))}]) AS j
+), exp AS (
+  SELECT DISTINCT user_id, d + js.j AS day FROM ud CROSS JOIN js
+)
+SELECT day, CAST(COUNT(*) AS BIGINT) AS wau FROM exp GROUP BY day
+"""
+
+
 EVENTS_RETENTION_SQL = f"""
 WITH d AS (
   SELECT user_id, CAST(epoch_us(ts) AS BIGINT) // {_US_PER_DAY} AS d

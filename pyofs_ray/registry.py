@@ -1371,6 +1371,8 @@ register("events_decayed_counts", rollups.events_decayed_counts,
          rollups.EVENTS_DECAYED_SQL)
 register("events_retention_cohorts", rollups.events_retention_cohorts,
          rollups.EVENTS_RETENTION_SQL)
+register("events_rolling_active_users", rollups.events_rolling_active_users,
+         rollups.EVENTS_WAU_SQL)
 
 
 # ------------------------------------------------------- co-citation (r4)

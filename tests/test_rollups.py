@@ -12,7 +12,8 @@ from .conftest import SF_SMOKE, assert_matches_oracle
 
 NEW = ["orders_rollup_revenue", "events_funnel", "lineitem_qty_disc_corr",
        "events_decayed_counts", "link_cocitation", "doc_length_outliers",
-       "doc_weighted_sample", "events_retention_cohorts"]
+       "doc_weighted_sample", "events_retention_cohorts",
+       "events_rolling_active_users"]
 
 
 @pytest.mark.parametrize("name", NEW)
@@ -43,6 +44,21 @@ def test_retention_day0_equals_cohort_size():
     later = df[df.days_since > 0]
     assert (later.n_users.to_numpy()
             <= day0.loc[later.cohort_day].to_numpy()).all()
+
+
+def test_wau_dominates_dau():
+    import duckdb
+    wau = (QUERIES["events_rolling_active_users"](SF_SMOKE).to_pandas()
+           .set_index("day").wau)
+    dau = duckdb.sql(
+        f"SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day, "
+        f"CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau "
+        f"FROM read_parquet('{SF_SMOKE}/events.parquet') GROUP BY 1"
+    ).df().set_index("day").dau
+    # a trailing-7-day distinct count is bounded below by that day's DAU
+    common = dau.index.intersection(wau.index)
+    assert len(common) > 0
+    assert (wau.loc[common] >= dau.loc[common]).all()
 
 
 def test_funnel_bounds():
