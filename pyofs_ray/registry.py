@@ -211,6 +211,22 @@ FROM documents GROUP BY md5(text)""",
 from .core import sqlgen_dedup  # noqa: E402
 
 register("ann_topk", corpus.ann_topk, corpus.ANN_TOPK_SQL)
+
+
+def _embedding_dim_ranges(sf_dir: str):
+    from .stages import ann as _ann
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["embedding"])
+    return _ann.embedding_dim_ranges(ds)
+
+
+def _embedding_dim_ranges_sql() -> str:
+    from .stages.ann import EMBEDDING_DIM_RANGES_SQL
+    return EMBEDDING_DIM_RANGES_SQL
+
+
+register("embedding_dim_ranges", _embedding_dim_ranges,
+         _embedding_dim_ranges_sql())
 register_recall_gated("ann_topk_lsh", corpus.ann_topk_lsh,
                       baseline="ann_topk", tau=0.6)
 register("minhash_pairs", corpus.minhash_pairs,

@@ -636,3 +636,50 @@ def embedding_dup_pairs_ivf(ds: ray.data.Dataset, threshold: float = 0.95,
         rows_hint=corpus_rows * assign_probes)
     # no materialize here: the verify dedupes then materializes once
     return _verify_cosine_pairs(cand, ds, threshold, force_distributed)
+
+
+def embedding_dim_ranges(ds: ray.data.Dataset,
+                         num_buckets: int | None = None
+                         ) -> ray.data.Dataset:
+    """Per-dimension value ranges over an embedding column — the
+    normalization / feature-drift audit (are any dimensions saturated,
+    constant, or out of the expected band?).
+
+    min/max are SELECTIONS of existing float32 values (no arithmetic),
+    so the result is bit-identical to the DuckDB twin. Each batch
+    collapses to D partial rows (D = embedding width) before the single
+    dim-keyed exchange — exchange volume is D × blocks, independent of
+    row count."""
+    from .agg import bucketed_group_agg
+
+    def partials(b: pa.Table) -> pa.Table:
+        arr = b["embedding"].combine_chunks() \
+            if isinstance(b["embedding"], pa.ChunkedArray) else b["embedding"]
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        m = flat.reshape(len(arr), -1)  # keep float32: selection only
+        d = m.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+            "vmin": pa.array(m.min(axis=0)),
+            "vmax": pa.array(m.max(axis=0)),
+            "n_vals": pa.array(np.full(d, len(arr), np.int64)),
+        })
+
+    return bucketed_group_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["dim"],
+        [("vmin", "min", "vmin"), ("vmax", "max", "vmax"),
+         ("n_vals", "sum", "n_vals")],
+        num_buckets=num_buckets)
+
+
+EMBEDDING_DIM_RANGES_SQL = """
+WITH flat AS (
+  SELECT UNNEST(embedding) AS v,
+         UNNEST(range(1, len(embedding) + 1)) AS dim
+  FROM embeddings
+)
+SELECT dim, MIN(v) AS vmin, MAX(v) AS vmax,
+       CAST(COUNT(*) AS BIGINT) AS n_vals
+FROM flat GROUP BY dim
+"""

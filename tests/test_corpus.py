@@ -19,7 +19,8 @@ from .conftest import SF_SMOKE, assert_matches_oracle
                                   "top_tokens", "host_stats",
                                   "ngram_jaccard_pairs",
                                   "split_contamination", "doc_repetition",
-                                  "corpus_lang_report"])
+                                  "corpus_lang_report",
+                                  "embedding_dim_ranges"])
 def test_corpus_oracle(name, duck_smoke):
     assert_matches_oracle(QUERIES[name](SF_SMOKE), duck_smoke, ORACLES[name])
 
@@ -879,3 +880,15 @@ def test_jaccard_blob_batch_matches_scalar():
     assert np.array_equal(got, np.array(want))
     assert len(dedup.jaccard_blob_batch(np.array([], object),
                                         np.array([], object))) == 0
+
+
+def test_embedding_dim_ranges_cross_block():
+    # known per-dim extremes split across blocks; float32 selection only
+    rows = [[1.5, -2.0], [0.25, 7.0], [-9.0, 0.5], [3.0, 3.0]]
+    tbl = pa.table({"embedding": pa.array(rows, pa.list_(pa.float32()))})
+    out = (ann.embedding_dim_ranges(ray.data.from_arrow(tbl).repartition(4))
+           .to_pandas().sort_values("dim").reset_index(drop=True))
+    assert list(out.dim) == [1, 2]
+    assert list(out.vmin) == [-9.0, -2.0]
+    assert list(out.vmax) == [3.0, 7.0]
+    assert list(out.n_vals) == [4, 4]
