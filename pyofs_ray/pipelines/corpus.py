@@ -615,6 +615,71 @@ GROUP BY tf.doc_id
 """
 
 
+# ------------------------------------------------- boilerplate prefixes
+PREFIX_K = 48        # chars of shared head that define a cluster
+PREFIX_SEED_MOD = 5  # every 5th doc gets a same-prefix copy injected
+
+
+def doc_prefix_clusters(sf_dir: str, k: int = PREFIX_K) -> ray.data.Dataset:
+    """Boilerplate-prefix clustering: documents sharing their first ``k``
+    characters (template pages, mirrored headers — the cheap precursor to
+    MinHash when dup pages share a generated preamble). The dup-free
+    fixture would make this vacuous, so — like `dedup_canonical_url` —
+    the query SEEDS deterministic same-prefix copies (every
+    ``PREFIX_SEED_MOD``-th doc, new id ``doc_id + N``, a changed tail)
+    inside both the Ray pipeline and the SQL twin.
+
+    Scale shape: prefix extraction + seed expansion per batch, ONE
+    string-keyed `bucketed_group_agg` (count + min id), cluster filter.
+    Output rows are cluster-bounded."""
+    from ..stages.agg import bucketed_group_agg
+
+    n = _docs_count(sf_dir)
+    ds = _docs(sf_dir)
+
+    def seed_and_prefix(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        copies = b.filter(pa.array(did % PREFIX_SEED_MOD == 0))
+        all_ids = pa.concat_arrays([
+            b["doc_id"].combine_chunks().cast(pa.int64()),
+            pa.array(copies["doc_id"].to_numpy(zero_copy_only=False)
+                     .astype(np.int64) + n)])
+        all_text = pa.concat_arrays([
+            b["text"].combine_chunks(),
+            pc.binary_join_element_wise(
+                copies["text"].combine_chunks(), " copytail",
+                null_handling="skip")])
+        prefix = pc.utf8_slice_codeunits(all_text, 0, k)
+        return pa.table({
+            "prefix": prefix, "doc_id": all_ids,
+            "one": pa.array(np.ones(len(all_ids), np.int64)),
+        })
+
+    agg = bucketed_group_agg(
+        ds.map_batches(seed_and_prefix, batch_format="pyarrow"),
+        ["prefix"],
+        [("one", "sum", "n_docs"), ("doc_id", "min", "min_doc")])
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_docs"], 2)),
+        batch_format="pyarrow")
+
+
+DOC_PREFIX_CLUSTERS_SQL = f"""
+WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+alldocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + nn.n, text || ' copytail'
+  FROM documents CROSS JOIN nn WHERE doc_id % {PREFIX_SEED_MOD} = 0
+)
+SELECT SUBSTR(text, 1, {PREFIX_K}) AS prefix,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc
+FROM alldocs
+GROUP BY 1 HAVING COUNT(*) >= 2
+"""
+
+
 def doc_clean(sf_dir: str) -> ray.data.Dataset:
     """Normalization + stopword-removal pass over the corpus (training-
     data prep: the transform every LLM pipeline runs before tokenization).

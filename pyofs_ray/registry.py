@@ -1019,6 +1019,8 @@ register("doc_distinctive_terms", corpus.doc_distinctive_terms,
          corpus.DISTINCTIVE_TERMS_SQL)
 register("doc_token_surprisal", corpus.doc_token_surprisal,
          corpus.TOKEN_SURPRISAL_SQL)
+register("doc_prefix_clusters", corpus.doc_prefix_clusters,
+         corpus.DOC_PREFIX_CLUSTERS_SQL)
 
 register("dedup_canonical_url", flagship.dedup_canonical_url, f"""
 {sqlgen.pages_prefix()},

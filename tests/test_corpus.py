@@ -892,3 +892,19 @@ def test_embedding_dim_ranges_cross_block():
     assert list(out.vmin) == [-9.0, -2.0]
     assert list(out.vmax) == [3.0, 7.0]
     assert list(out.n_vals) == [4, 4]
+
+
+def test_doc_prefix_clusters_oracle(duck_smoke):
+    from pyofs_ray.pipelines.corpus import (doc_prefix_clusters,
+                                            DOC_PREFIX_CLUSTERS_SQL)
+    assert_matches_oracle(doc_prefix_clusters(SF_SMOKE), duck_smoke,
+                          DOC_PREFIX_CLUSTERS_SQL)
+
+
+def test_doc_prefix_clusters_seeds_cluster_iff_long_enough():
+    from pyofs_ray.pipelines.corpus import doc_prefix_clusters, PREFIX_K
+    out = doc_prefix_clusters(SF_SMOKE).to_pandas()
+    assert len(out) > 0 and (out.n_docs >= 2).all()
+    # a cluster can only form when the shared head fills the full k chars
+    # (shorter docs diverge at the appended tail)
+    assert (out.prefix.str.len() == PREFIX_K).all()
