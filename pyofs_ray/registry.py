@@ -1393,6 +1393,21 @@ register("events_rolling_active_users", rollups.events_rolling_active_users,
          rollups.EVENTS_WAU_SQL)
 
 
+def _events_modal_type(sf_dir: str):
+    from .stages.agg import grouped_mode
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+    return grouped_mode(ev, "user_id", "event_type")
+
+
+def _events_modal_type_sql() -> str:
+    from .stages.agg import grouped_mode_sql
+    return grouped_mode_sql("events", "user_id", "event_type")
+
+
+register("events_modal_type", _events_modal_type, _events_modal_type_sql())
+
+
 # ------------------------------------------------------- co-citation (r4)
 from .stages import cocite  # noqa: E402
 

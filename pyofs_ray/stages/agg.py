@@ -220,3 +220,74 @@ def add_mean_column(batch: pa.Table, sum_col: str, count_col: str, out: str) -> 
     deterministic (single IEEE division, no float accumulation)."""
     mean = pc.divide(pc.cast(batch[sum_col], pa.float64()), pc.cast(batch[count_col], pa.float64()))
     return batch.append_column(out, mean)
+
+
+def grouped_mode(ds: ray.data.Dataset, key: str, value_col: str,
+                 num_buckets: int | None = None) -> ray.data.Dataset:
+    """Per-``key`` modal value with a deterministic tie-break (count DESC,
+    value ASC) — the categorical analogue of `grouped_low_quantiles`
+    (PyOFS reduces per-cell fields to representative values the same
+    way; here the representative is the most frequent category).
+
+    Output: ``key, mode, mode_count`` (value dtype preserved).
+
+    Scale shape: per-batch partial (key, value) counts compress each
+    block before ONE key-hash bucket exchange; the per-bucket finish
+    combines partials and picks each key's argmax with a vectorized
+    lexsort + segment-head kernel. Exchange payload is bounded by
+    distinct (key, value) pairs per block, never raw rows."""
+    if num_buckets is None:
+        import ray as _ray
+        cpus = int(_ray.cluster_resources().get("CPU", 8)) \
+            if _ray.is_initialized() else 8
+        num_buckets = max(8, cpus)
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = (b.select([key, value_col]).group_by([key, value_col])
+             .aggregate([(value_col, "count")]))
+        k = h[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "k": h[key].cast(pa.int64()),
+            "v": h[value_col],
+            "c": h[f"{value_col}_count"].combine_chunks().cast(pa.int64()),
+            "_bucket": pa.array(k % num_buckets),
+        })
+
+    def finish(g: pa.Table) -> pa.Table:
+        gg = g.select(["k", "v", "c"]).group_by(["k", "v"]).aggregate(
+            [("c", "sum")])
+        k = gg["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = gg["c_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        varr = gg["v"].combine_chunks()
+        # order: key ASC, count DESC, value ASC → first row per key wins.
+        # value sorts in C as fixed-width '<U'/native (code-point order ==
+        # DuckDB binary collation on ASCII vocabularies; ints are native)
+        v_np = varr.to_numpy(zero_copy_only=False)
+        if v_np.dtype == object:
+            v_np = v_np.astype(str)
+        order = np.lexsort((v_np, -c, k))
+        ks = k[order]
+        head = np.empty(len(ks), bool)
+        if len(ks):
+            head[0] = True
+            head[1:] = ks[1:] != ks[:-1]
+        pick = order[head]
+        return pa.table({key: pa.array(k[pick]),
+                         "mode": varr.take(pa.array(pick)),
+                         "mode_count": pa.array(c[pick])})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("_bucket").map_groups(finish, batch_format="pyarrow"))
+
+
+def grouped_mode_sql(table: str, key: str, value_col: str) -> str:
+    return f"""
+WITH h AS (
+  SELECT {key} AS k, {value_col} AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM {table} GROUP BY 1, 2
+)
+SELECT k AS {key}, v AS mode, c AS mode_count FROM (
+  SELECT k, v, c,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY c DESC, v ASC) AS rn
+  FROM h
+) WHERE rn = 1"""

@@ -59,3 +59,24 @@ def test_events_value_quantiles_oracle(duck_smoke):
     assert_matches_oracle(
         QUERIES["events_value_quantiles"](SF_SMOKE), duck_smoke,
         grouped_low_quantiles_sql("events", "user_id", "value"))
+
+
+def test_grouped_mode_tie_break_and_cross_block():
+    from pyofs_ray.stages.agg import grouped_mode
+    # key 1: b×2 vs a×2 — tie broken value-ASC → a; key 2: clear winner
+    # spread across blocks so partials must combine
+    keys = [1, 1, 1, 1, 2, 2, 2, 2, 2]
+    vals = ["b", "a", "b", "a", "z", "z", "z", "y", "y"]
+    tbl = pa.table({"k": pa.array(keys, pa.int64()),
+                    "v": pa.array(vals)})
+    out = (grouped_mode(ray.data.from_arrow(tbl).repartition(4), "k", "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert list(out["mode"]) == ["a", "z"]
+    assert list(out.mode_count) == [2, 3]
+
+
+def test_events_modal_type_oracle(duck_smoke):
+    from pyofs_ray.stages.agg import grouped_mode_sql
+    assert_matches_oracle(
+        QUERIES["events_modal_type"](SF_SMOKE), duck_smoke,
+        grouped_mode_sql("events", "user_id", "event_type"))
