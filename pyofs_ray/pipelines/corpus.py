@@ -615,6 +615,44 @@ GROUP BY tf.doc_id
 """
 
 
+BIGRAM_K = 3
+
+
+def doc_bigram_successors(sf_dir: str, k: int = BIGRAM_K
+                          ) -> ray.data.Dataset:
+    """Bigram-LM successor counts: for every token, its top-k next-tokens
+    with exact counts. See `stages/tfidf.bigram_successors` for the
+    single-exchange shape."""
+    from ..stages.tfidf import bigram_successors
+    return bigram_successors(_docs(sf_dir), k=k)
+
+
+BIGRAM_SUCCESSORS_SQL = f"""
+WITH raw AS (
+  SELECT doc_id,
+         UNNEST(regexp_split_to_array(text, '\\s+')) AS tok,
+         UNNEST(range(1, len(regexp_split_to_array(text, '\\s+')) + 1))
+           AS ord
+  FROM documents
+), toks AS (
+  SELECT doc_id, tok,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ord) AS pos
+  FROM raw WHERE tok <> ''
+), big AS (
+  SELECT a.tok AS token, b.tok AS next_token,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+)
+SELECT token, next_token, n, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT token, next_token, n,
+         ROW_NUMBER() OVER (PARTITION BY token
+                            ORDER BY n DESC, next_token ASC) AS rn
+  FROM big
+) WHERE rn <= {BIGRAM_K}
+"""
+
+
 # ------------------------------------------------- boilerplate prefixes
 PREFIX_K = 48        # chars of shared head that define a cluster
 PREFIX_SEED_MOD = 5  # every 5th doc gets a same-prefix copy injected

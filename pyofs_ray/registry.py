@@ -1021,6 +1021,8 @@ register("doc_token_surprisal", corpus.doc_token_surprisal,
          corpus.TOKEN_SURPRISAL_SQL)
 register("doc_prefix_clusters", corpus.doc_prefix_clusters,
          corpus.DOC_PREFIX_CLUSTERS_SQL)
+register("doc_bigram_successors", corpus.doc_bigram_successors,
+         corpus.BIGRAM_SUCCESSORS_SQL)
 
 register("dedup_canonical_url", flagship.dedup_canonical_url, f"""
 {sqlgen.pages_prefix()},

@@ -193,3 +193,74 @@ def token_surprisal(docs: ray.data.Dataset, n_docs: int, *,
         partials, keys=("doc_id",),
         aggs=(("s", "sum", "surprisal"), ("t", "sum", "total_tf"),
               ("one", "sum", "n_terms")))
+
+
+def bigram_successors(docs: ray.data.Dataset, *, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 3,
+                      num_buckets: int = 64) -> ray.data.Dataset:
+    """Top-k successor table — the count side of a bigram language model:
+    for every token, its ``k`` most frequent next-tokens with exact int64
+    counts (``P(next|token)`` is then one IEEE division away; the twin
+    keeps the counts so it stays bit-exact).
+
+    Output: ``token, next_token, n, rank`` (rank 1-based by count DESC,
+    next_token ASC).
+
+    Scale shape: per-batch adjacency extraction + partial (w1, w2)
+    counts (Arrow group_by — blocks compress before any exchange), ONE
+    token-hash bucket exchange, per-bucket combine + the same lexsort /
+    segment-rank top-k kernel as `distinctive_terms`. Output rows are
+    vocabulary-bounded (≤ k per distinct token)."""
+
+    def pair_partials(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(b[text_col], r"\s+")
+        doc = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        doc = doc.filter(keep).to_numpy(zero_copy_only=False)
+        if len(flat) < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "_bucket": pa.array([], pa.int64())})
+        same = doc[1:] == doc[:-1]
+        idx = np.flatnonzero(same)
+        w1 = flat.take(pa.array(idx))
+        w2 = flat.take(pa.array(idx + 1))
+        g = (pa.table({"w1": w1, "w2": w2}).group_by(["w1", "w2"])
+             .aggregate([("w2", "count")]))
+        bucket = fnv1a64(g["w1"].combine_chunks()) % np.uint64(num_buckets)
+        return pa.table({
+            "w1": g["w1"], "w2": g["w2"],
+            "n": g["w2_count"].combine_chunks().cast(pa.int64()),
+            "_bucket": pa.array(bucket.astype(np.int64)),
+        })
+
+    partials = docs.map_batches(pair_partials, batch_format="pyarrow")
+
+    def topk(g: pa.Table) -> pa.Table:
+        gg = g.select(["w1", "w2", "n"]).group_by(["w1", "w2"]).aggregate(
+            [("n", "sum")])
+        w1 = np.asarray(gg["w1"].to_pylist(), dtype=str)
+        w2 = np.asarray(gg["w2"].to_pylist(), dtype=str)
+        n = gg["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((w2, -n, w1))
+        ws, m = w1[order], len(w1)
+        new = np.empty(m, bool)
+        if m:
+            new[0] = True
+            new[1:] = ws[1:] != ws[:-1]
+        pos = np.arange(m, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(new, pos, -1))
+        rank = pos - seg_start
+        sel = order[rank < k]
+        return pa.table({
+            "token": pa.array(w1[sel].tolist(), type=pa.string()),
+            "next_token": pa.array(w2[sel].tolist(), type=pa.string()),
+            "n": pa.array(n[sel]),
+            "rank": pa.array((rank[rank < k] + 1)),
+        })
+
+    return partials.groupby("_bucket").map_groups(
+        topk, batch_format="pyarrow")

@@ -56,6 +56,25 @@ def test_df_combines_across_blocks():
     assert all(first.token.str.startswith("q"))
 
 
+def test_bigram_successors_oracle(duck_smoke):
+    assert_matches_oracle(corpus.doc_bigram_successors(SF_SMOKE),
+                          duck_smoke, corpus.BIGRAM_SUCCESSORS_SQL)
+
+
+def test_bigram_adjacency_never_crosses_docs():
+    from pyofs_ray.stages.tfidf import bigram_successors
+    # doc 0 ends with 'x', doc 1 starts with 'y': (x,y) must NOT appear
+    tbl = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                    "text": pa.array(["a b x", "y a b"])})
+    out = (bigram_successors(ray.data.from_arrow(tbl).repartition(2), k=5,
+                             num_buckets=4).to_pandas())
+    pairs = set(zip(out.token, out.next_token))
+    assert ("x", "y") not in pairs
+    assert ("a", "b") in pairs
+    # (a,b) occurs in both docs → count 2
+    assert out[(out.token == "a") & (out.next_token == "b")].n.iloc[0] == 2
+
+
 def test_token_surprisal_oracle(duck_smoke):
     assert_matches_oracle(corpus.doc_token_surprisal(SF_SMOKE),
                           duck_smoke, corpus.TOKEN_SURPRISAL_SQL)
