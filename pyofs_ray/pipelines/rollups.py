@@ -390,6 +390,91 @@ def events_rolling_active_users(sf_dir: str,
                            batch_format="pyarrow")
 
 
+BURST_MULT = 2        # burst: day count > MULT × trailing-week mean
+BURST_LOOKBACK = 7    # calendar days in the trailing window
+BURST_SEED_MOD = 16   # every (day % 16 == 3) day gets 3 extra copies
+
+
+def events_burst_days(sf_dir: str) -> ray.data.Dataset:
+    """Anomalous-traffic days: a day is a burst when its event count
+    exceeds ``BURST_MULT`` × the mean of the trailing ``BURST_LOOKBACK``
+    CALENDAR days (gaps count as absent, not zero rows — a RANGE frame,
+    not a ROW frame). The mean divides by the days actually PRESENT in
+    the window (``wdays``), so warmup/partial windows don't over-trigger.
+    All-integer test ``wdays·cnt > MULT·wsum`` — no float mean, bit-exact
+    vs the twin; days with an empty trailing window are excluded.
+
+    The fixture's daily volume is FLAT (max day/trailing-mean ratio
+    ~1.08), so — like `dedup_canonical_url` / `doc_prefix_clusters` —
+    the query SEEDS deterministic spikes (every ``day % BURST_SEED_MOD
+    == 3`` day replicated 4×) in both the pipeline and the twin, keeping
+    the gate non-vacuous.
+
+    Scale shape: the daily-count reduce is the only full pass (two-stage,
+    day-keyed — output bounded by the date range); the window compare
+    runs in a single coalesced finish over that date-bounded table
+    (prefix-sum + two searchsorteds per day, vectorized)."""
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def days(b: pa.Table) -> pa.Table:
+        d = pc.divide(b["ts"].cast(pa.int64()),
+                      pa.scalar(_US_PER_DAY, pa.int64()))
+        dd = d.to_numpy(zero_copy_only=False).astype(np.int64)
+        spike = dd[dd % BURST_SEED_MOD == 3]
+        return pa.table({"day": pa.array(
+            np.concatenate([dd, np.repeat(spike, 3)]))})
+
+    daily = two_stage_cell_agg(ev.map_batches(days, batch_format="pyarrow"),
+                               keys=("day",), int_sum_cols=(),
+                               count_name="cnt")
+
+    def finish(b: pa.Table) -> pa.Table:
+        d = b["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(d)
+        d, c = d[order], c[order]
+        p = np.concatenate([[0], np.cumsum(c)])
+        lo = np.searchsorted(d, d - BURST_LOOKBACK, side="left")
+        hi = np.searchsorted(d, d, side="left")
+        wsum = p[hi] - p[lo]
+        wdays = hi - lo
+        keep = (wsum > 0) & (wdays * c > BURST_MULT * wsum)
+        return pa.table({"day": pa.array(d[keep]),
+                         "cnt": pa.array(c[keep]),
+                         "wsum": pa.array(wsum[keep]),
+                         "wdays": pa.array(wdays[keep])})
+
+    # date-range-bounded coalesced finish (same pattern as flagship.py's
+    # pyramid finish): the daily table has one row per distinct day
+    return daily.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_BURST_SQL = f"""
+WITH base AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // {_US_PER_DAY} AS day FROM events
+), spiked AS (
+  SELECT day FROM base
+  UNION ALL
+  SELECT day FROM base
+  CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS j)
+  WHERE day % {BURST_SEED_MOD} = 3
+), d AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS cnt FROM spiked GROUP BY 1
+), w AS (
+  SELECT day, cnt,
+         CAST(COALESCE(SUM(cnt) OVER (
+           ORDER BY day RANGE BETWEEN {BURST_LOOKBACK} PRECEDING
+                               AND 1 PRECEDING), 0) AS BIGINT) AS wsum,
+         CAST(COUNT(cnt) OVER (
+           ORDER BY day RANGE BETWEEN {BURST_LOOKBACK} PRECEDING
+                               AND 1 PRECEDING) AS BIGINT) AS wdays
+  FROM d
+)
+SELECT day, cnt, wsum, wdays FROM w
+WHERE wsum > 0 AND wdays * cnt > {BURST_MULT} * wsum
+"""
+
+
 EVENTS_WAU_SQL = f"""
 WITH ud AS (
   SELECT DISTINCT user_id,

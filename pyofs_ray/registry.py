@@ -1408,6 +1408,8 @@ def _events_modal_type_sql() -> str:
 
 
 register("events_modal_type", _events_modal_type, _events_modal_type_sql())
+register("events_burst_days", rollups.events_burst_days,
+         rollups.EVENTS_BURST_SQL)
 
 
 # ------------------------------------------------------- co-citation (r4)

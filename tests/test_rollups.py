@@ -140,3 +140,32 @@ def test_length_outliers_are_strictly_above_threshold(duck_smoke):
     # ≤ ~1% of the corpus + everything returned is above the min kept length
     assert len(out) <= max(1, int(0.02 * n))
     assert (out.n_chars > out.n_chars.min() - 1).all()
+
+
+def test_burst_days_calendar_window_and_gap(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyofs_ray.pipelines import rollups as R
+    # days 0..6: 10 events each (the query's deterministic seeding
+    # inflates day 3 — 3 % 16 == 3 — to 40); day 7: 50 events; day 8: 10;
+    # day 20: 100 but its trailing 7 calendar days are EMPTY (gap) →
+    # excluded, not compared against zero. Expected bursts:
+    #   day 3: cnt 40, wdays 3, wsum 30 → 120 > 60
+    #   day 7: cnt 50, wdays 7, wsum 100 (incl. spiked day 3) → 350 > 200
+    # day 1 (warmup window, wdays=1: 10 ≤ 20) stays out thanks to the
+    # wdays normalization; day 8's window holds 140 → 70 ≤ 280.
+    days, counts = list(range(8)) + [8, 20], [10] * 7 + [50, 10, 100]
+    ts = np.concatenate([np.full(c, d * 86_400_000_000, np.int64)
+                         for d, c in zip(days, counts)])
+    tbl = pa.table({"event_id": pa.array(np.arange(len(ts))),
+                    "ts": pa.array(ts).cast(pa.timestamp("us")),
+                    "user_id": pa.array(np.zeros(len(ts), np.int64)),
+                    "event_type": pa.array(["x"] * len(ts)),
+                    "value": pa.array(np.zeros(len(ts))),
+                    "props": pa.array(["{}"] * len(ts))})
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = (R.events_burst_days(str(tmp_path)).to_pandas()
+           .sort_values("day").reset_index(drop=True))
+    assert list(out.day) == [3, 7]
+    assert list(out.cnt) == [40, 50] and list(out.wsum) == [30, 100]
+    assert list(out.wdays) == [3, 7]
