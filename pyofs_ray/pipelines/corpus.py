@@ -327,6 +327,101 @@ SELECT query_id, vec_id, rank FROM (
 """
 
 
+def ann_hybrid_fusion(sf_dir: str) -> pd.DataFrame:
+    """Hybrid retrieval: Borda-fuse the DENSE ranking (exact cosine
+    top-k, `ann_topk`) with a second deterministic ranking (label
+    affinity — the stand-in for a sparse/metadata scorer: candidates
+    ranked by |label − query_label| ASC, vec_id ASC). Each list
+    contributes ``TOPK+1 − rank`` integer points; fused rank orders by
+    (points DESC, vec_id ASC). All-integer fusion → bit-exact twin.
+
+    Scale shape: BOTH rankings stream the corpus once with per-batch
+    partial top-k against the broadcast query set (`_finish_topk`), so
+    only Q×k rows per ranking reach the driver; the fusion itself is a
+    Q×2k-row combine."""
+    cos = ann_topk(sf_dir)
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "label"])
+    qt = qt.filter(pa.compute.less(qt["vec_id"], NUM_QUERIES))
+    qids = qt["vec_id"].to_numpy().astype(np.int64)
+    qlabels = qt["label"].to_numpy().astype(np.int64)
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "label"])
+
+    def probe(b: pa.Table) -> pa.Table:
+        vids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = -np.abs(lab[:, None] - qlabels[None, :])  # higher = closer
+        k = min(TOPK + 1, len(vids))
+        out_q, out_v, out_s = [], [], []
+        for qi in range(sims.shape[1]):
+            order = np.lexsort((vids, -sims[:, qi]))[:k]
+            out_q.append(np.full(len(order), qids[qi], np.int64))
+            out_v.append(vids[order])
+            out_s.append(sims[order, qi])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "sim": pa.array(np.concatenate(out_s)),
+        })
+
+    lab_rank = ann._finish_topk(
+        ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True),
+        TOPK, exclude_self=True)
+
+    pts = TOPK + 1
+    u = pd.concat([
+        cos.assign(pts=pts - cos["rank"]),
+        lab_rank.assign(pts=pts - lab_rank["rank"]),
+    ])[["query_id", "vec_id", "pts"]]
+    g = (u.groupby(["query_id", "vec_id"], as_index=False).pts.sum()
+         .rename(columns={"pts": "borda"}))
+    g = g.sort_values(["query_id", "borda", "vec_id"],
+                      ascending=[True, False, True], kind="mergesort")
+    g["rank"] = g.groupby("query_id", sort=False).cumcount() + 1
+    out = g[g["rank"] <= TOPK].reset_index(drop=True)
+    return out.astype({"query_id": "int64", "vec_id": "int64",
+                       "borda": "int64", "rank": "int64"})
+
+
+ANN_HYBRID_FUSION_SQL = f"""
+WITH q AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  WHERE vec_id < {NUM_QUERIES}
+), cosr AS (
+  SELECT query_id, vec_id, rank FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                      e.vec_id ASC) AS rank
+    FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.vec_id
+  ) WHERE rank <= {TOPK}
+), labr AS (
+  SELECT query_id, vec_id, rank FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ABS(e.label - q.label) ASC, e.vec_id ASC) AS rank
+    FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.vec_id
+  ) WHERE rank <= {TOPK}
+), u AS (
+  SELECT query_id, vec_id, {TOPK + 1} - rank AS pts FROM cosr
+  UNION ALL
+  SELECT query_id, vec_id, {TOPK + 1} - rank AS pts FROM labr
+), b AS (
+  SELECT query_id, vec_id, CAST(SUM(pts) AS BIGINT) AS borda
+  FROM u GROUP BY 1, 2
+)
+SELECT query_id, vec_id, borda, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT query_id, vec_id, borda,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY borda DESC, vec_id ASC) AS rn
+  FROM b
+) WHERE rn <= {TOPK}
+"""
+
+
 def embedding_dup_pairs(sf_dir: str):
     """Embedding-cosine near-dup pairs over the embeddings table (the corpus
     has no true dups at τ=0.95 — injected-dup behavior is unit-tested)."""

@@ -229,6 +229,8 @@ register("embedding_dim_ranges", _embedding_dim_ranges,
          _embedding_dim_ranges_sql())
 register_recall_gated("ann_topk_lsh", corpus.ann_topk_lsh,
                       baseline="ann_topk", tau=0.6)
+register("ann_hybrid_fusion", corpus.ann_hybrid_fusion,
+         corpus.ANN_HYBRID_FUSION_SQL)
 register("minhash_pairs", corpus.minhash_pairs,
          sqlgen_dedup.minhash_pairs_sql(0.8))
 register("simhash_pairs", corpus.simhash_pairs,

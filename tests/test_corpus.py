@@ -908,3 +908,22 @@ def test_doc_prefix_clusters_seeds_cluster_iff_long_enough():
     # a cluster can only form when the shared head fills the full k chars
     # (shorter docs diverge at the appended tail)
     assert (out.prefix.str.len() == PREFIX_K).all()
+
+
+def test_ann_hybrid_fusion_oracle(duck_smoke):
+    from pyofs_ray.pipelines.corpus import (ann_hybrid_fusion,
+                                            ANN_HYBRID_FUSION_SQL)
+    assert_matches_oracle(ann_hybrid_fusion(SF_SMOKE), duck_smoke,
+                          ANN_HYBRID_FUSION_SQL)
+
+
+def test_ann_hybrid_fusion_borda_properties():
+    from pyofs_ray.pipelines.corpus import ann_hybrid_fusion, TOPK
+    out = ann_hybrid_fusion(SF_SMOKE)
+    # per query exactly TOPK rows, borda within [1, 2*TOPK], rank 1..TOPK
+    per_q = out.groupby("query_id").size()
+    assert (per_q == TOPK).all()
+    assert out.borda.between(1, 2 * TOPK).all()
+    # a candidate on BOTH lists at rank 1 would hit 2*TOPK; a rank-1
+    # cosine hit alone scores TOPK — fused rank-1 must score >= TOPK
+    assert (out[out["rank"] == 1].borda >= TOPK).all()
