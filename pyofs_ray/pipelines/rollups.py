@@ -297,6 +297,95 @@ GROUP BY event_type
 """
 
 
+# ----------------------------------------- JSON props field extraction
+_PROPS_RE = r'"k": (-?\d+)'
+
+
+def events_props_stats(sf_dir: str) -> ray.data.Dataset:
+    """Semi-structured extraction: parse the integer ``k`` field out of
+    the JSON ``props`` column (RE2 capture on both engines — the
+    vectorized form of per-record metadata decoding; PyOFS parses
+    per-granule attribute strings the same way) and aggregate per
+    event_type. All int64; one low-cardinality exchange."""
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "props"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["props"], _PROPS_RE.replace(
+            "(-?\\d+)", "(?P<v>-?\\d+)"))
+        k = pc.struct_field(m, "v").cast(pa.int64())
+        if pc.any(pc.is_null(k)).as_py():
+            raise ValueError("events_props_stats: a props row did not "
+                             "match the '\"k\": <int>' shape")
+        return pa.table({"event_type": b["event_type"], "k": k,
+                         "one": pa.array(np.ones(len(b), np.int64))})
+
+    return bucketed_group_agg(
+        ev.map_batches(extract, batch_format="pyarrow"),
+        ["event_type"],
+        [("k", "sum", "k_sum"), ("k", "min", "k_min"),
+         ("k", "max", "k_max"), ("one", "sum", "n")])
+
+
+EVENTS_PROPS_SQL = f"""
+WITH x AS (
+  SELECT event_type,
+         CAST(regexp_extract(props, '{_PROPS_RE}', 1) AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, CAST(SUM(k) AS BIGINT) AS k_sum,
+       CAST(MIN(k) AS BIGINT) AS k_min, CAST(MAX(k) AS BIGINT) AS k_max,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM x GROUP BY event_type
+"""
+
+
+# --------------------------------------------------- day × type pivot
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_day_type_pivot(sf_dir: str) -> ray.data.Dataset:
+    """Crosstab: one row per day with a count column per event type
+    (``n_click … n_view``) — the wide reporting shape. One-hot int
+    columns per batch, then a single day-keyed two-stage sum; unknown
+    event types raise (the column set is the schema contract)."""
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type"])
+
+    def onehot(b: pa.Table) -> pa.Table:
+        d = pc.divide(b["ts"].cast(pa.int64()),
+                      pa.scalar(_US_PER_DAY, pa.int64()))
+        et = b["event_type"]
+        cols = {"day": d}
+        seen = pa.array(np.zeros(len(b), bool))
+        for t in PIVOT_TYPES:
+            m = pc.equal(et, t)
+            seen = pc.or_(seen, m)
+            cols[f"n_{t}"] = m.cast(pa.int64())
+        if not pc.all(seen).as_py() and len(b):
+            raise ValueError("events_day_type_pivot: event_type outside "
+                             f"the pivot vocabulary {PIVOT_TYPES}")
+        return pa.table(cols)
+
+    agg = two_stage_cell_agg(ev.map_batches(onehot, batch_format="pyarrow"),
+                             keys=("day",),
+                             int_sum_cols=tuple(f"n_{t}" for t in PIVOT_TYPES),
+                             count_name="n_total")
+    return agg.map_batches(
+        lambda t: pa.table({"day": t["day"], "n_total": t["n_total"],
+                            **{f"n_{x}": t[f"n_{x}_sum"]
+                               for x in PIVOT_TYPES}}),
+        batch_format="pyarrow")
+
+
+EVENTS_PIVOT_SQL = f"""
+SELECT CAST(epoch_us(ts) AS BIGINT) // {_US_PER_DAY} AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}" for t in PIVOT_TYPES)}
+FROM events GROUP BY 1
+"""
+
+
 # -------------------------------------------------- retention cohorts
 def events_retention_cohorts(sf_dir: str) -> ray.data.Dataset:
     """Cohort retention matrix: users grouped by the day of their FIRST

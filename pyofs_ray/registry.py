@@ -1412,6 +1412,10 @@ def _events_modal_type_sql() -> str:
 register("events_modal_type", _events_modal_type, _events_modal_type_sql())
 register("events_burst_days", rollups.events_burst_days,
          rollups.EVENTS_BURST_SQL)
+register("events_props_stats", rollups.events_props_stats,
+         rollups.EVENTS_PROPS_SQL)
+register("events_day_type_pivot", rollups.events_day_type_pivot,
+         rollups.EVENTS_PIVOT_SQL)
 
 
 # ------------------------------------------------------- co-citation (r4)

@@ -169,3 +169,31 @@ def test_burst_days_calendar_window_and_gap(tmp_path):
     assert list(out.day) == [3, 7]
     assert list(out.cnt) == [40, 50] and list(out.wsum) == [30, 100]
     assert list(out.wdays) == [3, 7]
+
+
+def test_props_stats_oracle_and_pivot_consistency(duck_smoke):
+    assert_matches_oracle(QUERIES["events_props_stats"](SF_SMOKE),
+                          duck_smoke, ORACLES["events_props_stats"])
+    assert_matches_oracle(QUERIES["events_day_type_pivot"](SF_SMOKE),
+                          duck_smoke, ORACLES["events_day_type_pivot"])
+    piv = QUERIES["events_day_type_pivot"](SF_SMOKE).to_pandas()
+    # one-hot columns must tile the day total exactly
+    cols = [c for c in piv.columns if c.startswith("n_") and c != "n_total"]
+    assert (piv[cols].sum(axis=1) == piv.n_total).all()
+
+
+def test_props_extract_raises_on_malformed(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+    import ray.data  # noqa: F401
+    from pyofs_ray.pipelines import rollups as R
+    tbl = pa.table({"event_id": pa.array([0], pa.int64()),
+                    "ts": pa.array([0], pa.int64()).cast(pa.timestamp("us")),
+                    "user_id": pa.array([0], pa.int64()),
+                    "event_type": pa.array(["view"]),
+                    "value": pa.array([0.0]),
+                    "props": pa.array(['{"other": 1}'])})
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    with _pytest.raises(Exception, match="props"):
+        R.events_props_stats(str(tmp_path)).to_pandas()
