@@ -639,6 +639,42 @@ from .core.sqlgen_track import (  # noqa: E402
 # bit-exact recursive-CTE twin of the RK4 advection loop
 register("particle_track", _particle_track, particle_track_sql())
 
+TRACK_DENSITY_CELL = 100  # meters per density cell
+
+
+def _track_density(sf_dir: str):
+    """Trajectory density map: RK4 snapshot positions binned per cell —
+    the reference renders particle/contour tracks onto its raster grid
+    the same way (`particle_contour.py` plotting path); here the raster
+    is a (cx, cy, count) table. The advection is the existing exact
+    pipeline; the binning floor-divides the SAME float64 positions on
+    both engines, so the cells match bit for bit."""
+    import pyarrow.compute as _pc
+
+    from .stages.agg import two_stage_cell_agg
+
+    out = _particle_track(sf_dir)
+
+    def binit(b):
+        import pyarrow as _pa
+        cell = _pa.scalar(float(TRACK_DENSITY_CELL), _pa.float64())
+        return _pa.table({
+            "cx": _pc.floor(_pc.divide(b["x"], cell)).cast(_pa.int64()),
+            "cy": _pc.floor(_pc.divide(b["y"], cell)).cast(_pa.int64()),
+        })
+
+    return two_stage_cell_agg(out.map_batches(binit, batch_format="pyarrow"),
+                              keys=("cx", "cy"), int_sum_cols=(),
+                              count_name="n")
+
+
+register("track_density", _track_density, f"""
+SELECT CAST(FLOOR(x / {TRACK_DENSITY_CELL}) AS BIGINT) AS cx,
+       CAST(FLOOR(y / {TRACK_DENSITY_CELL}) AS BIGINT) AS cy,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM ({particle_track_sql()}) t
+GROUP BY 1, 2""")
+
 
 def _particle_track_gridded(sf_dir: str):
     """ST4/J4 full form: RK4 advection through a bilinear-space ×
