@@ -327,6 +327,28 @@ JOIN sp sb ON sb.doc_id = p.id_b
 WHERE sa.split <> sb.split""")
 
 
+# passage-level decontamination: eval docs sharing a verbatim token 8-gram
+# (at ANY token position — alignment-free) with any train doc; the leakage
+# the doc-level Jaccard audit misses. Two bounded bucket exchanges, split
+# label a pure fn of doc_id.
+def _shingle_contamination(sf_dir: str):
+    from .stages.decontam import shingle_contamination
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return shingle_contamination(ds, _SPLITS, corpus.SPLIT_SALT)
+
+
+from .stages.decontam import shingle_contamination_sql  # noqa: E402
+
+register(
+    "shingle_contamination", _shingle_contamination,
+    shingle_contamination_sql(
+        "documents",
+        hash_split_sql("documents", "doc_id", _SPLITS,
+                       salt=corpus.SPLIT_SALT, select="doc_id")))
+
+
 # -------------------------------- compositing / stencil / validation (A4/J5/J6/A6)
 from .pipelines import validation  # noqa: E402
 
