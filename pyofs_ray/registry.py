@@ -356,6 +356,42 @@ register("latest_page_per_cell", validation.latest_page_per_cell,
          validation.LATEST_PAGE_SQL)
 register("cell_gradients", validation.cell_gradients,
          validation.cell_gradients_sql())
+
+
+# 3×3 focal-mean smoothing over the cell raster (constant-zoom stencil:
+# x wraps the antimeridian, y clamps; grid-bounded — one 9-fold expansion
+# + one bucketed reduce, existence via a summed center flag, no join)
+def _cell_focal_mean(sf_dir: str):
+    from .stages.focal import focal_mean
+
+    return focal_mean(flagship.cell_aggregates(sf_dir))
+
+
+def _cell_focal_mean_sql() -> str:
+    from .stages.focal import focal_mean_sql
+
+    return focal_mean_sql(sqlgen.pages_prefix(), geom.BASE_ZOOM)
+
+
+register("cell_focal_mean", _cell_focal_mean, _cell_focal_mean_sql())
+
+
+# diurnal crawl profile: local-solar-hour histogram (geo × time — the
+# pass-time-in-local-frame analogue); ≤24 keys, per-batch pre-reduce
+def _local_hour_profile(sf_dir: str):
+    from .pipelines.diurnal import local_hour_profile
+
+    return local_hour_profile(sf_dir)
+
+
+def _local_hour_profile_sql() -> str:
+    from .pipelines.diurnal import local_hour_profile_sql
+
+    return local_hour_profile_sql()
+
+
+register("local_hour_profile", _local_hour_profile,
+         _local_hour_profile_sql())
 register("coregistration_metrics", validation.coregistration_metrics,
          validation.coregistration_sql())
 register("cell_uv_derotated", validation.cell_uv_derotated,
