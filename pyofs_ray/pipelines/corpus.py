@@ -1031,3 +1031,16 @@ def doc_weighted_sample_sql() -> str:
         "documents", "doc_id", "n_chars",
         cap=WSAMPLE_CAP, per_unit=WSAMPLE_PER_UNIT, salt=WSAMPLE_SALT,
         select="doc_id, lang, n_chars")
+
+
+RETRIEVAL_QUERY = ("column", "dup", "join", "merge")  # head + one rare term
+RETRIEVAL_K = 20
+
+
+def doc_sparse_retrieval(sf_dir: str):
+    """Lexical top-k retrieval for a fixed query — the sparse complement
+    of the dense ANN / hybrid-fusion rankers: integer-exact BM25-style
+    score Σ tf·bitlen(N/df) (see `stages/tfidf.sparse_query_topk`)."""
+    from ..stages.tfidf import sparse_query_topk
+    return sparse_query_topk(_docs(sf_dir), RETRIEVAL_QUERY,
+                             _docs_count(sf_dir), k=RETRIEVAL_K)

@@ -1531,3 +1531,11 @@ register("doc_length_outliers", corpus.doc_length_outliers,
          corpus.doc_length_outliers_sql())
 register("doc_weighted_sample", corpus.doc_weighted_sample,
          corpus.doc_weighted_sample_sql())
+
+# sparse lexical retrieval (BM25-style integer rank): broadcast query set,
+# |Q|-group df attach, doc reduce, partial-top-k finish — one corpus scan
+from .stages.tfidf import sparse_query_topk_sql  # noqa: E402
+
+register("doc_sparse_retrieval", corpus.doc_sparse_retrieval,
+         sparse_query_topk_sql("documents", corpus.RETRIEVAL_QUERY,
+                               k=corpus.RETRIEVAL_K))

@@ -264,3 +264,93 @@ def bigram_successors(docs: ray.data.Dataset, *, id_col: str = "doc_id",
 
     return partials.groupby("_bucket").map_groups(
         topk, batch_format="pyarrow")
+
+
+def sparse_query_topk(docs: ray.data.Dataset, query_tokens: tuple[str, ...],
+                      n_docs: int, *, k: int = 20, id_col: str = "doc_id",
+                      text_col: str = "text") -> "pa.Table":
+    """Sparse (lexical) retrieval: top-k documents for a fixed query token
+    set, scored ``Σ_{t∈Q∩doc} tf(doc,t) · bitlen(N // df(t))`` — the
+    integer-exact BM25-style rank (same transcendental-free idf convention
+    as :func:`token_surprisal`; rarer query terms weigh more, repeated
+    ones add linearly). Ties break doc_id ASC. Returns the k-row result
+    (driver-bounded by construction).
+
+    Scale shape: the corpus scan filters tokens to the BROADCAST query set
+    immediately (per-doc rows bounded by |Q|), so the only all-to-all is a
+    ≤|Q|-group token exchange where each group computes its own global df
+    (rows are per-doc distinct) and reduces to per-doc partial scores; a
+    doc-key `bucketed_group_agg` sums them, and the top-k finishes with
+    per-block partial top-k → one ≤(k·blocks)-row coalesced sort. No
+    driver pull is corpus-sized."""
+    from .agg import bucketed_group_agg
+
+    qset = pa.array(sorted(set(query_tokens)), pa.string())
+
+    def tf_rows(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(b[text_col], r"\s+")
+        doc = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        keep = pc.and_(pc.not_equal(flat, ""), pc.is_in(flat, value_set=qset))
+        ids = b[id_col].take(doc.filter(keep))
+        flat = flat.filter(keep)
+        t = (pa.table({"doc_id": ids, "token": flat})
+             .group_by(["doc_id", "token"]).aggregate([("token", "count")]))
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "token": t["token"],
+            "tf": t["token_count"].combine_chunks().cast(pa.int64()),
+        })
+
+    rows = docs.map_batches(tf_rows, batch_format="pyarrow")
+
+    def score_token_group(g: pa.Table) -> pa.Table:
+        # one group per query token: rows are per-doc distinct, so the
+        # group's row count IS the token's global df
+        df = len(g)
+        w = int(np.searchsorted(_POW2, n_docs // df, side="right"))
+        tf = g["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": g["doc_id"],
+                         "part": pa.array(tf * np.int64(w))})
+
+    partials = rows.groupby("token").map_groups(
+        score_token_group, batch_format="pyarrow")
+    scores = bucketed_group_agg(partials, keys=("doc_id",),
+                                aggs=(("part", "sum", "score"),))
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        s = b["score"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((d, -s))[:k]
+        return pa.table({"doc_id": pa.array(d[order]),
+                         "score": pa.array(s[order])})
+
+    head = (scores.map_batches(block_topk, batch_format="pyarrow")
+            .repartition(1).map_batches(block_topk, batch_format="pyarrow"))
+    return head
+
+
+def sparse_query_topk_sql(table: str, query_tokens: tuple[str, ...],
+                          k: int = 20) -> str:
+    """Bit-exact DuckDB twin (``LENGTH(BIN(x))`` = bitlen)."""
+    lits = ", ".join("'" + t + "'" for t in sorted(set(query_tokens)))
+    return f"""
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {table}),
+d AS (
+  SELECT doc_id,
+         UNNEST(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x <> '')) AS token
+  FROM {table}
+), tfq AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM d WHERE token IN ({lits}) GROUP BY 1, 2
+), dfq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tfq GROUP BY 1
+)
+SELECT doc_id,
+       CAST(SUM(tf * LENGTH(BIN((SELECT n FROM n) // df))) AS BIGINT)
+         AS score
+FROM tfq JOIN dfq USING (token)
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT {k}"""
