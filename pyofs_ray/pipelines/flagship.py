@@ -716,3 +716,158 @@ def cell_top_hosts(sf_dir: str, k: int = CELL_TOP_HOSTS_K,
                             "n_pages": b["n_pages"].cast(pa.int64()),
                             "rank": b["rank"].cast(pa.int64())}),
         batch_format="pyarrow")
+
+
+# ------------------------------------------- cross-window change detection
+# The PyOFS day-over-day comparison shape (daily averages diffed across
+# model days) as a raster op: per-cell crawl volume in two time windows
+# and the delta, in ONE corpus scan — the window split is a per-batch
+# integer mask, so both windows' partials ride the same exchange.
+CHANGE_SPLIT_US = 1_705_276_800_000_000  # 2024-01-15 00:00:00 UTC, µs
+
+
+def cell_change_raster(sf_dir: str, zoom: int = geom.BASE_ZOOM,
+                       split_us: int = CHANGE_SPLIT_US) -> ray.data.Dataset:
+    """Per-cell doc counts in the [start, split) and [split, end) crawl
+    windows plus the integer delta — cells present in EITHER window
+    appear. Output: ``cell_id, doc_count_a, doc_count_b, delta``."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = pages_dataset(sf_dir, with_html=False)
+    ds = geocode(ds, zoom=zoom).select_columns(["cell_id", "warc_ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        in_a = (us < split_us).astype(np.int64)
+        t = pa.table({"cell_id": b["cell_id"],
+                      "a": pa.array(in_a), "b": pa.array(1 - in_a)})
+        g = t.group_by("cell_id").aggregate([("a", "sum"), ("b", "sum")])
+        return pa.table({"cell_id": g["cell_id"],
+                         "a": g["a_sum"].combine_chunks().cast(pa.int64()),
+                         "b": g["b_sum"].combine_chunks().cast(pa.int64())})
+
+    agg = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["cell_id"],
+        [("a", "sum", "doc_count_a"), ("b", "sum", "doc_count_b")])
+
+    def finish(b: pa.Table) -> pa.Table:
+        a = b["doc_count_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b["doc_count_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"cell_id": b["cell_id"].cast(pa.int64()),
+                         "doc_count_a": pa.array(a),
+                         "doc_count_b": pa.array(bb),
+                         "delta": pa.array(bb - a)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def cell_change_raster_sql(zoom: int = geom.BASE_ZOOM,
+                           split_us: int = CHANGE_SPLIT_US) -> str:
+    from ..core import sqlgen
+
+    return f"""{sqlgen.pages_prefix()}
+SELECT {sqlgen.cell_expr(zoom)} AS cell_id,
+       CAST(SUM(CASE WHEN epoch_us(warc_ts) < {split_us}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS doc_count_a,
+       CAST(SUM(CASE WHEN epoch_us(warc_ts) >= {split_us}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS doc_count_b,
+       CAST(SUM(CASE WHEN epoch_us(warc_ts) >= {split_us}
+                     THEN 1 ELSE 0 END)
+            - SUM(CASE WHEN epoch_us(warc_ts) < {split_us}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS delta
+FROM pages GROUP BY 1"""
+
+
+# -------------------------------------------- raster → vector: boundaries
+BOUNDARY_MEAN_CHARS = 300  # integer threshold: above iff sum ≥ T·count
+
+
+def cell_boundary_vector(sf_dir: str, zoom: int = geom.BASE_ZOOM,
+                         threshold: int = BOUNDARY_MEAN_CHARS
+                         ) -> ray.data.Dataset:
+    """Raster→vector boundary extraction (the K3/K4 vectorization family):
+    cells whose mean chars ≥ ``threshold`` AND whose 4-neighborhood
+    (x wraps the antimeridian, off-grid y counts as missing) contains a
+    missing-or-below cell. The predicate ``mean ≥ T`` is evaluated as the
+    integer cross-multiplication ``chars_sum ≥ T·doc_count`` — no float
+    touches the decision. One expansion + one bucketed reduce, existence
+    and above-ness travel as summed flags (no join).
+
+    Output: ``cell_id, x, y, n_above_nbrs`` for boundary cells."""
+    from ..stages.agg import bucketed_group_agg
+
+    cells = cell_aggregates(sf_dir, zoom).select_columns(
+        ["cell_id", "n_chars_sum", "doc_count"])
+
+    def expand(b: pa.Table) -> pa.Table:
+        cid = b["cell_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z, x, y = geom.unpack_cell(cid)
+        n = np.int64(1) << z
+        s = b["n_chars_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b["doc_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        above = (s >= threshold * c).astype(np.int64)
+        tgt = [cid]
+        nbr = [np.zeros(len(cid), np.int64)]
+        ctr = [above + 2]  # center marker: 2 = exists, +1 if above
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            tx = (x + dx) % n
+            ty = y + dy
+            ok = (ty >= 0) & (ty < n) & (above > 0)
+            tgt.append(((z << geom.CELL_Z_SHIFT)
+                        | (tx << geom.CELL_X_SHIFT) | ty)[ok])
+            nbr.append(np.ones(int(ok.sum()), np.int64))
+            ctr.append(np.zeros(int(ok.sum()), np.int64))
+        return pa.table({"cell_id": pa.array(np.concatenate(tgt)),
+                         "nbr": pa.array(np.concatenate(nbr)),
+                         "ctr": pa.array(np.concatenate(ctr))})
+
+    agg = bucketed_group_agg(
+        cells.map_batches(expand, batch_format="pyarrow"),
+        ["cell_id"],
+        [("nbr", "sum", "n_above_nbrs"), ("ctr", "sum", "_ctr")])
+
+    def finish(b: pa.Table) -> pa.Table:
+        ctr = b["_ctr"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nbr = b["n_above_nbrs"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # _ctr = 3 → the cell exists AND is above; boundary iff < 4
+        # above-neighbors (off-grid / missing / below all leave a gap)
+        keep = (ctr == 3) & (nbr < 4)
+        cid = b["cell_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)[keep]
+        _, x, y = geom.unpack_cell(cid)
+        return pa.table({"cell_id": pa.array(cid),
+                         "x": pa.array(x), "y": pa.array(y),
+                         "n_above_nbrs": pa.array(nbr[keep])})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def cell_boundary_vector_sql(zoom: int = geom.BASE_ZOOM,
+                             threshold: int = BOUNDARY_MEAN_CHARS) -> str:
+    from ..core import sqlgen
+
+    n = 1 << zoom
+    return f"""{sqlgen.pages_prefix()},
+c AS (
+  SELECT {sqlgen.x_expr(zoom)} AS x, {sqlgen.y_expr(zoom)} AS y,
+         CAST(SUM(LENGTH(text)) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pages GROUP BY 1, 2
+), ab AS (SELECT x, y FROM c WHERE s >= {threshold} * cnt),
+nb AS (
+  SELECT a.x, a.y, CAST(COUNT(*) AS BIGINT) AS n_above_nbrs
+  FROM ab a JOIN ab b
+    ON (b.x = ((a.x + 1) % {n} + {n}) % {n} AND b.y = a.y)
+    OR (b.x = ((a.x - 1) % {n} + {n}) % {n} AND b.y = a.y)
+    OR (b.x = a.x AND b.y = a.y + 1)
+    OR (b.x = a.x AND b.y = a.y - 1)
+  GROUP BY 1, 2
+)
+SELECT ({zoom} * {1 << geom.CELL_Z_SHIFT} + ab.x * {1 << geom.CELL_X_SHIFT}
+        + ab.y) AS cell_id,
+       ab.x AS x, ab.y AS y,
+       COALESCE(nb.n_above_nbrs, 0) AS n_above_nbrs
+FROM ab LEFT JOIN nb ON nb.x = ab.x AND nb.y = ab.y
+WHERE COALESCE(nb.n_above_nbrs, 0) < 4"""

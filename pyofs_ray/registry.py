@@ -1539,3 +1539,12 @@ from .stages.tfidf import sparse_query_topk_sql  # noqa: E402
 register("doc_sparse_retrieval", corpus.doc_sparse_retrieval,
          sparse_query_topk_sql("documents", corpus.RETRIEVAL_QUERY,
                                k=corpus.RETRIEVAL_K))
+
+
+# cross-window change-detection raster (one scan, both windows' partials on
+# the same exchange) and raster→vector boundary extraction (integer
+# cross-multiplied threshold, flags-through-the-exchange existence)
+register("cell_change_raster", flagship.cell_change_raster,
+         flagship.cell_change_raster_sql())
+register("cell_boundary_vector", flagship.cell_boundary_vector,
+         flagship.cell_boundary_vector_sql())
