@@ -1044,3 +1044,42 @@ def doc_sparse_retrieval(sf_dir: str):
     from ..stages.tfidf import sparse_query_topk
     return sparse_query_topk(_docs(sf_dir), RETRIEVAL_QUERY,
                              _docs_count(sf_dir), k=RETRIEVAL_K)
+
+
+def split_balance(sf_dir: str) -> ray.data.Dataset:
+    """Split-assignment audit: per (split, lang) doc counts and char
+    volume — the sanity table checked after any re-split (are strata
+    represented proportionally in train/val/test?). Split label is a pure
+    function of doc_id; ≤ |splits|·|langs| keys, per-batch partials."""
+    from ..stages.sample import split_labels
+
+    ds = _docs(sf_dir, columns=("doc_id", "lang", "n_chars"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "split": pa.array(split_labels(ids, SPLITS, SPLIT_SALT)),
+            "lang": b["lang"],
+            "nc": b["n_chars"].cast(pa.int64()),
+            "one": pa.array(np.ones(len(b), np.int64)),
+        })
+        g = t.group_by(["split", "lang"]).aggregate(
+            [("nc", "sum"), ("one", "sum")])
+        return pa.table({"split": g["split"], "lang": g["lang"],
+                         "nc": g["nc_sum"].combine_chunks().cast(pa.int64()),
+                         "one": g["one_sum"].combine_chunks()
+                                 .cast(pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["split", "lang"]).sum(["nc", "one"]))
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = b["sum(nc)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b["sum(one)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"split": b["split"], "lang": b["lang"],
+                         "doc_count": pa.array(c),
+                         "n_chars_sum": pa.array(s),
+                         "mean_chars": pa.array(s.astype(np.float64)
+                                                / c.astype(np.float64))})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

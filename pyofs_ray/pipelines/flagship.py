@@ -871,3 +871,162 @@ SELECT ({zoom} * {1 << geom.CELL_Z_SHIFT} + ab.x * {1 << geom.CELL_X_SHIFT}
        COALESCE(nb.n_above_nbrs, 0) AS n_above_nbrs
 FROM ab LEFT JOIN nb ON nb.x = ab.x AND nb.y = ab.y
 WHERE COALESCE(nb.n_above_nbrs, 0) < 4"""
+
+
+# ------------------------------------------------ range-ring histograms
+RING_EDGES_MILLI = (2_000, 5_000, 10_000, 20_000)  # inclusive upper edges
+
+
+def station_ring_histogram(sf_dir: str,
+                           edges: tuple[int, ...] = RING_EDGES_MILLI
+                           ) -> ray.data.Dataset:
+    """Per-station distance-band counts — PyOFS's fixed-radius buoy
+    matching (`data_buoy.py:301-323`) generalized to concentric range
+    rings: band i holds pages with ``edges[i-1]² < d² ≤ edges[i]²``
+    (integer milli-degree arithmetic, inclusive upper edge). Built on the
+    broadcast-index `radius_join` at the OUTERMOST radius (zero
+    exchanges), then a ≤|stations|·|bands|-key count — per-batch partials
+    make the final groupby trivial.
+
+    Output: ``station_id, band, ring_max_milli, doc_count``."""
+    from ..stages.knn import radius_join
+
+    ds = geocoded_pages(sf_dir).select_columns(["lon_milli", "lat_milli"])
+    joined = radius_join(ds, edges[-1]).select_columns(["station_id", "d2"])
+    edges2 = np.array([e * e for e in edges], np.int64)
+    edge_arr = np.array(edges, np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        d2 = b["d2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        band = np.searchsorted(edges2, d2, side="left").astype(np.int64)
+        t = pa.table({"station_id": b["station_id"],
+                      "band": pa.array(band),
+                      "one": pa.array(np.ones(len(band), np.int64))})
+        g = t.group_by(["station_id", "band"]).aggregate([("one", "sum")])
+        return pa.table({"station_id": g["station_id"],
+                         "band": g["band"].cast(pa.int64()),
+                         "n": g["one_sum"].combine_chunks().cast(pa.int64())})
+
+    parts = joined.map_batches(partial, batch_format="pyarrow")
+    agg = parts.groupby(["station_id", "band"]).sum("n")
+
+    def finish(b: pa.Table) -> pa.Table:
+        band = b["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "station_id": b["station_id"],
+            "band": pa.array(band),
+            "ring_max_milli": pa.array(edge_arr[band]),
+            "doc_count": b["sum(n)"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def station_ring_histogram_sql(edges: tuple[int, ...] = RING_EDGES_MILLI
+                               ) -> str:
+    from ..core import sqlgen, sqlgen_knn
+
+    arms = "\n         ".join(
+        f"WHEN d2 <= {e * e} THEN {i}" for i, e in enumerate(edges))
+    ring = "\n         ".join(
+        f"WHEN d2 <= {e * e} THEN {e}" for e in edges)
+    return f"""{sqlgen.pages_prefix()},
+{sqlgen_knn.stations_cte()},
+pairs AS (
+  SELECT s.station_id,
+         (p.lon_milli - s.s_lon) * (p.lon_milli - s.s_lon)
+           + (p.lat_milli - s.s_lat) * (p.lat_milli - s.s_lat) AS d2
+  FROM pages p CROSS JOIN stations s
+)
+SELECT station_id,
+       CASE {arms} END AS band,
+       CASE {ring} END AS ring_max_milli,
+       CAST(COUNT(*) AS BIGINT) AS doc_count
+FROM pairs
+WHERE d2 <= {edges[-1] * edges[-1]}
+GROUP BY 1, 2, 3"""
+
+
+# ---------------------------------------------- per-host duplication rate
+def host_dup_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-host exact-duplicate rate — the host-level boilerplate metric
+    curation pipelines gate crawl budgets on: ``n_docs``, distinct text
+    fingerprints, and the duplicate surplus per host.
+
+    Scale shape: per-batch (host, md5) partial counts, ONE composite-key
+    bucket exchange (same-key-same-bucket ⇒ in-bucket combine gives the
+    GLOBAL multiplicity of each (host, text)), per-bucket per-host
+    partials (Σ multiplicities = docs, row count = distincts), then a tiny
+    host reduce. Texts never move — only 32-char fingerprints."""
+    from ..stages.agg import bucketed_group_agg
+    from ..stages.text import fingerprint
+    from ..core.hashing import fnv1a64
+
+    import ray as _ray
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) \
+        if _ray.is_initialized() else 8
+    nb = max(8, cpus)
+
+    ds = pages_dataset(sf_dir, with_html=False)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"host": url_host(b["url"]),
+                      "text_hash": fingerprint(b, "text")["text_hash"]})
+        g = t.group_by(["host", "text_hash"]).aggregate(
+            [("text_hash", "count")])
+        key = pc.binary_join_element_wise(
+            g["host"].combine_chunks().cast(pa.string()),
+            g["text_hash"].combine_chunks().cast(pa.string()), "|")
+        bucket = (fnv1a64(key) % np.uint64(nb)).astype(np.int64)
+        return pa.table({"host": g["host"], "text_hash": g["text_hash"],
+                         "cnt": g["text_hash_count"].combine_chunks()
+                                 .cast(pa.int64()),
+                         "_bucket": pa.array(bucket)})
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        gg = (g.select(["host", "text_hash", "cnt"])
+               .group_by(["host", "text_hash"]).aggregate([("cnt", "sum")]))
+        h = (gg.group_by("host")
+               .aggregate([("cnt_sum", "sum"), ("cnt_sum", "count")]))
+        return pa.table({
+            "host": h["host"],
+            "docs": h["cnt_sum_sum"].combine_chunks().cast(pa.int64()),
+            "distincts": h["cnt_sum_count"].combine_chunks()
+                          .cast(pa.int64()),
+        })
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby("_bucket").map_groups(per_bucket,
+                                              batch_format="pyarrow"))
+    agg = bucketed_group_agg(parts, keys=["host"],
+                             aggs=[("docs", "sum", "n_docs"),
+                                   ("distincts", "sum", "n_distinct")])
+
+    def finish(b: pa.Table) -> pa.Table:
+        nd = b["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nu = b["n_distinct"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"host": b["host"],
+                         "n_docs": pa.array(nd),
+                         "n_distinct": pa.array(nu),
+                         "n_dup": pa.array(nd - nu)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+HOST_DUP_STATS_SQL_TEMPLATE = """
+per AS (
+  SELECT SPLIT_PART(url, '/', 3) AS host, md5(text) AS th,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pages GROUP BY 1, 2
+)
+SELECT host,
+       CAST(SUM(cnt) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS n_dup
+FROM per GROUP BY host"""
+
+
+def host_dup_stats_sql() -> str:
+    from ..core import sqlgen
+
+    return f"{sqlgen.pages_prefix()},{HOST_DUP_STATS_SQL_TEMPLATE}"

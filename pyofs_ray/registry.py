@@ -1548,3 +1548,23 @@ register("cell_change_raster", flagship.cell_change_raster,
          flagship.cell_change_raster_sql())
 register("cell_boundary_vector", flagship.cell_boundary_vector,
          flagship.cell_boundary_vector_sql())
+
+
+# range-ring histograms (broadcast-index radius join, zero exchanges) and
+# per-host duplication rate (fingerprints move, texts never)
+register("station_ring_histogram", flagship.station_ring_histogram,
+         flagship.station_ring_histogram_sql())
+register("host_dup_stats", flagship.host_dup_stats,
+         flagship.host_dup_stats_sql())
+
+from .core.sqlgen_sample import hash_split_sql as _hs_sql  # noqa: E402
+
+register("split_balance", corpus.split_balance, f"""
+WITH sp AS ({_hs_sql('documents', 'doc_id', _SPLITS,
+                     salt=corpus.SPLIT_SALT, select='doc_id')})
+SELECT sp.split, d.lang,
+       CAST(COUNT(*) AS BIGINT) AS doc_count,
+       CAST(SUM(d.n_chars) AS BIGINT) AS n_chars_sum,
+       CAST(SUM(d.n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
+FROM documents d JOIN sp USING (doc_id)
+GROUP BY 1, 2""")

@@ -1,0 +1,59 @@
+"""Ring histograms, host dup stats, split balance."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from pyofs_ray.pipelines import corpus, flagship
+
+
+def test_ring_band_edges_inclusive():
+    edges2 = np.array([e * e for e in flagship.RING_EDGES_MILLI], np.int64)
+    d2 = np.array([0, 4_000_000, 4_000_001, 25_000_000, 25_000_001],
+                  np.int64)
+    band = np.searchsorted(edges2, d2, side="left")
+    # d² == edge² lands in that band (inclusive upper edge)
+    assert band.tolist() == [0, 0, 1, 1, 2]
+
+
+def test_ring_histogram_totals_match_radius_join():
+    sf = "/root/testdata/sf0.001"
+    hist = flagship.station_ring_histogram(sf).to_pandas()
+    assert (hist.doc_count > 0).all()
+    assert hist.band.between(0, len(flagship.RING_EDGES_MILLI) - 1).all()
+    # outermost-ring total equals the flat radius join's pair count
+    from pyofs_ray.stages.knn import radius_join
+    ds = flagship.geocoded_pages(sf).select_columns(
+        ["lon_milli", "lat_milli"])
+    n_pairs = radius_join(ds, flagship.RING_EDGES_MILLI[-1]).count()
+    assert hist.doc_count.sum() == n_pairs
+    # per-station monotone accumulation sanity: ring_max matches band
+    edge = np.array(flagship.RING_EDGES_MILLI, np.int64)
+    assert (hist.ring_max_milli.to_numpy()
+            == edge[hist.band.to_numpy()]).all()
+
+
+def test_host_dup_stats_counts_injected_dups(tmp_path, monkeypatch):
+    sf = "/root/testdata/sf0.001"
+    out = flagship.host_dup_stats(sf).to_pandas().set_index("host")
+    assert (out.n_docs >= out.n_distinct).all()
+    assert (out.n_dup == out.n_docs - out.n_distinct).all()
+    # cross-check one host against a direct pandas computation
+    pages = flagship.pages_dataset(sf, with_html=False).to_pandas()
+    pages["host"] = pages.url.str.split("/").str[2]
+    g = pages.groupby("host").agg(n_docs=("text", "size"),
+                                  n_distinct=("text", "nunique"))
+    assert (out.n_docs.sort_index() == g.n_docs.sort_index()).all()
+    assert (out.n_distinct.sort_index() == g.n_distinct.sort_index()).all()
+
+
+def test_split_balance_totals():
+    sf = "/root/testdata/sf0.001"
+    bal = corpus.split_balance(sf).to_pandas()
+    docs = ray.data.read_parquet(f"{sf}/documents.parquet")
+    assert bal.doc_count.sum() == docs.count()
+    assert set(bal.split) <= set(corpus.SPLITS)
+    # every lang appears in train (80% split of a 5-lang corpus)
+    langs = set(ray.data.read_parquet(
+        f"{sf}/documents.parquet").to_pandas()["lang"])
+    assert set(bal[bal.split == "train"].lang) == langs
