@@ -66,6 +66,12 @@ BENCH_QUERIES = [
     # round 4 late block 3: doc surprisal (shares the tf/df exchange),
     # exact grouped quantiles
     "doc_token_surprisal", "events_value_quantiles",
+    # round 4 late block 4: raster stencils / change detection / boundary
+    # vectorization, diurnal profile, range rings, curation audits,
+    # sparse retrieval, passage decontamination
+    "cell_focal_mean", "local_hour_profile", "cell_change_raster",
+    "cell_boundary_vector", "station_ring_histogram", "host_dup_stats",
+    "split_balance", "doc_sparse_retrieval", "shingle_contamination",
 ]
 
 
