@@ -1568,3 +1568,55 @@ SELECT sp.split, d.lang,
        CAST(SUM(d.n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
 FROM documents d JOIN sp USING (doc_id)
 GROUP BY 1, 2""")
+
+
+# image perceptual-hash (aHash) near-dup groups: decode-where-it-lives,
+# integer-thresholded 8x8 thumbnail bits packed as two uint32 halves;
+# the oracle recomputes every thumb pixel from the generator arithmetic
+def _image_ahash_dups(sf_dir: str):
+    from .stages.multimodal import image_ahash_groups, synth_media_batch
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+    clips = ds.map_batches(synth_media_batch, batch_format="pyarrow",
+                           batch_size=256)
+    return image_ahash_groups(clips)
+
+
+IMAGE_AHASH_SQL = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 17 = 0 THEN (16 + (doc_id % 13) * 4) * 8
+              ELSE 16 + (doc_id % 13) * 4 END AS w,
+         CASE WHEN doc_id % 17 = 0 THEN (12 + (doc_id % 7) * 4) * 2
+              ELSE 12 + (doc_id % 7) * 4 END AS h,
+         doc_id % 16777216 AS seed
+  FROM documents
+),
+t AS (
+  SELECT media_id, w, h,
+         CAST(g.k AS BIGINT) AS k,
+         (((h - 1) * (g.k // 8)) // 7 * 31
+          + ((w - 1) * (g.k % 8)) // 7 * 7 + seed) % 256 AS px
+  FROM dims CROSS JOIN generate_series(0, 63) AS g(k)
+),
+s AS (SELECT media_id, CAST(SUM(px) AS BIGINT) AS s FROM t GROUP BY 1),
+per AS (
+  SELECT t.media_id, MAX(t.w) AS width, MAX(t.h) AS height,
+         CAST(SUM(CASE WHEN t.k >= 32 AND t.px * 64 >= s.s
+                       THEN CAST(1 AS BIGINT) << CAST(t.k - 32 AS INTEGER)
+                       ELSE 0 END) AS BIGINT) AS ahash_hi,
+         CAST(SUM(CASE WHEN t.k < 32 AND t.px * 64 >= s.s
+                       THEN CAST(1 AS BIGINT) << CAST(t.k AS INTEGER)
+                       ELSE 0 END) AS BIGINT) AS ahash_lo
+  FROM t JOIN s USING (media_id)
+  GROUP BY t.media_id
+)
+SELECT ahash_hi, ahash_lo, width, height,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(MIN(media_id) AS BIGINT) AS min_media_id
+FROM per
+GROUP BY 1, 2, 3, 4
+HAVING COUNT(*) >= 2"""
+
+register("image_ahash_dups", _image_ahash_dups, IMAGE_AHASH_SQL)

@@ -367,3 +367,80 @@ def decode_audio(ds: ray.data.Dataset, decoder: str = "fake",
 
     return ds.map_batches(decode_batch, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+# ------------------------------------------------------------ image aHash
+def image_ahash_groups(clips: ray.data.Dataset,
+                       num_buckets: int | None = None) -> ray.data.Dataset:
+    """Perceptual-hash (aHash) near-duplicate image groups: decode each
+    FAKE1 payload, sample an 8×8 thumbnail with pure-integer grid indices
+    (``ry = (h−1)·ty // 7``), threshold each thumb pixel against the thumb
+    MEAN by integer cross-multiplication (``px·64 ≥ Σpx`` — no float
+    enters the bit decision), and pack the 64 bits as two uint32 halves
+    (avoids int64 sign-bit gymnastics in the SQL twin). Groups are keyed
+    (ahash_hi, ahash_lo, width, height); only groups with ≥2 members are
+    near-dup clusters.
+
+    This is the image-side sibling of the text MinHash keep-one dedup:
+    the decode runs where the payload lives (one stateless pass, payloads
+    never shuffle — only 4-int keys move), then ONE bucketed reduce.
+
+    Output: ``ahash_hi, ahash_lo, width, height, n_images, min_media_id``
+    for groups of ≥2."""
+    from .agg import bucketed_group_agg
+
+    _SH = np.arange(32, dtype=np.uint64)
+
+    def hash_batch(b: pa.Table) -> pa.Table:
+        payloads = b["payload"].to_pylist()
+        n = len(payloads)
+        his = np.empty(n, np.int64)
+        los = np.empty(n, np.int64)
+        ws = np.empty(n, np.int64)
+        hs = np.empty(n, np.int64)
+        k = np.arange(64)
+        ty, tx = k // 8, k % 8
+        for i, p in enumerate(payloads):
+            img = _decode_fake(p)
+            h, w = img.shape
+            thumb = img[(h - 1) * ty // 7, (w - 1) * tx // 7].astype(
+                np.int64)
+            s = int(thumb.sum())
+            bits = (thumb * 64 >= s).astype(np.uint64)
+            los[i] = int((bits[:32] << _SH).sum())
+            his[i] = int((bits[32:] << _SH).sum())
+            ws[i], hs[i] = w, h
+        t = pa.table({
+            "ahash_hi": pa.array(his), "ahash_lo": pa.array(los),
+            "width": pa.array(ws), "height": pa.array(hs),
+            "mid": b["media_id"].cast(pa.int64()),
+            "one": pa.array(np.ones(n, np.int64)),
+        })
+        g = t.group_by(["ahash_hi", "ahash_lo", "width", "height"]).aggregate(
+            [("one", "sum"), ("mid", "min")])
+        return pa.table({
+            "ahash_hi": g["ahash_hi"], "ahash_lo": g["ahash_lo"],
+            "width": g["width"], "height": g["height"],
+            "n": g["one_sum"].combine_chunks().cast(pa.int64()),
+            "mid": g["mid_min"].combine_chunks().cast(pa.int64()),
+        })
+
+    hashed = clips.map_batches(hash_batch, batch_format="pyarrow",
+                               batch_size=256)
+    agg = bucketed_group_agg(
+        hashed, keys=["ahash_hi", "ahash_lo", "width", "height"],
+        aggs=[("n", "sum", "n_images"), ("mid", "min", "min_media_id")],
+        num_buckets=num_buckets)
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.filter(pa.compute.greater_equal(b["n_images"], 2))
+        return pa.table({
+            "ahash_hi": b["ahash_hi"].cast(pa.int64()),
+            "ahash_lo": b["ahash_lo"].cast(pa.int64()),
+            "width": b["width"].cast(pa.int64()),
+            "height": b["height"].cast(pa.int64()),
+            "n_images": b["n_images"].cast(pa.int64()),
+            "min_media_id": b["min_media_id"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
