@@ -1620,3 +1620,38 @@ GROUP BY 1, 2, 3, 4
 HAVING COUNT(*) >= 2"""
 
 register("image_ahash_dups", _image_ahash_dups, IMAGE_AHASH_SQL)
+
+
+# IDW grid interpolation (J3's third kernel: scattered stations → raster)
+def _cell_idw_interp(sf_dir: str):
+    from .sources.fixtures import stations as _stations
+    from .stages.idw import idw_interpolate
+
+    cells = flagship.cell_aggregates(sf_dir).select_columns(["cell_id"])
+    return idw_interpolate(cells, _stations())
+
+
+def _cell_idw_interp_sql() -> str:
+    from .core import sqlgen_knn
+    from .stages.idw import idw_interpolate_sql
+
+    return idw_interpolate_sql(sqlgen.pages_prefix(),
+                               sqlgen_knn.stations_cte(), geom.BASE_ZOOM)
+
+
+register("cell_idw_interp", _cell_idw_interp, _cell_idw_interp_sql())
+
+
+# constant-memory quantile sketch, error-gated vs the exact selection
+# quantile (same contract as the HLL distinct sketch)
+def _events_value_p90_sketch(sf_dir: str):
+    from .stages.qsketch import quantile_sketch
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["value"])
+    return quantile_sketch(ds, "value")
+
+
+register_error_gated(
+    "events_value_p90_sketch", _events_value_p90_sketch,
+    exact_sql="SELECT quantile_disc(value, 0.9) AS v FROM events",
+    col="p90", max_rel_err=0.05)
