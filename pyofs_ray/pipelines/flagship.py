@@ -1030,3 +1030,123 @@ def host_dup_stats_sql() -> str:
     from ..core import sqlgen
 
     return f"{sqlgen.pages_prefix()},{HOST_DUP_STATS_SQL_TEMPLATE}"
+
+
+# ------------------------------------------------ geo × time argmax family
+US_PER_DAY = 86_400_000_000
+
+
+def cell_peak_day(sf_dir: str, zoom: int = geom.BASE_ZOOM
+                  ) -> ray.data.Dataset:
+    """Per-cell PEAK crawl day — the day with the most fetches (ties →
+    earliest day): the argmax composition of the (cell, day) crosstab.
+    ONE bucketed (cell, day) count reduce, then the two-stage partial
+    top-k (k=1) — exchange ≤ 1 row per (cell, batch).
+
+    Output: ``cell_id, day, n_pages`` (day = integer epoch-day)."""
+    from ..stages.agg import bucketed_group_agg
+    from ..stages.composite import topk_per_key
+
+    ds = pages_dataset(sf_dir, with_html=False)
+    ds = geocode(ds, zoom=zoom).select_columns(["cell_id", "warc_ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table({"cell_id": b["cell_id"],
+                      "day": pa.array(us // US_PER_DAY),
+                      "one": pa.array(np.ones(len(b), np.int64))})
+        g = t.group_by(["cell_id", "day"]).aggregate([("one", "sum")])
+        return pa.table({"cell_id": g["cell_id"], "day": g["day"],
+                         "n": g["one_sum"].combine_chunks()
+                               .cast(pa.int64())})
+
+    counts = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["cell_id", "day"], [("n", "sum", "n_pages")])
+    counts = counts.map_batches(
+        lambda b: b.append_column(
+            "neg_n", pc.negate_checked(b["n_pages"].cast(pa.int64()))),
+        batch_format="pyarrow")
+    kept = topk_per_key(counts, keys=("cell_id",),
+                        order_cols=("neg_n", "day"), k=1,
+                        payload_cols=("day", "n_pages"), descending=False)
+    return kept.map_batches(
+        lambda b: pa.table({"cell_id": b["cell_id"].cast(pa.int64()),
+                            "day": b["day"].cast(pa.int64()),
+                            "n_pages": b["n_pages"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def cell_peak_day_sql(zoom: int = geom.BASE_ZOOM) -> str:
+    from ..core import sqlgen
+
+    return f"""{sqlgen.pages_prefix()},
+cd AS (
+  SELECT {sqlgen.cell_expr(zoom)} AS cell_id,
+         epoch_us(warc_ts) // {US_PER_DAY} AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_pages
+  FROM pages GROUP BY 1, 2
+)
+SELECT cell_id, day, n_pages FROM (
+  SELECT cell_id, day, n_pages,
+         ROW_NUMBER() OVER (PARTITION BY cell_id
+                            ORDER BY n_pages DESC, day) AS rnk
+  FROM cd
+) WHERE rnk = 1"""
+
+
+def polygon_modal_lang(sf_dir: str, zoom: int = geom.BASE_ZOOM
+                       ) -> ray.data.Dataset:
+    """Zonal MODE: per study polygon, the most common page language
+    (ties → lang ASC) with its count — the PIP join composed with the
+    categorical-mode argmax. ≤ |polygons|·|langs| keys after per-batch
+    partials; top-1 finish is driver-bounded."""
+    from ..stages.composite import topk_per_key
+    from ..stages.pip import pip_join
+
+    ds = geocoded_pages(sf_dir, zoom).select_columns(
+        ["lang", "lon_milli", "lat_milli"])
+    joined = pip_join(ds, mode="inner")
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"polygon_id": b["polygon_id"], "lang": b["lang"],
+                      "one": pa.array(np.ones(len(b), np.int64))})
+        g = t.group_by(["polygon_id", "lang"]).aggregate([("one", "sum")])
+        return pa.table({"polygon_id": g["polygon_id"], "lang": g["lang"],
+                         "n": g["one_sum"].combine_chunks()
+                               .cast(pa.int64())})
+
+    counts = (joined.map_batches(partial, batch_format="pyarrow")
+                    .groupby(["polygon_id", "lang"]).sum("n"))
+    counts = counts.map_batches(
+        lambda b: pa.table({
+            "polygon_id": b["polygon_id"], "lang": b["lang"],
+            "n_pages": b["sum(n)"].cast(pa.int64()),
+            "neg_n": pc.negate_checked(b["sum(n)"].cast(pa.int64()))}),
+        batch_format="pyarrow")
+    kept = topk_per_key(counts, keys=("polygon_id",),
+                        order_cols=("neg_n", "lang"), k=1,
+                        payload_cols=("lang", "n_pages"), descending=False)
+    return kept.map_batches(
+        lambda b: pa.table({"polygon_id": b["polygon_id"],
+                            "lang": b["lang"],
+                            "n_pages": b["n_pages"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def polygon_modal_lang_sql() -> str:
+    from ..core import sqlgen, sqlgen_pip
+
+    return f"""{sqlgen.pages_prefix()},
+pl AS (
+  SELECT polygon_id, lang, CAST(COUNT(*) AS BIGINT) AS n_pages
+  FROM ({sqlgen_pip.pip_inner_select(
+      cols=("page_key", "lang", "lon_milli", "lat_milli"))})
+  GROUP BY 1, 2
+)
+SELECT polygon_id, lang, n_pages FROM (
+  SELECT polygon_id, lang, n_pages,
+         ROW_NUMBER() OVER (PARTITION BY polygon_id
+                            ORDER BY n_pages DESC, lang) AS rnk
+  FROM pl
+) WHERE rnk = 1"""

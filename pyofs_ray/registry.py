@@ -1655,3 +1655,11 @@ register_error_gated(
     "events_value_p90_sketch", _events_value_p90_sketch,
     exact_sql="SELECT quantile_disc(value, 0.9) AS v FROM events",
     col="p90", max_rel_err=0.05)
+
+
+# geo × time argmax (peak crawl day per cell) and zonal categorical mode
+# (modal language per study polygon)
+register("cell_peak_day", flagship.cell_peak_day,
+         flagship.cell_peak_day_sql())
+register("polygon_modal_lang", flagship.polygon_modal_lang,
+         flagship.polygon_modal_lang_sql())
