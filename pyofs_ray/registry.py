@@ -1663,3 +1663,19 @@ register("cell_peak_day", flagship.cell_peak_day,
          flagship.cell_peak_day_sql())
 register("polygon_modal_lang", flagship.polygon_modal_lang,
          flagship.polygon_modal_lang_sql())
+
+
+# vector → raster: polygon rasterization (covered cells by center parity)
+def _polygon_raster(sf_dir: str):
+    from .stages.raster import rasterize_polygons
+
+    return rasterize_polygons()
+
+
+def _polygon_raster_sql() -> str:
+    from .stages.raster import rasterize_polygons_sql
+
+    return rasterize_polygons_sql()
+
+
+register("polygon_raster", _polygon_raster, _polygon_raster_sql())

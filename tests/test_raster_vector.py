@@ -1,0 +1,43 @@
+"""Polygon rasterization (stages/raster.py)."""
+
+import numpy as np
+
+from pyofs_ray.core import geom
+from pyofs_ray.sources.fixtures import Polygon, study_polygons
+from pyofs_ray.stages.idw import cell_centers
+from pyofs_ray.stages.pip import PolygonIndex
+from pyofs_ray.stages.raster import cell_range, rasterize_polygons
+
+
+def test_square_polygon_covers_exact_center_grid():
+    # an axis-aligned square: covered cells = those whose center is inside
+    z = 8
+    sq = Polygon("sq", np.array([10_000, 30_000, 30_000, 10_000], np.int64),
+                 np.array([5_000, 5_000, 25_000, 25_000], np.int64))
+    out = rasterize_polygons([sq], z=z).to_pandas()
+    assert len(out) > 0
+    lon_c, lat_c = cell_centers(out.cell_id.to_numpy())
+    idx = PolygonIndex([sq])
+    assert idx.contains(0, lon_c, lat_c).all()
+    # completeness: every candidate cell with an inside center is present
+    x0, x1 = cell_range(10_000, 30_000, z, "x")
+    y0, y1 = cell_range(5_000, 25_000, z, "y")
+    gx, gy = np.meshgrid(np.arange(x0, x1 + 1), np.arange(y0, y1 + 1))
+    cid = geom.pack_cell(z, gx.ravel().astype(np.int64),
+                         gy.ravel().astype(np.int64))
+    lc, tc = cell_centers(cid)
+    want = set(cid[idx.contains(0, lc, tc)].tolist())
+    assert set(out.cell_id) == want
+
+
+def test_fixture_polygons_consistent_with_pip_membership():
+    """Every raster cell's center PIP-tests inside its polygon, for the
+    real fixture set (concave stars, antimeridian parts included)."""
+    out = rasterize_polygons().to_pandas()
+    polys = study_polygons()
+    pidx = {p.polygon_id: i for i, p in enumerate(polys)}
+    index = PolygonIndex(polys)
+    assert len(out) > 0
+    for pid, grp in out.groupby("polygon_id"):
+        lon_c, lat_c = cell_centers(grp.cell_id.to_numpy())
+        assert index.contains(pidx[pid], lon_c, lat_c).all()
