@@ -72,6 +72,10 @@ BENCH_QUERIES = [
     "cell_focal_mean", "local_hour_profile", "cell_change_raster",
     "cell_boundary_vector", "station_ring_histogram", "host_dup_stats",
     "split_balance", "doc_sparse_retrieval", "shingle_contamination",
+    # round 4 late block 5: IDW interpolation, multimodal aHash dedup,
+    # quantile sketch, geo×time argmax, zonal mode, vector→raster
+    "cell_idw_interp", "image_ahash_dups", "events_value_p90_sketch",
+    "cell_peak_day", "polygon_modal_lang", "polygon_raster",
 ]
 
 

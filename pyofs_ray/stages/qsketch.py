@@ -59,11 +59,15 @@ def quantile_sketch(ds: ray.data.Dataset, value_col: str,
         return pa.table({"bin": pa.array(uniq),
                          "c": pa.array(cnt.astype(np.int64))})
 
-    merged = (ds.map_batches(partial, batch_format="pyarrow",
-                             zero_copy_batch=True)
-                .groupby("bin").sum("c").to_pandas())
+    # one ≤2k-row sketch per block, merged on the driver — the HLL shape
+    # (`sketch.approx_distinct`); a Ray groupby here would spend a full
+    # sort-based all-to-all on ~2k keys (measured 4.6 s vs 1.6 s for the
+    # whole query). At cluster scale, tree-merge via a tiny groupby first.
+    parts = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas())
+    merged = parts.groupby("bin", as_index=False)["c"].sum()
     bins = merged["bin"].to_numpy().astype(np.int64)
-    cnt = merged["sum(c)"].to_numpy().astype(np.int64)
+    cnt = merged["c"].to_numpy().astype(np.int64)
     order = np.argsort(bins)
     bins, cnt = bins[order], cnt[order]
     cum = np.cumsum(cnt)
