@@ -1679,3 +1679,30 @@ def _polygon_raster_sql() -> str:
 
 
 register("polygon_raster", _polygon_raster, _polygon_raster_sql())
+
+
+# count-min frequency sketch (the third sketch family): constant-memory
+# point-frequency estimate for an ad-hoc probe token, error-gated vs the
+# exact token count (CM never underestimates; 4x8192 counters make the
+# one-sided overshoot negligible at fixture vocabulary sizes)
+def _token_freq_cm(sf_dir: str):
+    import pandas as pd
+
+    from .stages.cmsketch import cm_estimate, cm_sketch_tokens
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+    cm = cm_sketch_tokens(ds)
+    est = cm_estimate(cm, ["merge"])
+    return pd.DataFrame({"cm_count": [int(est[0])]})
+
+
+register_error_gated(
+    "token_freq_cm", _token_freq_cm,
+    exact_sql="""
+SELECT CAST(COUNT(*) AS BIGINT) AS v FROM (
+  SELECT UNNEST(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+) WHERE tok = 'merge'""",
+    col="cm_count", max_rel_err=0.05)
