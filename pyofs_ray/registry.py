@@ -1706,3 +1706,19 @@ SELECT CAST(COUNT(*) AS BIGINT) AS v FROM (
   FROM documents
 ) WHERE tok = 'merge'""",
     col="cm_count", max_rel_err=0.05)
+
+
+# Bloom-prefiltered decontamination: same oracle (bit-identical output —
+# Bloom has no false negatives; FPs die in the exact in-bucket compare),
+# exchange shrunk to eval rows + Bloom survivors
+def _shingle_contamination_bloom(sf_dir: str):
+    from .stages.decontam import shingle_contamination
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return shingle_contamination(ds, _SPLITS, corpus.SPLIT_SALT,
+                                 prefilter="bloom")
+
+
+register("shingle_contamination_bloom", _shingle_contamination_bloom,
+         ORACLES["shingle_contamination"])

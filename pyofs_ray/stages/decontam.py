@@ -113,11 +113,22 @@ def shingle_contamination(ds: ray.data.Dataset, splits: dict[str, float],
                           text_col: str = "text",
                           ngram: int = DEFAULT_NGRAM,
                           train_label: str = "train",
-                          num_buckets: int | None = None
-                          ) -> ray.data.Dataset:
+                          num_buckets: int | None = None,
+                          prefilter: str | None = None,
+                          bloom_fpr: float = 0.01) -> ray.data.Dataset:
     """Eval documents sharing ≥1 verbatim token ``ngram``-gram with any
     train document. Output: ``doc_id, split, n_hits`` where ``n_hits``
-    counts the doc's DISTINCT contaminated n-grams."""
+    counts the doc's DISTINCT contaminated n-grams.
+
+    ``prefilter="bloom"`` — the 100-TB exchange diet: a first pass builds
+    a Bloom filter of the EVAL side's n-gram hashes (the minority split —
+    a slim uint64 column), and the main exchange then drops every train
+    row whose hash cannot be an eval gram. Bloom filters have NO false
+    negatives, so the candidate set is a superset and the in-bucket exact
+    string compare makes the OUTPUT bit-identical to the direct path —
+    only the exchange shrinks (eval rows + Bloom survivors instead of the
+    full corpus gram stream), at the price of tokenizing the corpus
+    twice. Pick it when the exchange, not the scan, is the bottleneck."""
     if num_buckets is None:
         import ray as _ray
         cpus = int(_ray.cluster_resources().get("CPU", 8)) \
@@ -126,14 +137,41 @@ def shingle_contamination(ds: ray.data.Dataset, splits: dict[str, float],
 
     rows = shingle_rows(ds, id_col=id_col, text_col=text_col, ngram=ngram)
 
+    bf = None
+    if prefilter == "bloom":
+        from .bloom import build_bloom_distributed
+
+        def eval_hashes(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            keep = split_labels(ids, splits, salt) != train_label
+            s = b["s"].combine_chunks() if isinstance(
+                b["s"], pa.ChunkedArray) else b["s"]
+            return pa.table({"h": pa.array(
+                fnv1a64(s)[keep].view(np.int64))})
+
+        bf = build_bloom_distributed(
+            rows.map_batches(eval_hashes, batch_format="pyarrow"),
+            "h", fpr=bloom_fpr)
+    elif prefilter is not None:
+        raise ValueError(f"unknown prefilter {prefilter!r}")
+    import ray as _ray2
+    bf_ref = _ray2.put(bf)
+
     def tag(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
         lab = split_labels(ids, splits, salt)
-        bucket = (fnv1a64(b["s"].combine_chunks() if isinstance(
+        h = fnv1a64(b["s"].combine_chunks() if isinstance(
             b["s"], pa.ChunkedArray) else b["s"])
-            % np.uint64(num_buckets)).astype(np.int64)
-        return (b.append_column("split", pa.array(lab))
-                 .append_column("_bucket", pa.array(bucket)))
+        b = (b.append_column("split", pa.array(lab))
+              .append_column("_bucket", pa.array(
+                  (h % np.uint64(num_buckets)).astype(np.int64))))
+        filt = _ray2.get(bf_ref)
+        if filt is None:
+            return b
+        # train rows whose hash cannot be an eval gram never matter; a
+        # Bloom has no false negatives, so dropping them is lossless
+        keep = (lab != train_label) | filt.contains(h)
+        return b.filter(pa.array(keep))
 
     tagged = rows.map_batches(tag, batch_format="pyarrow")
 

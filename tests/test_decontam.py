@@ -69,3 +69,28 @@ def test_shingle_contamination_no_overlap_empty():
     ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
     out = shingle_contamination(ds, splits, 7).to_pandas()
     assert len(out) == 0
+
+
+def test_bloom_prefilter_path_is_bit_identical():
+    """The Bloom-prefiltered path returns exactly the direct path's rows
+    — superset candidates + exact in-bucket compare ⇒ lossless — even at
+    an aggressive FPR where false positives certainly occur."""
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    salt = 23
+    ids = np.arange(300, dtype=np.int64)
+    labs = split_labels(ids, splits, salt)
+    train_id = int(ids[labs == "train"][0])
+    leak_id = int(ids[labs != "train"][0])
+    passage = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = {train_id: "x y " + passage + " z",
+             leak_id: passage + " tail words here"}
+    rows = [{"doc_id": int(i), "text": texts.get(int(i), f"f{i} " * 10)}
+            for i in ids]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(6)
+    direct = (shingle_contamination(ds, splits, salt)
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    bloomed = (shingle_contamination(ds, splits, salt, prefilter="bloom",
+                                     bloom_fpr=0.3)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert direct.equals(bloomed)
+    assert leak_id in set(direct.doc_id)
