@@ -1083,3 +1083,25 @@ def split_balance(sf_dir: str) -> ray.data.Dataset:
                                                 / c.astype(np.float64))})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _corpus_token_total(sf_dir: str) -> int:
+    """Total non-empty token count — one slim pre-scan (the N of PMI)."""
+    import pyarrow.compute as pc
+
+    def cnt(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(b["text"], r"\s+")
+        flat = pc.list_flatten(toks)
+        n = pc.sum(pc.not_equal(flat, "").cast(pa.int64())).as_py() or 0
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    return int(_docs(sf_dir, columns=("text",))
+               .map_batches(cnt, batch_format="pyarrow").sum("n"))
+
+
+def doc_bigram_collocations(sf_dir: str):
+    """Top-k PMI-ordered collocations (integer cross-multiplied score —
+    see `stages/tfidf.bigram_collocations`)."""
+    from ..stages.tfidf import bigram_collocations
+
+    return bigram_collocations(_docs(sf_dir), _corpus_token_total(sf_dir))

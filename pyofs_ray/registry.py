@@ -1722,3 +1722,14 @@ def _shingle_contamination_bloom(sf_dir: str):
 
 register("shingle_contamination_bloom", _shingle_contamination_bloom,
          ORACLES["shingle_contamination"])
+
+
+# PMI-ordered bigram collocations without a log: score is the exact
+# integer (n_xy·N·2^20)//(n_x·n_y) — PMI's order, HUGEINT twin
+from .stages.tfidf import bigram_collocations_sql  # noqa: E402
+
+_N_TOKENS_SQL = ("(SELECT CAST(SUM(len(list_filter("
+                 "string_split_regex(text, '\\s+'), x -> x <> ''))) "
+                 "AS HUGEINT) FROM documents)")
+register("doc_bigram_collocations", corpus.doc_bigram_collocations,
+         bigram_collocations_sql("documents", _N_TOKENS_SQL))

@@ -354,3 +354,187 @@ FROM tfq JOIN dfq USING (token)
 GROUP BY doc_id
 ORDER BY score DESC, doc_id
 LIMIT {k}"""
+
+
+COLLOC_SCALE = 1 << 20
+COLLOC_MIN_SUPPORT = 5
+
+
+def bigram_collocations(docs: ray.data.Dataset, n_tokens: int, *,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        k: int = 30, min_support: int = COLLOC_MIN_SUPPORT,
+                        num_buckets: int = 64) -> "pa.Table":
+    """Top-k collocations: adjacent token pairs ranked by POINTWISE MUTUAL
+    INFORMATION — except PMI's ``log`` never happens: PMI order is the
+    order of ``n_xy·N / (n_x·n_y)``, so the score is the exact integer
+    ``(n_xy · N · 2^20) // (n_x · n_y)`` (ties (w1, w2) ASC) and the
+    DuckDB twin (HUGEINT arithmetic) is bit-identical. Raises loudly if
+    the int64 product bound would be crossed (shard N or lower SCALE
+    there; the twin's HUGEINT keeps going).
+
+    Scale shape — TWO exchanges, both carrying pre-combined partials:
+
+    1. token-hash buckets carrying THREE row kinds from ONE corpus scan:
+       per-batch unigram counts, and each per-batch bigram count TWICE
+       (bucketed once by w1, once by w2). In-group, unigram partials
+       combine to the global n(w) and attach to the pair rows vectorized.
+    2. pair-hash buckets: n_xy sums over side-1 rows only (each batch
+       emitted the pair on both sides), n_x/n_y via max (each non-null on
+       exactly one side), then the integer score + per-block partial
+       top-k → one k-row finish.
+    """
+    from ..core.hashing import fnv1a64
+
+    def partials(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(b[text_col], r"\s+")
+        doc = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        doc = doc.filter(keep).to_numpy(zero_copy_only=False)
+        uni = (pa.table({"w": flat}).group_by("w")
+               .aggregate([("w", "count")]))
+        n_uni = len(uni)
+        if len(flat) >= 2:
+            same = doc[1:] == doc[:-1]
+            idx = np.flatnonzero(same)
+            pairs = (pa.table({"w1": flat.take(pa.array(idx)),
+                               "w2": flat.take(pa.array(idx + 1))})
+                     .group_by(["w1", "w2"]).aggregate([("w2", "count")]))
+        else:
+            pairs = pa.table({"w1": pa.array([], pa.string()),
+                              "w2": pa.array([], pa.string()),
+                              "w2_count": pa.array([], pa.int64())})
+        n_pair = len(pairs)
+        empty = pa.nulls(n_uni, pa.string())
+        w1 = pa.concat_arrays([
+            uni["w"].combine_chunks().cast(pa.string()),
+            pairs["w1"].combine_chunks().cast(pa.string()),
+            pairs["w1"].combine_chunks().cast(pa.string())])
+        w2 = pa.concat_arrays([
+            empty, pairs["w2"].combine_chunks().cast(pa.string()),
+            pairs["w2"].combine_chunks().cast(pa.string())])
+        n = pa.concat_arrays([
+            uni["w_count"].combine_chunks().cast(pa.int64()),
+            pairs["w2_count"].combine_chunks().cast(pa.int64()),
+            pairs["w2_count"].combine_chunks().cast(pa.int64())])
+        side = np.r_[np.zeros(n_uni, np.int8), np.ones(n_pair, np.int8),
+                     np.full(n_pair, 2, np.int8)]
+        # bucket by the token whose count this row needs: w (side 0),
+        # w1 (side 1), w2 (side 2)
+        bucket_tok = pa.concat_arrays([
+            uni["w"].combine_chunks().cast(pa.string()),
+            pairs["w1"].combine_chunks().cast(pa.string()),
+            pairs["w2"].combine_chunks().cast(pa.string())])
+        bucket = (fnv1a64(bucket_tok) % np.uint64(num_buckets)).astype(
+            np.int64)
+        return pa.table({"w1": w1, "w2": w2, "n": n,
+                         "_side": pa.array(side),
+                         "_tok": bucket_tok,
+                         "_bucket": pa.array(bucket)})
+
+    tagged = docs.map_batches(partials, batch_format="pyarrow")
+
+    def attach(g: pa.Table) -> pa.Table:
+        is_uni = pc.equal(g["_side"], pa.scalar(0, pa.int8()))
+        uni = (g.filter(is_uni).select(["_tok", "n"]).group_by("_tok")
+                .aggregate([("n", "sum")]))
+        pairs = g.filter(pc.invert(is_uni))
+        idx = pc.index_in(pairs["_tok"],
+                          value_set=uni["_tok"].combine_chunks())
+        if pc.any(pc.is_null(idx)).as_py():
+            raise KeyError("bigram_collocations: pair token missing from "
+                           "its own bucket's unigram partials")
+        nw = uni["n_sum"].combine_chunks().cast(pa.int64()).take(idx)
+        b2 = (fnv1a64(pc.binary_join_element_wise(
+            pairs["w1"].combine_chunks().cast(pa.string()),
+            pairs["w2"].combine_chunks().cast(pa.string()), "\x1f"))
+            % np.uint64(64)).astype(np.int64)
+        return pa.table({"w1": pairs["w1"], "w2": pairs["w2"],
+                         "n": pairs["n"].cast(pa.int64()),
+                         "nw": nw, "_side": pairs["_side"],
+                         "_b2": pa.array(b2)})
+
+    half = tagged.groupby("_bucket").map_groups(attach,
+                                                batch_format="pyarrow")
+
+    def score(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        s1 = df[df._side == 1].groupby(["w1", "w2"]).agg(
+            n_xy=("n", "sum"), n_x=("nw", "max"))
+        s2 = df[df._side == 2].groupby(["w1", "w2"]).agg(
+            n_y=("nw", "max"))
+        m = s1.join(s2, how="inner").reset_index()
+        m = m[m.n_xy >= min_support]
+        if not len(m):
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n_xy": pa.array([], pa.int64()),
+                             "n_x": pa.array([], pa.int64()),
+                             "n_y": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.int64())})
+        n_xy = m.n_xy.to_numpy().astype(np.int64)
+        n_x = m.n_x.to_numpy().astype(np.int64)
+        n_y = m.n_y.to_numpy().astype(np.int64)
+        if int(n_xy.max()) * int(n_tokens) > (1 << 62) // COLLOC_SCALE:
+            raise OverflowError(
+                "bigram_collocations: n_xy·N·SCALE would cross int64 — "
+                "shard the corpus or lower COLLOC_SCALE (the SQL twin's "
+                "HUGEINT keeps going)")
+        sc = (n_xy * np.int64(n_tokens) * np.int64(COLLOC_SCALE)) \
+            // (n_x * n_y)
+        order = np.lexsort((m.w2.to_numpy(), m.w1.to_numpy(), -sc))[:k]
+        return pa.table({
+            "w1": pa.array(m.w1.to_numpy()[order], pa.string()),
+            "w2": pa.array(m.w2.to_numpy()[order], pa.string()),
+            "n_xy": pa.array(n_xy[order]), "n_x": pa.array(n_x[order]),
+            "n_y": pa.array(n_y[order]), "score": pa.array(sc[order]),
+        })
+
+    parts = half.groupby("_b2").map_groups(score, batch_format="pyarrow")
+
+    def final(b: pa.Table) -> pa.Table:
+        sc = b["score"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w1 = np.asarray(b["w1"].to_pylist(), dtype=str)
+        w2 = np.asarray(b["w2"].to_pylist(), dtype=str)
+        order = np.lexsort((w2, w1, -sc))[:k]
+        return pa.table({
+            "w1": pa.array(w1[order].tolist(), pa.string()),
+            "w2": pa.array(w2[order].tolist(), pa.string()),
+            "n_xy": b["n_xy"].take(pa.array(order)),
+            "n_x": b["n_x"].take(pa.array(order)),
+            "n_y": b["n_y"].take(pa.array(order)),
+            "score": b["score"].take(pa.array(order)),
+        })
+
+    return (parts.repartition(1)
+                 .map_batches(final, batch_format="pyarrow",
+                              batch_size=None))
+
+
+def bigram_collocations_sql(table: str, n_tokens_sql: str, *, k: int = 30,
+                            min_support: int = COLLOC_MIN_SUPPORT) -> str:
+    """Bit-exact HUGEINT twin of the integer PMI-order score."""
+    return f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM {table}
+), pos AS (
+  SELECT doc_id, g.i AS i, t[CAST(g.i AS INTEGER)] AS w,
+         len(t) AS m, t
+  FROM tk, UNNEST(range(1, len(t) + 1)) AS g(i)
+), uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM pos GROUP BY 1
+), bi AS (
+  SELECT w AS w1, t[CAST(i + 1 AS INTEGER)] AS w2,
+         CAST(COUNT(*) AS BIGINT) AS n_xy
+  FROM pos WHERE i < m GROUP BY 1, 2
+), tot AS (SELECT {n_tokens_sql} AS n)
+SELECT w1, w2, n_xy, u1.n AS n_x, u2.n AS n_y,
+       CAST(CAST(n_xy AS HUGEINT) * (SELECT n FROM tot) * {COLLOC_SCALE}
+            // (CAST(u1.n AS HUGEINT) * u2.n) AS BIGINT) AS score
+FROM bi JOIN uni u1 ON u1.w = bi.w1 JOIN uni u2 ON u2.w = bi.w2
+WHERE n_xy >= {min_support}
+ORDER BY score DESC, w1, w2
+LIMIT {k}"""
