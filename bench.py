@@ -76,6 +76,10 @@ BENCH_QUERIES = [
     # quantile sketch, geo×time argmax, zonal mode, vector→raster
     "cell_idw_interp", "image_ahash_dups", "events_value_p90_sketch",
     "cell_peak_day", "polygon_modal_lang", "polygon_raster",
+    # round 4 late block 6: CM frequency sketch, PMI collocations,
+    # Bloom-prefiltered decontamination
+    "token_freq_cm", "doc_bigram_collocations",
+    "shingle_contamination_bloom",
 ]
 
 
