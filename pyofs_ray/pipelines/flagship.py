@@ -1150,3 +1150,81 @@ SELECT polygon_id, lang, n_pages FROM (
                             ORDER BY n_pages DESC, lang) AS rnk
   FROM pl
 ) WHERE rnk = 1"""
+
+
+def tile_pyramid_delta(sf_dir: str, z_base: int = geom.BASE_ZOOM,
+                       split_us: int = CHANGE_SPLIT_US) -> ray.data.Dataset:
+    """Multi-resolution change detection: `cell_change_raster` at every
+    pyramid level in ONE exchange (`tiles.delta_pyramid_from_pages`)."""
+    from ..stages.tiles import delta_pyramid_from_pages
+
+    ds = pages_dataset(sf_dir, with_html=False)
+    ds = geocode(ds, zoom=z_base).select_columns(["cell_id", "warc_ts"])
+    return delta_pyramid_from_pages(ds, split_us, z_base=z_base)
+
+
+def tile_pyramid_delta_sql(z_base: int = geom.BASE_ZOOM,
+                           split_us: int = CHANGE_SPLIT_US) -> str:
+    from ..core import sqlgen
+
+    levels = []
+    for z in range(z_base, -1, -1):
+        levels.append(f"""
+SELECT {sqlgen.cell_expr(z)} AS cell_id,
+       CAST({z} AS INTEGER) AS z,
+       CAST({sqlgen.x_expr(z)} AS INTEGER) AS x,
+       CAST({sqlgen.y_expr(z)} AS INTEGER) AS y,
+       CAST(SUM(CASE WHEN epoch_us(warc_ts) < {split_us}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS doc_count_a,
+       CAST(SUM(CASE WHEN epoch_us(warc_ts) >= {split_us}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS doc_count_b,
+       CAST(SUM(CASE WHEN epoch_us(warc_ts) >= {split_us}
+                     THEN 1 ELSE 0 END)
+            - SUM(CASE WHEN epoch_us(warc_ts) < {split_us}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS delta
+FROM pages GROUP BY 1, 2, 3, 4""")
+    return sqlgen.pages_prefix() + "\n" + "\nUNION ALL\n".join(levels)
+
+
+def host_extent(sf_dir: str) -> ray.data.Dataset:
+    """Per-host spatial extent — the granule-extent registration analogue
+    (`viirs.py:202-241` derives each granule's bbox before any join):
+    min/max milli-degree bounds + page count per host, per-batch partials
+    into one bucketed reduce."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = geocoded_pages(sf_dir).select_columns(
+        ["url", "lon_milli", "lat_milli"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"host": url_host(b["url"]),
+                      "w": b["lon_milli"], "e": b["lon_milli"],
+                      "s": b["lat_milli"], "n2": b["lat_milli"],
+                      "one": pa.array(np.ones(len(b), np.int64))})
+        g = t.group_by("host").aggregate(
+            [("w", "min"), ("e", "max"), ("s", "min"), ("n2", "max"),
+             ("one", "sum")])
+        return pa.table({"host": g["host"],
+                         "w": g["w_min"].cast(pa.int64()),
+                         "e": g["e_max"].cast(pa.int64()),
+                         "s": g["s_min"].cast(pa.int64()),
+                         "n2": g["n2_max"].cast(pa.int64()),
+                         "one": g["one_sum"].cast(pa.int64())})
+
+    agg = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["host"],
+        [("w", "min", "lon_min"), ("e", "max", "lon_max"),
+         ("s", "min", "lat_min"), ("n2", "max", "lat_max"),
+         ("one", "sum", "n_pages")])
+    return agg
+
+
+HOST_EXTENT_SQL_BODY = """
+SELECT SPLIT_PART(url, '/', 3) AS host,
+       CAST(MIN(lon_milli) AS BIGINT) AS lon_min,
+       CAST(MAX(lon_milli) AS BIGINT) AS lon_max,
+       CAST(MIN(lat_milli) AS BIGINT) AS lat_min,
+       CAST(MAX(lat_milli) AS BIGINT) AS lat_max,
+       CAST(COUNT(*) AS BIGINT) AS n_pages
+FROM pages GROUP BY 1"""

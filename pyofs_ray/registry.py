@@ -1733,3 +1733,11 @@ _N_TOKENS_SQL = ("(SELECT CAST(SUM(len(list_filter("
                  "AS HUGEINT) FROM documents)")
 register("doc_bigram_collocations", corpus.doc_bigram_collocations,
          bigram_collocations_sql("documents", _N_TOKENS_SQL))
+
+
+# multi-resolution change detection (one exchange for every zoom level)
+# and per-host spatial extents (granule-extent registration analogue)
+register("tile_pyramid_delta", flagship.tile_pyramid_delta,
+         flagship.tile_pyramid_delta_sql())
+register("host_extent", flagship.host_extent,
+         f"{sqlgen.pages_prefix()}{flagship.HOST_EXTENT_SQL_BODY}")

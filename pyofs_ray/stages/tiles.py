@@ -142,3 +142,60 @@ def tiles_to_cells(tiles: ray.data.Dataset) -> ray.data.Dataset:
     packed id plus unpacked coordinates — the `wcofs.py:713-835` record
     builder analogue, minus Python-per-record loops)."""
     return tiles.select_columns(["cell_id", "z", "x", "y", "doc_count", "agg_value"])
+
+
+def delta_pyramid_from_pages(ds: ray.data.Dataset, split_us: int,
+                             z_base: int = geom.BASE_ZOOM, z_min: int = 0,
+                             batch_size: int = 65536) -> ray.data.Dataset:
+    """Change detection at EVERY zoom level: the two crawl windows'
+    per-cell counts and their delta, for the full pyramid, in the SAME
+    single exchange as `pyramid_from_rows` — both windows' partials are
+    per-batch integer masks riding one rekey cascade, so multi-resolution
+    diffing costs exactly one all-to-all.
+
+    Input: rows with ``cell_id`` and ``warc_ts``. Output per tile:
+    ``cell_id, z, x, y, doc_count_a, doc_count_b, delta``."""
+    from .agg import auto_partitions  # noqa: F401  (parity with siblings)
+
+    sum_cols = ["cnt_a", "cnt_b"]
+
+    def partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+        us = b["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        in_a = (us < split_us).astype("int64")
+        t = pa.table({"cell_id": b["cell_id"],
+                      "cnt_a": pa.array(in_a),
+                      "cnt_b": pa.array(np.int64(1) - in_a)})
+        g = t.group_by("cell_id").aggregate([(c, "sum") for c in sum_cols])
+        g = pa.table({"cell_id": g["cell_id"],
+                      **{c: g[f"{c}_sum"].cast(pa.int64())
+                         for c in sum_cols}})
+        return _emit_all_levels(g, z_base, z_min, sum_cols)
+
+    emitted = ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=batch_size, zero_copy_batch=True)
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by("cell_id").aggregate([(c, "sum") for c in sum_cols])
+        return pa.table({"cell_id": g["cell_id"],
+                         **{c: g[f"{c}_sum"].cast(pa.int64())
+                            for c in sum_cols}})
+
+    # grid-bounded finish (≤ (4/3)·4^z_base rows) — see pyramid_from_rows
+    tiles = emitted.repartition(1).map_batches(
+        combine, batch_format="pyarrow", zero_copy_batch=True)
+    tiles = tiles.map_batches(_attach_zxy, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def finish(b: pa.Table) -> pa.Table:
+        import numpy as np
+        a = b["cnt_a"].to_numpy(zero_copy_only=False).astype("int64")
+        bb = b["cnt_b"].to_numpy(zero_copy_only=False).astype("int64")
+        return pa.table({"cell_id": b["cell_id"].cast(pa.int64()),
+                         "z": b["z"], "x": b["x"], "y": b["y"],
+                         "doc_count_a": pa.array(a),
+                         "doc_count_b": pa.array(bb),
+                         "delta": pa.array(bb - a)})
+
+    return tiles.map_batches(finish, batch_format="pyarrow",
+                             zero_copy_batch=True)
