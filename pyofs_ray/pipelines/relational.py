@@ -989,3 +989,29 @@ SELECT o_orderkey, o_custkey, price_c, CAST(rn AS BIGINT) AS rn,
             ELSE 0.0 END AS pct_rank
 FROM r
 """
+
+
+def event_transitions(sf_dir: str) -> ray.data.Dataset:
+    """Per-user event-type Markov transition counts (see
+    `stages/analytic.transition_counts`)."""
+    from ..stages.analytic import transition_counts
+    from ..sources.readers import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+    return transition_counts(ds, key="user_id", ts="ts",
+                             tiebreak="event_id", state="event_type")
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type AS prev_state, event_type AS next_state,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY 1, 2"""

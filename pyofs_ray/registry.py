@@ -1741,3 +1741,25 @@ register("tile_pyramid_delta", flagship.tile_pyramid_delta,
          flagship.tile_pyramid_delta_sql())
 register("host_extent", flagship.host_extent,
          f"{sqlgen.pages_prefix()}{flagship.HOST_EXTENT_SQL_BODY}")
+
+
+# per-user event-type Markov transitions (the behavioural bigram table)
+register("event_transitions", relational.event_transitions,
+         relational.EVENT_TRANSITIONS_SQL)
+
+
+# BFS frontier depth over the generated link graph (level structure —
+# the fourth iterative-graph primitive beside rank/label/pointer-doubling)
+_BFS_SEEDS = (0,)
+_BFS_ROUNDS = 4
+
+
+def _link_bfs_depth(sf_dir: str):
+    n = _doc_count(sf_dir)
+    ids = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+    return linkgraph.bfs_depth(ids, n, _BFS_SEEDS, rounds=_BFS_ROUNDS)
+
+
+register("link_bfs_depth", _link_bfs_depth,
+         linkgraph.bfs_depth_sql(_BFS_SEEDS, rounds=_BFS_ROUNDS))

@@ -193,3 +193,47 @@ def rank_in_key(ds: ray.data.Dataset, *, key: str, value: str,
         })
 
     return tagged.groupby("_bucket").map_groups(kern, batch_format="pyarrow")
+
+
+def transition_counts(ds: ray.data.Dataset, *, key: str, ts: str,
+                      tiebreak: str, state: str,
+                      num_buckets: int = 64) -> ray.data.Dataset:
+    """Markov transition counts: for every ADJACENT pair in each key's
+    time-ordered state sequence, count (prev_state, next_state) globally
+    — the behavioural analogue of the bigram language model (and of the
+    reference's consecutive-pass scans). ONE key-bucket exchange, the
+    shared lexsort kernel, per-group pair partials, then a trivial
+    ≤|states|² groupby.
+
+    Output: ``prev_state, next_state, n`` (int64)."""
+    cols = [tiebreak, key, ts, state]
+    tagged = _tag_bucket(ds, key, cols, num_buckets)
+
+    def kern(g: pa.Table) -> pa.Table:
+        k = _key_sortable(g[key])
+        t = _ts_i64(g[ts], ts)
+        tb = g[tiebreak].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((tb, t, k))
+        new = _segments(k[order])
+        st = g[state].take(pa.array(order))
+        idx = np.flatnonzero(~new)  # rows with a same-key predecessor
+        pairs = pa.table({
+            "prev_state": st.take(pa.array(idx - 1)),
+            "next_state": st.take(pa.array(idx)),
+        })
+        gg = (pairs.group_by(["prev_state", "next_state"])
+              .aggregate([("next_state", "count")]))
+        return pa.table({
+            "prev_state": gg["prev_state"],
+            "next_state": gg["next_state"],
+            "n": gg["next_state_count"].combine_chunks().cast(pa.int64()),
+        })
+
+    parts = tagged.groupby("_bucket").map_groups(kern,
+                                                 batch_format="pyarrow")
+    agg = parts.groupby(["prev_state", "next_state"]).sum("n")
+    return agg.map_batches(
+        lambda b: pa.table({"prev_state": b["prev_state"],
+                            "next_state": b["next_state"],
+                            "n": b["sum(n)"].cast(pa.int64())}),
+        batch_format="pyarrow")

@@ -364,3 +364,90 @@ def resolve_redirects_sql(rounds: int = 2, table: str = "documents",
         prev = f"r{i}"
     return (",\n".join(parts)
             + f"\nSELECT node, ptr AS final_node FROM {prev}")
+
+
+# ------------------------------------------------------- BFS frontier depth
+UNREACHED = np.int64(1 << 40)
+
+
+def bfs_depth(ids: ray.data.Dataset, n_nodes: int, seeds: tuple[int, ...],
+              rounds: int = 4, id_col: str = "doc_id",
+              num_buckets: int | None = None) -> ray.data.Dataset:
+    """Breadth-first depth from a seed set over the deterministic link
+    graph, ``rounds`` frontier expansions (nodes deeper than ``rounds``
+    stay UNREACHED and are dropped from the output) — the level-
+    structure primitive next to PageRank (value propagation), label
+    propagation (components) and pointer doubling (chains).
+
+    Each round is ONE map_batches (the previous round's frontier rows
+    flat-expand along their generated out-edges — the edge table is never
+    materialized) + ONE bucketed MIN reduce over (node, candidate depth).
+    Depth table rows are (node, dist); non-frontier rows pass through as
+    self-rows so the reduce is total.
+
+    Output: ``node, dist`` for reached nodes only."""
+    seed_arr = np.array(sorted(seeds), np.int64)
+
+    def init(b: pa.Table) -> pa.Table:
+        node = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        dist = np.where(np.isin(node, seed_arr), np.int64(0), UNREACHED)
+        return pa.table({"node": pa.array(node), "dist": pa.array(dist)})
+
+    dist = ids.map_batches(init, batch_format="pyarrow")
+    for r in range(1, rounds + 1):
+        frontier_d = np.int64(r - 1)
+
+        def expand(b: pa.Table, fd=frontier_d) -> pa.Table:
+            node = b["node"].to_numpy(zero_copy_only=False)
+            d = b["dist"].to_numpy(zero_copy_only=False)
+            on_f = d == fd
+            src = node[on_f]
+            src_rep, dst, _ = _out_edges(src, n_nodes)
+            return pa.table({
+                "node": pa.array(np.r_[node, dst]),
+                "dist": pa.array(np.r_[d, np.full(len(dst), fd + 1)]),
+            })
+
+        dist = bucketed_group_agg(
+            dist.map_batches(expand, batch_format="pyarrow"),
+            keys=["node"], aggs=[("dist", "min", "dist")],
+            num_buckets=num_buckets)
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b["dist"], int(UNREACHED)))
+        return pa.table({"node": b["node"].cast(pa.int64()),
+                         "dist": b["dist"].cast(pa.int64())})
+
+    return dist.map_batches(finish, batch_format="pyarrow")
+
+
+def bfs_depth_sql(seeds: tuple[int, ...], rounds: int = 4,
+                  table: str = "documents", id_col: str = "doc_id") -> str:
+    """Unrolled-round twin: d_r = min(d_{r-1}, 1 + min over in-edges from
+    the r-1 frontier)."""
+    seed_list = ", ".join(str(s) for s in sorted(seeds))
+    parts = [f"WITH {edges_cte(table, id_col)}",
+             f"""d0 AS (
+  SELECT {id_col} AS node,
+         CASE WHEN {id_col} IN ({seed_list}) THEN 0 END AS dist
+  FROM {table})"""]
+    prev = "d0"
+    for r in range(1, rounds + 1):
+        parts.append(f"""f{r} AS (
+  SELECT e.dst AS node, {r} AS nd
+  FROM edges e JOIN {prev} p ON p.node = e.src AND p.dist = {r - 1}
+  GROUP BY e.dst)""")
+        parts.append(f"""d{r} AS (
+  SELECT p.node,
+         LEAST(COALESCE(p.dist, {int(UNREACHED)}),
+               COALESCE(f{r}.nd, {int(UNREACHED)})) AS dist_raw,
+         CASE WHEN LEAST(COALESCE(p.dist, {int(UNREACHED)}),
+                         COALESCE(f{r}.nd, {int(UNREACHED)}))
+                   < {int(UNREACHED)}
+              THEN LEAST(COALESCE(p.dist, {int(UNREACHED)}),
+                         COALESCE(f{r}.nd, {int(UNREACHED)})) END AS dist
+  FROM {prev} p LEFT JOIN f{r} ON f{r}.node = p.node)""")
+        prev = f"d{r}"
+    return (",\n".join(parts)
+            + f"\nSELECT node, CAST(dist AS BIGINT) AS dist FROM {prev}"
+            + "\nWHERE dist IS NOT NULL")
