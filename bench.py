@@ -80,6 +80,10 @@ BENCH_QUERIES = [
     # Bloom-prefiltered decontamination
     "token_freq_cm", "doc_bigram_collocations",
     "shingle_contamination_bloom",
+    # round 4 late block 7: multi-resolution change detection, extents,
+    # behavioural transitions, BFS levels
+    "tile_pyramid_delta", "host_extent", "event_transitions",
+    "link_bfs_depth",
 ]
 
 
