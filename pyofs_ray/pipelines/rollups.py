@@ -591,3 +591,106 @@ WITH d AS (
 SELECT cohort_day, days_since, CAST(COUNT(*) AS BIGINT) AS n_users
 FROM tri GROUP BY cohort_day, days_since
 """
+
+
+FUNNEL_WINDOW_US = 7 * 86_400_000_000  # 7 days
+
+
+def events_funnel_windowed(sf_dir: str,
+                           window_us: int = FUNNEL_WINDOW_US
+                           ) -> ray.data.Dataset:
+    """Conversion-window funnel: users whose FIRST purchase AT/AFTER their
+    first signup lands within ``window_us`` — the time-bounded form of
+    `events_funnel` (global mins can't answer it: a purchase *before*
+    signup must not count, so the reduce is conditional on the signup
+    time). ONE user-bucket exchange carrying the signup/purchase rows,
+    then a per-bucket vectorized kernel (segment min for the first
+    signup, masked segment min for the first at/after purchase), then a
+    4-int streaming count finish."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b["user_id"]),
+                             pc.is_valid(b["ts"])))
+        et = b["event_type"]
+        keep = pc.or_(pc.equal(et, "signup"), pc.equal(et, "purchase"))
+        b = b.filter(keep)
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "is_s": pc.equal(b["event_type"], "signup").cast(pa.int8()),
+            "ts_us": b["ts"].cast(pa.int64()),
+            "_bucket": pa.array(u % 64),
+        })
+
+    tagged = ds.map_batches(prep, batch_format="pyarrow")
+    BIG = np.int64(1 << 62)
+
+    def kern(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        s = g["is_s"].to_numpy(zero_copy_only=False).astype(bool)
+        t = g["ts_us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, u))
+        u, s, t = u[order], s[order], t[order]
+        new = np.empty(len(u), bool)
+        if len(u):
+            new[0] = True
+            new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(u)]
+        s_min = np.minimum.reduceat(np.where(s, t, BIG), starts) \
+            if len(u) else np.array([], np.int64)
+        seg = np.repeat(np.arange(len(starts)), ends - starts) \
+            if len(u) else np.array([], np.int64)
+        # first purchase at/after the user's first signup
+        p_ok = np.where(~s & (t >= s_min[seg]), t, BIG)
+        p_after = np.minimum.reduceat(p_ok, starts) \
+            if len(u) else np.array([], np.int64)
+        has_p = np.zeros(len(starts), np.int64)
+        if len(u):
+            has_p = np.minimum.reduceat(np.where(s, BIG, t), starts) < BIG
+        has_s = s_min < BIG
+        conv = (s_min < BIG) & (p_after < BIG)
+        within = conv & (p_after - s_min <= window_us)
+        return pa.table({
+            "users_signup": pa.array([int(has_s.sum())], pa.int64()),
+            "users_purchase": pa.array([int(np.sum(has_p))], pa.int64()),
+            "users_converted": pa.array([int(conv.sum())], pa.int64()),
+            "users_converted_7d": pa.array([int(within.sum())],
+                                           pa.int64()),
+        })
+
+    parts = tagged.groupby("_bucket").map_groups(kern,
+                                                 batch_format="pyarrow")
+
+    def final(b: pa.Table) -> pa.Table:
+        return pa.table({c: pa.array(
+            [int(pc.sum(b[c]).as_py() or 0)], pa.int64())
+            for c in ("users_signup", "users_purchase",
+                      "users_converted", "users_converted_7d")})
+
+    return (parts.repartition(1)
+            .map_batches(final, batch_format="pyarrow", batch_size=None))
+
+
+EVENTS_FUNNEL_WINDOWED_SQL = f"""
+WITH f AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p_any
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1
+), pa_ AS (
+  SELECT e.user_id, MIN(e.ts) AS p_after
+  FROM events e JOIN f USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= f.s
+  GROUP BY 1
+)
+SELECT CAST(COUNT(f.s) AS BIGINT) AS users_signup,
+       CAST(COUNT(f.p_any) AS BIGINT) AS users_purchase,
+       CAST(COUNT(pa_.p_after) AS BIGINT) AS users_converted,
+       CAST(SUM(CASE WHEN epoch_us(pa_.p_after) - epoch_us(f.s)
+                          <= {FUNNEL_WINDOW_US}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS users_converted_7d
+FROM f LEFT JOIN pa_ USING (user_id)"""

@@ -1763,3 +1763,8 @@ def _link_bfs_depth(sf_dir: str):
 
 register("link_bfs_depth", _link_bfs_depth,
          linkgraph.bfs_depth_sql(_BFS_SEEDS, rounds=_BFS_ROUNDS))
+
+
+# conversion-window funnel (first purchase at/after first signup, ≤7d)
+register("events_funnel_windowed", rollups.events_funnel_windowed,
+         rollups.EVENTS_FUNNEL_WINDOWED_SQL)

@@ -1,0 +1,30 @@
+"""Conversion-window funnel (rollups.events_funnel_windowed)."""
+
+import numpy as np
+import pandas as pd
+
+from pyofs_ray.pipelines import rollups
+
+
+def test_windowed_funnel_matches_pandas_reference():
+    sf = "/root/testdata/sf0.001"
+    got = rollups.events_funnel_windowed(sf).to_pandas().iloc[0]
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["user_id", "event_type", "ts"])
+    ev = ev[ev.user_id.notna() & ev.ts.notna()]
+    s = (ev[ev.event_type == "signup"].groupby("user_id").ts.min()
+         .rename("s"))
+    p_any = (ev[ev.event_type == "purchase"].groupby("user_id").ts.min())
+    pu = ev[ev.event_type == "purchase"].merge(s, on="user_id")
+    pu = pu[pu.ts >= pu.s]
+    p_after = pu.groupby("user_id").ts.min().rename("pa")
+    j = pd.concat([s, p_after], axis=1, join="outer")
+    conv = j.dropna()
+    within = ((conv.pa - conv.s).dt.total_seconds() * 1e6
+              <= rollups.FUNNEL_WINDOW_US)
+    assert got.users_signup == s.notna().sum()
+    assert got.users_purchase == p_any.index.nunique()
+    assert got.users_converted == len(conv)
+    assert got.users_converted_7d == int(within.sum())
+    # a purchase strictly before the first signup must not convert
+    assert got.users_converted <= got.users_purchase
