@@ -730,44 +730,25 @@ def cell_change_raster(sf_dir: str, zoom: int = geom.BASE_ZOOM,
                        split_us: int = CHANGE_SPLIT_US) -> ray.data.Dataset:
     """Per-cell doc counts in the [start, split) and [split, end) crawl
     windows plus the integer delta — cells present in EITHER window
-    appear. Output: ``cell_id, doc_count_a, doc_count_b, delta``."""
-    from ..stages.agg import bucketed_group_agg
+    appear. Output: ``cell_id, doc_count_a, doc_count_b, delta``.
+
+    The single-zoom slice of `tiles.delta_pyramid_from_pages` (z_min ==
+    z_base) — ONE window-mask kernel serves both the flat raster and the
+    full pyramid, so the window rule can never drift between them."""
+    from ..stages.tiles import delta_pyramid_from_pages
 
     ds = pages_dataset(sf_dir, with_html=False)
     ds = geocode(ds, zoom=zoom).select_columns(["cell_id", "warc_ts"])
-
-    def partial(b: pa.Table) -> pa.Table:
-        us = b["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        in_a = (us < split_us).astype(np.int64)
-        t = pa.table({"cell_id": b["cell_id"],
-                      "a": pa.array(in_a), "b": pa.array(1 - in_a)})
-        g = t.group_by("cell_id").aggregate([("a", "sum"), ("b", "sum")])
-        return pa.table({"cell_id": g["cell_id"],
-                         "a": g["a_sum"].combine_chunks().cast(pa.int64()),
-                         "b": g["b_sum"].combine_chunks().cast(pa.int64())})
-
-    agg = bucketed_group_agg(
-        ds.map_batches(partial, batch_format="pyarrow"),
-        ["cell_id"],
-        [("a", "sum", "doc_count_a"), ("b", "sum", "doc_count_b")])
-
-    def finish(b: pa.Table) -> pa.Table:
-        a = b["doc_count_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        bb = b["doc_count_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"cell_id": b["cell_id"].cast(pa.int64()),
-                         "doc_count_a": pa.array(a),
-                         "doc_count_b": pa.array(bb),
-                         "delta": pa.array(bb - a)})
-
-    return agg.map_batches(finish, batch_format="pyarrow")
+    tiles = delta_pyramid_from_pages(ds, split_us, z_base=zoom,
+                                     z_min=zoom)
+    return tiles.select_columns(
+        ["cell_id", "doc_count_a", "doc_count_b", "delta"])
 
 
-def cell_change_raster_sql(zoom: int = geom.BASE_ZOOM,
-                           split_us: int = CHANGE_SPLIT_US) -> str:
-    from ..core import sqlgen
-
-    return f"""{sqlgen.pages_prefix()}
-SELECT {sqlgen.cell_expr(zoom)} AS cell_id,
+def _window_sums_sql(split_us: int) -> str:
+    """Shared window-CASE fragment — the ONE place the split rule lives
+    in SQL (both the flat raster twin and every pyramid level use it)."""
+    return f"""
        CAST(SUM(CASE WHEN epoch_us(warc_ts) < {split_us}
                      THEN 1 ELSE 0 END) AS BIGINT) AS doc_count_a,
        CAST(SUM(CASE WHEN epoch_us(warc_ts) >= {split_us}
@@ -775,7 +756,15 @@ SELECT {sqlgen.cell_expr(zoom)} AS cell_id,
        CAST(SUM(CASE WHEN epoch_us(warc_ts) >= {split_us}
                      THEN 1 ELSE 0 END)
             - SUM(CASE WHEN epoch_us(warc_ts) < {split_us}
-                       THEN 1 ELSE 0 END) AS BIGINT) AS delta
+                       THEN 1 ELSE 0 END) AS BIGINT) AS delta"""
+
+
+def cell_change_raster_sql(zoom: int = geom.BASE_ZOOM,
+                           split_us: int = CHANGE_SPLIT_US) -> str:
+    from ..core import sqlgen
+
+    return f"""{sqlgen.pages_prefix()}
+SELECT {sqlgen.cell_expr(zoom)} AS cell_id,{_window_sums_sql(split_us)}
 FROM pages GROUP BY 1"""
 
 
@@ -797,6 +786,11 @@ def cell_boundary_vector(sf_dir: str, zoom: int = geom.BASE_ZOOM,
     Output: ``cell_id, x, y, n_above_nbrs`` for boundary cells."""
     from ..stages.agg import bucketed_group_agg
 
+    if zoom < 2:
+        raise ValueError(
+            "cell_boundary_vector: zoom < 2 makes +1/-1 x-wrap neighbors "
+            "coincide (per-offset sums would double-count where the SQL "
+            "twin's distinct-neighbor join counts once)")
     cells = cell_aggregates(sf_dir, zoom).select_columns(
         ["cell_id", "n_chars_sum", "doc_count"])
 
@@ -848,6 +842,9 @@ def cell_boundary_vector_sql(zoom: int = geom.BASE_ZOOM,
                              threshold: int = BOUNDARY_MEAN_CHARS) -> str:
     from ..core import sqlgen
 
+    if zoom < 2:
+        raise ValueError("cell_boundary_vector_sql: zoom < 2 unsupported "
+                         "(see cell_boundary_vector)")
     n = 1 << zoom
     return f"""{sqlgen.pages_prefix()},
 c AS (
@@ -1173,15 +1170,7 @@ def tile_pyramid_delta_sql(z_base: int = geom.BASE_ZOOM,
 SELECT {sqlgen.cell_expr(z)} AS cell_id,
        CAST({z} AS INTEGER) AS z,
        CAST({sqlgen.x_expr(z)} AS INTEGER) AS x,
-       CAST({sqlgen.y_expr(z)} AS INTEGER) AS y,
-       CAST(SUM(CASE WHEN epoch_us(warc_ts) < {split_us}
-                     THEN 1 ELSE 0 END) AS BIGINT) AS doc_count_a,
-       CAST(SUM(CASE WHEN epoch_us(warc_ts) >= {split_us}
-                     THEN 1 ELSE 0 END) AS BIGINT) AS doc_count_b,
-       CAST(SUM(CASE WHEN epoch_us(warc_ts) >= {split_us}
-                     THEN 1 ELSE 0 END)
-            - SUM(CASE WHEN epoch_us(warc_ts) < {split_us}
-                       THEN 1 ELSE 0 END) AS BIGINT) AS delta
+       CAST({sqlgen.y_expr(z)} AS INTEGER) AS y,{_window_sums_sql(split_us)}
 FROM pages GROUP BY 1, 2, 3, 4""")
     return sqlgen.pages_prefix() + "\n" + "\nUNION ALL\n".join(levels)
 

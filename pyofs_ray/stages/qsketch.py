@@ -17,7 +17,10 @@ buckets (the double exponent range actually present), ONE tiny groupby,
 and a driver-bounded finish — the sketch size is INDEPENDENT of row count
 and value cardinality, and partials merge by addition (resume/combine
 safe). Non-positive values are counted in a dedicated underflow bucket
-and rank-shift the estimate exactly like the SQL twin's ordering would.
+that also carries the EXACT running minimum, so a quantile whose rank
+lands there returns that minimum (a true lower bound — the relative-error
+contract applies only to the positive range; mixed-sign data gets the
+conservative exact-min answer instead of a bogus 0.0).
 """
 
 from __future__ import annotations
@@ -56,8 +59,13 @@ def quantile_sketch(ds: ray.data.Dataset, value_col: str,
         bins = np.full(len(v), 0, np.int64)  # bucket 0 = underflow (v ≤ 0)
         bins[pos] = _bins_of(v[pos])
         uniq, cnt = np.unique(bins, return_counts=True)
+        # bucket 0 carries the exact running min of the non-positive range
+        lo = np.full(len(uniq), np.nan)
+        if (~pos).any():
+            lo[uniq == 0] = v[~pos].min()
         return pa.table({"bin": pa.array(uniq),
-                         "c": pa.array(cnt.astype(np.int64))})
+                         "c": pa.array(cnt.astype(np.int64)),
+                         "lo": pa.array(lo)})
 
     # one ≤2k-row sketch per block, merged on the driver — the HLL shape
     # (`sketch.approx_distinct`); a Ray groupby here would spend a full
@@ -65,11 +73,13 @@ def quantile_sketch(ds: ray.data.Dataset, value_col: str,
     # whole query). At cluster scale, tree-merge via a tiny groupby first.
     parts = (ds.map_batches(partial, batch_format="pyarrow",
                             zero_copy_batch=True).to_pandas())
-    merged = parts.groupby("bin", as_index=False)["c"].sum()
+    merged = parts.groupby("bin", as_index=False).agg(
+        c=("c", "sum"), lo=("lo", "min"))
     bins = merged["bin"].to_numpy().astype(np.int64)
     cnt = merged["c"].to_numpy().astype(np.int64)
+    lo = merged["lo"].to_numpy()
     order = np.argsort(bins)
-    bins, cnt = bins[order], cnt[order]
+    bins, cnt, lo = bins[order], cnt[order], lo[order]
     cum = np.cumsum(cnt)
     n = int(cum[-1]) if len(cum) else 0
     cols: dict[str, object] = {"n": pa.array([n], pa.int64())}
@@ -80,6 +90,7 @@ def quantile_sketch(ds: ray.data.Dataset, value_col: str,
             continue
         rank = max(1, int(np.ceil(q * n)))  # smallest v with cum ≥ q·n
         i = int(np.searchsorted(cum, rank, side="left"))
-        est = 0.0 if bins[i] == 0 else float(_edge_of(bins[i:i + 1])[0])
+        est = float(lo[i]) if bins[i] == 0 \
+            else float(_edge_of(bins[i:i + 1])[0])
         cols[name] = pa.array([est], pa.float64())
     return pa.table(cols)

@@ -449,7 +449,7 @@ def bigram_collocations(docs: ray.data.Dataset, n_tokens: int, *,
         b2 = (fnv1a64(pc.binary_join_element_wise(
             pairs["w1"].combine_chunks().cast(pa.string()),
             pairs["w2"].combine_chunks().cast(pa.string()), "\x1f"))
-            % np.uint64(64)).astype(np.int64)
+            % np.uint64(num_buckets)).astype(np.int64)
         return pa.table({"w1": pairs["w1"], "w2": pairs["w2"],
                          "n": pairs["n"].cast(pa.int64()),
                          "nw": nw, "_side": pairs["_side"],
@@ -476,11 +476,12 @@ def bigram_collocations(docs: ray.data.Dataset, n_tokens: int, *,
         n_xy = m.n_xy.to_numpy().astype(np.int64)
         n_x = m.n_x.to_numpy().astype(np.int64)
         n_y = m.n_y.to_numpy().astype(np.int64)
-        if int(n_xy.max()) * int(n_tokens) > (1 << 62) // COLLOC_SCALE:
+        if (int(n_xy.max()) * int(n_tokens) > (1 << 62) // COLLOC_SCALE
+                or int(n_x.max()) * int(n_y.max()) >= 1 << 63):
             raise OverflowError(
-                "bigram_collocations: n_xy·N·SCALE would cross int64 — "
-                "shard the corpus or lower COLLOC_SCALE (the SQL twin's "
-                "HUGEINT keeps going)")
+                "bigram_collocations: n_xy·N·SCALE or n_x·n_y would cross "
+                "int64 — shard the corpus or lower COLLOC_SCALE (the SQL "
+                "twin's HUGEINT keeps going)")
         sc = (n_xy * np.int64(n_tokens) * np.int64(COLLOC_SCALE)) \
             // (n_x * n_y)
         order = np.lexsort((m.w2.to_numpy(), m.w1.to_numpy(), -sc))[:k]

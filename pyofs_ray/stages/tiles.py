@@ -155,8 +155,6 @@ def delta_pyramid_from_pages(ds: ray.data.Dataset, split_us: int,
 
     Input: rows with ``cell_id`` and ``warc_ts``. Output per tile:
     ``cell_id, z, x, y, doc_count_a, doc_count_b, delta``."""
-    from .agg import auto_partitions  # noqa: F401  (parity with siblings)
-
     sum_cols = ["cnt_a", "cnt_b"]
 
     def partial(b: pa.Table) -> pa.Table:

@@ -32,11 +32,15 @@ def test_sketch_quantiles_within_bucket_error():
 def test_sketch_handles_nonpositive_underflow():
     v = np.array([-5.0, 0.0, 1.0, 2.0, 4.0, 8.0])
     ds = ray.data.from_arrow(pa.table({"value": v}))
-    t = quantile_sketch(ds, "value", quants=(0.5,)).to_pandas().iloc[0]
+    t = quantile_sketch(ds, "value",
+                        quants=(0.25, 0.5)).to_pandas().iloc[0]
     # rank ceil(0.5·6)=3 → the 3rd smallest (1.0, ranks: -5, 0 underflow
     # first) → bucket lower edge of 1.0 is exactly 1.0
     assert t.n == 6
     assert t.p50 == 1.0
+    # rank 2 lands in the underflow bucket → the EXACT non-positive min
+    # (a true lower bound), never a fabricated 0.0
+    assert t.p25 == -5.0
 
 
 def test_partials_merge_invariant_to_partitioning():
