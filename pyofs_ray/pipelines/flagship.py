@@ -1217,3 +1217,94 @@ SELECT SPLIT_PART(url, '/', 3) AS host,
        CAST(MAX(lat_milli) AS BIGINT) AS lat_max,
        CAST(COUNT(*) AS BIGINT) AS n_pages
 FROM pages GROUP BY 1"""
+
+
+def station_sector_histogram(sf_dir: str,
+                             radius_milli: int = 20_000
+                             ) -> ray.data.Dataset:
+    """Per-station 8-sector compass histogram of in-radius pages — the
+    direction/magnitude decomposition (SURVEY.md M6) as a pure-integer
+    classification: sector k = the half-open octant [k·45°, (k+1)·45°)
+    counter-clockwise from East, decided by sign tests and |dx| vs |dy|
+    comparisons only (no atan2; every boundary is a multiple of 45°, so
+    the rule is exact in int64). dx == dy == 0 → sector 0.
+    Broadcast-index radius join, zero exchanges, ≤ |stations|·8 keys."""
+    from ..stages.knn import radius_join
+
+    ds = geocoded_pages(sf_dir).select_columns(["lon_milli", "lat_milli"])
+    joined = radius_join(ds, radius_milli, kernel="brute")
+    # recover dx, dy: radius_join keeps the page coords + station_id; we
+    # need the station coords too — re-attach from the broadcast catalog
+    from ..sources.fixtures import stations as _stations
+    rows = sorted(_stations(), key=lambda r: r["station_id"])
+    sid = np.array([r["station_id"] for r in rows])
+    slon = np.array([r["lon_milli"] for r in rows], np.int64)
+    slat = np.array([r["lat_milli"] for r in rows], np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        st = np.asarray(b["station_id"].to_pylist(), dtype=str)
+        si = np.searchsorted(sid, st)
+        dx = (b["lon_milli"].to_numpy(zero_copy_only=False)
+              .astype(np.int64) - slon[si])
+        dy = (b["lat_milli"].to_numpy(zero_copy_only=False)
+              .astype(np.int64) - slat[si])
+        # half-open octants [k·45°, (k+1)·45°) CCW from East, each
+        # including its lower boundary — exhaustive and exclusive for
+        # every (dx, dy) ≠ (0, 0)
+        masks = [
+            (dx > 0) & (dy >= 0) & (dy < dx),     # 0: [0°, 45°)
+            (dx > 0) & (dy > 0) & (dy >= dx),     # 1: [45°, 90°)
+            (dx <= 0) & (dy > 0) & (-dx < dy),    # 2: [90°, 135°)
+            (dx < 0) & (dy > 0) & (-dx >= dy),    # 3: [135°, 180°)
+            (dx < 0) & (dy <= 0) & (-dy < -dx),   # 4: [180°, 225°)
+            (dx < 0) & (dy < 0) & (-dy >= -dx),   # 5: [225°, 270°)
+            (dx >= 0) & (dy < 0) & (dx < -dy),    # 6: [270°, 315°)
+            (dx > 0) & (dy < 0) & (dx >= -dy),    # 7: [315°, 360°)
+        ]
+        sector = np.zeros(len(dx), np.int64)
+        for i, m in enumerate(masks):
+            sector[m] = i
+        t = pa.table({"station_id": b["station_id"],
+                      "sector": pa.array(sector),
+                      "one": pa.array(np.ones(len(dx), np.int64))})
+        g = t.group_by(["station_id", "sector"]).aggregate([("one", "sum")])
+        return pa.table({"station_id": g["station_id"],
+                         "sector": g["sector"].cast(pa.int64()),
+                         "n": g["one_sum"].combine_chunks()
+                               .cast(pa.int64())})
+
+    agg = (joined.map_batches(partial, batch_format="pyarrow")
+           .groupby(["station_id", "sector"]).sum("n"))
+    return agg.map_batches(
+        lambda b: pa.table({"station_id": b["station_id"],
+                            "sector": b["sector"].cast(pa.int64()),
+                            "doc_count": b["sum(n)"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def station_sector_histogram_sql(radius_milli: int = 20_000) -> str:
+    from ..core import sqlgen, sqlgen_knn
+
+    return f"""{sqlgen.pages_prefix()},
+{sqlgen_knn.stations_cte()},
+d AS (
+  SELECT s.station_id,
+         p.lon_milli - s.s_lon AS dx, p.lat_milli - s.s_lat AS dy
+  FROM pages p CROSS JOIN stations s
+  WHERE (p.lon_milli - s.s_lon) * (p.lon_milli - s.s_lon)
+        + (p.lat_milli - s.s_lat) * (p.lat_milli - s.s_lat)
+        <= {radius_milli * radius_milli}
+)
+SELECT station_id,
+       CASE
+         WHEN dx > 0 AND dy > 0 AND dy >= dx THEN 1
+         WHEN dx <= 0 AND dy > 0 AND -dx < dy THEN 2
+         WHEN dx < 0 AND dy > 0 AND -dx >= dy THEN 3
+         WHEN dx < 0 AND dy <= 0 AND -dy < -dx THEN 4
+         WHEN dx < 0 AND dy < 0 AND -dy >= -dx THEN 5
+         WHEN dx >= 0 AND dy < 0 AND dx < -dy THEN 6
+         WHEN dx > 0 AND dy < 0 AND dx >= -dy THEN 7
+         ELSE 0
+       END AS sector,
+       CAST(COUNT(*) AS BIGINT) AS doc_count
+FROM d GROUP BY 1, 2"""

@@ -1768,3 +1768,8 @@ register("link_bfs_depth", _link_bfs_depth,
 # conversion-window funnel (first purchase at/after first signup, ≤7d)
 register("events_funnel_windowed", rollups.events_funnel_windowed,
          rollups.EVENTS_FUNNEL_WINDOWED_SQL)
+
+
+# 8-sector compass histograms per station (integer octant classification)
+register("station_sector_histogram", flagship.station_sector_histogram,
+         flagship.station_sector_histogram_sql())

@@ -57,3 +57,40 @@ def test_split_balance_totals():
     langs = set(ray.data.read_parquet(
         f"{sf}/documents.parquet").to_pandas()["lang"])
     assert set(bal[bal.split == "train"].lang) == langs
+
+
+def test_sector_octants_partition_the_plane():
+    """Every (dx, dy) ≠ (0,0) lands in exactly one half-open 45° octant
+    and the integer classification agrees with floor(atan2/45°)."""
+    import itertools
+    vals = [-7, -5, -1, 0, 1, 5, 7]
+    for dx, dy in itertools.product(vals, vals):
+        if (dx, dy) == (0, 0):
+            continue
+        masks = [
+            (dx > 0) and (dy >= 0) and (dy < dx),
+            (dx > 0) and (dy > 0) and (dy >= dx),
+            (dx <= 0) and (dy > 0) and (-dx < dy),
+            (dx < 0) and (dy > 0) and (-dx >= dy),
+            (dx < 0) and (dy <= 0) and (-dy < -dx),
+            (dx < 0) and (dy < 0) and (-dy >= -dx),
+            (dx >= 0) and (dy < 0) and (dx < -dy),
+            (dx > 0) and (dy < 0) and (dx >= -dy),
+        ]
+        assert sum(masks) == 1, (dx, dy, masks)
+        sector = masks.index(True)
+        ang = np.degrees(np.arctan2(dy, dx)) % 360
+        want = int(((ang + 1e-7) % 360) // 45)
+        assert sector == want, (dx, dy, sector, want)
+
+
+def test_sector_histogram_totals_match_radius_join():
+    sf = "/root/testdata/sf0.001"
+    from pyofs_ray.pipelines.flagship import (geocoded_pages,
+                                              station_sector_histogram)
+    from pyofs_ray.stages.knn import radius_join
+    hist = station_sector_histogram(sf).to_pandas()
+    ds = geocoded_pages(sf).select_columns(["lon_milli", "lat_milli"])
+    n_pairs = radius_join(ds, 20_000).count()
+    assert hist.doc_count.sum() == n_pairs
+    assert hist.sector.between(0, 7).all()
