@@ -83,7 +83,7 @@ BENCH_QUERIES = [
     # round 4 late block 7: multi-resolution change detection, extents,
     # behavioural transitions, BFS levels
     "tile_pyramid_delta", "host_extent", "event_transitions",
-    "link_bfs_depth",
+    "link_bfs_depth", "station_sector_histogram", "events_funnel_windowed",
 ]
 
 
