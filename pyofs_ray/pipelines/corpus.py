@@ -1105,3 +1105,28 @@ def doc_bigram_collocations(sf_dir: str):
     from ..stages.tfidf import bigram_collocations
 
     return bigram_collocations(_docs(sf_dir), _corpus_token_total(sf_dir))
+
+
+def lang_confusion(sf_dir: str) -> ray.data.Dataset:
+    """Language-ID confusion matrix: labeled ``lang`` × predicted
+    ``lang_pred`` counts — the model-evaluation composition every
+    classifier stage needs (PyOFS validates fields against reference
+    observations the same way, SURVEY.md J6/A6). ONE pass (the lang_id
+    kernel inline), per-batch partials, ≤ |langs|·(|langs|+1) keys."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        p = lang_id(b)
+        t = pa.table({"lang": b["lang"], "lang_pred": p["lang_pred"],
+                      "one": pa.array(np.ones(len(b), np.int64))})
+        g = t.group_by(["lang", "lang_pred"]).aggregate([("one", "sum")])
+        return pa.table({"lang": g["lang"], "lang_pred": g["lang_pred"],
+                         "n": g["one_sum"].combine_chunks()
+                               .cast(pa.int64())})
+
+    agg = (_docs(sf_dir, columns=("doc_id", "text", "lang"))
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["lang", "lang_pred"]).sum("n"))
+    return agg.map_batches(
+        lambda b: pa.table({"lang": b["lang"], "lang_pred": b["lang_pred"],
+                            "n": b["sum(n)"].cast(pa.int64())}),
+        batch_format="pyarrow")

@@ -1773,3 +1773,12 @@ register("events_funnel_windowed", rollups.events_funnel_windowed,
 # 8-sector compass histograms per station (integer octant classification)
 register("station_sector_histogram", flagship.station_sector_histogram,
          flagship.station_sector_histogram_sql())
+
+
+# language-ID confusion matrix (label × prediction counts — the
+# classifier-evaluation composition, exact via the lang_id CASE twin)
+register("lang_confusion", corpus.lang_confusion, f"""
+WITH pred AS ({sqlgen_text.lang_id_query()})
+SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY 1, 2""")

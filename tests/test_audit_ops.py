@@ -94,3 +94,22 @@ def test_sector_histogram_totals_match_radius_join():
     n_pairs = radius_join(ds, 20_000).count()
     assert hist.doc_count.sum() == n_pairs
     assert hist.sector.between(0, 7).all()
+
+
+def test_lang_confusion_totals_and_diag():
+    sf = "/root/testdata/sf0.001"
+    cm = corpus.lang_confusion(sf).to_pandas()
+    docs = ray.data.read_parquet(f"{sf}/documents.parquet").to_pandas()
+    assert cm.n.sum() == len(docs)
+    # row marginals equal label counts
+    got = cm.groupby("lang").n.sum().sort_index()
+    want = docs.lang.value_counts().sort_index()
+    assert (got.to_numpy() == want.to_numpy()).all()
+    # predictions agree with the per-doc lang_id query
+    pred = corpus.doc_lang_id(sf).to_pandas()
+    j = docs[["doc_id", "lang"]].merge(pred, on="doc_id")
+    ref = (j.groupby(["lang", "lang_pred"]).size().rename("n")
+           .reset_index().sort_values(["lang", "lang_pred"])
+           .reset_index(drop=True))
+    g = cm.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
+    assert g.equals(ref.astype({"n": "int64"}))
