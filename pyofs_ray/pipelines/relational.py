@@ -1015,3 +1015,67 @@ SELECT prev_type AS prev_state, event_type AS next_state,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM seq WHERE prev_type IS NOT NULL
 GROUP BY 1, 2"""
+
+
+Q4_QTY = 45
+
+
+def q4_exists_priority(sf_dir: str) -> ray.data.Dataset:
+    """Q4-shaped EXISTS aggregation: orders in a one-quarter window with
+    AT LEAST ONE high-quantity lineitem, counted per priority — semi-join
+    SEMANTICS (an order counts once however many lineitems qualify),
+    which the inner-join + agg form cannot express. Filters prune both
+    sides at the scan; the EXISTS is ONE bucketed semi join on the order
+    key; the count is a ≤|priorities| groupby."""
+    from ..sources.readers import read_parquet_clean
+    from ..stages.join import bucketed_hash_join
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def in_window(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"]
+        keep = pc.and_(
+            pc.greater_equal(d, pa.scalar(np.datetime64("1995-01-01",
+                                                        "us"))),
+            pc.less(d, pa.scalar(np.datetime64("1995-04-01", "us"))))
+        return b.filter(keep).select(["o_orderkey", "o_orderpriority"])
+
+    orders = orders.map_batches(in_window, batch_format="pyarrow")
+    items = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_quantity"])
+
+    def hot(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b["l_quantity"], Q4_QTY))
+        return pa.table({"o_orderkey": b["l_orderkey"].cast(pa.int64())})
+
+    items = items.map_batches(hot, batch_format="pyarrow")
+    kept = bucketed_hash_join(orders, items, key="o_orderkey",
+                              join_type="semi")
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"o_orderpriority": b["o_orderpriority"],
+                      "one": pa.array(np.ones(len(b), np.int64))})
+        g = t.group_by("o_orderpriority").aggregate([("one", "sum")])
+        return pa.table({"o_orderpriority": g["o_orderpriority"],
+                         "n": g["one_sum"].combine_chunks()
+                               .cast(pa.int64())})
+
+    agg = (kept.map_batches(partial, batch_format="pyarrow")
+           .groupby("o_orderpriority").sum("n"))
+    return agg.map_batches(
+        lambda b: pa.table({"o_orderpriority": b["o_orderpriority"],
+                            "order_count": b["sum(n)"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+Q4_EXISTS_SQL = f"""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate < TIMESTAMP '1995-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_quantity >= {Q4_QTY})
+GROUP BY 1"""

@@ -1782,3 +1782,23 @@ WITH pred AS ({sqlgen_text.lang_id_query()})
 SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n
 FROM documents d JOIN pred p USING (doc_id)
 GROUP BY 1, 2""")
+
+
+# Q4-shaped EXISTS (semi-join semantics) and polygon raster-area stats
+register("rel_q4_exists", relational.q4_exists_priority,
+         relational.Q4_EXISTS_SQL)
+
+
+def _polygon_cell_area(sf_dir: str):
+    from .stages.raster import polygon_cell_area
+
+    return polygon_cell_area()
+
+
+def _polygon_cell_area_sql() -> str:
+    from .stages.raster import polygon_cell_area_sql
+
+    return polygon_cell_area_sql()
+
+
+register("polygon_cell_area", _polygon_cell_area, _polygon_cell_area_sql())

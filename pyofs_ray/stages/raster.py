@@ -115,3 +115,64 @@ FROM (
   CROSS JOIN generate_series({y0}, {y1}) gy(y)
 ) WHERE {inside_expr(p, lon='lon_c', lat='lat_c')}""")
     return "\nUNION ALL\n".join(parts)
+
+
+def polygon_cell_area(polygons: list[Polygon] | None = None,
+                      z: int = geom.BASE_ZOOM) -> ray.data.Dataset:
+    """Raster area estimation per polygon: covered-cell count, bbox
+    candidate count, and the coverage share (single IEEE division) — the
+    cell-count analogue of the vector area/perimeter op (SURVEY.md A8),
+    useful where the ring integral is unavailable (multipolygons after
+    masking). Derived from `rasterize_polygons` in the same pass shape."""
+    import pyarrow.compute as pc
+
+    polys = polygons if polygons is not None else study_polygons()
+    cand = {}
+    for p in polys:
+        w, s, e, nn = p.bbox
+        x0, x1 = cell_range(w, e, z, "x")
+        y0, y1 = cell_range(s, nn, z, "y")
+        cand[p.polygon_id] = (x1 - x0 + 1) * (y1 - y0 + 1)
+    rows = rasterize_polygons(polys, z=z)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (b.select(["polygon_id"]).group_by("polygon_id")
+             .aggregate([("polygon_id", "count")]))
+        return pa.table({"polygon_id": g["polygon_id"],
+                         "n": g["polygon_id_count"].combine_chunks()
+                               .cast(pa.int64())})
+
+    agg = (rows.map_batches(partial, batch_format="pyarrow")
+           .groupby("polygon_id").sum("n"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        pid = b["polygon_id"].to_pylist()
+        n = b["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = np.array([cand[p] for p in pid], np.int64)
+        return pa.table({
+            "polygon_id": pa.array(pid, pa.string()),
+            "n_cells": pa.array(n),
+            "bbox_cells": pa.array(bb),
+            "coverage": pa.array(n.astype(np.float64)
+                                 / bb.astype(np.float64)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def polygon_cell_area_sql(polygons: list[Polygon] | None = None,
+                          z: int = geom.BASE_ZOOM) -> str:
+    polys = polygons if polygons is not None else study_polygons()
+    parts = []
+    for p in polys:
+        w, s, e, nn = p.bbox
+        x0, x1 = cell_range(w, e, z, "x")
+        y0, y1 = cell_range(s, nn, z, "y")
+        bb = (x1 - x0 + 1) * (y1 - y0 + 1)
+        parts.append(
+            f"SELECT polygon_id, CAST(COUNT(*) AS BIGINT) AS n_cells,\n"
+            f"       CAST({bb} AS BIGINT) AS bbox_cells,\n"
+            f"       CAST(COUNT(*) AS DOUBLE) / {bb} AS coverage\n"
+            f"FROM (({rasterize_polygons_sql([p], z)}))\n"
+            f"GROUP BY 1")
+    return "\nUNION ALL\n".join(parts)

@@ -28,3 +28,25 @@ def test_windowed_funnel_matches_pandas_reference():
     assert got.users_converted_7d == int(within.sum())
     # a purchase strictly before the first signup must not convert
     assert got.users_converted <= got.users_purchase
+
+
+def test_q4_exists_counts_orders_once():
+    """Semi-join semantics: an order with many qualifying lineitems
+    counts once (inner-join + count would multiply)."""
+    import duckdb
+    from pyofs_ray.pipelines.relational import q4_exists_priority
+    sf = "/root/testdata/sf0.001"
+    got = (q4_exists_priority(sf).to_pandas()
+           .sort_values("o_orderpriority").reset_index(drop=True))
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    want = con.execute("""
+SELECT o_orderpriority, CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT)
+         AS order_count
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate < TIMESTAMP '1995-04-01'
+  AND l.l_quantity >= 45
+GROUP BY 1 ORDER BY 1""").fetchdf()
+    assert got.equals(want)

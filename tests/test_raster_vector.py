@@ -41,3 +41,13 @@ def test_fixture_polygons_consistent_with_pip_membership():
     for pid, grp in out.groupby("polygon_id"):
         lon_c, lat_c = cell_centers(grp.cell_id.to_numpy())
         assert index.contains(pidx[pid], lon_c, lat_c).all()
+
+
+def test_polygon_cell_area_consistent_with_raster():
+    from pyofs_ray.stages.raster import polygon_cell_area
+    area = polygon_cell_area().to_pandas().set_index("polygon_id")
+    rast = rasterize_polygons().to_pandas()
+    counts = rast.groupby("polygon_id").size()
+    assert (area.n_cells.sort_index() == counts.sort_index()).all()
+    assert ((area.coverage > 0) & (area.coverage <= 1)).all()
+    assert (area.n_cells <= area.bbox_cells).all()
