@@ -1802,3 +1802,48 @@ def _polygon_cell_area_sql() -> str:
 
 
 register("polygon_cell_area", _polygon_cell_area, _polygon_cell_area_sql())
+
+
+# video scene-cut counts (multimodal × temporal): integer frame-sum
+# deltas vs T·h·w; the oracle recomputes every frame sum from the
+# FAKV1 generator arithmetic and LAGs over frames
+def _video_scene_changes(sf_dir: str):
+    from .stages.multimodal import synth_video_batch, video_scene_changes
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+    clips = ds.map_batches(synth_video_batch, batch_format="pyarrow",
+                           batch_size=256)
+    return video_scene_changes(clips)
+
+
+VIDEO_SCENE_SQL = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         8 + (doc_id % 5) * 4 AS w,
+         6 + (doc_id % 3) * 4 AS h,
+         4 + (doc_id % 11) AS nf,
+         doc_id % 16777216 AS seed
+  FROM documents
+), fs AS (
+  SELECT media_id, nf, w, h, CAST(f.f AS BIGINT) AS f,
+         CAST(SUM((r.r * 31 + c.c * 7 + f.f * 13 + seed) % 256)
+              AS BIGINT) AS s
+  FROM dims
+  CROSS JOIN generate_series(0, 13) AS f(f)
+  CROSS JOIN generate_series(0, 13) AS r(r)
+  CROSS JOIN generate_series(0, 35) AS c(c)
+  WHERE f.f < nf AND r.r < h AND c.c < w
+  GROUP BY 1, 2, 3, 4, 5
+), d AS (
+  SELECT media_id, nf, w, h, s,
+         LAG(s) OVER (PARTITION BY media_id ORDER BY f) AS prev_s
+  FROM fs
+)
+SELECT media_id, CAST(MAX(nf) AS BIGINT) AS n_frames,
+       CAST(SUM(CASE WHEN prev_s IS NOT NULL
+                      AND ABS(s - prev_s) > 2 * h * w
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+FROM d GROUP BY 1"""
+
+register("video_scene_changes", _video_scene_changes, VIDEO_SCENE_SQL)

@@ -444,3 +444,44 @@ def image_ahash_groups(clips: ray.data.Dataset,
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SCENE_DELTA_T = 2  # |Δ frame sum| > T·h·w ⇒ a cut (mean shift > T levels)
+
+
+def video_scene_changes(clips: ray.data.Dataset,
+                        threshold: int = SCENE_DELTA_T) -> ray.data.Dataset:
+    """Scene-cut detection per clip: count adjacent FULL-frame pairs whose
+    integer luminance-sum delta exceeds ``threshold`` mean gray levels —
+    ``|Σf − Σf₋₁| > T·h·w``, all int64 (the comparison never leaves
+    integers, so the generator-arithmetic twin is bit-exact). The
+    multimodal × temporal composition: decode where the payload lives,
+    adjacent-frame logic inside the same batch (a clip is one row — its
+    frames never span batches), only 3-int rows leave.
+
+    Output: ``media_id, n_frames, n_changes``."""
+
+    def detect(b: pa.Table) -> pa.Table:
+        ids, nfs, chs = [], [], []
+        for mid, p in zip(b["media_id"].to_pylist(),
+                          b["payload"].to_pylist()):
+            if p[:5] != VMAGIC:
+                raise ValueError("not a FAKV1 container")
+            w = int.from_bytes(p[5:9], "little")
+            h = int.from_bytes(p[9:13], "little")
+            nf = int.from_bytes(p[13:15], "little")
+            frames = np.frombuffer(p, np.uint8, count=nf * h * w,
+                                   offset=VHEADER).reshape(nf, h, w)
+            sums = frames.astype(np.int64).sum(axis=(1, 2))
+            d = np.abs(np.diff(sums))
+            ids.append(mid)
+            nfs.append(nf)
+            chs.append(int((d > threshold * h * w).sum()))
+        return pa.table({
+            "media_id": pa.array(np.array(ids, np.int64)),
+            "n_frames": pa.array(np.array(nfs, np.int64)),
+            "n_changes": pa.array(np.array(chs, np.int64)),
+        })
+
+    return clips.map_batches(detect, batch_format="pyarrow",
+                             batch_size=256)
