@@ -1308,3 +1308,108 @@ SELECT station_id,
        END AS sector,
        CAST(COUNT(*) AS BIGINT) AS doc_count
 FROM d GROUP BY 1, 2"""
+
+
+def cell_exemplar(sf_dir: str, zoom: int = geom.BASE_ZOOM
+                  ) -> ray.data.Dataset:
+    """Deterministic uniform exemplar page per cell: the page minimizing
+    (md5(url), page_key) — a position-independent, partitioning-stable
+    "random representative" per spatial bin (the unbiased counterpart of
+    `latest_page_per_cell`'s recency pick; curation pipelines pull such
+    exemplars for eyeballing each region). Two-stage partial top-1 —
+    ≤1 row per (cell, batch) moves."""
+    from ..stages.composite import topk_per_key
+    from ..stages.text import fingerprint
+
+    ds = geocoded_pages(sf_dir, zoom).select_columns(
+        ["cell_id", "page_key", "url"])
+    hashed = ds.map_batches(lambda b: fingerprint(b, "url"),
+                            batch_format="pyarrow")
+    kept = topk_per_key(hashed, keys=("cell_id",),
+                        order_cols=("text_hash", "page_key"), k=1,
+                        payload_cols=("page_key", "url"),
+                        descending=False)
+    return kept.map_batches(
+        lambda b: pa.table({"cell_id": b["cell_id"].cast(pa.int64()),
+                            "page_key": b["page_key"].cast(pa.int64()),
+                            "url": b["url"]}),
+        batch_format="pyarrow")
+
+
+def cell_exemplar_sql(zoom: int = geom.BASE_ZOOM) -> str:
+    from ..core import sqlgen
+
+    return f"""{sqlgen.pages_prefix()}
+SELECT cell_id, page_key, url FROM (
+  SELECT {sqlgen.cell_expr(zoom)} AS cell_id, page_key, url,
+         ROW_NUMBER() OVER (PARTITION BY {sqlgen.cell_expr(zoom)}
+                            ORDER BY md5(url), page_key) AS rnk
+  FROM pages
+) WHERE rnk = 1"""
+
+
+def cell_day_coverage(sf_dir: str, zoom: int = geom.BASE_ZOOM
+                      ) -> ray.data.Dataset:
+    """Temporal completeness per cell: distinct crawl DAYS present out of
+    the corpus's 30-day window (the per-cell form of the reference's
+    missing-day audit, `write_daily_average.py:289-311`). Per-batch
+    distinct (cell, day) partials, ONE composite-key bucket exchange
+    (in-bucket distinct is global), tiny cell reduce; coverage is one
+    IEEE division."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = pages_dataset(sf_dir, with_html=False)
+    ds = geocode(ds, zoom=zoom).select_columns(["cell_id", "warc_ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table({"cell_id": b["cell_id"],
+                      "day": pa.array(us // US_PER_DAY)})
+        return t.group_by(["cell_id", "day"]).aggregate([])
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        gg = g.select(["cell_id", "day"]).group_by(
+            ["cell_id", "day"]).aggregate([])
+        h = gg.group_by("cell_id").aggregate([("day", "count")])
+        return pa.table({"cell_id": h["cell_id"],
+                         "nd": h["day_count"].combine_chunks()
+                               .cast(pa.int64())})
+
+    import ray as _ray
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) \
+        if _ray.is_initialized() else 8
+    nb = max(8, cpus)
+
+    def tag(b: pa.Table) -> pa.Table:
+        cid = b["cell_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = b["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("_bucket", pa.array(
+            ((cid * np.int64(1_000_003) + day) % nb + nb) % nb))
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .map_batches(tag, batch_format="pyarrow")
+             .groupby("_bucket").map_groups(per_bucket,
+                                            batch_format="pyarrow"))
+    agg = bucketed_group_agg(parts, keys=["cell_id"],
+                             aggs=[("nd", "sum", "n_days")])
+
+    def finish(b: pa.Table) -> pa.Table:
+        nd = b["n_days"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"cell_id": b["cell_id"].cast(pa.int64()),
+                         "n_days": pa.array(nd),
+                         "coverage": pa.array(nd.astype(np.float64)
+                                              / 30.0)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def cell_day_coverage_sql(zoom: int = geom.BASE_ZOOM) -> str:
+    from ..core import sqlgen
+
+    return f"""{sqlgen.pages_prefix()}
+SELECT {sqlgen.cell_expr(zoom)} AS cell_id,
+       CAST(COUNT(DISTINCT epoch_us(warc_ts) // {US_PER_DAY}) AS BIGINT)
+         AS n_days,
+       CAST(COUNT(DISTINCT epoch_us(warc_ts) // {US_PER_DAY}) AS DOUBLE)
+         / 30 AS coverage
+FROM pages GROUP BY 1"""

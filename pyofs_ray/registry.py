@@ -1847,3 +1847,10 @@ SELECT media_id, CAST(MAX(nf) AS BIGINT) AS n_frames,
 FROM d GROUP BY 1"""
 
 register("video_scene_changes", _video_scene_changes, VIDEO_SCENE_SQL)
+
+
+# deterministic per-cell exemplar page + per-cell crawl-day completeness
+register("cell_exemplar", flagship.cell_exemplar,
+         flagship.cell_exemplar_sql())
+register("cell_day_coverage", flagship.cell_day_coverage,
+         flagship.cell_day_coverage_sql())

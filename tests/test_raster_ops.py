@@ -43,3 +43,33 @@ def test_cell_boundary_subset_of_above_cells():
         if nbrs < 4:
             want.add(cid)
     assert set(got.cell_id) == want
+
+
+def test_cell_exemplar_is_partitioning_stable_min():
+    sf = "/root/testdata/sf0.001"
+    got = flagship.cell_exemplar(sf).to_pandas()
+    assert got.cell_id.is_unique
+    # reference: min (md5(url), page_key) per cell
+    import hashlib
+    pages = flagship.geocoded_pages(sf).to_pandas()
+    pages["h"] = pages.url.map(
+        lambda u: hashlib.md5(u.encode()).hexdigest())
+    want = (pages.sort_values(["cell_id", "h", "page_key"])
+            .groupby("cell_id").head(1))
+    m = got.merge(want[["cell_id", "page_key"]], on="cell_id",
+                  suffixes=("", "_w"))
+    assert (m.page_key == m.page_key_w).all()
+
+
+def test_cell_day_coverage_bounds():
+    sf = "/root/testdata/sf0.001"
+    cov = flagship.cell_day_coverage(sf).to_pandas()
+    assert cov.n_days.between(1, 30).all()
+    assert np.allclose(cov.coverage, cov.n_days / 30.0)
+    # totals consistent with the distinct (cell, day) count
+    pages = flagship.geocoded_pages(sf).to_pandas()
+    days = pages.warc_ts.astype("int64") // flagship.US_PER_DAY
+    want = (pd.DataFrame({"cell_id": pages.cell_id, "day": days})
+            .drop_duplicates().groupby("cell_id").size())
+    got = cov.set_index("cell_id").n_days.sort_index()
+    assert (got == want.sort_index()).all()
