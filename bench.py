@@ -84,6 +84,10 @@ BENCH_QUERIES = [
     # behavioural transitions, BFS levels
     "tile_pyramid_delta", "host_extent", "event_transitions",
     "link_bfs_depth", "station_sector_histogram", "events_funnel_windowed",
+    # round 4 late block 8: classifier eval, EXISTS semantics, raster
+    # area, video scene cuts, spatial exemplars, temporal completeness
+    "lang_confusion", "rel_q4_exists", "polygon_cell_area",
+    "video_scene_changes", "cell_exemplar", "cell_day_coverage",
 ]
 
 

@@ -1123,10 +1123,17 @@ def lang_confusion(sf_dir: str) -> ray.data.Dataset:
                          "n": g["one_sum"].combine_chunks()
                                .cast(pa.int64())})
 
-    agg = (_docs(sf_dir, columns=("doc_id", "text", "lang"))
-           .map_batches(partial, batch_format="pyarrow")
-           .groupby(["lang", "lang_pred"]).sum("n"))
-    return agg.map_batches(
-        lambda b: pa.table({"lang": b["lang"], "lang_pred": b["lang_pred"],
-                            "n": b["sum(n)"].cast(pa.int64())}),
-        batch_format="pyarrow")
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["lang", "lang_pred"]).aggregate([("n", "sum")])
+        return pa.table({"lang": g["lang"], "lang_pred": g["lang_pred"],
+                         "n": g["n_sum"].combine_chunks()
+                               .cast(pa.int64())})
+
+    # ≤ |langs|·(|langs|+1) keys: a coalesced Arrow combine, NOT a Ray
+    # groupby — the sort-based all-to-all costs ~5 s fixed for a 30-row
+    # result (same lesson as the sketch finishes)
+    return (_docs(sf_dir, columns=("doc_id", "text", "lang"))
+            .map_batches(partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(combine, batch_format="pyarrow",
+                         batch_size=None))
