@@ -1413,3 +1413,80 @@ SELECT {sqlgen.cell_expr(zoom)} AS cell_id,
        CAST(COUNT(DISTINCT epoch_us(warc_ts) // {US_PER_DAY}) AS DOUBLE)
          / 30 AS coverage
 FROM pages GROUP BY 1"""
+
+
+def host_split_half(sf_dir: str) -> ray.data.Dataset:
+    """Split-half consistency audit per host: mean page size over the
+    EVEN-minute half of the crawl vs the ODD-minute half, plus the delta
+    — interleaved sampling (odd/even epoch minute) measures whether a
+    host's content statistics are stable under resampling, the classic
+    split-half reliability check (and, unlike a calendar split, it is
+    non-vacuous at every corpus scale). ONE scan: both halves' (sum,
+    count) partials ride one host reduce; means and delta are a fixed
+    3-op IEEE expression from exact int64 sums. Hosts present in both
+    halves only."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = pages_dataset(sf_dir, with_html=False)
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        nc = pc.utf8_length(b["text"].cast(pa.string())).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        in_a = 1 - (us // 60_000_000) % 2  # even minute → half A
+        t = pa.table({"host": url_host(b["url"]),
+                      "sa": pa.array(nc * in_a),
+                      "ca": pa.array(in_a),
+                      "sb": pa.array(nc * (1 - in_a)),
+                      "cb": pa.array(1 - in_a)})
+        g = t.group_by("host").aggregate(
+            [("sa", "sum"), ("ca", "sum"), ("sb", "sum"), ("cb", "sum")])
+        return pa.table({"host": g["host"],
+                         **{c: g[f"{c}_sum"].combine_chunks()
+                            .cast(pa.int64())
+                            for c in ("sa", "ca", "sb", "cb")}})
+
+    agg = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["host"],
+        [("sa", "sum", "sa"), ("ca", "sum", "ca"),
+         ("sb", "sum", "sb"), ("cb", "sum", "cb")])
+
+    def finish(b: pa.Table) -> pa.Table:
+        sa = b["sa"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ca = b["ca"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sb = b["sb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = b["cb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (ca > 0) & (cb > 0)
+        t = pa.table({"host": b["host"]}).filter(pa.array(keep))
+        ma = sa[keep].astype(np.float64) / ca[keep].astype(np.float64)
+        mb = sb[keep].astype(np.float64) / cb[keep].astype(np.float64)
+        return pa.table({"host": t["host"],
+                         "mean_chars_even": pa.array(ma),
+                         "mean_chars_odd": pa.array(mb),
+                         "delta": pa.array(mb - ma)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def host_split_half_sql() -> str:
+    from ..core import sqlgen
+
+    return f"""{sqlgen.pages_prefix()},
+w AS (
+  SELECT SPLIT_PART(url, '/', 3) AS host,
+         CAST(SUM(CASE WHEN (epoch_us(warc_ts) // 60000000) % 2 = 0
+                       THEN LENGTH(text) ELSE 0 END) AS BIGINT) AS sa,
+         CAST(SUM(CASE WHEN (epoch_us(warc_ts) // 60000000) % 2 = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN (epoch_us(warc_ts) // 60000000) % 2 = 1
+                       THEN LENGTH(text) ELSE 0 END) AS BIGINT) AS sb,
+         CAST(SUM(CASE WHEN (epoch_us(warc_ts) // 60000000) % 2 = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM pages GROUP BY 1
+)
+SELECT host,
+       CAST(sa AS DOUBLE) / ca AS mean_chars_even,
+       CAST(sb AS DOUBLE) / cb AS mean_chars_odd,
+       CAST(sb AS DOUBLE) / cb - CAST(sa AS DOUBLE) / ca AS delta
+FROM w WHERE ca > 0 AND cb > 0"""

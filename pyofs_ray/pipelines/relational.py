@@ -1079,3 +1079,70 @@ WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
               WHERE l.l_orderkey = o.o_orderkey
                 AND l.l_quantity >= {Q4_QTY})
 GROUP BY 1"""
+
+
+def events_cumulative_users(sf_dir: str) -> ray.data.Dataset:
+    """Growth accounting: distinct users EVER SEEN by the end of each day
+    — cumulative distinct, which no per-window reduce expresses: each
+    user contributes at their FIRST day only. Shape: per-user min-day
+    (ONE bucketed reduce over user keys), ≤|days| first-day histogram,
+    coalesced cumulative sum (days are calendar-bounded).
+
+    Output: ``day, new_users, cumulative_users``."""
+    from ..sources.readers import read_parquet_clean
+    from ..stages.agg import bucketed_group_agg
+
+    US_PER_DAY = 86_400_000_000
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b["user_id"]),
+                             pc.is_valid(b["ts"])))
+        t = pa.table({"user_id": b["user_id"].cast(pa.int64()),
+                      "day": pa.array(
+                          b["ts"].cast(pa.int64()).to_numpy(
+                              zero_copy_only=False) // US_PER_DAY)})
+        g = t.group_by("user_id").aggregate([("day", "min")])
+        return pa.table({"user_id": g["user_id"],
+                         "day": g["day_min"].combine_chunks()
+                               .cast(pa.int64())})
+
+    firsts = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["user_id"], aggs=[("day", "min", "day")])
+
+    def day_hist(b: pa.Table) -> pa.Table:
+        g = b.select(["day"]).group_by("day").aggregate([("day", "count")])
+        return pa.table({"day": g["day"].cast(pa.int64()),
+                         "n": g["day_count"].combine_chunks()
+                               .cast(pa.int64())})
+
+    def cumulate(b: pa.Table) -> pa.Table:
+        g = b.group_by("day").aggregate([("n", "sum")])
+        day = g["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = g["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(day)
+        day, n = day[order], n[order]
+        return pa.table({"day": pa.array(day),
+                         "new_users": pa.array(n),
+                         "cumulative_users": pa.array(np.cumsum(n))})
+
+    return (firsts.map_batches(day_hist, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(cumulate, batch_format="pyarrow",
+                         batch_size=None))
+
+
+EVENTS_CUMULATIVE_USERS_SQL = """
+WITH f AS (
+  SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS day
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1
+), h AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users FROM f GROUP BY 1
+)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT)
+         AS cumulative_users
+FROM h"""

@@ -1854,3 +1854,11 @@ register("cell_exemplar", flagship.cell_exemplar,
          flagship.cell_exemplar_sql())
 register("cell_day_coverage", flagship.cell_day_coverage,
          flagship.cell_day_coverage_sql())
+
+
+# growth accounting (cumulative distinct users) and per-host split-half
+# consistency (interleaved-sampling stability)
+register("events_cumulative_users", relational.events_cumulative_users,
+         relational.EVENTS_CUMULATIVE_USERS_SQL)
+register("host_split_half", flagship.host_split_half,
+         flagship.host_split_half_sql())

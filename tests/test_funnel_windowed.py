@@ -50,3 +50,35 @@ WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
   AND l.l_quantity >= 45
 GROUP BY 1 ORDER BY 1""").fetchdf()
     assert got.equals(want)
+
+
+def test_cumulative_users_monotone_and_total():
+    from pyofs_ray.pipelines.relational import events_cumulative_users
+    import pandas as pd
+    sf = "/root/testdata/sf0.001"
+    got = events_cumulative_users(sf).to_pandas()
+    assert got.day.is_monotonic_increasing
+    assert got.cumulative_users.is_monotonic_increasing
+    assert (got.new_users > 0).all()
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["user_id", "ts"]).dropna()
+    assert got.cumulative_users.iloc[-1] == ev.user_id.nunique()
+    assert got.new_users.sum() == ev.user_id.nunique()
+
+
+def test_host_split_half_non_vacuous_and_exact_means():
+    from pyofs_ray.pipelines.flagship import host_split_half, pages_dataset
+    sf = "/root/testdata/sf0.001"
+    got = host_split_half(sf).to_pandas()
+    assert len(got) > 0  # the interleave is non-vacuous at every sf
+    pages = pages_dataset(sf, with_html=False).to_pandas()
+    pages["host"] = pages.url.str.split("/").str[2]
+    pages["half"] = (pages.warc_ts.astype("int64") // 60_000_000) % 2
+    pages["nc"] = pages.text.str.len()
+    g = pages.groupby(["host", "half"]).nc.agg(["sum", "size"]).unstack()
+    both = g.dropna()
+    ref_even = both[("sum", 0)] / both[("size", 0)]
+    m = got.set_index("host").sort_index()
+    assert (m.index == both.index.sort_values()).all()
+    assert np.allclose(m.mean_chars_even, ref_even.sort_index(), rtol=0,
+                       atol=0)
