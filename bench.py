@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     # area, video scene cuts, spatial exemplars, temporal completeness
     "lang_confusion", "rel_q4_exists", "polygon_cell_area",
     "video_scene_changes", "cell_exemplar", "cell_day_coverage",
+    "events_cumulative_users", "host_split_half",
 ]
 
 
