@@ -1,0 +1,367 @@
+"""Deeper TPC-H-shaped relational coverage: nation-pair volume shipping
+(Q7), returned-item top customers (Q10), large-volume orders via a
+fact-side HAVING subquery (Q18), and dormant above-average customers
+(Q22) — the remaining classic distributed-join shapes the relational
+suite didn't yet exercise:
+
+* Q7  — double dimension attach on BOTH fact sides of a fact⋈fact join
+        (supplier→lineitem, customer→orders) + a low-card 3-key rollup.
+* Q10 — fact⋈fact join then a HIGH-cardinality (per-customer) reduce →
+        exact-integer top-k: the reduce uses `bucketed_group_agg` (the
+        sort-based Ray groupby is pathological on per-entity keys).
+* Q18 — aggregate-then-self-join: the HAVING result stays a *Dataset*
+        (never pulled to the driver) and meets orders in a bucketed
+        hash join, so the shape survives a fact table where 1 % of
+        orders is still billions of rows.
+* Q22 — global scalar (avg positive balance) via exact int sums, then
+        an integer cross-multiplied predicate (ab_c · n > sum_c — no
+        float average ever compared) + a distributed ANTI join against
+        the recent-order custkeys.
+
+Exactness follows the house convention (relational.py:8): money scaled
+to int64 cents inside map_batches, sums exact, ORDER BY/LIMIT keyed on
+the exact integers, floats derived by one IEEE division at the end.
+Reference shapes: PyOFS's grouped means / sorted outputs
+(PyOFS/main/dataset_ops: per-station aggregation, priority ordering);
+the join/anti-join machinery is `stages/join.py`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+
+from ..sources.readers import read_parquet_clean
+from ..stages.agg import bucketed_group_agg, two_stage_cell_agg
+from ..stages.join import broadcast_join, bucketed_hash_join
+from .relational import _cents
+
+
+def _nation_names(sf_dir: str) -> dict[int, str]:
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    return dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+
+
+# ------------------------------------------------------------------ Q7
+def q7_volume_shipping(sf_dir: str) -> ray.data.Dataset:
+    """Revenue between (supplier nation, customer nation) pairs by ship
+    year — lineitem carries s_nationkey in (broadcast supplier dim),
+    orders carries c_nationkey in (broadcast customer dim), and the two
+    facts meet once in a bucketed hash join on l_orderkey."""
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).rename_columns(
+        ["l_suppkey", "s_nationkey"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).rename_columns(
+        ["o_custkey", "c_nationkey"])
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1998-01-01", "us"))
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.greater_equal(b["l_shipdate"], lo),
+                             pc.less(b["l_shipdate"], hi)))
+        rev = pc.multiply(_cents(b["l_extendedprice"]),
+                          pc.subtract(pa.scalar(100, pa.int64()),
+                                      _cents(b["l_discount"])))
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "l_suppkey": b["l_suppkey"],
+                         "l_year": pc.year(b["l_shipdate"]),
+                         "rev_s": rev})
+
+    li = broadcast_join(li.map_batches(prep, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                        supp, keys=["l_suppkey"])
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+    orders = broadcast_join(orders, cust, keys=["o_custkey"]).map_batches(
+        lambda b: pa.table({"l_orderkey": b["o_orderkey"],
+                            "c_nationkey": b["c_nationkey"]}),
+        batch_format="pyarrow")
+
+    joined = bucketed_hash_join(li, orders, key="l_orderkey")
+    agg = two_stage_cell_agg(joined,
+                             keys=("s_nationkey", "c_nationkey", "l_year"),
+                             int_sum_cols=("rev_s",), count_name="n_items")
+
+    names = _nation_names(sf_dir)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "supp_nation": pa.array([names[k] for k in
+                                     b["s_nationkey"].to_pylist()]),
+            "cust_nation": pa.array([names[k] for k in
+                                     b["c_nationkey"].to_pylist()]),
+            "l_year": b["l_year"],
+            "revenue": pc.divide(pc.cast(b["rev_s_sum"], pa.float64()),
+                                 10000.0),
+            "n_items": b["n_items"],
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+# ----------------------------------------------------------------- Q10
+def q10_returned_items(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    """Top-k customers by revenue on returned ('R') items in one order
+    quarter. Per-customer reduce is high-cardinality → bucketed exchange;
+    the top-k sort runs on the EXACT integer revenue (ties → custkey)."""
+    lo = pa.scalar(np.datetime64("1997-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-04-01", "us"))
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey",
+                                         "o_orderdate"])
+    orders = orders.map_batches(
+        lambda b: b.filter(pc.and_(pc.greater_equal(b["o_orderdate"], lo),
+                                   pc.less(b["o_orderdate"], hi)))
+                   .select(["o_orderkey", "o_custkey"])
+                   .rename_columns(["l_orderkey", "c_custkey"]),
+        batch_format="pyarrow")
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["l_returnflag"], "R"))
+        rev = pc.multiply(_cents(b["l_extendedprice"]),
+                          pc.subtract(pa.scalar(100, pa.int64()),
+                                      _cents(b["l_discount"])))
+        return pa.table({"l_orderkey": b["l_orderkey"], "rev_s": rev})
+
+    joined = bucketed_hash_join(
+        li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        orders, key="l_orderkey")
+    per_cust = bucketed_group_agg(joined, keys=("c_custkey",),
+                                  aggs=[("rev_s", "sum", "rev_s_sum")])
+    top = per_cust.sort(["rev_s_sum", "c_custkey"],
+                        descending=[True, False]).limit(k)
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name", "c_acctbal",
+                                  "c_nationkey"])
+    names = _nation_names(sf_dir)
+    out = broadcast_join(top, cust, keys=["c_custkey"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": b["c_custkey"],
+            "c_name": b["c_name"],
+            "revenue": pc.divide(pc.cast(b["rev_s_sum"], pa.float64()),
+                                 10000.0),
+            "c_acctbal": b["c_acctbal"],
+            "n_name": pa.array([names[x] for x in
+                                b["c_nationkey"].to_pylist()]),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+Q10_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey AS c_custkey,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS rev_s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate < TIMESTAMP '1997-04-01'
+  GROUP BY 1
+  ORDER BY rev_s DESC, c_custkey ASC LIMIT 20
+)
+SELECT c_custkey, c_name,
+       CAST(rev_s AS DOUBLE) / 10000.0 AS revenue,
+       c_acctbal, n_name
+FROM per_cust
+JOIN customer USING (c_custkey)
+JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+# ----------------------------------------------------------------- Q18
+def q18_large_volume(sf_dir: str, qty_cents: int = 25000,
+                     k: int = 100) -> ray.data.Dataset:
+    """Orders whose total line quantity exceeds a threshold (HAVING on a
+    per-order reduce), joined back to orders + customer. The HAVING
+    result is kept distributed — at 100 TB '1 % of orders' is still too
+    big for the driver — and meets orders in a bucketed hash join."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_quantity"])
+    li = li.map_batches(
+        lambda b: pa.table({"l_orderkey": b["l_orderkey"],
+                            "qty_c": _cents(b["l_quantity"])}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    per_order = bucketed_group_agg(li, keys=("l_orderkey",),
+                                   aggs=[("qty_c", "sum", "qty_c_sum")])
+    thr = pa.scalar(qty_cents, pa.int64())
+    big = per_order.map_batches(
+        lambda b: b.filter(pc.greater(b["qty_c_sum"], thr)),
+        batch_format="pyarrow")
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda b: b.rename_columns(
+            ["l_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]),
+        batch_format="pyarrow")
+    joined = bucketed_hash_join(big, orders, key="l_orderkey")
+    joined = joined.map_batches(
+        lambda b: b.append_column("price_c", _cents(b["o_totalprice"])),
+        batch_format="pyarrow")
+    top = joined.sort(["price_c", "l_orderkey"],
+                      descending=[True, False]).limit(k)
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"]).rename_columns(
+        ["o_custkey", "c_name"])
+    out = broadcast_join(top, cust, keys=["o_custkey"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": b["o_custkey"],
+            "c_name": b["c_name"],
+            "o_orderkey": b["l_orderkey"],
+            "o_orderdate": b["o_orderdate"],
+            "o_totalprice": b["o_totalprice"],
+            "sum_qty": pc.divide(pc.cast(b["qty_c_sum"], pa.float64()),
+                                 100.0),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey,
+         SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qty_c
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 25000
+), top AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice, qty_c
+  FROM big JOIN orders ON o_orderkey = l_orderkey
+  ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC,
+           o_orderkey ASC LIMIT 100
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       CAST(qty_c AS DOUBLE) / 100.0 AS sum_qty
+FROM top JOIN customer ON c_custkey = o_custkey
+"""
+
+
+# ----------------------------------------------------------------- Q22
+def q22_dormant_customers(sf_dir: str,
+                          since: str = "2000-01-01") -> ray.data.Dataset:
+    """Per-nation count + balance of customers above the average positive
+    account balance with NO order since ``since``. The average is never
+    materialized as a float: the predicate is the integer
+    cross-multiplication ab_c·n_pos > sum_pos_c; dormancy is a
+    distributed ANTI join against recent-order custkeys."""
+    from ray.data.aggregate import Sum
+
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey",
+                                       "c_acctbal"])
+    cust = cust.map_batches(
+        lambda b: pa.table({"c_custkey": b["c_custkey"],
+                            "c_nationkey": b["c_nationkey"],
+                            "ab_c": _cents(b["c_acctbal"])}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    # global positive-balance stats: exact int sums, tiny driver pull
+    pos = cust.map_batches(
+        lambda b: (lambda f: pa.table({
+            "s": pa.array([pc.sum(f["ab_c"]).as_py() or 0], pa.int64()),
+            "n": pa.array([len(f)], pa.int64())}))(
+                b.filter(pc.greater(b["ab_c"], pa.scalar(0, pa.int64())))),
+        batch_format="pyarrow")
+    stats = pos.aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    sum_pos, n_pos = int(stats["s"]), int(stats["n"])
+
+    lo = pa.scalar(np.datetime64(since, "us"))
+    recent = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_orderdate"])
+    recent = recent.map_batches(
+        lambda b: pa.table({"c_custkey":
+                            b.filter(pc.greater_equal(b["o_orderdate"],
+                                                      lo))["o_custkey"]}),
+        batch_format="pyarrow")
+
+    rich = cust.map_batches(
+        lambda b: b.filter(pc.greater(
+            pc.multiply(b["ab_c"], pa.scalar(n_pos, pa.int64())),
+            pa.scalar(sum_pos, pa.int64()))),
+        batch_format="pyarrow")
+    dormant = bucketed_hash_join(rich, recent, key="c_custkey",
+                                 join_type="anti")
+
+    agg = two_stage_cell_agg(dormant, keys=("c_nationkey",),
+                             int_sum_cols=("ab_c",), count_name="numcust")
+    names = _nation_names(sf_dir)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": pa.array([names[x] for x in
+                                b["c_nationkey"].to_pylist()]),
+            "numcust": b["numcust"],
+            "totacctbal": pc.divide(pc.cast(b["ab_c_sum"], pa.float64()),
+                                    100.0),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+Q22_SQL = """
+WITH cb AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS ab_c
+  FROM customer
+), pos AS (
+  SELECT SUM(ab_c) AS s, COUNT(*) AS n FROM cb WHERE ab_c > 0
+), recent AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+)
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(ab_c) AS DOUBLE) / 100.0 AS totacctbal
+FROM cb, pos
+JOIN nation ON c_nationkey = n_nationkey
+WHERE ab_c * pos.n > pos.s
+  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+GROUP BY 1
+"""

@@ -1862,3 +1862,17 @@ register("events_cumulative_users", relational.events_cumulative_users,
          relational.EVENTS_CUMULATIVE_USERS_SQL)
 register("host_split_half", flagship.host_split_half,
          flagship.host_split_half_sql())
+
+
+# deeper TPC-H-shaped distributed-join coverage (tpch_extra.py): nation-pair
+# volume shipping, returned-item top customers, large-volume HAVING self-join,
+# dormant above-average customers (integer cross-multiplied predicate + ANTI)
+from .pipelines import tpch_extra  # noqa: E402
+
+register("rel_q7_volume", tpch_extra.q7_volume_shipping, tpch_extra.Q7_SQL)
+register("rel_q10_returned", tpch_extra.q10_returned_items,
+         tpch_extra.Q10_SQL)
+register("rel_q18_large_volume", tpch_extra.q18_large_volume,
+         tpch_extra.Q18_SQL)
+register("rel_q22_dormant", tpch_extra.q22_dormant_customers,
+         tpch_extra.Q22_SQL)
