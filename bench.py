@@ -89,6 +89,9 @@ BENCH_QUERIES = [
     "lang_confusion", "rel_q4_exists", "polygon_cell_area",
     "video_scene_changes", "cell_exemplar", "cell_day_coverage",
     "events_cumulative_users", "host_split_half",
+    # round 4 late block 9: deep TPC-H distributed-join shapes
+    "rel_q7_volume", "rel_q10_returned", "rel_q18_large_volume",
+    "rel_q22_dormant",
 ]
 
 

@@ -35,7 +35,8 @@ import pyarrow.parquet as pq
 import ray.data
 
 from ..sources.readers import read_parquet_clean
-from ..stages.agg import bucketed_group_agg, two_stage_cell_agg
+from ..stages.agg import (bucketed_group_agg, coalesced_int_sum_finish,
+                          exact_topk, partial_group_sums)
 from ..stages.join import broadcast_join, bucketed_hash_join
 from .relational import _cents
 
@@ -89,10 +90,15 @@ def q7_volume_shipping(sf_dir: str) -> ray.data.Dataset:
                             "c_nationkey": b["c_nationkey"]}),
         batch_format="pyarrow")
 
-    joined = bucketed_hash_join(li, orders, key="l_orderkey")
-    agg = two_stage_cell_agg(joined,
-                             keys=("s_nationkey", "c_nationkey", "l_year"),
-                             int_sum_cols=("rev_s",), count_name="n_items")
+    # the 3-key rollup is nation×nation×year-bounded (≤ ~1250 keys): fuse
+    # the partial combine INTO the join exchange and finish coalesced —
+    # one all-to-all total instead of three (6.2 s → measured cut)
+    gk = ("s_nationkey", "c_nationkey", "l_year")
+    joined = bucketed_hash_join(
+        li, orders, key="l_orderkey",
+        post=lambda t: partial_group_sums(t, gk, ("rev_s",),
+                                          count_name="n_items"))
+    agg = coalesced_int_sum_finish(joined, gk, ("rev_s_sum", "n_items"))
 
     names = _nation_names(sf_dir)
 
@@ -161,13 +167,20 @@ def q10_returned_items(sf_dir: str, k: int = 20) -> ray.data.Dataset:
                                       _cents(b["l_discount"])))
         return pa.table({"l_orderkey": b["l_orderkey"], "rev_s": rev})
 
+    # per-bucket per-cust partial sums fused into the join exchange shrink
+    # the second (per-customer) exchange from line-items to ≤|cust|/bucket
+    # partials; the top-k replaces a full Sort all-to-all with per-block
+    # lexsort + a coalesced k×blocks finish
     joined = bucketed_hash_join(
         li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
-        orders, key="l_orderkey")
+        orders, key="l_orderkey",
+        post=lambda t: partial_group_sums(t, ("c_custkey",), ("rev_s",),
+                                          count_name="_n")
+                         .drop_columns(["_n"]))
     per_cust = bucketed_group_agg(joined, keys=("c_custkey",),
-                                  aggs=[("rev_s", "sum", "rev_s_sum")])
-    top = per_cust.sort(["rev_s_sum", "c_custkey"],
-                        descending=[True, False]).limit(k)
+                                  aggs=[("rev_s_sum", "sum", "rev_s_sum")])
+    top = exact_topk(per_cust, ["rev_s_sum", "c_custkey"],
+                     [True, False], k)
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_name", "c_acctbal",
@@ -220,16 +233,24 @@ def q18_large_volume(sf_dir: str, qty_cents: int = 25000,
     big for the driver — and meets orders in a bucketed hash join."""
     li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
                             columns=["l_orderkey", "l_quantity"])
+    # per-batch partial per-order sums shrink what the exchange moves;
+    # the HAVING reduce itself is fused into the join bucket via left_fn
+    # (bucket = l_orderkey % B co-locates every line of an order), so the
+    # aggregate-then-self-join costs ONE exchange, not two
     li = li.map_batches(
-        lambda b: pa.table({"l_orderkey": b["l_orderkey"],
-                            "qty_c": _cents(b["l_quantity"])}),
+        lambda b: partial_group_sums(
+            pa.table({"l_orderkey": b["l_orderkey"],
+                      "qty_c": _cents(b["l_quantity"])}),
+            ("l_orderkey",), ("qty_c",), count_name="_n")
+        .drop_columns(["_n"]),
         batch_format="pyarrow", zero_copy_batch=True)
-    per_order = bucketed_group_agg(li, keys=("l_orderkey",),
-                                   aggs=[("qty_c", "sum", "qty_c_sum")])
     thr = pa.scalar(qty_cents, pa.int64())
-    big = per_order.map_batches(
-        lambda b: b.filter(pc.greater(b["qty_c_sum"], thr)),
-        batch_format="pyarrow")
+
+    def having(l: pa.Table) -> pa.Table:
+        g = l.group_by("l_orderkey").aggregate([("qty_c_sum", "sum")])
+        g = pa.table({"l_orderkey": g["l_orderkey"],
+                      "qty_c_sum": g["qty_c_sum_sum"].cast(pa.int64())})
+        return g.filter(pc.greater(g["qty_c_sum"], thr))
 
     orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
@@ -238,12 +259,10 @@ def q18_large_volume(sf_dir: str, qty_cents: int = 25000,
         lambda b: b.rename_columns(
             ["l_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]),
         batch_format="pyarrow")
-    joined = bucketed_hash_join(big, orders, key="l_orderkey")
-    joined = joined.map_batches(
-        lambda b: b.append_column("price_c", _cents(b["o_totalprice"])),
-        batch_format="pyarrow")
-    top = joined.sort(["price_c", "l_orderkey"],
-                      descending=[True, False]).limit(k)
+    joined = bucketed_hash_join(
+        li, orders, key="l_orderkey", left_fn=having,
+        post=lambda t: t.append_column("price_c", _cents(t["o_totalprice"])))
+    top = exact_topk(joined, ["price_c", "l_orderkey"], [True, False], k)
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_name"]).rename_columns(
@@ -326,11 +345,14 @@ def q22_dormant_customers(sf_dir: str,
             pc.multiply(b["ab_c"], pa.scalar(n_pos, pa.int64())),
             pa.scalar(sum_pos, pa.int64()))),
         batch_format="pyarrow")
-    dormant = bucketed_hash_join(rich, recent, key="c_custkey",
-                                 join_type="anti")
-
-    agg = two_stage_cell_agg(dormant, keys=("c_nationkey",),
-                             int_sum_cols=("ab_c",), count_name="numcust")
+    # per-nation rollup (≤25 keys) fused into the anti-join exchange +
+    # coalesced finish — no second all-to-all
+    dormant = bucketed_hash_join(
+        rich, recent, key="c_custkey", join_type="anti",
+        post=lambda t: partial_group_sums(t, ("c_nationkey",), ("ab_c",),
+                                          count_name="numcust"))
+    agg = coalesced_int_sum_finish(dormant, ("c_nationkey",),
+                                   ("ab_c_sum", "numcust"))
     names = _nation_names(sf_dir)
 
     def finish(b: pa.Table) -> pa.Table:

@@ -215,6 +215,61 @@ def salted_two_stage_agg(
     return mid.drop_columns(["_salt"]).groupby(keys).aggregate(*final_aggs)
 
 
+def coalesced_int_sum_finish(ds: ray.data.Dataset, keys: Sequence[str],
+                             sum_cols: Sequence[str]) -> ray.data.Dataset:
+    """Final reduce for key-bounded int64 partials WITHOUT a Ray groupby.
+
+    Round-4 rule (CLAUDE.md): a ≤~2k-key finish must not pay the sort-based
+    all-to-all (~4 s fixed at sf0.1) — coalesce the partials to one block
+    and run a single Arrow ``group_by`` sum. Partials come from
+    ``partial_group_sums`` fused into an upstream exchange (e.g. a
+    ``bucketed_hash_join(post=...)``), so total input here is
+    ≤ num_buckets × |keys| rows. Output columns keep the input names.
+    """
+    keys, sum_cols = list(keys), list(sum_cols)
+
+    def final(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate([(c, "sum") for c in sum_cols])
+        cols = {k: g[k] for k in keys}
+        for c in sum_cols:
+            cols[c] = g[f"{c}_sum"].cast(pa.int64())
+        return pa.table(cols)
+
+    return ds.repartition(1).map_batches(final, batch_format="pyarrow",
+                                         batch_size=None,
+                                         zero_copy_batch=True)
+
+
+def exact_topk(ds: ray.data.Dataset, cols: Sequence[str],
+               descending: Sequence[bool], k: int) -> ray.data.Dataset:
+    """Global ORDER BY <int64 cols…> LIMIT k without a Sort all-to-all.
+
+    Per-block lexsort top-k (np.lexsort — exact integer keys, so ties are
+    deterministic IF ``cols`` is a total order, e.g. ends in a unique id),
+    then a coalesced final top-k over the ≤ k×blocks survivors. Payload
+    columns ride along via ``Table.take``. Replaces ``ds.sort(...).limit(k)``
+    whose sort moves EVERY row through an exchange to keep k of them.
+    """
+    cols, desc = list(cols), list(descending)
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        keys = []
+        for c, d in zip(cols, desc):
+            a = t[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            keys.append(-a if d else a)
+        order = np.lexsort(tuple(reversed(keys)))[:k]
+        return t.take(pa.array(order))
+
+    head = ds.map_batches(block_topk, batch_format="pyarrow",
+                          batch_size=None, zero_copy_batch=True)
+    return head.repartition(1).map_batches(block_topk,
+                                           batch_format="pyarrow",
+                                           batch_size=None,
+                                           zero_copy_batch=True)
+
+
 def add_mean_column(batch: pa.Table, sum_col: str, count_col: str, out: str) -> pa.Table:
     """mean = int_sum / count, computed once after the final reduce —
     deterministic (single IEEE division, no float accumulation)."""

@@ -81,7 +81,9 @@ def broadcast_join(ds: ray.data.Dataset, small: pa.Table, keys: Sequence[str],
 def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
                        key: str, num_buckets: int = 64,
                        suffix: str = "_r",
-                       join_type: str = "inner") -> ray.data.Dataset:
+                       join_type: str = "inner",
+                       left_fn=None, right_fn=None,
+                       post=None) -> ray.data.Dataset:
     """Explicit partitioned hash join on an int64 key (both sides large).
 
     One groupby shuffle on ``(key % num_buckets)``; each bucket's left/right
@@ -94,6 +96,14 @@ def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
     null), ``"semi"`` / ``"anti"`` (output = left columns only; right side
     acts as a distributed filter — the scale form of a broadcast keep/drop
     set).
+
+    ``left_fn`` / ``right_fn`` / ``post``: optional per-bucket Arrow-table
+    transforms fused INTO the single exchange — ``left_fn``/``right_fn``
+    rewrite a side's bucket slice before the join (all rows of a key are
+    co-located, so a per-``key`` aggregate + HAVING filter is sound here),
+    ``post`` rewrites the joined bucket (e.g. a ``partial_group_sums``
+    combine). Fusing avoids a second all-to-all after the join — Ray 2.49
+    charges seconds of fixed wall per extra exchange in one plan.
     """
 
     def _as_arrow(ds: ray.data.Dataset) -> tuple[ray.data.Dataset, pa.Schema]:
@@ -146,6 +156,10 @@ def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
         side = g["_side"]
         l = g.filter(pc.equal(side, 0)).select(lcols)
         r = g.filter(pc.equal(side, 1)).select(rcols)
+        if left_fn is not None:
+            l = left_fn(l)
+        if right_fn is not None:
+            r = right_fn(r)
         if join_type in ("semi", "anti"):
             # membership mask, not an Acero join: identical semantics
             # (dup right keys collapse in the value set) and it carries
@@ -157,9 +171,11 @@ def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
             mask = pc.is_in(l[key], value_set=rk)
             if join_type == "anti":
                 mask = pc.invert(mask)
-            return l.filter(mask)
-        return l.join(r, keys=key, join_type=arrow_jt,
-                      left_suffix="", right_suffix=suffix)
+            out = l.filter(mask)
+        else:
+            out = l.join(r, keys=key, join_type=arrow_jt,
+                         left_suffix="", right_suffix=suffix)
+        return post(out) if post is not None else out
 
     return both.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
 
