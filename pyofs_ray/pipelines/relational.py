@@ -131,9 +131,13 @@ GROUP BY c_mktsegment
 def topk_orders(sf_dir: str, k: int = 25) -> ray.data.Dataset:
     """Top-k orders by total price (deterministic tie-break on key) —
     SURVEY.md O1/O3 sorted-keys + first-record semantics."""
+    from ..stages.agg import exact_topk
+
     ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
                                columns=["o_orderkey", "o_totalprice"])
-    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+    # per-block top-k + coalesced finish: the full Sort all-to-all moved
+    # EVERY order row through an exchange to keep k of them
+    return exact_topk(ds, ["o_totalprice", "o_orderkey"], [True, False], k)
 
 
 TOPK_ORDERS_SQL = """
@@ -486,9 +490,21 @@ def q3_shipping_priority(sf_dir: str, k: int = 10,
         bf = build_bloom_distributed(ok_keys, "l_orderkey", fpr=0.01,
                                      materialize=False)
         li = bloom_prefilter(li, "l_orderkey", bf)
-    li = bucketed_hash_join(li, ok_keys, key="l_orderkey")
-    agg = two_stage_cell_agg(li, keys=("l_orderkey",), int_sum_cols=("rev_s",),
-                             count_name="n_items")
+    # the per-order rollup is keyed by the JOIN key, so every line of an
+    # order is already co-located in its bucket: compute the FULL per-order
+    # sums inside the join's map_groups (post) — no second exchange — and
+    # top-k on the exact integer (x/10000.0 is monotone and injective below
+    # 2^53, so int order == the twin's float ORDER BY), then derive the
+    # float once over k rows
+    from ..stages.agg import exact_topk
+
+    def per_order(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_orderkey").aggregate([("rev_s", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "rev_s_sum": g["rev_s_sum"].cast(pa.int64())})
+
+    li = bucketed_hash_join(li, ok_keys, key="l_orderkey", post=per_order)
+    top = exact_topk(li, ["rev_s_sum", "l_orderkey"], [True, False], k)
 
     def finish(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -496,8 +512,7 @@ def q3_shipping_priority(sf_dir: str, k: int = 10,
             "revenue": pc.divide(pc.cast(b["rev_s_sum"], pa.float64()), 10000.0),
         })
 
-    out = agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
-    return out.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(k)
+    return top.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
 Q3_SQL = """

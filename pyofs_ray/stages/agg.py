@@ -242,13 +242,15 @@ def coalesced_int_sum_finish(ds: ray.data.Dataset, keys: Sequence[str],
 
 def exact_topk(ds: ray.data.Dataset, cols: Sequence[str],
                descending: Sequence[bool], k: int) -> ray.data.Dataset:
-    """Global ORDER BY <int64 cols…> LIMIT k without a Sort all-to-all.
+    """Global ORDER BY <numeric cols…> LIMIT k without a Sort all-to-all.
 
-    Per-block lexsort top-k (np.lexsort — exact integer keys, so ties are
+    Per-block lexsort top-k (np.lexsort — exact keys, so ties are
     deterministic IF ``cols`` is a total order, e.g. ends in a unique id),
     then a coalesced final top-k over the ≤ k×blocks survivors. Payload
     columns ride along via ``Table.take``. Replaces ``ds.sort(...).limit(k)``
     whose sort moves EVERY row through an exchange to keep k of them.
+    Sort keys must be int/uint/float with no NaN/null (descending is
+    implemented by negation).
     """
     cols, desc = list(cols), list(descending)
 
@@ -257,7 +259,13 @@ def exact_topk(ds: ray.data.Dataset, cols: Sequence[str],
             return t
         keys = []
         for c, d in zip(cols, desc):
-            a = t[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            a = t[c].to_numpy(zero_copy_only=False)
+            if a.dtype.kind not in "iuf":
+                raise TypeError(f"exact_topk: non-numeric sort key {c!r} "
+                                f"({a.dtype}); sort on the exact integer "
+                                "or float column instead")
+            if a.dtype.kind == "u":  # negation must not wrap
+                a = a.astype(np.int64)
             keys.append(-a if d else a)
         order = np.lexsort(tuple(reversed(keys)))[:k]
         return t.take(pa.array(order))
