@@ -1876,3 +1876,27 @@ register("rel_q18_large_volume", tpch_extra.q18_large_volume,
          tpch_extra.Q18_SQL)
 register("rel_q22_dormant", tpch_extra.q22_dormant_customers,
          tpch_extra.Q22_SQL)
+
+
+# RAG-style sliding token-window chunking + global token-budget curation
+# (greedy quality-ranked prefix under a corpus-wide token budget, found
+# via a bounded per-score aggregate instead of a global sort)
+from .stages import chunk as _chunk  # noqa: E402
+
+
+def _doc_chunks(sf_dir: str):
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return _chunk.doc_token_chunks(ds)
+
+
+def _doc_budget_select(sf_dir: str, budget: int = 20000):
+    return _chunk.token_budget_select(
+        lambda: read_parquet_clean(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"]),
+        budget=budget)
+
+
+register("doc_chunks", _doc_chunks, _chunk.doc_token_chunks_sql())
+register("doc_budget_select", _doc_budget_select,
+         _chunk.token_budget_select_sql(20000))
