@@ -1900,3 +1900,15 @@ def _doc_budget_select(sf_dir: str, budget: int = 20000):
 register("doc_chunks", _doc_chunks, _chunk.doc_token_chunks_sql())
 register("doc_budget_select", _doc_budget_select,
          _chunk.token_budget_select_sql(20000))
+
+
+# connected components over the undirected intra-class link graph
+# (distributed min-label propagation; recursive-CTE fixpoint twin)
+def _link_components(sf_dir: str):
+    n = _doc_count(sf_dir)
+    ids = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+    return linkgraph.link_components(ids, n)
+
+
+register("link_components", _link_components, linkgraph.link_components_sql())

@@ -451,3 +451,77 @@ def bfs_depth_sql(seeds: tuple[int, ...], rounds: int = 4,
     return (",\n".join(parts)
             + f"\nSELECT node, CAST(dist AS BIGINT) AS dist FROM {prev}"
             + "\nWHERE dist IS NOT NULL")
+
+
+# ------------------------------------------------- connected components
+COMP_MOD = 13  # confine component edges to residue classes (intra-"site"
+               # links): the raw modulo graph is one giant component, which
+               # makes a components op vacuous — real web graphs fragment by
+               # host, modeled here by snapping dst into src's class mod 13
+
+
+def _component_edges(node: np.ndarray, n_nodes: int
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic intra-class edges: generator targets snapped to the
+    source's residue class mod COMP_MOD (wrapped back below n)."""
+    src, dst, _ = _out_edges(node, n_nodes)
+    cand = dst - dst % COMP_MOD + src % COMP_MOD
+    dst2 = np.where(cand < n_nodes, cand, cand - COMP_MOD)
+    return src, dst2
+
+
+def link_components(ids: ray.data.Dataset, n_nodes: int,
+                    id_col: str = "doc_id") -> ray.data.Dataset:
+    """Connected components of the UNDIRECTED intra-class link graph:
+    (id, label) with label = the component's min node id, via the same
+    distributed min-label propagation the extreme-dup-rate dedup path uses
+    (`dedup.label_propagation_components` — converges on a monotone
+    label-sum witness, each round two bucketed joins + one min reduce over
+    edge-bounded data). The edge rows are flat-expanded from the
+    deterministic generator (never a driver-side structure)."""
+    from .dedup import label_propagation_components
+
+    def expand(b: pa.Table) -> pa.Table:
+        node = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        src, dst = _component_edges(node, n_nodes)
+        return pa.table({"id_a": pa.array(src), "id_b": pa.array(dst)})
+
+    pairs = ids.map_batches(expand, batch_format="pyarrow")
+    return label_propagation_components(pairs)
+
+
+def link_components_sql(table: str = "documents",
+                        id_col: str = "doc_id") -> str:
+    """Fixpoint twin: recursive CTE enumerating each node's reachable set
+    over the undirected edges, then MIN per node — exact CC, the same
+    answer label propagation converges to."""
+    return f"""
+WITH RECURSIVE
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {table}),
+js AS (SELECT UNNEST([CAST(0 AS BIGINT), 1, 2, 3]) AS j),
+raw AS (
+  SELECT d.{id_col} AS src,
+         (d.{id_col} * {EDGE_MUL} + js.j * {EDGE_JMUL} + 1) % nn.n AS dst,
+         nn.n AS n
+  FROM {table} d CROSS JOIN nn CROSS JOIN js
+  WHERE js.j <= d.{id_col} % 4
+),
+edges AS (
+  SELECT src,
+         CASE WHEN dst - dst % {COMP_MOD} + src % {COMP_MOD} < n
+              THEN dst - dst % {COMP_MOD} + src % {COMP_MOD}
+              ELSE dst - dst % {COMP_MOD} + src % {COMP_MOD} - {COMP_MOD}
+         END AS dst
+  FROM raw
+),
+ue AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION ALL
+  SELECT dst AS a, src AS b FROM edges
+),
+r AS (
+  SELECT {id_col} AS id, {id_col} AS reach FROM {table}
+  UNION
+  SELECT r.id, ue.b AS reach FROM r JOIN ue ON ue.a = r.reach
+)
+SELECT id, CAST(MIN(reach) AS BIGINT) AS label FROM r GROUP BY id"""

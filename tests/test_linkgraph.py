@@ -148,3 +148,40 @@ def test_redirect_resolution_oracle(duck_smoke):
     from pyofs_ray.registry import ORACLES, QUERIES
     assert_matches_oracle(QUERIES["redirect_resolution"](SF_SMOKE),
                           duck_smoke, ORACLES["redirect_resolution"])
+
+
+def test_link_components_labels_are_class_consistent():
+    # edges never leave a residue class mod COMP_MOD, and every label must
+    # be the min id actually REACHABLE (not just the class min by fiat)
+    from pyofs_ray.stages import linkgraph as lgm
+    n = 60
+    ids = ray.data.from_arrow(pa.table({"doc_id": np.arange(n, dtype=np.int64)}))
+    got = lgm.link_components(ids, n).to_pandas().sort_values("id")
+    assert len(got) == n
+    # labels stay within the node's residue class
+    assert ((got.label % lgm.COMP_MOD) == (got.id % lgm.COMP_MOD)).all()
+    # independent check: union-find over the same generated edges
+    import numpy as np_
+    parent = np_.arange(n)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    src, dst = lgm._component_edges(np_.arange(n, dtype=np_.int64), n)
+    for a, b in zip(src, dst):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {i: min(j for j in range(n) if find(j) == find(i))
+              for i in range(n)}
+    assert {int(r.id): int(r.label) for r in got.itertuples()} == expect
+
+
+def test_link_components_oracle(duck_smoke):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+    from pyofs_ray.registry import ORACLES, QUERIES
+    assert_matches_oracle(QUERIES["link_components"](SF_SMOKE),
+                          duck_smoke, ORACLES["link_components"])
