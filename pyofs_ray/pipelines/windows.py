@@ -426,3 +426,69 @@ SELECT o_custkey, o_orderkey, o_totalprice FROM (
   FROM orders
 ) WHERE rn = 1
 """
+
+
+# ---------------------------------------------- peak interval concurrency
+def events_max_concurrency(sf_dir: str,
+                           window_s: int = 300) -> ray.data.Dataset:
+    """Peak number of simultaneously-active events per type, where each
+    event occupies the half-open interval [ts, ts + window_s).
+
+    Classic boundary sweep: flat-expand each event into (+1 at start,
+    -1 at end) boundary rows in ``map_batches`` (no driver work), then one
+    per-type kernel (event_type is low-cardinality, so a plain
+    groupby.map_groups group holds one type's boundaries): lexsort by
+    (t, delta) — ends BEFORE starts at equal t, the half-open convention —
+    cumsum, max. Ties among equal (t, delta) rows can permute freely: the
+    running sum passes through the same value set, so the max is
+    order-invariant (and the SQL window twin agrees for the same reason).
+    """
+    import pyarrow.compute as pc
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts"])
+    w_us = window_s * 1_000_000
+
+    def boundaries(b: pa.Table) -> pa.Table:
+        t = b["ts"].cast(pa.int64())
+        n = len(b)
+        return pa.table({
+            "event_type": pa.concat_arrays(
+                [b["event_type"].combine_chunks()] * 2),
+            "t": pa.concat_arrays([t.combine_chunks(),
+                                   pc.add(t, w_us).combine_chunks()]),
+            "d": pa.array(np.r_[np.ones(n, np.int64),
+                                -np.ones(n, np.int64)]),
+        })
+
+    def sweep(g: pa.Table) -> pa.Table:
+        t = g["t"].to_numpy(zero_copy_only=False)
+        d = g["d"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, t))
+        peak = int(np.cumsum(d[order]).max())
+        return pa.table({"event_type": g["event_type"][:1],
+                         "peak": pa.array([peak], pa.int64())})
+
+    return (ds.map_batches(boundaries, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby("event_type")
+              .map_groups(sweep, batch_format="pyarrow"))
+
+
+EVENTS_MAX_CONCURRENCY_SQL = """
+WITH b AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS t,
+         CAST(1 AS BIGINT) AS d
+  FROM events
+  UNION ALL
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) + 300000000,
+         CAST(-1 AS BIGINT)
+  FROM events
+), c AS (
+  SELECT event_type,
+         SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+                      ROWS UNBOUNDED PRECEDING) AS cur
+  FROM b
+)
+SELECT event_type, CAST(MAX(cur) AS BIGINT) AS peak
+FROM c GROUP BY event_type"""

@@ -1912,3 +1912,8 @@ def _link_components(sf_dir: str):
 
 
 register("link_components", _link_components, linkgraph.link_components_sql())
+
+
+# peak interval concurrency per event type (boundary sweep)
+register("events_max_concurrency", windows.events_max_concurrency,
+         windows.EVENTS_MAX_CONCURRENCY_SQL)

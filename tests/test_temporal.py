@@ -264,3 +264,45 @@ def test_attach_last_pass_matches_numpy():
         "ts": pa.array([int(passes[100])], pa.int64())}))
     o2 = eph.attach_last_pass(ev2, ts_col="ts").to_pandas()
     assert o2.pass_us.iloc[0] == passes[100]
+
+
+def test_events_max_concurrency_half_open_boundary(tmp_path):
+    # three 300s intervals: A[0,300) B[300,600) C[250,550).
+    # A and B touch at t=300 but MUST NOT count as concurrent (half-open);
+    # peak is 2 (A+C overlap in [250,300), B+C in [300,550))
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyofs_ray.pipelines.windows import events_max_concurrency
+
+    ts = np.array([0, 300, 250], dtype="datetime64[us]")
+    t = pa.table({"event_id": pa.array([1, 2, 3], pa.int64()),
+                  "ts": pa.array(ts),
+                  "user_id": pa.array([1, 1, 1], pa.int64()),
+                  "event_type": pa.array(["x", "x", "x"]),
+                  "value": pa.array([0.0, 0.0, 0.0]),
+                  "props": pa.array(["", "", ""])})
+    ts2 = np.array([0], dtype="datetime64[us]")
+    t2 = pa.table({"event_id": pa.array([4], pa.int64()),
+                   "ts": pa.array(ts2),
+                   "user_id": pa.array([2], pa.int64()),
+                   "event_type": pa.array(["y"]),
+                   "value": pa.array([0.0]),
+                   "props": pa.array([""])})
+    # ts values are seconds-scale epoch offsets; window 300s in us —
+    # write ts already in us so intervals are [ts, ts+300e6)
+    ts3 = np.array([0, 300_000_000, 250_000_000], dtype="datetime64[us]")
+    t = t.set_column(1, "ts", pa.array(ts3))
+    pq.write_table(pa.concat_tables([t, t2]), tmp_path / "events.parquet")
+
+    got = (events_max_concurrency(str(tmp_path)).to_pandas()
+           .set_index("event_type").peak.to_dict())
+    assert got == {"x": 2, "y": 1}
+
+
+def test_events_max_concurrency_oracle(duck_smoke):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+    from pyofs_ray.registry import ORACLES, QUERIES
+    assert_matches_oracle(QUERIES["events_max_concurrency"](SF_SMOKE),
+                          duck_smoke, ORACLES["events_max_concurrency"])
