@@ -91,7 +91,11 @@ BENCH_QUERIES = [
     "events_cumulative_users", "host_split_half",
     # round 4 late block 9: deep TPC-H distributed-join shapes
     "rel_q7_volume", "rel_q10_returned", "rel_q18_large_volume",
-    "rel_q22_dormant",
+    "rel_q22_dormant", "rel_q17_small_qty", "rel_q11_important_parts",
+    # round 4 late block 10: RAG chunking, token-budget curation, graph
+    # components, interval concurrency
+    "doc_chunks", "doc_budget_select", "link_components",
+    "events_max_concurrency",
 ]
 
 

@@ -36,7 +36,8 @@ import ray.data
 
 from ..sources.readers import read_parquet_clean
 from ..stages.agg import (bucketed_group_agg, coalesced_int_sum_finish,
-                          exact_topk, partial_group_sums)
+                          exact_topk, partial_group_sums,
+                          two_stage_cell_agg)
 from ..stages.join import broadcast_join, bucketed_hash_join
 from .relational import _cents
 
@@ -387,3 +388,135 @@ WHERE ab_c * pos.n > pos.s
   AND c_custkey NOT IN (SELECT o_custkey FROM recent)
 GROUP BY 1
 """
+
+
+# ----------------------------------------------------------------- Q17
+def q17_small_quantity(sf_dir: str, brand: str = "Brand#12"
+                       ) -> ray.data.Dataset:
+    """Average yearly revenue lost to small-quantity orders of one brand
+    (Q17's correlated-average shape): lineitems whose quantity is below
+    0.2 × the part's average quantity, summed and divided by 7.
+
+    One exchange total: the brand part keys are a broadcast semi-filter;
+    the per-part average AND the correlated predicate both run inside the
+    join bucket (bucket = l_partkey % B co-locates every lineitem of a
+    part), as the exact integer cross-multiplication
+    ``5 · n_part · qty_c < sum_qty_c`` — no float average is ever
+    compared. The float appears once, at the single final division."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    keys = part.filter(pc.equal(part["p_brand"], brand)) \
+               .select(["p_partkey"]).rename_columns(["l_partkey"])
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    li = li.map_batches(
+        lambda b: pa.table({"l_partkey": b["l_partkey"],
+                            "qty_c": _cents(b["l_quantity"]),
+                            "price_c": _cents(b["l_extendedprice"])}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def small_qty_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_partkey").aggregate([("qty_c", "sum"),
+                                               ("qty_c", "count")])
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        gk = g["l_partkey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(gk)
+        pos = order[np.searchsorted(gk[order], pk)]
+        sq = g["qty_c_sum"].to_numpy(zero_copy_only=False).astype(np.int64)[pos]
+        n = g["qty_c_count"].to_numpy(zero_copy_only=False).astype(np.int64)[pos]
+        qty = t["qty_c"].to_numpy(zero_copy_only=False)
+        if len(n) and 5 * int(n.max()) * int(np.abs(qty).max() or 0) >= 2**62:
+            raise OverflowError("q17 predicate exceeds int64 bounds")
+        mask = 5 * n * qty < sq
+        price = t["price_c"].to_numpy(zero_copy_only=False)[mask]
+        return pa.table({"price_c_sum": pa.array([int(price.sum())],
+                                                 pa.int64())})
+
+    partials = bucketed_hash_join(li, ray.data.from_arrow(keys),
+                                  key="l_partkey", join_type="semi",
+                                  post=small_qty_partial)
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = pc.sum(t["price_c_sum"]).as_py() or 0
+        return pa.table({"avg_yearly":
+                         pa.array([float(s) / 700.0], pa.float64())})
+
+    return partials.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)
+
+
+def q17_sql(brand: str = "Brand#12") -> str:
+    return f"""
+WITH l AS (
+  SELECT l_partkey,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty_c,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{brand}'
+), s AS (
+  SELECT l_partkey, SUM(qty_c) AS sq, CAST(COUNT(*) AS BIGINT) AS n
+  FROM l GROUP BY 1
+)
+SELECT CAST(COALESCE(SUM(price_c), 0) AS DOUBLE) / 700.0 AS avg_yearly
+FROM l JOIN s USING (l_partkey)
+WHERE 5 * n * qty_c < sq"""
+
+
+# ----------------------------------------------------------------- Q11
+def q11_important_parts(sf_dir: str, num: int = 1, den: int = 1800
+                        ) -> ray.data.Dataset:
+    """Parts whose total ordered value exceeds ``num/den`` of the global
+    ordered value (Q11's group-share-of-total HAVING shape). Per-part
+    sums via the two-stage partial combine (part keys are catalog-bounded);
+    the global total is the sum of the SAME per-part sums (one tiny extra
+    pass over ≤|part| rows, so the threshold and the values can never
+    disagree); the predicate is the integer cross-multiplication
+    ``val · den > total · num`` — DuckDB runs it in HUGEINT, so the Python
+    side guards the int64 bound loudly."""
+    from ray.data.aggregate import Sum
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_extendedprice",
+                                     "l_quantity"])
+    li = li.map_batches(
+        lambda b: pa.table({
+            "l_partkey": b["l_partkey"],
+            "val_c": pc.multiply(_cents(b["l_extendedprice"]),
+                                 _cents(b["l_quantity"]))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    per_part = two_stage_cell_agg(li, keys=("l_partkey",),
+                                  int_sum_cols=("val_c",), count_name="_n")
+    per_part = per_part.map_batches(
+        lambda b: b.select(["l_partkey", "val_c_sum"]),
+        batch_format="pyarrow").materialize()  # consumed twice; part-bounded
+    total = int(per_part.aggregate(Sum("val_c_sum", alias_name="s"))["s"])
+    if total * num >= 2**62:
+        raise OverflowError("q11 threshold exceeds int64 bounds — raise "
+                            "the scale of den or compute in Python ints")
+    thr_num = pa.scalar(total * num, pa.int64())
+    den_s = pa.scalar(den, pa.int64())
+
+    def keep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(pc.multiply(b["val_c_sum"], den_s), thr_num))
+        return pa.table({"l_partkey": b["l_partkey"],
+                         "value": pc.divide(
+                             pc.cast(b["val_c_sum"], pa.float64()),
+                             10000.0)})
+
+    return per_part.map_batches(keep, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
+def q11_sql(num: int = 1, den: int = 1800) -> str:
+    return f"""
+WITH pp AS (
+  SELECT l_partkey,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * CAST(ROUND(l_quantity * 100) AS BIGINT)) AS val_c
+  FROM lineitem GROUP BY 1
+), t AS (SELECT SUM(val_c) AS total FROM pp)
+SELECT l_partkey, CAST(val_c AS DOUBLE) / 10000.0 AS value
+FROM pp, t
+WHERE val_c * {den} > total * {num}"""

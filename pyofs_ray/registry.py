@@ -1917,3 +1917,10 @@ register("link_components", _link_components, linkgraph.link_components_sql())
 # peak interval concurrency per event type (boundary sweep)
 register("events_max_concurrency", windows.events_max_concurrency,
          windows.EVENTS_MAX_CONCURRENCY_SQL)
+
+
+# Q17 correlated-average predicate (one-exchange) and Q11 global-share HAVING
+register("rel_q17_small_qty", tpch_extra.q17_small_quantity,
+         tpch_extra.q17_sql())
+register("rel_q11_important_parts", tpch_extra.q11_important_parts,
+         tpch_extra.q11_sql())
