@@ -36,8 +36,7 @@ import ray.data
 
 from ..sources.readers import read_parquet_clean
 from ..stages.agg import (bucketed_group_agg, coalesced_int_sum_finish,
-                          exact_topk, partial_group_sums,
-                          two_stage_cell_agg)
+                          exact_topk, partial_group_sums)
 from ..stages.join import broadcast_join, bucketed_hash_join
 from .relational import _cents
 
@@ -465,58 +464,67 @@ WHERE 5 * n * qty_c < sq"""
 
 
 # ----------------------------------------------------------------- Q11
-def q11_important_parts(sf_dir: str, num: int = 1, den: int = 1800
-                        ) -> ray.data.Dataset:
+def q11_important_parts(sf_dir: str, num: int = 1,
+                        den: int | None = None) -> ray.data.Dataset:
     """Parts whose total ordered value exceeds ``num/den`` of the global
-    ordered value (Q11's group-share-of-total HAVING shape). Per-part
-    sums via the two-stage partial combine (part keys are catalog-bounded);
-    the global total is the sum of the SAME per-part sums (one tiny extra
-    pass over ≤|part| rows, so the threshold and the values can never
-    disagree); the predicate is the integer cross-multiplication
+    ordered value (Q11's group-share-of-total HAVING shape). ``den``
+    defaults to ``9·|part|//10`` — a share bar just under the uniform
+    1/|part|, so the selective fraction is scale-invariant (a fixed den
+    goes vacuous the moment the catalog grows). Per-part sums via the
+    two-stage partial combine (part keys are catalog-bounded); the global
+    total is the sum of the SAME per-part sums (one tiny extra pass over
+    ≤|part| rows, so the threshold and the values can never disagree);
+    the predicate is the integer cross-multiplication
     ``val · den > total · num`` — DuckDB runs it in HUGEINT, so the Python
     side guards the int64 bound loudly."""
-    from ray.data.aggregate import Sum
+    if den is None:
+        n_parts = pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
+        den = 9 * n_parts // 10
 
     li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
                             columns=["l_partkey", "l_extendedprice",
                                      "l_quantity"])
     li = li.map_batches(
-        lambda b: pa.table({
+        lambda b: partial_group_sums(pa.table({
             "l_partkey": b["l_partkey"],
             "val_c": pc.multiply(_cents(b["l_extendedprice"]),
                                  _cents(b["l_quantity"]))}),
+            ("l_partkey",), ("val_c",), count_name="_n")
+        .drop_columns(["_n"]),
         batch_format="pyarrow", zero_copy_batch=True)
-    per_part = two_stage_cell_agg(li, keys=("l_partkey",),
-                                  int_sum_cols=("val_c",), count_name="_n")
-    per_part = per_part.map_batches(
-        lambda b: b.select(["l_partkey", "val_c_sum"]),
-        batch_format="pyarrow").materialize()  # consumed twice; part-bounded
-    total = int(per_part.aggregate(Sum("val_c_sum", alias_name="s"))["s"])
-    if total * num >= 2**62:
-        raise OverflowError("q11 threshold exceeds int64 bounds — raise "
-                            "the scale of den or compute in Python ints")
-    thr_num = pa.scalar(total * num, pa.int64())
-    den_s = pa.scalar(den, pa.int64())
 
-    def keep(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.greater(pc.multiply(b["val_c_sum"], den_s), thr_num))
-        return pa.table({"l_partkey": b["l_partkey"],
-                         "value": pc.divide(
-                             pc.cast(b["val_c_sum"], pa.float64()),
-                             10000.0)})
+    # parts catalogs are bounded (they don't grow with fact rows), so the
+    # final reduce + the global total + the share filter all run in ONE
+    # coalesced kernel — a single plan execution instead of three
+    # (per-part agg, total scalar, filter) with a materialize between
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_partkey").aggregate([("val_c_sum", "sum")])
+        val = g["val_c_sum_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        total = sum(int(x) for x in val)  # Python ints: no silent wrap
+        if total * num >= 2**62 or (len(val) and
+                                    int(val.max()) * den >= 2**62):
+            raise OverflowError("q11 predicate exceeds int64 bounds — the "
+                                "DuckDB twin runs in HUGEINT; rescale val_c")
+        mask = val * den > total * num
+        return pa.table({
+            "l_partkey": g["l_partkey"].to_numpy(
+                zero_copy_only=False)[mask],
+            "value": val[mask].astype(np.float64) / 10000.0})
 
-    return per_part.map_batches(keep, batch_format="pyarrow",
-                                zero_copy_batch=True)
+    return li.repartition(1).map_batches(finish, batch_format="pyarrow",
+                                         batch_size=None,
+                                         zero_copy_batch=True)
 
 
-def q11_sql(num: int = 1, den: int = 1800) -> str:
+def q11_sql(num: int = 1) -> str:
     return f"""
 WITH pp AS (
   SELECT l_partkey,
          SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
              * CAST(ROUND(l_quantity * 100) AS BIGINT)) AS val_c
   FROM lineitem GROUP BY 1
-), t AS (SELECT SUM(val_c) AS total FROM pp)
+), t AS (SELECT SUM(val_c) AS total FROM pp),
+d AS (SELECT 9 * COUNT(*) // 10 AS den FROM part)
 SELECT l_partkey, CAST(val_c AS DOUBLE) / 10000.0 AS value
-FROM pp, t
-WHERE val_c * {den} > total * {num}"""
+FROM pp, t, d
+WHERE val_c * den > total * {num}"""

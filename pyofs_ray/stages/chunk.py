@@ -125,26 +125,36 @@ def token_budget_select(ds_fn, budget: int, id_col: str = "doc_id",
     ``n_tokens`` stays ≤ ``budget`` — SQL: ``SUM(n_tokens) OVER (ORDER BY
     score_q DESC, id)`` ≤ budget.
 
-    ``ds_fn``: zero-arg callable returning a fresh Dataset over the corpus
-    (two passes — re-reading beats checkpointing the whole corpus for a
-    2-column scan). Pass 1 reduces to per-score (tokens, docs) over the
-    ≤ SCORE_SCALE+1 bounded score space and cumsums ON THE DRIVER to find
-    the boundary score; only boundary-score docs (tie-bounded) are pulled
-    to fix the exact cutoff id. Pass 2 filters with the broadcast
-    (boundary score, cutoff id) — no global sort ever runs.
+    ``ds_fn``: zero-arg callable returning a fresh Dataset over the corpus.
+    The regex scoring runs ONCE — the pinned (id, score, tokens)
+    projection feeds (1) the per-score (tokens, docs) reduce over the
+    ≤ SCORE_SCALE+1 bounded score space, cumsummed ON THE DRIVER to find
+    the boundary score, (2) the tie-bounded boundary-doc pull that fixes
+    the exact cutoff id, and (3) the final broadcast-threshold filter —
+    no global sort ever runs.
     """
-    from .agg import bucketed_group_agg, partial_group_sums
+    from .agg import partial_group_sums
 
-    score1 = ds_fn().map_batches(
-        lambda b: partial_group_sums(_score_tokens(b, id_col, text_col),
-                                     ("score_q",), ("n_tokens",),
+    # ONE regex pass: pin the 3-int-column projection (≈24 B/doc — at
+    # 10^12 docs spill it through the corpus.curate_docs parquet-checkpoint
+    # pattern instead of the object store) and reuse it for the per-score
+    # reduce, the boundary pull and the final filter
+    proj = ds_fn().map_batches(
+        lambda b: _score_tokens(b, id_col, text_col),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    # per-block partials, merged ON THE DRIVER (the r4 sketch rule: a
+    # small-key finish must not pay a Ray exchange — measured 1.6 s of
+    # fixed wall for 457 distinct scores). The pull is bounded by
+    # blocks × |score space|; at extreme block counts insert one
+    # repartition-combine level before the pull.
+    partials = proj.map_batches(
+        lambda b: partial_group_sums(b, ("score_q",), ("n_tokens",),
                                      count_name="n_docs"),
-        batch_format="pyarrow", zero_copy_batch=True)
-    per_score = bucketed_group_agg(
-        score1, keys=("score_q",),
-        aggs=[("n_tokens_sum", "sum", "tok"), ("n_docs", "sum", "n_docs")])
-    # bounded pull: ≤ SCORE_SCALE+1 rows regardless of corpus size
-    ps = per_score.to_pandas().sort_values("score_q", ascending=False)
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    ps = (partials.groupby("score_q", as_index=False)
+          .agg(tok=("n_tokens_sum", "sum"), n_docs=("n_docs", "sum"))
+          .sort_values("score_q", ascending=False))
     cum = ps.tok.cumsum()
     full = cum <= budget
     n_full = int(full.sum())
@@ -155,9 +165,7 @@ def token_budget_select(ds_fn, budget: int, id_col: str = "doc_id",
         spent = int(cum.iloc[n_full - 1]) if n_full else 0
         remaining = budget - spent
 
-    ds2 = ds_fn().map_batches(
-        lambda b: _score_tokens(b, id_col, text_col),
-        batch_format="pyarrow", zero_copy_batch=True)
+    ds2 = proj
     if bscore is None:
         return ds2
 

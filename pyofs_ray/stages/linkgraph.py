@@ -471,23 +471,66 @@ def _component_edges(node: np.ndarray, n_nodes: int
 
 
 def link_components(ids: ray.data.Dataset, n_nodes: int,
-                    id_col: str = "doc_id") -> ray.data.Dataset:
+                    id_col: str = "doc_id",
+                    general: bool = False) -> ray.data.Dataset:
     """Connected components of the UNDIRECTED intra-class link graph:
-    (id, label) with label = the component's min node id, via the same
-    distributed min-label propagation the extreme-dup-rate dedup path uses
-    (`dedup.label_propagation_components` — converges on a monotone
-    label-sum witness, each round two bucketed joins + one min reduce over
-    edge-bounded data). The edge rows are flat-expanded from the
-    deterministic generator (never a driver-side structure)."""
-    from .dedup import label_propagation_components
+    (id, label) rows with label = the component's min node id.
 
+    Default path exploits the PARTITIONING ASSUMPTION that edges never
+    cross residue classes (`_component_edges` snaps targets into the
+    source's class — the stand-in for "web links stay within a host"):
+    the class key is component-closed, so components run embarrassingly
+    parallel — ONE exchange keyed on ``id % COMP_MOD``, then a
+    path-compressed union-find per class group. No iteration, no
+    per-round fixed wall (the iterative propagation cost 58 s at sf0.1;
+    this shape costs one exchange).
+
+    ``general=True`` drops the assumption and runs the iterative
+    distributed min-label propagation from the dedup path
+    (`dedup.label_propagation_components`) — rounds ∝ component diameter,
+    for graphs with no component-closed key."""
     def expand(b: pa.Table) -> pa.Table:
         node = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         src, dst = _component_edges(node, n_nodes)
         return pa.table({"id_a": pa.array(src), "id_b": pa.array(dst)})
 
     pairs = ids.map_batches(expand, batch_format="pyarrow")
-    return label_propagation_components(pairs)
+    if general:
+        from .dedup import label_propagation_components
+        return label_propagation_components(pairs)
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_cls", pc.cast(pc.subtract(
+                b["id_a"], pc.multiply(pc.divide(b["id_a"], COMP_MOD),
+                                       COMP_MOD)), pa.int64()))
+
+    def cc_group(g: pa.Table) -> pa.Table:
+        a = g["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b_ = g["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.unique(np.r_[a, b_])
+        idx = {int(v): i for i, v in enumerate(uniq)}
+        parent = np.arange(len(uniq))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in zip(a, b_):
+            rx, ry = find(idx[int(x)]), find(idx[int(y)])
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        # min node id per root: uniq is sorted, so the root's own id IS the
+        # min of its set under min-root union
+        label = uniq[np.fromiter((find(i) for i in range(len(uniq))),
+                                 np.int64, len(uniq))]
+        return pa.table({"id": pa.array(uniq), "label": pa.array(label)})
+
+    return (pairs.map_batches(tag, batch_format="pyarrow")
+                 .groupby("_cls").map_groups(cc_group,
+                                             batch_format="pyarrow"))
 
 
 def link_components_sql(table: str = "documents",

@@ -185,3 +185,14 @@ def test_link_components_oracle(duck_smoke):
     from pyofs_ray.registry import ORACLES, QUERIES
     assert_matches_oracle(QUERIES["link_components"](SF_SMOKE),
                           duck_smoke, ORACLES["link_components"])
+
+
+def test_link_components_general_path_matches_partitioned():
+    from pyofs_ray.stages import linkgraph as lgm
+    n = 40
+    ids = ray.data.from_arrow(pa.table({"doc_id": np.arange(n, dtype=np.int64)}))
+    fast = lgm.link_components(ids, n).to_pandas().sort_values("id") \
+        .reset_index(drop=True)
+    gen = lgm.link_components(ids, n, general=True).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    assert fast.equals(gen)
