@@ -528,3 +528,89 @@ d AS (SELECT 9 * COUNT(*) // 10 AS den FROM part)
 SELECT l_partkey, CAST(val_c AS DOUBLE) / 10000.0 AS value
 FROM pp, t, d
 WHERE val_c * den > total * {num}"""
+
+
+# ----------------------------------------------------------------- Q21
+def q21_straggler_suppliers(sf_dir: str) -> ray.data.Dataset:
+    """Q21's multi-EXISTS shape over the available columns: for every
+    order with ≥2 distinct suppliers, find the orders whose LATEST ship
+    date is held by exactly ONE supplier (the sole straggler — another
+    supplier exists, no other supplier is equally late), and count such
+    orders per supplier.
+
+    ONE exchange: bucket lineitem by ``l_orderkey % B`` (co-locating every
+    line of an order), then a fully vectorized per-bucket kernel
+    (np.unique segment ids + maximum.reduceat — no Python loop over
+    orders) emits per-supplier partial counts; the finish is coalesced
+    (supplier catalogs are bounded). Timestamps compare as int64 us —
+    exact, so the DuckDB twin (window MAX + distinct-supplier counts)
+    is bit-identical."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_suppkey",
+                                     "l_shipdate"])
+    nb = 64
+
+    def tag(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "l_suppkey": b["l_suppkey"],
+                         "ship": b["l_shipdate"].cast(pa.int64()),
+                         "_bucket": pa.array(ok % nb)})
+
+    def straggler_partial(g: pa.Table) -> pa.Table:
+        ok = g["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = g["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = g["ship"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((sk, ok))
+        ok, sk, sh = ok[order], sk[order], sh[order]
+        _, starts, inv = np.unique(ok, return_index=True,
+                                   return_inverse=True)
+        mx = np.maximum.reduceat(sh, starts)
+        # distinct suppliers per order: first occurrence of each (ok, sk)
+        new_pair = np.r_[True, (ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])]
+        nsupp = np.bincount(inv[new_pair], minlength=len(starts))
+        # distinct suppliers AT the order max
+        at_max = (sh == mx[inv]) & new_pair
+        # a supplier can hit the max on a non-first line: count distinct
+        # (ok, sk) pairs that have ANY line at max
+        pair_id = np.cumsum(new_pair) - 1
+        pair_hit = np.zeros(pair_id[-1] + 1 if len(pair_id) else 0, bool)
+        np.logical_or.at(pair_hit, pair_id[sh == mx[inv]], True)
+        pair_sk = sk[new_pair]
+        n_at_max = np.bincount(
+            inv[new_pair][pair_hit], minlength=len(starts))
+        sole = (nsupp >= 2) & (n_at_max == 1)
+        # the sole straggler pair of each qualifying order
+        keep = pair_hit & sole[inv[new_pair]]
+        winners = pair_sk[keep]
+        if len(winners) == 0:
+            return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                             "numwait": pa.array([], pa.int64())})
+        uniq, cnt = np.unique(winners, return_counts=True)
+        return pa.table({"s_suppkey": pa.array(uniq),
+                         "numwait": pa.array(cnt.astype(np.int64))})
+
+    partials = (li.map_batches(tag, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                  .groupby("_bucket")
+                  .map_groups(straggler_partial, batch_format="pyarrow"))
+    return coalesced_int_sum_finish(partials, ("s_suppkey",), ("numwait",))
+
+
+Q21_SQL = """
+WITH o AS (
+  SELECT l_orderkey, MAX(l_shipdate) AS mx,
+         COUNT(DISTINCT l_suppkey) AS nsupp
+  FROM lineitem GROUP BY 1
+), w AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN o USING (l_orderkey)
+  WHERE o.nsupp >= 2 AND l.l_shipdate = o.mx
+  GROUP BY 1, 2
+), u AS (
+  SELECT l_orderkey FROM w GROUP BY 1 HAVING COUNT(*) = 1
+)
+SELECT l_suppkey AS s_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM w JOIN u USING (l_orderkey)
+GROUP BY 1
+"""

@@ -1924,3 +1924,23 @@ register("rel_q17_small_qty", tpch_extra.q17_small_quantity,
          tpch_extra.q17_sql())
 register("rel_q11_important_parts", tpch_extra.q11_important_parts,
          tpch_extra.q11_sql())
+
+
+# distance-to-coast: nearest polygon vertex (broadcast vertex matrix,
+# exact int64 milli-deg² distances, lexicographic-min pid tie-break)
+from .stages.pip import coast_distance, coast_distance_sql  # noqa: E402
+
+
+def _coast_distance(sf_dir: str):
+    ds = flagship.geocoded_pages(sf_dir).select_columns(
+        ["page_key", "lon_milli", "lat_milli"])
+    return coast_distance(ds)
+
+
+register("coast_distance", _coast_distance,
+         f"{sqlgen.pages_prefix()},\n{coast_distance_sql()}")
+
+
+# Q21 sole-straggler shape: unique latest shipper in multi-supplier orders
+register("rel_q21_stragglers", tpch_extra.q21_straggler_suppliers,
+         tpch_extra.Q21_SQL)

@@ -172,3 +172,68 @@ def pip_join(ds: ray.data.Dataset, polygons: list[Polygon] | None = None,
 
     return ds.map_batches(join_batch, batch_format="pyarrow",
                           batch_size=batch_size, zero_copy_batch=True)
+
+
+# -------------------------------------------------- distance to coastline
+def _vertex_matrix(polygons: list[Polygon] | None = None
+                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All polygon vertices, sorted by polygon_id so a first-match argmax
+    realizes the lexicographic-min tie-break (FIXTURES.md determinism)."""
+    polys = sorted(polygons or study_polygons(), key=lambda p: p.polygon_id)
+    vx = np.concatenate([p.xs for p in polys])
+    vy = np.concatenate([p.ys for p in polys])
+    pid = np.array([p.polygon_id for p in polys for _ in p.xs])
+    return vx, vy, pid
+
+
+def coast_distance(ds: ray.data.Dataset,
+                   polygons: list[Polygon] | None = None,
+                   batch_size: int = 65536) -> ray.data.Dataset:
+    """Squared integer distance (milli-deg²) from each page point to the
+    nearest study-polygon VERTEX, plus that polygon's id — the webtext
+    analogue of PyOFS's distance-to-shore masking
+    (`/root/reference/main/PyOFS/model/wcofs.py` study-area buffering).
+
+    The vertex table is tiny (≤ ~70 rows) and rides inside the closure —
+    a broadcast side, never a shuffle; per batch it is ONE (n × V) numpy
+    distance matrix + argmin. Exact: int64 products (|Δ| ≤ 360 000 →
+    d² ≤ 2.6e11, far under 2^62); ties break to the lexicographically
+    smallest polygon_id on BOTH sides."""
+    vx, vy, pid = _vertex_matrix(polygons)
+
+    def fn(b: pa.Table) -> pa.Table:
+        lon = b["lon_milli"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat = b["lat_milli"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dx = lon[:, None] - vx[None, :]
+        dy = lat[:, None] - vy[None, :]
+        d2 = dx * dx + dy * dy
+        d2m = d2.min(axis=1)
+        first = (d2 == d2m[:, None]).argmax(axis=1)
+        return pa.table({"page_key": b["page_key"],
+                         "d2_min": pa.array(d2m),
+                         "nearest_pid": pa.array(pid[first])})
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          batch_size=batch_size, zero_copy_batch=True)
+
+
+def coast_distance_sql(polygons: list[Polygon] | None = None) -> str:
+    """Exact twin: VALUES vertex table, cross-join distance, window min +
+    MIN(pid) among the argmin rows."""
+    polys = sorted(polygons or study_polygons(), key=lambda p: p.polygon_id)
+    rows = ", ".join(
+        f"('{p.polygon_id}', CAST({int(x)} AS BIGINT), CAST({int(y)} AS BIGINT))"
+        for p in polys for x, y in zip(p.xs, p.ys))
+    return f"""v(pid, vx, vy) AS (SELECT * FROM (VALUES {rows})),
+d AS (
+  SELECT page_key, pid,
+         (lon_milli - vx) * (lon_milli - vx)
+         + (lat_milli - vy) * (lat_milli - vy) AS d2
+  FROM pages CROSS JOIN v
+), w AS (
+  SELECT page_key, pid, d2,
+         MIN(d2) OVER (PARTITION BY page_key) AS d2_min
+  FROM d
+)
+SELECT page_key, d2_min, MIN(pid) AS nearest_pid
+FROM w WHERE d2 = d2_min GROUP BY 1, 2"""

@@ -95,3 +95,32 @@ def test_pip_semi_anti_partition(duck_smoke):
     total = duck_smoke.sql("SELECT COUNT(*) FROM documents").fetchone()[0]
     assert semi + anti == total
     assert semi > 0, "fixture polygons must hit the hot cluster"
+
+
+def test_coast_distance_oracle(duck_smoke):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+    from pyofs_ray.registry import ORACLES, QUERIES
+    assert_matches_oracle(QUERIES["coast_distance"](SF_SMOKE),
+                          duck_smoke, ORACLES["coast_distance"])
+
+
+def test_coast_distance_tie_breaks_to_min_pid():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pyofs_ray.sources.fixtures import Polygon
+    from pyofs_ray.stages.pip import coast_distance
+
+    # two polygons each with a vertex equidistant from the query point
+    pa_ = Polygon("zzz", np.array([10, 20], np.int64),
+                  np.array([0, 50], np.int64))
+    pb = Polygon("aaa", np.array([-10, 30], np.int64),
+                 np.array([0, 60], np.int64))
+    ds = ray.data.from_arrow(pa.table({
+        "page_key": pa.array([1], pa.int64()),
+        "lon_milli": pa.array([0], pa.int64()),
+        "lat_milli": pa.array([0], pa.int64())}))
+    got = coast_distance(ds, polygons=[pa_, pb]).to_pandas()
+    assert got.d2_min.item() == 100
+    assert got.nearest_pid.item() == "aaa"

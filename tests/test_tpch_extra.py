@@ -9,7 +9,8 @@ from pyofs_ray.registry import ORACLES, QUERIES
 from .conftest import SF_SMOKE, assert_matches_oracle
 
 NAMES = ["rel_q7_volume", "rel_q10_returned", "rel_q18_large_volume",
-         "rel_q22_dormant", "rel_q17_small_qty", "rel_q11_important_parts"]
+         "rel_q22_dormant", "rel_q17_small_qty", "rel_q11_important_parts",
+         "rel_q21_stragglers"]
 
 
 @pytest.mark.parametrize("name", NAMES)
