@@ -1944,3 +1944,19 @@ register("coast_distance", _coast_distance,
 # Q21 sole-straggler shape: unique latest shipper in multi-supplier orders
 register("rel_q21_stragglers", tpch_extra.q21_straggler_suppliers,
          tpch_extra.Q21_SQL)
+
+
+# VAD-style audio segmentation (energy-gated frame runs over FAKA1 clips)
+def _audio_vad(sf_dir: str):
+    from .stages.multimodal import audio_vad_segments, synth_audio_batch
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+    clips = ds.map_batches(synth_audio_batch, batch_format="pyarrow",
+                           batch_size=256)
+    return audio_vad_segments(clips)
+
+
+from .stages.multimodal import AUDIO_VAD_SQL  # noqa: E402
+
+register("audio_vad_segments", _audio_vad, AUDIO_VAD_SQL)

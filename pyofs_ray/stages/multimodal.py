@@ -485,3 +485,73 @@ def video_scene_changes(clips: ray.data.Dataset,
 
     return clips.map_batches(detect, batch_format="pyarrow",
                              batch_size=256)
+
+
+VAD_FRAME = 64                      # samples per frame (clip lengths are
+                                    # multiples of 64, so no ragged tail)
+VAD_THRESH = 64 * 1_400_000         # frame-energy gate: sum(s²) over the
+                                    # frame vs 64 × E[s²] of the uniform
+                                    # sawtooth (≈4096²/12) — splits frames
+                                    # into a real active/inactive mix
+
+
+def audio_vad_segments(clips: ray.data.Dataset) -> ray.data.Dataset:
+    """VAD-style segmentation over FAKA1 clips: frames of ``VAD_FRAME``
+    samples are "speech" when their exact int64 energy ``sum(s²)`` exceeds
+    ``VAD_THRESH``; segments are maximal runs of active frames. Per clip:
+    (n_frames, n_active, n_segments). The loop is per CLIP (payloads are
+    variable-length binaries), each clip fully vectorized; the oracle
+    recomputes every sample from the FAKA1 generator arithmetic."""
+    def fn(b: pa.Table) -> pa.Table:
+        payloads = b["payload"].to_pylist()
+        k = len(payloads)
+        nf = np.empty(k, np.int64)
+        na = np.empty(k, np.int64)
+        nseg = np.empty(k, np.int64)
+        for i, p in enumerate(payloads):
+            if p[:5] != AMAGIC:
+                raise ValueError("not a FAKA1 container")
+            n = int.from_bytes(p[5:9], "little")
+            s = np.frombuffer(p, dtype="<i2", offset=16)[:n].astype(np.int64)
+            e = (s * s).reshape(-1, VAD_FRAME).sum(axis=1)
+            act = e > VAD_THRESH
+            nf[i] = len(e)
+            na[i] = int(act.sum())
+            nseg[i] = int((act & ~np.r_[False, act[:-1]]).sum())
+        return pa.table({"media_id": b["media_id"],
+                         "n_frames": pa.array(nf),
+                         "n_active": pa.array(na),
+                         "n_segments": pa.array(nseg)})
+
+    return clips.map_batches(fn, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+AUDIO_VAD_SQL = f"""
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         256 + (doc_id % 11) * 64 AS n,
+         doc_id % 16777216 AS seed
+  FROM documents
+), fe AS (
+  SELECT media_id, n, CAST(f.f AS BIGINT) AS f,
+         SUM(CAST(((j.j * 37 + seed) % 4096 - 2048)
+                  * ((j.j * 37 + seed) % 4096 - 2048) AS BIGINT)) AS e
+  FROM dims
+  CROSS JOIN generate_series(0, 14) AS f(f)
+  CROSS JOIN generate_series(0, {VAD_FRAME - 1}) AS jj(jx)
+  CROSS JOIN LATERAL (SELECT f.f * {VAD_FRAME} + jj.jx AS j) j
+  WHERE f.f < n // {VAD_FRAME}
+  GROUP BY 1, 2, 3
+), a AS (
+  SELECT media_id, f, e > {VAD_THRESH} AS act,
+         LAG(e > {VAD_THRESH}) OVER (PARTITION BY media_id ORDER BY f)
+           AS prev_act
+  FROM fe
+)
+SELECT media_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(CASE WHEN act THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+       CAST(SUM(CASE WHEN act AND NOT COALESCE(prev_act, FALSE)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_segments
+FROM a GROUP BY 1"""

@@ -244,3 +244,29 @@ def test_gridded_track_actor_pool_matches_tasks():
     b = b.sort_values(["step", "particle_id"]).reset_index(drop=True)
     assert np.array_equal(a.x.to_numpy(), b.x.to_numpy())
     assert np.array_equal(a.y.to_numpy(), b.y.to_numpy())
+
+
+def test_audio_vad_segments_runs_and_bounds():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pyofs_ray.stages.multimodal import (audio_vad_segments,
+                                             synth_audio_batch)
+
+    ids = ray.data.from_arrow(pa.table({"doc_id": pa.array(
+        np.arange(40, dtype=np.int64))}))
+    clips = ids.map_batches(synth_audio_batch, batch_format="pyarrow")
+    got = audio_vad_segments(clips).to_pandas()
+    assert len(got) == 40
+    # segments can never exceed active frames, nor ceil(frames/2)
+    assert (got.n_segments <= got.n_active).all()
+    assert (got.n_segments <= (got.n_frames + 1) // 2).all()
+    assert (got.n_frames == (256 + (got.media_id % 11) * 64) // 64).all()
+
+
+def test_audio_vad_oracle(duck_smoke):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+    from pyofs_ray.registry import ORACLES, QUERIES
+    assert_matches_oracle(QUERIES["audio_vad_segments"](SF_SMOKE),
+                          duck_smoke, ORACLES["audio_vad_segments"])
