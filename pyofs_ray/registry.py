@@ -1960,3 +1960,41 @@ def _audio_vad(sf_dir: str):
 from .stages.multimodal import AUDIO_VAD_SQL  # noqa: E402
 
 register("audio_vad_segments", _audio_vad, AUDIO_VAD_SQL)
+
+
+# exact quantized second-moment (PCA precursor) over the embedding column
+def _embedding_second_moment(sf_dir: str):
+    from .stages import ann as _ann
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["embedding"])
+    return _ann.embedding_second_moment(ds)
+
+
+def _embedding_second_moment_sql() -> str:
+    from .stages.ann import embedding_second_moment_sql
+    return embedding_second_moment_sql(dim=64)
+
+
+register("embedding_second_moment", _embedding_second_moment,
+         _embedding_second_moment_sql())
+
+
+# out-of-coverage masking: pages beyond _RADIUS_MILLI of EVERY station
+def _station_coverage_gaps(sf_dir: str):
+    from .stages.knn import coverage_gaps
+    ds = flagship.geocoded_pages(sf_dir).select_columns(
+        ["page_key", "lon_milli", "lat_milli"])
+    return coverage_gaps(ds, _RADIUS_MILLI)
+
+
+register("station_coverage_gaps", _station_coverage_gaps, f"""
+{sqlgen.pages_prefix()},
+{sqlgen_knn.stations_cte()},
+m AS (
+  SELECT page_key,
+         MIN((p.lon_milli - s.s_lon) * (p.lon_milli - s.s_lon)
+             + (p.lat_milli - s.s_lat) * (p.lat_milli - s.s_lat)) AS d2
+  FROM pages p CROSS JOIN stations s GROUP BY 1
+)
+SELECT page_key, d2 FROM m
+WHERE d2 > {_RADIUS_MILLI} * {_RADIUS_MILLI}""")

@@ -683,3 +683,73 @@ SELECT dim, MIN(v) AS vmin, MAX(v) AS vmax,
        CAST(COUNT(*) AS BIGINT) AS n_vals
 FROM flat GROUP BY dim
 """
+
+
+COV_SCALE = 10**6  # embedding quantization for exact covariance sums
+
+
+def embedding_second_moment(ds: ray.data.Dataset,
+                            scale: int = COV_SCALE) -> ray.data.Dataset:
+    """Exact second-moment matrix of the embedding column — the PCA /
+    whitening precursor: Σ = Qᵀ Q over ``q = round(e · scale)`` int64
+    quantized values, upper triangle as (i, j, qq_sum) rows.
+
+    Per block: ONE int64 matmul (D × D × rows, no BLAS round-off) →
+    D(D+1)/2 partial rows; the finish is coalesced (the key space is the
+    fixed D² matrix, not data) and sums in PYTHON ints — a silent int64
+    wrap cannot happen; if the exact sum leaves int64 the kernel raises
+    (the DuckDB twin runs the same sums in HUGEINT).
+
+    Quantization uses round-half-away (``half_towards_infinity``), the
+    DuckDB ROUND semantics — same convention as ``relational._cents``."""
+    import pyarrow.compute as pc
+
+    def partial(b: pa.Table) -> pa.Table:
+        arr = b["embedding"].combine_chunks() \
+            if isinstance(b["embedding"], pa.ChunkedArray) else b["embedding"]
+        flat = arr.flatten()
+        q = pc.cast(pc.round(pc.multiply(pc.cast(flat, pa.float64()),
+                                         float(scale)),
+                             round_mode="half_towards_infinity"),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(arr)
+        d = len(q) // n if n else 0
+        if n and len(q) != n * d:
+            raise ValueError("ragged embedding lists")
+        Q = q.reshape(n, d)
+        C = Q.T @ Q
+        iu = np.triu_indices(d)
+        return pa.table({"i": pa.array(iu[0].astype(np.int64)),
+                         "j": pa.array(iu[1].astype(np.int64)),
+                         "qq_sum": pa.array(C[iu])})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["qq_sum"] = df["qq_sum"].astype(object)  # exact Python-int sums
+        g = df.groupby(["i", "j"], as_index=False)["qq_sum"].sum()
+        if len(g) and max(abs(int(x)) for x in g.qq_sum) >= 2**63:
+            raise OverflowError("second-moment sum exceeds int64 — raise "
+                                "the quantization scale down or shard")
+        return pa.table({"i": pa.array(g.i.astype(np.int64)),
+                         "j": pa.array(g.j.astype(np.int64)),
+                         "qq_sum": pa.array(g.qq_sum.astype(np.int64))})
+
+    return partials.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None)
+
+
+def embedding_second_moment_sql(dim: int = 64, scale: int = COV_SCALE,
+                                table: str = "embeddings") -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id, CAST(t.i AS BIGINT) AS i,
+         CAST(ROUND(CAST(embedding[t.i + 1] AS DOUBLE) * {scale})
+              AS BIGINT) AS qv
+  FROM {table} CROSS JOIN generate_series(0, {dim - 1}) t(i)
+)
+SELECT a.i AS i, b.i AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS qq_sum
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
+GROUP BY 1, 2"""

@@ -264,3 +264,32 @@ def radius_join(ds: ray.data.Dataset, radius_milli: int,
 
     return ds.map_batches(join_batch, batch_format="pyarrow",
                           batch_size=batch_size, zero_copy_batch=True)
+
+
+def coverage_gaps(ds: ray.data.Dataset, radius_milli: int,
+                  station_rows: list[dict] | None = None,
+                  batch_size: int = 65536) -> ray.data.Dataset:
+    """Pages OUTSIDE ``radius_milli`` of EVERY station (the anti form of
+    `radius_join`) — PyOFS's out-of-coverage masking as a query: emit
+    (page_key, d2) where d2 = the exact min squared distance to any
+    station. Stations broadcast; one (n × S) numpy distance matrix per
+    batch; zero exchanges."""
+    ref = ray.put(station_rows if station_rows is not None
+                  else fixture_stations())
+    r2 = radius_milli * radius_milli
+
+    def fn(batch: pa.Table) -> pa.Table:
+        index = _memo_index(ref)
+        lon = batch["lon_milli"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lat = batch["lat_milli"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        dx = lon[:, None] - index.lon[None, :]
+        dy = lat[:, None] - index.lat[None, :]
+        d2 = (dx * dx + dy * dy).min(axis=1)
+        mask = d2 > r2
+        return pa.table({"page_key": batch["page_key"].filter(pa.array(mask)),
+                         "d2": pa.array(d2[mask])})
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          batch_size=batch_size, zero_copy_batch=True)

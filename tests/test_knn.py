@@ -95,3 +95,25 @@ def test_stations_within_radius_oracle(duck_smoke):
     from pyofs_ray.registry import ORACLES, QUERIES
     assert_matches_oracle(QUERIES["stations_within_radius"](SF_SMOKE),
                           duck_smoke, ORACLES["stations_within_radius"])
+
+
+def test_coverage_gaps_complement_of_radius_semi():
+    # gaps ∪ {pages with ≥1 station in radius} = all pages, disjoint
+    from pyofs_ray.pipelines import flagship
+    from pyofs_ray.stages.knn import coverage_gaps, radius_join
+    from tests.conftest import SF_SMOKE
+
+    ds = flagship.geocoded_pages(SF_SMOKE).select_columns(
+        ["page_key", "lon_milli", "lat_milli"])
+    total = ds.count()
+    gaps = set(coverage_gaps(ds, 10_000).to_pandas().page_key)
+    near = set(radius_join(ds, 10_000).to_pandas().page_key)
+    assert gaps.isdisjoint(near)
+    assert len(gaps) + len(near) == total
+
+
+def test_coverage_gaps_oracle(duck_smoke):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+    from pyofs_ray.registry import ORACLES, QUERIES
+    assert_matches_oracle(QUERIES["station_coverage_gaps"](SF_SMOKE),
+                          duck_smoke, ORACLES["station_coverage_gaps"])

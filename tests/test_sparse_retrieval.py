@@ -35,3 +35,34 @@ def test_absent_query_token_is_ignored():
                             k=5).to_pandas()
     assert len(out) == 2
     assert (out["score"] == 1).all()  # df=2 → bitlen(1)=1
+
+
+def test_embedding_second_moment_oracle(duck_smoke):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+    from pyofs_ray.registry import ORACLES, QUERIES
+    assert_matches_oracle(QUERIES["embedding_second_moment"](SF_SMOKE),
+                          duck_smoke, ORACLES["embedding_second_moment"])
+
+
+def test_embedding_second_moment_matches_numpy():
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from pyofs_ray.stages.ann import embedding_second_moment
+    from tests.conftest import SF_SMOKE
+
+    t = pq.read_table(f"{SF_SMOKE}/embeddings.parquet",
+                      columns=["embedding"])
+    flat = t["embedding"].combine_chunks().flatten()
+    q = pc.cast(pc.round(pc.multiply(pc.cast(flat, pa.float64()), 1e6),
+                         round_mode="half_towards_infinity"),
+                pa.int64()).to_numpy().reshape(len(t), -1)
+    expect = q.T @ q
+    got = embedding_second_moment(
+        ray.data.from_arrow(t).repartition(3)).to_pandas()
+    for r in got.itertuples():
+        assert expect[r.i, r.j] == r.qq_sum
+    assert len(got) == 64 * 65 // 2
