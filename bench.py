@@ -96,6 +96,10 @@ BENCH_QUERIES = [
     # components, interval concurrency
     "doc_chunks", "doc_budget_select", "link_components",
     "events_max_concurrency",
+    # round 4 late block 11: coast distance, Q21 stragglers, audio VAD,
+    # embedding second moment, coverage gaps
+    "coast_distance", "rel_q21_stragglers", "audio_vad_segments",
+    "embedding_second_moment", "station_coverage_gaps",
 ]
 
 
