@@ -618,7 +618,8 @@ def host_authority(sf_dir: str) -> ray.data.Dataset:
         ["host"],
         [("in_links", "sum", "in_links_total"),
          ("one", "sum", "n_pages_linked"),
-         ("max_d", "max", "max_in_degree")])
+         ("max_d", "max", "max_in_degree")],
+        coalesce=True)
 
 
 # ---------------------------------------------- per-host crawl budget (r4)
@@ -698,7 +699,8 @@ def cell_top_hosts(sf_dir: str, k: int = CELL_TOP_HOSTS_K,
 
     counts = bucketed_group_agg(
         ds.map_batches(partial, batch_format="pyarrow"),
-        ["cell_id", "host"], [("one", "sum", "n_pages")])
+        ["cell_id", "host"], [("one", "sum", "n_pages")],
+        coalesce=True)
 
     # mixed order (n_pages DESC, host ASC) under topk_per_key's single
     # ascending flag: negate the count and sort everything ascending
@@ -819,7 +821,8 @@ def cell_boundary_vector(sf_dir: str, zoom: int = geom.BASE_ZOOM,
     agg = bucketed_group_agg(
         cells.map_batches(expand, batch_format="pyarrow"),
         ["cell_id"],
-        [("nbr", "sum", "n_above_nbrs"), ("ctr", "sum", "_ctr")])
+        [("nbr", "sum", "n_above_nbrs"), ("ctr", "sum", "_ctr")],
+        coalesce=True)
 
     def finish(b: pa.Table) -> pa.Table:
         ctr = b["_ctr"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -997,7 +1000,8 @@ def host_dup_stats(sf_dir: str) -> ray.data.Dataset:
                                               batch_format="pyarrow"))
     agg = bucketed_group_agg(parts, keys=["host"],
                              aggs=[("docs", "sum", "n_docs"),
-                                   ("distincts", "sum", "n_distinct")])
+                                   ("distincts", "sum", "n_distinct")],
+        coalesce=True)
 
     def finish(b: pa.Table) -> pa.Table:
         nd = b["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1059,7 +1063,8 @@ def cell_peak_day(sf_dir: str, zoom: int = geom.BASE_ZOOM
 
     counts = bucketed_group_agg(
         ds.map_batches(partial, batch_format="pyarrow"),
-        ["cell_id", "day"], [("n", "sum", "n_pages")])
+        ["cell_id", "day"], [("n", "sum", "n_pages")],
+        coalesce=True)
     counts = counts.map_batches(
         lambda b: b.append_column(
             "neg_n", pc.negate_checked(b["n_pages"].cast(pa.int64()))),
@@ -1205,7 +1210,8 @@ def host_extent(sf_dir: str) -> ray.data.Dataset:
         ["host"],
         [("w", "min", "lon_min"), ("e", "max", "lon_max"),
          ("s", "min", "lat_min"), ("n2", "max", "lat_max"),
-         ("one", "sum", "n_pages")])
+         ("one", "sum", "n_pages")],
+        coalesce=True)
     return agg
 
 
@@ -1391,7 +1397,8 @@ def cell_day_coverage(sf_dir: str, zoom: int = geom.BASE_ZOOM
              .groupby("_bucket").map_groups(per_bucket,
                                             batch_format="pyarrow"))
     agg = bucketed_group_agg(parts, keys=["cell_id"],
-                             aggs=[("nd", "sum", "n_days")])
+                             aggs=[("nd", "sum", "n_days")],
+        coalesce=True)
 
     def finish(b: pa.Table) -> pa.Table:
         nd = b["n_days"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1450,7 +1457,8 @@ def host_split_half(sf_dir: str) -> ray.data.Dataset:
         ds.map_batches(partial, batch_format="pyarrow"),
         ["host"],
         [("sa", "sum", "sa"), ("ca", "sum", "ca"),
-         ("sb", "sum", "sb"), ("cb", "sum", "cb")])
+         ("sb", "sum", "sb"), ("cb", "sum", "cb")],
+        coalesce=True)
 
     def finish(b: pa.Table) -> pa.Table:
         sa = b["sa"].to_numpy(zero_copy_only=False).astype(np.int64)

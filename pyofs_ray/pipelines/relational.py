@@ -1125,7 +1125,8 @@ def events_cumulative_users(sf_dir: str) -> ray.data.Dataset:
 
     firsts = bucketed_group_agg(
         ds.map_batches(partial, batch_format="pyarrow"),
-        keys=["user_id"], aggs=[("day", "min", "day")])
+        keys=["user_id"], aggs=[("day", "min", "day")],
+        coalesce=True)
 
     def day_hist(b: pa.Table) -> pa.Table:
         g = b.select(["day"]).group_by("day").aggregate([("day", "count")])

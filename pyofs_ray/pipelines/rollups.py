@@ -128,7 +128,8 @@ def events_funnel(sf_dir: str) -> ray.data.Dataset:
     per_user = bucketed_group_agg(
         ds.map_batches(prep, batch_format="pyarrow"),
         keys=["user_id"],
-        aggs=[("s_us", "min", "s_us"), ("p_us", "min", "p_us")])
+        aggs=[("s_us", "min", "s_us"), ("p_us", "min", "p_us")],
+        coalesce=True)
 
     def partial_counts(b: pa.Table) -> pa.Table:
         # all-Arrow int64 (no float round-trip: µs epochs exceed 2^53).

@@ -77,7 +77,8 @@ def auto_partitions() -> int:
 
 def bucketed_group_agg(ds: ray.data.Dataset, keys: Sequence[str],
                        aggs: Sequence[tuple[str, str, str]],
-                       num_buckets: int | None = None) -> ray.data.Dataset:
+                       num_buckets: int | None = None,
+                       coalesce: bool = False) -> ray.data.Dataset:
     """Exact per-key aggregation over int64 key column(s) via an explicit
     hash-bucket exchange: tag ``hash(keys) % B`` per batch, ONE
     ``groupby(_bucket)`` over ~CPU distinct values, Arrow ``group_by``
@@ -139,8 +140,18 @@ def bucketed_group_agg(ds: ray.data.Dataset, keys: Sequence[str],
             cols[out] = col
         return pa.table(cols)
 
-    return (ds.map_batches(tag, batch_format="pyarrow")
-              .groupby("_bucket").map_groups(combine, batch_format="pyarrow"))
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    if coalesce:
+        # the sort exchange inherits the upstream block count: a 64-block
+        # read of PARTIAL rows pays a 64-wide shuffle of near-empty
+        # partitions (~1.4 s measured on dedup_exact at sf0.1). When the
+        # input is pre-combined per batch (key-bounded partials), coalesce
+        # to ~CPU/4 blocks first, same as two_stage_cell_agg. Keep False
+        # (default) for row-sized inputs (raw gram/edge/message tables) —
+        # there the repartition moves the whole dataset a second time.
+        tagged = tagged.repartition(auto_partitions())
+    return tagged.groupby("_bucket").map_groups(combine,
+                                                batch_format="pyarrow")
 
 
 def bucketed_int64_group_sum(ds: ray.data.Dataset, key: str,

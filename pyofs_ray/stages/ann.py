@@ -670,7 +670,8 @@ def embedding_dim_ranges(ds: ray.data.Dataset,
         ["dim"],
         [("vmin", "min", "vmin"), ("vmax", "max", "vmax"),
          ("n_vals", "sum", "n_vals")],
-        num_buckets=num_buckets)
+        num_buckets=num_buckets,
+        coalesce=True)
 
 
 EMBEDDING_DIM_RANGES_SQL = """

@@ -62,7 +62,8 @@ def exact_dedup(ds: ray.data.Dataset, id_col: str = "doc_id",
     return bucketed_group_agg(
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
         keys=["text_hash"],
-        aggs=[("min_id", "min", "doc_id"), ("cnt", "sum", "dup_count")])
+        aggs=[("min_id", "min", "doc_id"), ("cnt", "sum", "dup_count")],
+        coalesce=True)  # per-batch partials: key-bounded, coalesce first
 
 
 # ------------------------------------------------------------ shingles

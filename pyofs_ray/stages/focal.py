@@ -74,7 +74,8 @@ def focal_mean(cells: ray.data.Dataset, *, cell_col: str = "cell_id",
         aggs=[("fs", "sum", "focal_chars_sum"),
               ("fc", "sum", "focal_doc_count"),
               ("is_center", "sum", "_c")],
-        num_buckets=num_buckets)
+        num_buckets=num_buckets,
+        coalesce=True)
 
     def finish(b: pa.Table) -> pa.Table:
         b = b.filter(pa.compute.equal(b["_c"], 1))
