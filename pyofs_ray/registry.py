@@ -1998,3 +1998,26 @@ m AS (
 )
 SELECT page_key, d2 FROM m
 WHERE d2 > {_RADIUS_MILLI} * {_RADIUS_MILLI}""")
+
+
+# the remaining ten classic TPC-H shapes (tpch_full.py) — 22/22 coverage
+from .pipelines import tpch_full  # noqa: E402
+
+register("rel_q2_min_cost", tpch_full.q2_min_cost_supplier,
+         tpch_full.Q2_SQL)
+register("rel_q8_market_share", tpch_full.q8_market_share,
+         tpch_full.Q8_SQL)
+register("rel_q9_profit", tpch_full.q9_product_profit, tpch_full.Q9_SQL)
+register("rel_q12_shipmode", tpch_full.q12_shipmode_priority,
+         tpch_full.Q12_SQL)
+register("rel_q13_custdist", tpch_full.q13_customer_distribution,
+         tpch_full.Q13_SQL)
+register("rel_q14_promo", tpch_full.q14_promo_share, tpch_full.Q14_SQL)
+register("rel_q15_top_supplier", tpch_full.q15_top_supplier,
+         tpch_full.Q15_SQL)
+register("rel_q16_supplier_counts", tpch_full.q16_supplier_counts,
+         tpch_full.Q16_SQL)
+register("rel_q19_brackets", tpch_full.q19_bracket_revenue,
+         tpch_full.Q19_SQL)
+register("rel_q20_excess", tpch_full.q20_excess_suppliers,
+         tpch_full.Q20_SQL)
