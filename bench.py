@@ -100,6 +100,11 @@ BENCH_QUERIES = [
     # embedding second moment, coverage gaps
     "coast_distance", "rel_q21_stragglers", "audio_vad_segments",
     "embedding_second_moment", "station_coverage_gaps",
+    # round 4 late block 12: the remaining TPC-H join shapes (22/22)
+    "rel_q2_min_cost", "rel_q8_market_share", "rel_q9_profit",
+    "rel_q12_shipmode", "rel_q13_custdist", "rel_q14_promo",
+    "rel_q15_top_supplier", "rel_q16_supplier_counts", "rel_q19_brackets",
+    "rel_q20_excess",
 ]
 
 
