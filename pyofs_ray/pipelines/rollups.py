@@ -695,3 +695,140 @@ SELECT CAST(COUNT(f.s) AS BIGINT) AS users_signup,
                           <= {FUNNEL_WINDOW_US}
                      THEN 1 ELSE 0 END) AS BIGINT) AS users_converted_7d
 FROM f LEFT JOIN pa_ USING (user_id)"""
+
+
+# ------------------------------------------------ CUBE(day, event_type)
+def events_cube_counts(sf_dir: str) -> ray.data.Dataset:
+    """GROUP BY CUBE(day, event_type) in ONE exchange: the fact table is
+    reduced once at the finest (day, event_type) level (two-stage int-cents
+    sum), then the three coarser grouping sets — (day), (event_type), ()
+    — are derived from that ≤|days|·|types|-row table in a bounded
+    coalesced finish, exactly like `orders_rollup_revenue` does for
+    ROLLUP (SURVEY.md §7.3: partial reuse, never a second fact-table
+    pass). Subtotal rows carry NULL keys like the SQL CUBE.
+    """
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        day = pa.compute.floor_temporal(b["ts"], unit="day")
+        val_c = _cents(pa.compute.fill_null(b["value"], 0.0))
+        return pa.table({"day": day, "event_type": b["event_type"],
+                         "val_c": val_c})
+
+    agg = two_stage_cell_agg(ds.map_batches(prep, batch_format="pyarrow"),
+                             keys=("day", "event_type"),
+                             int_sum_cols=("val_c",), count_name="n_events")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        # bounded by |days|×|types| rows: expand the four grouping sets
+        fine = df[["day", "event_type", "val_c_sum", "n_events"]]
+        by_day = (fine.groupby("day", sort=False, as_index=False)
+                  [["val_c_sum", "n_events"]].sum())
+        by_day["event_type"] = None
+        by_type = (fine.groupby("event_type", sort=False, as_index=False)
+                   [["val_c_sum", "n_events"]].sum())
+        # NaT with the SAME datetime unit as the fine level — a bare pd.NaT
+        # assignment defaults to ns and the concat would go object-dtype
+        by_type["day"] = pd.Series(pd.NaT, index=by_type.index,
+                                   dtype=fine["day"].dtype)
+        tot = pd.DataFrame({
+            "day": pd.Series([pd.NaT], dtype=fine["day"].dtype),
+            "event_type": [None],
+            "val_c_sum": [fine.val_c_sum.sum()],
+            "n_events": [fine.n_events.sum()]})
+        allr = pd.concat([fine, by_day, by_type, tot], ignore_index=True)
+        return pd.DataFrame({
+            "day": allr.day, "event_type": allr.event_type,
+            "value_sum": allr.val_c_sum.to_numpy(np.int64) / 100.0,
+            "n_events": allr.n_events.astype(np.int64)})
+
+    return agg.repartition(1).map_batches(finish, batch_format="pandas",
+                                          batch_size=None)
+
+
+EVENTS_CUBE_SQL = """
+SELECT date_trunc('day', ts) AS day, event_type,
+       CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS value_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY CUBE(1, 2)
+"""
+
+
+# ------------------------------------------------------- Pareto frontier
+def orders_pareto(sf_dir: str) -> ray.data.Dataset:
+    """2-D Pareto frontier over orders: an order is on the frontier iff no
+    other order is at least as high-priced on an earlier-or-equal day with
+    one criterion strict (minimize day, maximize price). The distributed
+    shape exploits skyline decomposability — the global frontier is a
+    subset of the union of per-block frontiers — so each block emits only
+    its local skyline (vectorized per-date-max + running-cummax kernel)
+    and ONE bounded `repartition(1)` finish re-runs the same kernel over
+    the union. No all-pairs, no sort exchange; analogue of the
+    reference's "newest best composite per window" selection
+    (PyOFS `DataQuery` latest-pass compositing, SURVEY.md A4/O1).
+
+    Exactness: day as int64 epoch-days, price as int64 cents; ties on
+    (day, price) keep every tied order, exactly like the SQL twin.
+    """
+    ds = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def _skyline_arrays(key, day, price):
+        order = np.lexsort((-price, day))
+        day_s, price_s, key_s = day[order], price[order], key[order]
+        ud, first = np.unique(day_s, return_index=True)
+        dmax = price_s[first]                       # per-date max price
+        run = np.maximum.accumulate(dmax)
+        prev = np.concatenate(([np.iinfo(np.int64).min], run[:-1]))
+        keep_date = dmax > prev                     # date strictly improves
+        pos = np.searchsorted(ud, day_s)
+        keep = keep_date[pos] & (price_s == dmax[pos])
+        return key_s[keep], day_s[keep], price_s[keep]
+
+    def skyline(b: pa.Table) -> pa.Table:
+        key = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // 86_400_000_000)
+        price = _cents(b["o_totalprice"]).to_numpy(zero_copy_only=False)
+        k, d, p = _skyline_arrays(key, day, price)
+        return pa.table({"o_orderkey": pa.array(k), "day_i": pa.array(d),
+                         "price_c": pa.array(p)})
+
+    parts = ds.map_batches(skyline, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def finish(b: pa.Table) -> pa.Table:
+        k, d, p = _skyline_arrays(
+            b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+            b["day_i"].to_numpy(zero_copy_only=False).astype(np.int64),
+            b["price_c"].to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({
+            "o_orderkey": pa.array(k),
+            "day": pa.array(d * 86_400_000_000).cast(pa.timestamp("us")),
+            "o_totalprice": pa.array(p.astype(np.float64) / 100.0)})
+
+    return parts.repartition(1).map_batches(finish, batch_format="pyarrow",
+                                            batch_size=None)
+
+
+ORDERS_PARETO_SQL = """
+WITH o AS (
+  SELECT o_orderkey,
+         date_trunc('day', o_orderdate) AS day,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders
+), d AS (
+  SELECT day, MAX(price_c) AS dmax,
+         MAX(MAX(price_c)) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+  FROM o GROUP BY day
+)
+SELECT o.o_orderkey, o.day,
+       CAST(o.price_c AS DOUBLE) / 100.0 AS o_totalprice
+FROM o JOIN d USING (day)
+WHERE o.price_c = d.dmax AND (d.prevmax IS NULL OR d.dmax > d.prevmax)
+"""

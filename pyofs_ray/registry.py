@@ -2021,3 +2021,8 @@ register("rel_q19_brackets", tpch_full.q19_bracket_revenue,
          tpch_full.Q19_SQL)
 register("rel_q20_excess", tpch_full.q20_excess_suppliers,
          tpch_full.Q20_SQL)
+
+# ---- round-4 continuation block C: grouping sets, skyline ----------------
+register("events_cube_counts", rollups.events_cube_counts,
+         rollups.EVENTS_CUBE_SQL)
+register("orders_pareto", rollups.orders_pareto, rollups.ORDERS_PARETO_SQL)

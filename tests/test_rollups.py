@@ -197,3 +197,53 @@ def test_props_extract_raises_on_malformed(tmp_path):
     pq.write_table(tbl, tmp_path / "events.parquet")
     with _pytest.raises(Exception, match="props"):
         R.events_props_stats(str(tmp_path)).to_pandas()
+
+
+# ------------------------ round-4 continuation block C: CUBE + skyline
+@pytest.mark.parametrize("name", ["events_cube_counts", "orders_pareto"])
+def test_block_c_oracles(name, duck_smoke):
+    assert_matches_oracle(QUERIES[name](SF_SMOKE), duck_smoke, ORACLES[name])
+
+
+def test_cube_grouping_sets_consistent():
+    df = QUERIES["events_cube_counts"](SF_SMOKE).to_pandas()
+    fine = df[df.day.notna() & df.event_type.notna()]
+    by_day = df[df.day.notna() & df.event_type.isna()]
+    by_type = df[df.day.isna() & df.event_type.notna()]
+    tot = df[df.day.isna() & df.event_type.isna()]
+    assert len(tot) == 1
+    assert tot.n_events.iloc[0] == fine.n_events.sum()
+    assert by_day.n_events.sum() == fine.n_events.sum()
+    assert by_type.n_events.sum() == fine.n_events.sum()
+    # each (day) subtotal equals the sum of its fine rows
+    per_day = fine.groupby("day").n_events.sum()
+    for _, row in by_day.iterrows():
+        assert row.n_events == per_day[row.day]
+
+
+def test_pareto_frontier_semantics():
+    # every returned order must be non-dominated; every non-returned
+    # per-day max must be dominated by some earlier-or-equal higher price
+    import pyarrow.parquet as pq
+    out = QUERIES["orders_pareto"](SF_SMOKE).to_pandas()
+    t = pq.read_table(f"{SF_SMOKE}/orders.parquet",
+                      columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+    df = t.to_pandas()
+    df["day"] = df.o_orderdate.dt.floor("D")
+    df["price_c"] = np.round(df.o_totalprice * 100).astype(np.int64)
+    out = out.sort_values("day")
+    # frontier prices strictly decrease in... no: maximize price, minimize
+    # day → along increasing day, frontier price must strictly increase
+    prices = np.round(out.sort_values("day").o_totalprice * 100).astype(
+        np.int64).to_numpy()
+    days = out.sort_values("day").day.to_numpy()
+    uniq_days = np.unique(days)
+    per_day_max = {d: prices[days == d].max() for d in uniq_days}
+    vals = np.array([per_day_max[d] for d in uniq_days])
+    assert (np.diff(vals) > 0).all()
+    # brute-force non-domination check on the (small) smoke fixture
+    for _, r in out.iterrows():
+        pc_ = int(round(r.o_totalprice * 100))
+        dom = df[(df.day <= r.day) & (df.price_c >= pc_) &
+                 ((df.day < r.day) | (df.price_c > pc_))]
+        assert dom.empty, f"order {r.o_orderkey} is dominated"
