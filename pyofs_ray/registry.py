@@ -2026,3 +2026,7 @@ register("rel_q20_excess", tpch_full.q20_excess_suppliers,
 register("events_cube_counts", rollups.events_cube_counts,
          rollups.EVENTS_CUBE_SQL)
 register("orders_pareto", rollups.orders_pareto, rollups.ORDERS_PARETO_SQL)
+
+from .stages import cluster as _cluster  # noqa: E402
+
+register("cell_dbscan", _cluster.cell_dbscan, _cluster.cell_dbscan_sql())
