@@ -1137,3 +1137,85 @@ def lang_confusion(sf_dir: str) -> ray.data.Dataset:
             .repartition(1)
             .map_batches(combine, batch_format="pyarrow",
                          batch_size=None))
+
+
+# ------------------------------------------- k-means partition (assignment)
+KMEANS_K = 8  # centroids := embeddings with vec_id < KMEANS_K
+
+
+def embedding_kmeans_assign(sf_dir: str) -> ray.data.Dataset:
+    """Nearest-centroid partition of the embedding corpus (the Lloyd
+    assignment step / SemDeDup-style semantic bucketing): every vector is
+    assigned to the most-cosine-similar of K deterministic centroids
+    (the vec_id < K rows), ties to the lowest centroid id.
+
+    Scale shape: the K-row centroid matrix is broadcast once (`ray.put` +
+    memoized stateless tasks); each batch does ONE matmul + argmax; only
+    K-row per-batch partials (count / id-sum / id-min per centroid) leave
+    each task, merged in a K-row coalesced finish — the corpus is never
+    shuffled and never lands on the driver. Output is all-integer, so the
+    DuckDB `list_cosine_similarity` ROW_NUMBER twin is exact (same
+    near-tie assumption `ann_topk` documents).
+    """
+    cent = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    cent = cent.filter(pc.less(cent["vec_id"], KMEANS_K))
+    cent = cent.take(pc.sort_indices(cent["vec_id"]))
+    ref = ray.put(cent)
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+
+    def assign_partial(b: pa.Table) -> pa.Table:
+        from ..core.memo import memo_broadcast
+        cmat, cids = memo_broadcast(
+            f"kmeans_cent:{ref.hex()}",
+            lambda: (ann._normalize(ann._embedding_matrix(ray.get(ref))),
+                     ray.get(ref)["vec_id"].to_numpy(zero_copy_only=False)
+                         .astype(np.int64)))
+        vids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = ann._normalize(ann._embedding_matrix(b))
+        best = np.argmax(m @ cmat.T, axis=1)  # first max = lowest centroid
+        kk = len(cids)
+        n = np.bincount(best, minlength=kk).astype(np.int64)
+        vsum = np.bincount(best, weights=vids, minlength=kk).astype(np.int64)
+        vmin = np.full(kk, np.iinfo(np.int64).max)
+        np.minimum.at(vmin, best, vids)
+        keep = n > 0
+        return pa.table({"centroid_id": pa.array(cids[keep]),
+                         "n_members": pa.array(n[keep]),
+                         "vec_id_sum": pa.array(vsum[keep]),
+                         "vec_id_min": pa.array(vmin[keep])})
+
+    parts = ds.map_batches(assign_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("centroid_id", sort=True).agg(
+            n_members=("n_members", "sum"), vec_id_sum=("vec_id_sum", "sum"),
+            vec_id_min=("vec_id_min", "min")).reset_index()
+        return g.astype({"centroid_id": np.int64, "n_members": np.int64,
+                         "vec_id_sum": np.int64, "vec_id_min": np.int64})
+
+    return parts.repartition(1).map_batches(merge, batch_format="pandas",
+                                            batch_size=None)
+
+
+KMEANS_ASSIGN_SQL = f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings
+  WHERE vec_id < {KMEANS_K}
+), a AS (
+  SELECT e.vec_id, c.centroid_id,
+         ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding, c.embedding) DESC,
+                      c.centroid_id ASC) AS rnk
+  FROM embeddings e CROSS JOIN c
+)
+SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(vec_id) AS BIGINT) AS vec_id_sum,
+       CAST(MIN(vec_id) AS BIGINT) AS vec_id_min
+FROM a WHERE rnk = 1
+GROUP BY 1
+"""

@@ -2030,3 +2030,5 @@ register("orders_pareto", rollups.orders_pareto, rollups.ORDERS_PARETO_SQL)
 from .stages import cluster as _cluster  # noqa: E402
 
 register("cell_dbscan", _cluster.cell_dbscan, _cluster.cell_dbscan_sql())
+register("embedding_kmeans_assign", corpus.embedding_kmeans_assign,
+         corpus.KMEANS_ASSIGN_SQL)

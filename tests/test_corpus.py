@@ -927,3 +927,23 @@ def test_ann_hybrid_fusion_borda_properties():
     # a candidate on BOTH lists at rank 1 would hit 2*TOPK; a rank-1
     # cosine hit alone scores TOPK — fused rank-1 must score >= TOPK
     assert (out[out["rank"] == 1].borda >= TOPK).all()
+
+
+def test_kmeans_assign_oracle(duck_smoke):
+    assert_matches_oracle(QUERIES["embedding_kmeans_assign"](SF_SMOKE),
+                          duck_smoke, ORACLES["embedding_kmeans_assign"])
+
+
+def test_kmeans_assign_partitions_corpus():
+    import pyarrow.parquet as pq
+    from pyofs_ray.pipelines.corpus import KMEANS_K
+    df = QUERIES["embedding_kmeans_assign"](SF_SMOKE).to_pandas()
+    n = pq.read_metadata(f"{SF_SMOKE}/embeddings.parquet").num_rows
+    assert df.n_members.sum() == n          # every vector assigned once
+    assert df.centroid_id.is_unique
+    assert df.centroid_id.between(0, KMEANS_K - 1).all()
+    # each centroid is its own nearest centroid (sim=1 with itself), so
+    # cluster c's min member id is exactly c for all populated centroids
+    present = set(df.centroid_id)
+    for c in present:
+        assert df[df.centroid_id == c].vec_id_min.iloc[0] <= c
