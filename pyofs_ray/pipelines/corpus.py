@@ -1219,3 +1219,112 @@ SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members,
 FROM a WHERE rnk = 1
 GROUP BY 1
 """
+
+
+# ----------------------------------- split-drift audit (total variation)
+def split_token_tv(sf_dir: str) -> ray.data.Dataset:
+    """Token-distribution drift between the two halves of a split
+    (doc_id % 2): exact total-variation distance
+    TV = ½ Σ_t |p_t − q_t| = Σ_t |c0_t·N1 − c1_t·N0| / (2·N0·N1),
+    the standard train/validation distribution-shift audit.
+
+    Exactness: the numerator Σ|c0·N1 − c1·N0| is pure int64 (loud guard:
+    N0·N1 < 2⁶¹ keeps every product and the total inside int64 —
+    DuckDB runs the identical expression in HUGEINT and casts down); TV
+    derives from it by ONE IEEE division after the final reduce.
+
+    Scale shape: per-batch Arrow group_by compresses each block to its
+    distinct (token, split) partials; ONE vocab-cardinality bucket
+    exchange (`bucketed_group_agg` — token cardinality tracks corpus, so
+    never a Ray sort-groupby) produces the per-token count table, which
+    is materialized ONCE (vocab-bounded) and consumed twice: a partial-sum
+    pass for the split totals, then the |cross-product| partial-sum pass.
+    The corpus text is tokenized exactly once.
+    """
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _docs(sf_dir, columns=("doc_id", "text"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern_regex(b["text"], r"\s+")
+        n_tok = pc.list_value_length(parts).cast(pa.int64())
+        toks = pc.list_flatten(parts)
+        split = pc.bit_wise_and(b["doc_id"], pa.scalar(1, pa.int64()))
+        rep = np.repeat(split.to_numpy(zero_copy_only=False),
+                        n_tok.to_numpy(zero_copy_only=False))
+        t = pa.table({"token": toks, "split": pa.array(rep)})
+        t = t.filter(pc.not_equal(t["token"], ""))
+        g = t.group_by(["token", "split"]).aggregate([("split", "count")])
+        c = g["split_count"].cast(pa.int64())
+        is0 = pc.equal(g["split"], pa.scalar(0, pa.int64()))
+        zero = pa.scalar(0, pa.int64())
+        return pa.table({"token": g["token"],
+                         "c0": pc.if_else(is0, c, zero),
+                         "c1": pc.if_else(is0, zero, c)})
+
+    per_tok = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["token"], aggs=[("c0", "sum", "c0"), ("c1", "sum", "c1")]
+    ).materialize()
+
+    tot = per_tok.map_batches(
+        lambda b: pa.table({
+            "n0": pa.array([int(pc.sum(b["c0"]).as_py() or 0)], pa.int64()),
+            "n1": pa.array([int(pc.sum(b["c1"]).as_py() or 0)], pa.int64())}),
+        batch_format="pyarrow").repartition(1).map_batches(
+        lambda b: pa.table({
+            "n0": pa.array([int(pc.sum(b["n0"]).as_py() or 0)], pa.int64()),
+            "n1": pa.array([int(pc.sum(b["n1"]).as_py() or 0)], pa.int64())}),
+        batch_format="pyarrow", batch_size=None).take_all()
+    n0, n1 = int(tot[0]["n0"]), int(tot[0]["n1"])
+    if n0 * n1 >= (1 << 61):
+        raise ValueError("split_token_tv: N0·N1 ≥ 2^61 — the int64 "
+                         "numerator would overflow; shard the token space "
+                         "and sum per-shard numerators in python ints")
+
+    def num_partial(b: pa.Table) -> pa.Table:
+        c0 = b["c0"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c1 = b["c1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = int(np.abs(c0 * n1 - c1 * n0).sum())
+        return pa.table({"num": pa.array([s], pa.int64())})
+
+    parts = per_tok.map_batches(num_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def finish(b: pa.Table) -> pa.Table:
+        num = int(pc.sum(b["num"]).as_py() or 0)
+        den = 2 * n0 * n1
+        tv = float(num) / float(den) if den else 0.0
+        return pa.table({"tokens_a": pa.array([n0], pa.int64()),
+                         "tokens_b": pa.array([n1], pa.int64()),
+                         "tv_num": pa.array([num], pa.int64()),
+                         "tv": pa.array([tv], pa.float64())})
+
+    return parts.repartition(1).map_batches(finish, batch_format="pyarrow",
+                                            batch_size=None)
+
+
+SPLIT_TOKEN_TV_SQL = r"""
+WITH toks AS (
+  SELECT doc_id % 2 AS split,
+         unnest(regexp_split_to_array(text, '\s+')) AS token
+  FROM documents
+), t AS (
+  SELECT token,
+         SUM(CASE WHEN split = 0 THEN 1 ELSE 0 END) AS c0,
+         SUM(CASE WHEN split = 1 THEN 1 ELSE 0 END) AS c1
+  FROM toks WHERE token <> '' GROUP BY 1
+), tot AS (
+  SELECT SUM(c0) AS n0, SUM(c1) AS n1 FROM t
+), num AS (
+  SELECT SUM(ABS(CAST(c0 AS HUGEINT) * tot.n1
+               - CAST(c1 AS HUGEINT) * tot.n0)) AS num
+  FROM t, tot
+)
+SELECT CAST(tot.n0 AS BIGINT) AS tokens_a,
+       CAST(tot.n1 AS BIGINT) AS tokens_b,
+       CAST(num.num AS BIGINT) AS tv_num,
+       CAST(num.num AS DOUBLE)
+         / CAST(2 * tot.n0 * tot.n1 AS DOUBLE) AS tv
+FROM tot, num
+"""

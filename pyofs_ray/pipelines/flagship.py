@@ -1498,3 +1498,85 @@ SELECT host,
        CAST(sb AS DOUBLE) / cb AS mean_chars_odd,
        CAST(sb AS DOUBLE) / cb - CAST(sa AS DOUBLE) / ca AS delta
 FROM w WHERE ca > 0 AND cb > 0"""
+
+
+def host_lang_gini(sf_dir: str) -> ray.data.Dataset:
+    """Per-host language-diversity audit: Gini impurity of each host's
+    language distribution, 1 − Σcᵢ²/n² (0 = monolingual, →1 = uniform
+    across many languages). The curation use is spotting template farms
+    (impurity ≈ 0 with huge doc_count) vs aggregator hosts.
+
+    Shape: identical skew-neutral two-level reduce as `host_stats` —
+    per-batch (host, lang) Arrow partials, one exchange — then the
+    (host, lang)-bounded count table is re-reduced per host through the
+    explicit bucket exchange (a host's rows must be co-located for the
+    Σc² reduce; `bucketed_group_agg` handles string keys). The impurity
+    derives from the two int64 sums by single IEEE ops AFTER the final
+    reduce: gini = 1.0 − double(Σc²)/double(n·n), bit-identical to the
+    DuckDB twin. Guard: n < 2²⁶ keeps n² (and hence Σc²) exactly
+    double-representable and inside int64.
+    """
+    from ..stages.agg import auto_partitions, bucketed_group_agg
+
+    ds = pages_dataset(sf_dir, with_html=False)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"host": url_host(b["url"]), "lang": b["lang"]})
+        g = t.group_by(["host", "lang"]).aggregate([("lang", "count")])
+        return pa.table({"host": g["host"], "lang": g["lang"],
+                         "c": g["lang_count"].cast(pa.int64())})
+
+    from ray.data.aggregate import Sum
+    per_pair = (ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                  .repartition(auto_partitions())
+                  .groupby(["host", "lang"])
+                  .aggregate(Sum("c", alias_name="c")))
+
+    def sq(b: pa.Table) -> pa.Table:
+        c = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(c) and int(c.max()) >= (1 << 26):
+            raise ValueError("host_lang_gini: per-(host,lang) count ≥ 2^26 "
+                             "— Σc² would leave exact-double range; shard "
+                             "the host key first")
+        return pa.table({"host": b["host"], "c": b["c"],
+                         "csq": pa.array(c * c)})
+
+    per_host = bucketed_group_agg(
+        per_pair.map_batches(sq, batch_format="pyarrow"),
+        keys=["host"], aggs=[("c", "sum", "n"), ("csq", "sum", "ssq")],
+        coalesce=True)
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ssq = b["ssq"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(n) and int(n.max()) >= (1 << 26):
+            raise ValueError("host_lang_gini: host doc_count ≥ 2^26 — n² "
+                             "leaves exact-double range")
+        gini = 1.0 - ssq.astype(np.float64) / (n * n).astype(np.float64)
+        return pa.table({"host": b["host"],
+                         "doc_count": pa.array(n),
+                         "lang_sq_sum": pa.array(ssq),
+                         "lang_gini": pa.array(gini)})
+
+    return per_host.map_batches(finish, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
+def host_lang_gini_sql() -> str:
+    from ..core import sqlgen
+    return f"""{sqlgen.pages_prefix()},
+hl AS (
+  SELECT SPLIT_PART(url, '/', 3) AS host, lang, COUNT(*) AS c
+  FROM pages GROUP BY 1, 2
+),
+h AS (
+  SELECT host, SUM(c) AS n, SUM(CAST(c AS HUGEINT) * c) AS ssq
+  FROM hl GROUP BY 1
+)
+SELECT host, CAST(n AS BIGINT) AS doc_count,
+       CAST(ssq AS BIGINT) AS lang_sq_sum,
+       1.0 - CAST(ssq AS DOUBLE) / CAST(n * n AS DOUBLE) AS lang_gini
+FROM h
+"""
+

@@ -2032,3 +2032,6 @@ from .stages import cluster as _cluster  # noqa: E402
 register("cell_dbscan", _cluster.cell_dbscan, _cluster.cell_dbscan_sql())
 register("embedding_kmeans_assign", corpus.embedding_kmeans_assign,
          corpus.KMEANS_ASSIGN_SQL)
+register("host_lang_gini", flagship.host_lang_gini,
+         flagship.host_lang_gini_sql())
+register("split_token_tv", corpus.split_token_tv, corpus.SPLIT_TOKEN_TV_SQL)

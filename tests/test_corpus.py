@@ -947,3 +947,19 @@ def test_kmeans_assign_partitions_corpus():
     present = set(df.centroid_id)
     for c in present:
         assert df[df.centroid_id == c].vec_id_min.iloc[0] <= c
+
+
+def test_split_token_tv_oracle(duck_smoke):
+    assert_matches_oracle(QUERIES["split_token_tv"](SF_SMOKE),
+                          duck_smoke, ORACLES["split_token_tv"])
+
+
+def test_split_token_tv_bounds():
+    df = QUERIES["split_token_tv"](SF_SMOKE).to_pandas()
+    assert len(df) == 1
+    r = df.iloc[0]
+    assert 0.0 <= r.tv <= 1.0
+    # identical distributions give 0; disjoint vocabularies give 1 —
+    # the synthetic halves share most of the vocabulary, so strictly inside
+    assert 0.0 < r.tv < 1.0
+    assert r.tv_num == round(r.tv * 2 * r.tokens_a * r.tokens_b)

@@ -114,3 +114,16 @@ def test_bucketed_group_agg_matches_pandas_groupby():
     want2 = (pd.DataFrame({"a": k, "b": k2, "v": v})
              .groupby(["a", "b"])["v"].sum().reset_index())
     assert np.array_equal(out2.s.to_numpy(), want2.v.to_numpy())
+
+
+def test_host_lang_gini_oracle(duck_smoke):
+    assert_matches_oracle(QUERIES["host_lang_gini"](SF_SMOKE),
+                          duck_smoke, ORACLES["host_lang_gini"])
+
+
+def test_host_lang_gini_range_and_monolingual():
+    df = QUERIES["host_lang_gini"](SF_SMOKE).to_pandas()
+    assert df.lang_gini.between(0.0, 1.0).all()
+    # a host with a single (host,lang) row must have gini exactly 0
+    mono = df[df.lang_sq_sum == df.doc_count ** 2]
+    assert (mono.lang_gini == 0.0).all()
