@@ -1328,3 +1328,59 @@ SELECT CAST(tot.n0 AS BIGINT) AS tokens_a,
          / CAST(2 * tot.n0 * tot.n1 AS DOUBLE) AS tv
 FROM tot, num
 """
+
+
+# --------------------------------------------- order-invariant checksum
+_CHK_K1 = 0x9E6C63D0876A3F45  # odd multiplier decorrelating (doc_id, n_chars)
+
+
+def docs_checksum(sf_dir: str) -> ray.data.Dataset:
+    """Order-invariant table fingerprint: Σ splitmix64(doc_id·K1 + n_chars)
+    mod 2⁶⁴ plus the row count — the anti-entropy check two replicas (or a
+    migration source/target) compare without moving data. Sum-of-hashes is
+    commutative, so ANY partitioning/ordering yields the same digest;
+    per-batch partial sums wrap in uint64 exactly like the HUGEINT
+    `% 2⁶⁴` twin (`core/sqlgen_sample` mix chain, one shared copy).
+    """
+    from ..core.hashing import splitmix64
+
+    ds = _docs(sf_dir, columns=("doc_id", "n_chars"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            mix = splitmix64(d * np.uint64(_CHK_K1) + n)
+            s = np.uint64(mix.sum())  # wraps mod 2^64 — intended
+        return pa.table({"n": pa.array([len(d)], pa.int64()),
+                         "s": pa.array([int(s.view(np.int64))], pa.int64())})
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = int(pa.compute.sum(b["n"]).as_py() or 0)
+        tot = np.uint64(0)
+        with np.errstate(over="ignore"):
+            for v in b["s"].to_numpy(zero_copy_only=False):
+                tot += np.int64(v).view(np.uint64)
+        return pa.table({"n_rows": pa.array([n], pa.int64()),
+                         "checksum": pa.array([int(tot.view(np.int64))],
+                                              pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(finish, batch_format="pyarrow", batch_size=None))
+
+
+def docs_checksum_sql() -> str:
+    from ..core.sqlgen_sample import MOD64, _mix_ctes
+    key = f"((CAST(doc_id AS HUGEINT) * {_CHK_K1} + n_chars) % {MOD64})"
+    chain = _mix_ctes("documents", key, 0, "doc_id, n_chars",
+                      "docs_checksum")
+    half = 1 << 63
+    return f"""{chain}
+SELECT n_rows,
+       CAST(CASE WHEN s >= {half} THEN s - {MOD64} ELSE s END AS BIGINT)
+         AS checksum
+FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             SUM(xor(z2, z2 >> 31)) % {MOD64} AS s FROM q2)
+"""

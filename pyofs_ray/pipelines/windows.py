@@ -492,3 +492,201 @@ WITH b AS (
 )
 SELECT event_type, CAST(MAX(cur) AS BIGINT) AS peak
 FROM c GROUP BY event_type"""
+
+
+# ------------------------------------- in-session co-occurrence pairs
+def session_type_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Market-basket co-occurrence over sessions: for every session (same
+    30-min-gap rule as `sessionize`), the set of DISTINCT event types it
+    contains, expanded to unordered type pairs and counted corpus-wide —
+    the "viewed-together" analysis of a training-data event log.
+
+    Shape: ONE hash-bucket exchange on user_id co-locates each user's
+    events; a single vectorized kernel per bucket sessionizes (lexsort +
+    gap cumsum), dedupes (session, type), and enumerates pairs with the
+    same segment arithmetic as co-citation (`stages.cocite._pair_rows` —
+    reused verbatim on integer type codes). The pair vocabulary is
+    |types|² (tiny), so the count finish is one coalesced Arrow combine,
+    not a Ray groupby.
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.cocite import _pair_rows
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type"])
+    num_buckets = 32
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.and_(pc.is_valid(b["user_id"]),
+                                     pc.is_valid(b["ts"])),
+                             pc.is_valid(b["event_type"])))
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("_bucket", pa.array(u % num_buckets))
+
+    def kernel(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = (g["ts"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").astype(np.int64))
+        typ = g["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, u))
+        u, t, typ = u[order], t[order], typ[order]
+        brk = np.ones(len(u), dtype=bool)
+        brk[1:] = (u[1:] != u[:-1]) | (t[1:] - t[:-1] > SESSION_GAP_US)
+        sess = np.cumsum(brk) - 1          # bucket-local session index
+        utyp, code = np.unique(typ, return_inverse=True)
+        # distinct (session, type): sessions are bucket-local ints, so one
+        # packed int64 key dedup suffices (|types| < 2^20 by assert)
+        assert len(utyp) < (1 << 20)
+        packed = sess.astype(np.int64) * (1 << 20) + code
+        uniq = np.unique(packed)
+        pairs = _pair_rows(pa.table({
+            "dst": pa.array(uniq >> 20),
+            "src": pa.array(uniq & ((1 << 20) - 1))}))
+        cnt = pa.table({
+            "a": pairs["src_a"], "b": pairs["src_b"], "one": pairs["one"]
+        }).group_by(["a", "b"]).aggregate([("one", "sum")])
+        ai = cnt["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bi = cnt["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "type_a": pa.array(utyp[ai]), "type_b": pa.array(utyp[bi]),
+            "n": cnt["one_sum"].cast(pa.int64())})
+
+    parts = (ds.map_batches(tag, batch_format="pyarrow")
+               .groupby("_bucket").map_groups(kernel,
+                                              batch_format="pyarrow"))
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["type_a", "type_b"]).aggregate([("n", "sum")])
+        return pa.table({"type_a": g["type_a"], "type_b": g["type_b"],
+                         "n": g["n_sum"].cast(pa.int64())})
+
+    return parts.repartition(1).map_batches(combine, batch_format="pyarrow",
+                                            batch_size=None)
+
+
+SESSION_TYPE_PAIRS_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, event_type,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+), d AS (
+  SELECT DISTINCT user_id, sid, event_type FROM s
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM d a JOIN d b ON a.user_id = b.user_id AND a.sid = b.sid
+                 AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
+# ------------------------------------- trapezoidal time-weighted average
+def events_time_weighted_avg(sf_dir: str) -> ray.data.Dataset:
+    """Per-user TIME-weighted mean of `value` (trapezoidal rule over the
+    event timeline) — the irregular-sampling average an observation
+    time-series needs (PyOFS averages model fields over uneven pass
+    times; a plain AVG over-weights bursts):
+        twa = Σ (vᵢ+vᵢ₊₁)·Δtᵢ / (2·Σ Δtᵢ),  Δt in whole seconds.
+
+    Exactness: values as int64 cents, Δt as int64 floor-seconds
+    (per-interval floor in BOTH engines), one IEEE division after the
+    final reduce; users whose events span < 1 s are excluded (den 0) in
+    both. A float-shadow check raises loudly if the int64 accumulator
+    could have wrapped (DuckDB runs the same sum in HUGEINT).
+
+    Shape: ONE hash-bucket exchange on user_id, then a single vectorized
+    lexsort + adjacent-diff + `np.add.at` kernel per bucket — no per-user
+    Python, same pattern as the as-of/sessionize family.
+    """
+    import pyarrow.compute as pc
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts", "value"])
+    num_buckets = 32
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b["user_id"]),
+                             pc.is_valid(b["ts"])))
+        v_c = pc.cast(pc.round(
+            pc.multiply(pc.fill_null(b["value"], 0.0), pa.scalar(100.0)),
+            round_mode="half_towards_infinity"), pa.int64())
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"user_id": b["user_id"], "ts": b["ts"],
+                         "event_id": b["event_id"], "v_c": v_c,
+                         "_bucket": pa.array(u % num_buckets)})
+
+    def kernel(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = (g["ts"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").astype(np.int64))
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = g["v_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, t, u))
+        u, t, v = u[order], t[order], v[order]
+        same = u[1:] == u[:-1]
+        dt_s = (t[1:] - t[:-1]) // 1_000_000
+        term = (v[:-1] + v[1:]) * dt_s
+        uu, inv = np.unique(u, return_inverse=True)
+        num = np.zeros(len(uu), np.int64)
+        den = np.zeros(len(uu), np.int64)
+        np.add.at(num, inv[:-1][same], term[same])
+        np.add.at(den, inv[:-1][same], dt_s[same])
+        # float shadow: loud failure instead of silent int64 wrap
+        shadow = np.zeros(len(uu), np.float64)
+        np.add.at(shadow, inv[:-1][same], term[same].astype(np.float64))
+        if len(num) and np.abs(num.astype(np.float64) - shadow).max() > 2**32:
+            raise OverflowError("events_time_weighted_avg: per-user "
+                                "trapezoid sum left int64 range — rescale "
+                                "Δt or shard the timeline")
+        keep = den > 0
+        return pa.table({"user_id": pa.array(uu[keep]),
+                         "twa_num": pa.array(num[keep]),
+                         "dur_s": pa.array(den[keep])})
+
+    per_user = (ds.map_batches(tag, batch_format="pyarrow")
+                  .groupby("_bucket").map_groups(kernel,
+                                                 batch_format="pyarrow"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        num = b["twa_num"].to_numpy(zero_copy_only=False).astype(np.int64)
+        den = b["dur_s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"], "twa_num": b["twa_num"],
+            "dur_s": b["dur_s"],
+            "twa": pa.array(num.astype(np.float64)
+                            / (2 * den).astype(np.float64))})
+
+    return per_user.map_batches(finish, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
+EVENTS_TWA_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT) AS v_c
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), p AS (
+  SELECT user_id, v_c,
+         LEAD(v_c) OVER w AS v2,
+         (epoch_us(LEAD(ts) OVER w) - epoch_us(ts)) // 1000000 AS dt_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), a AS (
+  SELECT user_id,
+         SUM((CAST(v_c AS HUGEINT) + v2) * dt_s) AS num,
+         SUM(dt_s) AS den
+  FROM p WHERE v2 IS NOT NULL GROUP BY 1
+)
+SELECT user_id, CAST(num AS BIGINT) AS twa_num, CAST(den AS BIGINT) AS dur_s,
+       CAST(num AS DOUBLE) / CAST(2 * den AS DOUBLE) AS twa
+FROM a WHERE den > 0
+"""

@@ -2035,3 +2035,8 @@ register("embedding_kmeans_assign", corpus.embedding_kmeans_assign,
 register("host_lang_gini", flagship.host_lang_gini,
          flagship.host_lang_gini_sql())
 register("split_token_tv", corpus.split_token_tv, corpus.SPLIT_TOKEN_TV_SQL)
+register("session_type_pairs", windows.session_type_pairs,
+         windows.SESSION_TYPE_PAIRS_SQL)
+register("events_time_weighted_avg", windows.events_time_weighted_avg,
+         windows.EVENTS_TWA_SQL)
+register("docs_checksum", corpus.docs_checksum, corpus.docs_checksum_sql())

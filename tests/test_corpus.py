@@ -963,3 +963,27 @@ def test_split_token_tv_bounds():
     # the synthetic halves share most of the vocabulary, so strictly inside
     assert 0.0 < r.tv < 1.0
     assert r.tv_num == round(r.tv * 2 * r.tokens_a * r.tokens_b)
+
+
+def test_docs_checksum_oracle(duck_smoke):
+    assert_matches_oracle(QUERIES["docs_checksum"](SF_SMOKE),
+                          duck_smoke, ORACLES["docs_checksum"])
+
+
+def test_docs_checksum_order_invariant():
+    # the digest must not depend on partitioning: recompute from a
+    # shuffled single-block frame with the same kernel
+    import pyarrow.parquet as pq
+    from pyofs_ray.core.hashing import splitmix64
+    from pyofs_ray.pipelines.corpus import _CHK_K1
+    df = QUERIES["docs_checksum"](SF_SMOKE).to_pandas()
+    t = pq.read_table(f"{SF_SMOKE}/documents.parquet",
+                      columns=["doc_id", "n_chars"]).to_pandas()
+    t = t.sample(frac=1.0, random_state=7)      # permuted order
+    d = t.doc_id.to_numpy(np.uint64)
+    n = t.n_chars.to_numpy(np.uint64)
+    with np.errstate(over="ignore"):
+        mix = splitmix64(d * np.uint64(_CHK_K1) + n)
+        s = np.uint64(mix.sum())
+    assert int(s.view(np.int64)) == int(df.checksum.iloc[0])
+    assert int(df.n_rows.iloc[0]) == len(t)

@@ -9,6 +9,7 @@ import pytest
 import ray.data
 
 from pyofs_ray.pipelines import temporal
+from pyofs_ray.registry import ORACLES, QUERIES
 from pyofs_ray.stages.temporal import (asof_join, interval_join,
                                        sliding_window_agg)
 
@@ -306,3 +307,35 @@ def test_events_max_concurrency_oracle(duck_smoke):
     from pyofs_ray.registry import ORACLES, QUERIES
     assert_matches_oracle(QUERIES["events_max_concurrency"](SF_SMOKE),
                           duck_smoke, ORACLES["events_max_concurrency"])
+
+
+# --------------------- round-4 continuation: session pairs + TWA
+def test_session_type_pairs_oracle(duck_smoke):
+    assert_matches_oracle(QUERIES["session_type_pairs"](SF_SMOKE),
+                          duck_smoke, ORACLES["session_type_pairs"])
+
+
+def test_session_type_pairs_canonical_order():
+    df = QUERIES["session_type_pairs"](SF_SMOKE).to_pandas()
+    assert (df.type_a < df.type_b).all()       # unordered, canonicalized
+    assert (df.n >= 1).all()
+    assert not df.duplicated(["type_a", "type_b"]).any()
+
+
+def test_events_twa_oracle(duck_smoke):
+    assert_matches_oracle(QUERIES["events_time_weighted_avg"](SF_SMOKE),
+                          duck_smoke, ORACLES["events_time_weighted_avg"])
+
+
+def test_events_twa_constant_value_is_exact():
+    # a user whose events all share one value must have twa == value
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{SF_SMOKE}/events.parquet",
+                      columns=["user_id", "value"]).to_pandas()
+    df = QUERIES["events_time_weighted_avg"](SF_SMOKE).to_pandas()
+    g = t.dropna().groupby("user_id").value.nunique()
+    const_users = set(g[g == 1].index) & set(df.user_id)
+    for u in list(const_users)[:5]:
+        v = t[t.user_id == u].value.dropna().iloc[0]
+        got = df[df.user_id == u].twa.iloc[0]
+        assert abs(got - round(v * 100) / 100) < 1e-9
