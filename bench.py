@@ -105,6 +105,11 @@ BENCH_QUERIES = [
     "rel_q12_shipmode", "rel_q13_custdist", "rel_q14_promo",
     "rel_q15_top_supplier", "rel_q16_supplier_counts", "rel_q19_brackets",
     "rel_q20_excess",
+    # round 4 late block 13: grouping sets, skyline, clustering, drift,
+    # session baskets, TWA, checksum
+    "events_cube_counts", "orders_pareto", "cell_dbscan",
+    "embedding_kmeans_assign", "host_lang_gini", "split_token_tv",
+    "session_type_pairs", "events_time_weighted_avg", "docs_checksum",
 ]
 
 

@@ -1580,3 +1580,75 @@ SELECT host, CAST(n AS BIGINT) AS doc_count,
 FROM h
 """
 
+
+
+HOST_CAP_M = 3
+HOST_CAP_K = 50
+
+
+def host_capped_topk(sf_dir: str, m: int = HOST_CAP_M,
+                     k: int = HOST_CAP_K) -> ray.data.Dataset:
+    """Diversity-capped selection: the global top-k longest pages with AT
+    MOST m per host — the dominance cap every curation pipeline applies so
+    one template farm cannot fill the budget (the skew fixture routes 70 %
+    of docs to one host, making the cap load-bearing, not decorative).
+
+    Shape: per-batch per-host partial top-m (vectorized segment ranking —
+    a batch's survivors are ≤ m·hosts_in_batch), ONE host-bucket exchange
+    (`agg.hash_bucket_tag` — deterministic cross-process hash), a per-host
+    global top-m kernel per bucket, then the existing `agg.exact_topk`
+    finish over the ≤ m·|hosts| survivors. Total order everywhere is
+    (n_chars DESC, page_key ASC) — bit-exact ROW_NUMBER twin.
+    """
+    from ..stages.agg import exact_topk, hash_bucket_tag
+
+    ds = pages_dataset(sf_dir, with_html=False, keep_key=True)
+
+    def per_host_topm(b: pa.Table, with_host: bool = False) -> pa.Table:
+        if with_host:
+            t = pa.table({"host": url_host(b["url"]),
+                          "page_key": b["page_key"],
+                          "n_chars": pc.utf8_length(b["text"])
+                          .cast(pa.int64())})
+        else:
+            t = b
+        host = t["host"].to_numpy(zero_copy_only=False)
+        key = t["page_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, code = np.unique(host, return_inverse=True)
+        order = np.lexsort((key, -n, code))
+        hc = code[order]
+        starts = np.flatnonzero(np.r_[True, hc[1:] != hc[:-1]])
+        counts = np.diff(np.r_[starts, len(hc)])
+        rank = np.arange(len(hc)) - np.repeat(starts, counts)
+        keep = order[rank < m]
+        return t.take(pa.array(keep))
+
+    partial = ds.map_batches(lambda b: per_host_topm(b, with_host=True),
+                             batch_format="pyarrow", zero_copy_batch=True)
+    tagged = partial.map_batches(
+        lambda b: hash_bucket_tag(b, ["host"], 32), batch_format="pyarrow")
+    per_host = (tagged.groupby("_bucket")
+                .map_groups(lambda g: per_host_topm(g.drop_columns(["_bucket"])),
+                            batch_format="pyarrow"))
+    return exact_topk(per_host.select_columns(["host", "page_key",
+                                               "n_chars"]),
+                      cols=["n_chars", "page_key"],
+                      descending=[True, False], k=k)
+
+
+def host_capped_topk_sql(m: int = HOST_CAP_M, k: int = HOST_CAP_K) -> str:
+    from ..core import sqlgen
+    return f"""{sqlgen.pages_prefix()},
+r AS (
+  SELECT SPLIT_PART(url, '/', 3) AS host, page_key,
+         LENGTH(text) AS n_chars,
+         ROW_NUMBER() OVER (PARTITION BY SPLIT_PART(url, '/', 3)
+                            ORDER BY LENGTH(text) DESC, page_key ASC) AS hr
+  FROM pages
+)
+SELECT host, page_key, n_chars
+FROM r WHERE hr <= {m}
+ORDER BY n_chars DESC, page_key ASC
+LIMIT {k}
+"""

@@ -2040,3 +2040,16 @@ register("session_type_pairs", windows.session_type_pairs,
 register("events_time_weighted_avg", windows.events_time_weighted_avg,
          windows.EVENTS_TWA_SQL)
 register("docs_checksum", corpus.docs_checksum, corpus.docs_checksum_sql())
+register("host_capped_topk", flagship.host_capped_topk,
+         flagship.host_capped_topk_sql())
+
+from .stages import fuzzy as _fuzzy  # noqa: E402
+
+
+def _token_typo_pairs(sf_dir: str):
+    from .sources.readers import read_parquet_clean
+    return _fuzzy.token_typo_pairs(
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"]))
+
+
+register("token_typo_pairs", _token_typo_pairs, _fuzzy.token_typo_pairs_sql())

@@ -75,6 +75,41 @@ def auto_partitions() -> int:
     return max(2, cpus // 4)
 
 
+_BUCKET_PHI = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _col_words(col) -> np.ndarray:
+    """(n, k) uint64 word matrix per key column — int64 keys as one word,
+    string/binary keys as their fixed-width padded bytes (all vectorized;
+    downstream group_by handles the native type)."""
+    v = col.to_numpy(zero_copy_only=False)
+    if v.dtype.kind in "iu":
+        return v.astype(np.int64).view(np.uint64)[:, None]
+    s = v.astype("S")  # fixed-width bytes, NUL-padded
+    n, w = len(s), s.dtype.itemsize
+    k = max(1, -(-w // 8))
+    buf = np.zeros((n, k * 8), np.uint8)
+    if w:
+        buf[:, :w] = s.view(np.uint8).reshape(n, w)
+    return buf.view(np.uint64)
+
+
+def hash_bucket_tag(b: pa.Table, keys: Sequence[str],
+                    num_buckets: int) -> pa.Table:
+    """Append the deterministic `_bucket = hash(keys) % B` column — the
+    one hash every same-key-same-bucket exchange in the repo shares
+    (process-independent, unlike Python's salted `hash`)."""
+    nb = np.uint64(num_buckets)
+    h = np.zeros(len(b), np.uint64)
+    with np.errstate(over="ignore"):
+        for k in keys:
+            for j_col in _col_words(b[k]).T:
+                h = (h ^ j_col) * _BUCKET_PHI
+                h ^= h >> np.uint64(29)
+    return b.append_column(
+        "_bucket", pa.array(((h >> np.uint64(3)) % nb).astype(np.int64)))
+
+
 def bucketed_group_agg(ds: ray.data.Dataset, keys: Sequence[str],
                        aggs: Sequence[tuple[str, str, str]],
                        num_buckets: int | None = None,
@@ -102,33 +137,9 @@ def bucketed_group_agg(ds: ray.data.Dataset, keys: Sequence[str],
         num_buckets = max(8, cpus)
     keys = list(keys)
     aggs = list(aggs)
-    nb = np.uint64(num_buckets)
-    _PHI = np.uint64(0x9E3779B97F4A7C15)
-
-    def col_words(col) -> np.ndarray:
-        """(n, k) uint64 word matrix per key column — int64 keys as one
-        word, string/binary keys as their fixed-width padded bytes (all
-        vectorized; group_by itself handles the native type)."""
-        v = col.to_numpy(zero_copy_only=False)
-        if v.dtype.kind in "iu":
-            return v.astype(np.int64).view(np.uint64)[:, None]
-        s = v.astype("S")  # fixed-width bytes, NUL-padded
-        n, w = len(s), s.dtype.itemsize
-        k = max(1, -(-w // 8))
-        buf = np.zeros((n, k * 8), np.uint8)
-        if w:
-            buf[:, :w] = s.view(np.uint8).reshape(n, w)
-        return buf.view(np.uint64)
 
     def tag(b: pa.Table) -> pa.Table:
-        h = np.zeros(len(b), np.uint64)
-        with np.errstate(over="ignore"):
-            for k in keys:
-                for j_col in col_words(b[k]).T:
-                    h = (h ^ j_col) * _PHI
-                    h ^= h >> np.uint64(29)
-        return b.append_column(
-            "_bucket", pa.array(((h >> np.uint64(3)) % nb).astype(np.int64)))
+        return hash_bucket_tag(b, keys, num_buckets)
 
     def combine(g: pa.Table) -> pa.Table:
         gg = g.group_by(keys).aggregate([(c, fn) for c, fn, _ in aggs])

@@ -127,3 +127,18 @@ def test_host_lang_gini_range_and_monolingual():
     # a host with a single (host,lang) row must have gini exactly 0
     mono = df[df.lang_sq_sum == df.doc_count ** 2]
     assert (mono.lang_gini == 0.0).all()
+
+
+def test_host_capped_topk_oracle(duck_smoke):
+    assert_matches_oracle(QUERIES["host_capped_topk"](SF_SMOKE), duck_smoke,
+                          ORACLES["host_capped_topk"])
+
+
+def test_host_capped_topk_cap_binds():
+    from pyofs_ray.pipelines.flagship import HOST_CAP_K, HOST_CAP_M
+    df = QUERIES["host_capped_topk"](SF_SMOKE).to_pandas()
+    assert len(df) <= HOST_CAP_K
+    assert df.groupby("host").size().max() <= HOST_CAP_M
+    # the hot host holds ~70% of docs: without the cap it would dominate;
+    # with it, the result must span many hosts
+    assert df.host.nunique() >= len(df) // HOST_CAP_M
