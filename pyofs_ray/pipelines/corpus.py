@@ -1384,3 +1384,131 @@ SELECT n_rows,
 FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
              SUM(xor(z2, z2 >> 31)) % {MOD64} AS s FROM q2)
 """
+
+
+# ------------------------------- per-cluster distinctive vocabulary
+CLUSTER_TOP_T = 5
+
+
+def cluster_top_tokens(sf_dir: str) -> ray.data.Dataset:
+    """Semantic-cluster characterization: k-means-assign every embedding
+    (same broadcast argmax as `embedding_kmeans_assign`), join the
+    assignment to the documents table, and report each cluster's top-5
+    tokens by member token count — the "what is this cluster about"
+    readout every SemDeDup/clustered-curation pipeline needs.
+
+    Shape: assignment rows and per-doc token partials meet in ONE
+    bucketed hash join on doc_id (both sides corpus-sized — no broadcast,
+    `join.bucketed_hash_join` with the token expansion fused in via
+    left_fn); (cluster, token) counts reduce through the vocab bucket
+    exchange; the per-cluster top-5 is per-block partial top-5 (any
+    global top row is in its block's top-5 under the same total order)
+    coalesced into a K·5-row finish. Ties (n DESC, token ASC) exact.
+    """
+    from ..stages.agg import bucketed_group_agg
+    from ..stages.join import bucketed_hash_join
+
+    cent = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    cent = cent.filter(pc.less(cent["vec_id"], KMEANS_K))
+    cent = cent.take(pc.sort_indices(cent["vec_id"]))
+    ref = ray.put(cent)
+
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        from ..core.memo import memo_broadcast
+        cmat = memo_broadcast(
+            f"kmeans_cmat:{ref.hex()}",
+            lambda: ann._normalize(ann._embedding_matrix(ray.get(ref))))
+        m = ann._normalize(ann._embedding_matrix(b))
+        best = np.argmax(m @ cmat.T, axis=1).astype(np.int64)
+        return pa.table({"doc_id": b["vec_id"], "cluster_id": pa.array(best)})
+
+    asn = emb.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    docs = _docs(sf_dir, columns=("doc_id", "text"))
+
+    def doc_tokens(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern_regex(b["text"], r"\s+")
+        n_tok = pc.list_value_length(parts).cast(pa.int64())
+        toks = pc.list_flatten(parts)
+        ids = np.repeat(b["doc_id"].to_numpy(zero_copy_only=False),
+                        n_tok.to_numpy(zero_copy_only=False))
+        t = pa.table({"doc_id": pa.array(ids), "token": toks})
+        t = t.filter(pc.not_equal(t["token"], ""))
+        g = t.group_by(["doc_id", "token"]).aggregate([("token", "count")])
+        return pa.table({"doc_id": g["doc_id"], "token": g["token"],
+                         "cnt": g["token_count"].cast(pa.int64())})
+
+    tok = docs.map_batches(doc_tokens, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    joined = bucketed_hash_join(tok, asn, key="doc_id")
+
+    def pre(b: pa.Table) -> pa.Table:
+        g = b.group_by(["cluster_id", "token"]).aggregate([("cnt", "sum")])
+        return pa.table({"cluster_id": g["cluster_id"], "token": g["token"],
+                         "cnt": g["cnt_sum"].cast(pa.int64())})
+
+    ct = bucketed_group_agg(joined.map_batches(pre, batch_format="pyarrow"),
+                            keys=["cluster_id", "token"],
+                            aggs=[("cnt", "sum", "n")])
+
+    def topt(b: pa.Table) -> pa.Table:
+        cl = b["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tk = b["token"].to_numpy(zero_copy_only=False)
+        _, tcode = np.unique(tk, return_inverse=True)  # ASCII order == SQL
+        order = np.lexsort((tcode, -n, cl))
+        c_s = cl[order]
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        counts = np.diff(np.r_[starts, len(c_s)])
+        rank = np.arange(len(c_s)) - np.repeat(starts, counts)
+        keep = order[rank < CLUSTER_TOP_T]
+        rk = rank[rank < CLUSTER_TOP_T] + 1
+        return pa.table({"cluster_id": pa.array(cl[keep]),
+                         "token": pa.array(tk[keep]),
+                         "n": pa.array(n[keep]),
+                         "rank": pa.array(rk)})
+
+    # per-block partial top-5 per cluster (rank column recomputed in the
+    # coalesced finish over ≤ 5·K·blocks survivors)
+    head = ct.map_batches(topt, batch_format="pyarrow")
+    return head.repartition(1).map_batches(topt, batch_format="pyarrow",
+                                           batch_size=None)
+
+
+CLUSTER_TOP_TOKENS_SQL = rf"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings
+  WHERE vec_id < {KMEANS_K}
+), a AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, c.embedding)
+                            DESC,
+                        c.centroid_id ASC) AS rnk
+    FROM embeddings e CROSS JOIN c
+  ) WHERE rnk = 1
+), tk AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+  FROM documents
+), ct AS (
+  SELECT a.centroid_id AS cluster_id, token, COUNT(*) AS n
+  FROM tk JOIN a ON tk.doc_id = a.vec_id
+  WHERE token <> ''
+  GROUP BY 1, 2
+), r AS (
+  SELECT cluster_id, token, n,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY n DESC, token ASC) AS rank
+  FROM ct
+)
+SELECT cluster_id, token, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {CLUSTER_TOP_T}
+"""

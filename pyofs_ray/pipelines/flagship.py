@@ -1652,3 +1652,102 @@ FROM r WHERE hr <= {m}
 ORDER BY n_chars DESC, page_key ASC
 LIMIT {k}
 """
+
+
+def host_trend_slope(sf_dir: str) -> ray.data.Dataset:
+    """Per-host crawl-volume trend: the OLS slope of hourly page counts
+    over epoch-hour — the burst/decay detector run per host (grew fast →
+    possible spam farm; decays → stale mirror). No float accumulation:
+    slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) where every Σ is an int64
+    two-stage reduce; the division is the ONE IEEE op, after the final
+    combine (DuckDB twin runs the identical cross-products in HUGEINT —
+    a float-shadow guard raises before int64 could wrap silently).
+
+    Shape: (host, day) counts in one exchange (day-bounded), per-host
+    sufficient statistics via the string-keyed bucket exchange, O(1)-row
+    finish per host. Hosts with a single active day are excluded in both
+    engines (slope undefined).
+    """
+    from ..stages.agg import bucketed_group_agg, two_stage_cell_agg
+
+    ds = pages_dataset(sf_dir, with_html=False, with_text=False)
+
+    def prep(b: pa.Table) -> pa.Table:
+        # epoch-HOUR resolution: the smoke fixture's whole crawl spans a
+        # few hours, so a daily axis would leave every host a single
+        # point (slope undefined); hours stay non-degenerate at every sf
+        hour = pc.cast(pc.divide(pc.cast(b["warc_ts"], pa.int64()),
+                                 pa.scalar(3_600_000_000, pa.int64())),
+                       pa.int64())
+        return pa.table({"host": url_host(b["url"]), "x": hour})
+
+    hd = two_stage_cell_agg(ds.map_batches(prep, batch_format="pyarrow"),
+                            keys=("host", "x"), int_sum_cols=(),
+                            count_name="c")
+
+    def stats(b: pa.Table) -> pa.Table:
+        x = b["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"host": b["host"],
+                         "n": pa.array(np.ones(len(x), np.int64)),
+                         "sx": pa.array(x), "sy": pa.array(c),
+                         "sxy": pa.array(x * c), "sxx": pa.array(x * x)})
+
+    per_host = bucketed_group_agg(
+        hd.map_batches(stats, batch_format="pyarrow"),
+        keys=["host"],
+        aggs=[("n", "sum", "n"), ("sx", "sum", "sx"), ("sy", "sum", "sy"),
+              ("sxy", "sum", "sxy"), ("sxx", "sum", "sxx")],
+        coalesce=True)
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sx = b["sx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sy = b["sy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sxy = b["sxy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sxx = b["sxx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # loud wrap guard: the cross products must stay inside int64
+        shadow = (n.astype(np.float64) * sxy.astype(np.float64)).max(
+            initial=0.0)
+        if max(shadow, (np.abs(sx).astype(np.float64)
+                        * np.abs(sy).astype(np.float64)).max(initial=0.0),
+               (n.astype(np.float64) * sxx.astype(np.float64))
+               .max(initial=0.0)) >= 2.0**62:
+            raise OverflowError("host_trend_slope: cross products near "
+                                "int64 range — rebase x to day offsets")
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        keep = n >= 2
+        return pa.table({
+            "host": pa.array(np.asarray(b["host"])[keep]),
+            "n_hours": pa.array(n[keep]),
+            "slope_num": pa.array(num[keep]),
+            "slope_den": pa.array(den[keep]),
+            "slope": pa.array(num[keep].astype(np.float64)
+                              / den[keep].astype(np.float64))})
+
+    return per_host.map_batches(finish, batch_format="pyarrow")
+
+
+def host_trend_slope_sql() -> str:
+    from ..core import sqlgen
+    return f"""{sqlgen.pages_prefix()},
+hd AS (
+  SELECT SPLIT_PART(url, '/', 3) AS host,
+         epoch_us(warc_ts) // 3600000000 AS x,
+         COUNT(*) AS c
+  FROM pages GROUP BY 1, 2
+),
+s AS (
+  SELECT host, COUNT(*) AS n, SUM(x) AS sx, SUM(c) AS sy,
+         SUM(CAST(x AS HUGEINT) * c) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx
+  FROM hd GROUP BY 1
+)
+SELECT host, CAST(n AS BIGINT) AS n_hours,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+FROM s WHERE n >= 2
+"""

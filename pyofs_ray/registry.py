@@ -2053,3 +2053,7 @@ def _token_typo_pairs(sf_dir: str):
 
 
 register("token_typo_pairs", _token_typo_pairs, _fuzzy.token_typo_pairs_sql())
+register("host_trend_slope", flagship.host_trend_slope,
+         flagship.host_trend_slope_sql())
+register("cluster_top_tokens", corpus.cluster_top_tokens,
+         corpus.CLUSTER_TOP_TOKENS_SQL)

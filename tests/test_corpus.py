@@ -987,3 +987,20 @@ def test_docs_checksum_order_invariant():
         s = np.uint64(mix.sum())
     assert int(s.view(np.int64)) == int(df.checksum.iloc[0])
     assert int(df.n_rows.iloc[0]) == len(t)
+
+
+def test_cluster_top_tokens_oracle(duck_smoke):
+    assert_matches_oracle(QUERIES["cluster_top_tokens"](SF_SMOKE),
+                          duck_smoke, ORACLES["cluster_top_tokens"])
+
+
+def test_cluster_top_tokens_shape():
+    from pyofs_ray.pipelines.corpus import CLUSTER_TOP_T
+    df = QUERIES["cluster_top_tokens"](SF_SMOKE).to_pandas()
+    g = df.groupby("cluster_id")
+    assert (g.size() <= CLUSTER_TOP_T).all()
+    for _, grp in g:
+        grp = grp.sort_values("rank")
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+        # counts non-increasing along rank
+        assert (grp.n.diff().dropna() <= 0).all()

