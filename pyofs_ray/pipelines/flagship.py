@@ -1751,3 +1751,139 @@ SELECT host, CAST(n AS BIGINT) AS n_hours,
          / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
 FROM s WHERE n >= 2
 """
+
+
+def cell_centroid_drift(sf_dir: str, zoom: int = geom.BASE_ZOOM) -> ray.data.Dataset:
+    """Per-cell centroid drift between the interleaved crawl halves (even
+    vs odd warc-minute — the `host_split_half` convention, non-vacuous at
+    every fixture scale): how far the mean observation position moved
+    inside each cell — the front-displacement diagnostic PyOFS derives
+    from successive composites (SURVEY.md M6/A4), here as ONE two-stage
+    exchange over masked int64 partials. Means and drift derive from the
+    int sums by three IEEE ops (div, div, sub) after the final reduce;
+    only cells observed in BOTH halves emit a row.
+    """
+    from ..stages.agg import two_stage_cell_agg
+
+    ds = geocoded_pages(sf_dir, zoom)
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = b["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        odd = ((us // 60_000_000) % 2).astype(np.int64)
+        lon = b["lon_milli"].to_numpy(zero_copy_only=False)
+        lat = b["lat_milli"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cell_id": b["cell_id"],
+            "n_a": pa.array(1 - odd), "n_b": pa.array(odd),
+            "slon_a": pa.array((1 - odd) * lon), "slat_a": pa.array((1 - odd) * lat),
+            "slon_b": pa.array(odd * lon), "slat_b": pa.array(odd * lat)})
+
+    agg = two_stage_cell_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys=("cell_id",),
+        int_sum_cols=("n_a", "n_b", "slon_a", "slat_a", "slon_b", "slat_b"),
+        count_name="n")
+
+    def finish(b: pa.Table) -> pa.Table:
+        na = b["n_a_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = b["n_b_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (na > 0) & (nb > 0)
+        na, nb = na[keep], nb[keep]
+        f = np.float64
+        mlon_a = b["slon_a_sum"].to_numpy(zero_copy_only=False)[keep].astype(f) / na
+        mlat_a = b["slat_a_sum"].to_numpy(zero_copy_only=False)[keep].astype(f) / na
+        mlon_b = b["slon_b_sum"].to_numpy(zero_copy_only=False)[keep].astype(f) / nb
+        mlat_b = b["slat_b_sum"].to_numpy(zero_copy_only=False)[keep].astype(f) / nb
+        return pa.table({
+            "cell_id": pa.array(
+                b["cell_id"].to_numpy(zero_copy_only=False)[keep]),
+            "n_a": pa.array(na), "n_b": pa.array(nb),
+            "dlon_milli": pa.array(mlon_b - mlon_a),
+            "dlat_milli": pa.array(mlat_b - mlat_a)})
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def cell_centroid_drift_sql(zoom: int = geom.BASE_ZOOM) -> str:
+    from ..core import sqlgen
+    return f"""{sqlgen.pages_prefix()},
+m AS (
+  SELECT {sqlgen.cell_expr(zoom)} AS cell_id,
+         (epoch_us(warc_ts) // 60000000) % 2 AS odd, lon_milli, lat_milli
+  FROM pages
+),
+s AS (
+  SELECT cell_id,
+         SUM(1 - odd) AS n_a, SUM(odd) AS n_b,
+         SUM((1 - odd) * lon_milli) AS slon_a,
+         SUM((1 - odd) * lat_milli) AS slat_a,
+         SUM(odd * lon_milli) AS slon_b,
+         SUM(odd * lat_milli) AS slat_b
+  FROM m GROUP BY 1
+)
+SELECT cell_id, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(slon_b AS DOUBLE) / n_b - CAST(slon_a AS DOUBLE) / n_a
+         AS dlon_milli,
+       CAST(slat_b AS DOUBLE) / n_b - CAST(slat_a AS DOUBLE) / n_a
+         AS dlat_milli
+FROM s WHERE n_a > 0 AND n_b > 0
+"""
+
+
+SHARD_COUNT = 16
+
+
+def cell_shard_plan(sf_dir: str, zoom: int = geom.BASE_ZOOM,
+                    nshards: int = SHARD_COUNT) -> ray.data.Dataset:
+    """Range-partitioner planning: contiguous cell_id-ordered shards of
+    near-equal row mass — the boundary table a 256-node run would feed to
+    `repartition`/writer partitioning so every output shard carries
+    ≈ total/nshards rows regardless of spatial skew. shard =
+    rows_before // ceil(total/nshards) — pure integer, exact twin.
+
+    Shape: ONE per-cell count exchange; the plan itself is the
+    ≤4^z-bounded coalesced prefix-sum finish (same bound as the pyramid).
+    """
+    from ..stages.agg import two_stage_cell_agg
+
+    ds = geocoded_pages(sf_dir, zoom).select_columns(["cell_id"])
+    counts = two_stage_cell_agg(ds, keys=("cell_id",), int_sum_cols=(),
+                                count_name="n")
+
+    def finish(b: pa.Table) -> pa.Table:
+        cid = b["cell_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(cid, kind="stable")
+        cid, n = cid[order], n[order]
+        total = int(n.sum())
+        target = -(-total // nshards) if total else 1
+        cum_before = np.concatenate(([0], np.cumsum(n)[:-1]))
+        return pa.table({"cell_id": pa.array(cid), "n": pa.array(n),
+                         "shard": pa.array(cum_before // target)})
+
+    return counts.repartition(1).map_batches(finish, batch_format="pyarrow",
+                                             batch_size=None)
+
+
+def cell_shard_plan_sql(zoom: int = geom.BASE_ZOOM,
+                        nshards: int = SHARD_COUNT) -> str:
+    from ..core import sqlgen
+    return f"""{sqlgen.pages_prefix()},
+cells AS (
+  SELECT {sqlgen.cell_expr(zoom)} AS cell_id, COUNT(*) AS n
+  FROM pages GROUP BY 1
+),
+w AS (
+  SELECT cell_id, n,
+         COALESCE(SUM(n) OVER (ORDER BY cell_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before,
+         SUM(n) OVER () AS total
+  FROM cells
+)
+SELECT cell_id, CAST(n AS BIGINT) AS n,
+       CAST(cum_before // ((total + {nshards} - 1) // {nshards}) AS BIGINT)
+         AS shard
+FROM w
+"""

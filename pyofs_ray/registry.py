@@ -2057,3 +2057,7 @@ register("host_trend_slope", flagship.host_trend_slope,
          flagship.host_trend_slope_sql())
 register("cluster_top_tokens", corpus.cluster_top_tokens,
          corpus.CLUSTER_TOP_TOKENS_SQL)
+register("cell_centroid_drift", flagship.cell_centroid_drift,
+         flagship.cell_centroid_drift_sql())
+register("cell_shard_plan", flagship.cell_shard_plan,
+         flagship.cell_shard_plan_sql())

@@ -158,3 +158,28 @@ def test_host_trend_slope_matches_polyfit():
     from pyofs_ray.sources.pages import pages_dataset  # noqa: F401
     row = df.iloc[0]
     assert abs(row.slope - row.slope_num / row.slope_den) == 0.0
+
+
+def test_cell_centroid_drift_oracle(duck_smoke):
+    assert_matches_oracle(QUERIES["cell_centroid_drift"](SF_SMOKE),
+                          duck_smoke, ORACLES["cell_centroid_drift"])
+
+
+def test_cell_shard_plan_oracle(duck_smoke):
+    assert_matches_oracle(QUERIES["cell_shard_plan"](SF_SMOKE), duck_smoke,
+                          ORACLES["cell_shard_plan"])
+
+
+def test_cell_shard_plan_balanced_and_contiguous():
+    from pyofs_ray.pipelines.flagship import SHARD_COUNT
+    df = QUERIES["cell_shard_plan"](SF_SMOKE).to_pandas()
+    df = df.sort_values("cell_id").reset_index(drop=True)
+    # shards are contiguous, non-decreasing ranges of cell_id order
+    assert (df.shard.diff().dropna() >= 0).all()
+    assert df.shard.max() < SHARD_COUNT
+    total = df.n.sum()
+    target = -(-total // SHARD_COUNT)
+    per = df.groupby("shard").n.sum()
+    # every shard except possibly those holding one giant cell is
+    # ≤ target + (max single cell − 1): a cell is never split
+    assert (per <= target + df.n.max() - 1).all()
