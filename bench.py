@@ -110,6 +110,10 @@ BENCH_QUERIES = [
     "events_cube_counts", "orders_pareto", "cell_dbscan",
     "embedding_kmeans_assign", "host_lang_gini", "split_token_tv",
     "session_type_pairs", "events_time_weighted_avg", "docs_checksum",
+    # round 4 late block 14: capped selection, fuzzy vocab, trends,
+    # cluster characterization, drift, shard planning
+    "host_capped_topk", "token_typo_pairs", "host_trend_slope",
+    "cluster_top_tokens", "cell_centroid_drift", "cell_shard_plan",
 ]
 
 

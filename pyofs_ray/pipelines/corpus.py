@@ -1512,3 +1512,57 @@ WITH c AS (
 SELECT cluster_id, token, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {CLUSTER_TOP_T}
 """
+
+
+def dup_cluster_histogram(sf_dir: str) -> ray.data.Dataset:
+    """Near-dup cluster-SIZE histogram — the dedup health report (how much
+    of the corpus sits in 2-clusters vs mega-clusters decides keep-one vs
+    drop-all policy): Jaccard-≥0.8 components (same pair generator and
+    min-label semantics as `dedup_near_corpus`) → members per component →
+    (size, n_clusters) rows.
+
+    Shape: verified pairs stay a Dataset (`minhash_dedup_pairs_ds`),
+    components via the distributed min-label propagation, member counts
+    per label through ONE bucket exchange, and the histogram itself is a
+    size-bounded coalesced combine. Singleton (dup-free) docs are not
+    clusters and emit nothing — same as the SQL twin's `rep` set.
+    """
+    from ..stages.agg import bucketed_int64_group_sum
+
+    pairs = dedup.minhash_dedup_pairs_ds(_docs(sf_dir), threshold=0.8,
+                                         docs_hint=_docs_count(sf_dir))
+    comp = dedup.label_propagation_components(pairs)
+
+    def one(b: pa.Table) -> pa.Table:
+        return pa.table({"label": b["label"],
+                         "one": pa.array(np.ones(len(b), np.int64))})
+
+    sizes = bucketed_int64_group_sum(
+        comp.map_batches(one, batch_format="pyarrow"), key="label",
+        sum_cols=["one"])
+
+    def hist(b: pa.Table) -> pa.Table:
+        g = pa.table({"size": b["one"]}).group_by("size").aggregate(
+            [("size", "count")])
+        return pa.table({"size": g["size"],
+                         "n_clusters": g["size_count"].cast(pa.int64())})
+
+    def merge(b: pa.Table) -> pa.Table:
+        g = b.group_by("size").aggregate([("n_clusters", "sum")])
+        return pa.table({"size": g["size"],
+                         "n_clusters": g["n_clusters_sum"].cast(pa.int64())})
+
+    return (sizes.map_batches(hist, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(merge, batch_format="pyarrow", batch_size=None))
+
+
+def dup_cluster_histogram_sql() -> str:
+    from ..core.sqlgen_dedup import component_ctes
+    return f"""
+WITH RECURSIVE {component_ctes()},
+sizes AS (SELECT rep, COUNT(*) AS size FROM rep GROUP BY rep)
+SELECT CAST(size AS BIGINT) AS size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY size
+"""

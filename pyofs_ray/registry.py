@@ -2061,3 +2061,16 @@ register("cell_centroid_drift", flagship.cell_centroid_drift,
          flagship.cell_centroid_drift_sql())
 register("cell_shard_plan", flagship.cell_shard_plan,
          flagship.cell_shard_plan_sql())
+
+
+def _link_reciprocity(sf_dir: str):
+    n = _doc_count(sf_dir)
+    ids = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+    return linkgraph.link_reciprocity(ids, n)
+
+
+register("link_reciprocity", _link_reciprocity,
+         linkgraph.link_reciprocity_sql())
+register("dup_cluster_histogram", corpus.dup_cluster_histogram,
+         corpus.dup_cluster_histogram_sql())

@@ -568,3 +568,75 @@ r AS (
   SELECT r.id, ue.b AS reach FROM r JOIN ue ON ue.a = r.reach
 )
 SELECT id, CAST(MIN(reach) AS BIGINT) AS label FROM r GROUP BY id"""
+
+
+def link_reciprocity(doc_ids: ray.data.Dataset, n_nodes: int,
+                     num_buckets: int = 32) -> ray.data.Dataset:
+    """Edge reciprocity of the link graph — the mutual-link rate
+    (blog-roll / link-exchange detector): distinct non-loop directed
+    edges, mutual (a⇄b) pairs, and reciprocity = 2·pairs/edges.
+
+    Shape: ONE hash-bucket exchange on the UNORDERED pair key (both
+    directions of a pair land in the same bucket by construction), a
+    vectorized per-bucket kernel (sort packed keys, a pair is mutual iff
+    its key owns both directions), 2-int partials coalesced into the
+    single summary row. The one division is the final IEEE op.
+    """
+    from .agg import hash_bucket_tag
+
+    def expand(b: pa.Table) -> pa.Table:
+        node = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src, dst, _ = _out_edges(node, n_nodes)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        lo, hi = np.minimum(src, dst), np.maximum(src, dst)
+        pair = lo * np.int64(n_nodes) + hi
+        fwd = (src < dst).astype(np.int64)  # direction bit
+        t = pa.table({"pair": pa.array(pair), "fwd": pa.array(fwd)})
+        return hash_bucket_tag(t, ["pair"], num_buckets)
+
+    def kernel(g: pa.Table) -> pa.Table:
+        pair = g["pair"].to_numpy(zero_copy_only=False)
+        fwd = g["fwd"].to_numpy(zero_copy_only=False)
+        # distinct directed edges: unique (pair, dir)
+        key = pair * 2 + fwd
+        uk = np.unique(key)
+        upair = uk // 2
+        n_edges = len(uk)
+        # mutual iff a pair value appears with both direction bits
+        up, cnt = np.unique(upair, return_counts=True)
+        n_recip = int((cnt == 2).sum())
+        return pa.table({"n_edges": pa.array([n_edges], pa.int64()),
+                         "n_recip": pa.array([n_recip], pa.int64())})
+
+    parts = (doc_ids.map_batches(expand, batch_format="pyarrow")
+             .groupby("_bucket").map_groups(kernel, batch_format="pyarrow"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        e = int(pa.compute.sum(b["n_edges"]).as_py() or 0)
+        r = int(pa.compute.sum(b["n_recip"]).as_py() or 0)
+        rec = float(2 * r) / float(e) if e else 0.0
+        return pa.table({"n_edges": pa.array([e], pa.int64()),
+                         "n_recip_pairs": pa.array([r], pa.int64()),
+                         "reciprocity": pa.array([rec], pa.float64())})
+
+    return parts.repartition(1).map_batches(finish, batch_format="pyarrow",
+                                            batch_size=None)
+
+
+def link_reciprocity_sql(table: str = "documents",
+                         id_col: str = "doc_id") -> str:
+    return f"""
+WITH {edges_cte(table, id_col)},
+e2 AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+r AS (
+  SELECT a.src AS na, a.dst AS nb
+  FROM e2 a JOIN e2 b ON a.src = b.dst AND a.dst = b.src
+  WHERE a.src < a.dst
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e2) AS n_edges,
+       CAST(COUNT(*) AS BIGINT) AS n_recip_pairs,
+       CAST(2 * COUNT(*) AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM e2) AS DOUBLE) AS reciprocity
+FROM r
+"""

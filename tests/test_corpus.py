@@ -1004,3 +1004,19 @@ def test_cluster_top_tokens_shape():
         assert list(grp["rank"]) == list(range(1, len(grp) + 1))
         # counts non-increasing along rank
         assert (grp.n.diff().dropna() <= 0).all()
+
+
+def test_dup_cluster_histogram_oracle(duck_smoke):
+    assert_matches_oracle(QUERIES["dup_cluster_histogram"](SF_SMOKE),
+                          duck_smoke, ORACLES["dup_cluster_histogram"])
+
+
+def test_dup_cluster_histogram_consistent_with_dedup():
+    import pyarrow.parquet as pq
+    hist = QUERIES["dup_cluster_histogram"](SF_SMOKE).to_pandas()
+    assert (hist["size"] >= 2).all()           # singletons are not clusters
+    survivors = QUERIES["dedup_near_corpus"](SF_SMOKE).count()
+    total = pq.read_metadata(f"{SF_SMOKE}/documents.parquet").num_rows
+    # docs dropped by keep-one dedup == Σ (size-1)·n_clusters
+    dropped = int(((hist["size"] - 1) * hist.n_clusters).sum())
+    assert total - survivors == dropped

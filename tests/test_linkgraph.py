@@ -196,3 +196,26 @@ def test_link_components_general_path_matches_partitioned():
     gen = lgm.link_components(ids, n, general=True).to_pandas() \
         .sort_values("id").reset_index(drop=True)
     assert fast.equals(gen)
+
+
+def test_link_reciprocity_oracle(duck_smoke):
+    from pyofs_ray.registry import ORACLES, QUERIES
+
+    from .conftest import SF_SMOKE, assert_matches_oracle
+    assert_matches_oracle(QUERIES["link_reciprocity"](SF_SMOKE), duck_smoke,
+                          ORACLES["link_reciprocity"])
+
+
+def test_link_reciprocity_matches_setcheck():
+    from pyofs_ray.registry import QUERIES
+
+    from .conftest import SF_SMOKE
+    import pyarrow.parquet as pq
+    from pyofs_ray.stages.linkgraph import _out_edges
+    df = QUERIES["link_reciprocity"](SF_SMOKE).to_pandas()
+    n = pq.read_metadata(f"{SF_SMOKE}/documents.parquet").num_rows
+    src, dst, _ = _out_edges(np.arange(n, dtype=np.int64), n)
+    es = {(a, b) for a, b in zip(src.tolist(), dst.tolist()) if a != b}
+    recip = sum(1 for (a, b) in es if (b, a) in es and a < b)
+    assert int(df.n_edges.iloc[0]) == len(es)
+    assert int(df.n_recip_pairs.iloc[0]) == recip
