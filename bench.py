@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     # cluster characterization, drift, shard planning
     "host_capped_topk", "token_typo_pairs", "host_trend_slope",
     "cluster_top_tokens", "cell_centroid_drift", "cell_shard_plan",
+    "link_reciprocity", "dup_cluster_histogram",
 ]
 
 

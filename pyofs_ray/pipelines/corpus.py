@@ -1514,20 +1514,42 @@ FROM r WHERE rank <= {CLUSTER_TOP_T}
 """
 
 
-def dup_cluster_histogram(sf_dir: str) -> ray.data.Dataset:
+def dup_cluster_histogram(sf_dir: str,
+                          distributed: bool = False) -> ray.data.Dataset:
     """Near-dup cluster-SIZE histogram — the dedup health report (how much
     of the corpus sits in 2-clusters vs mega-clusters decides keep-one vs
     drop-all policy): Jaccard-≥0.8 components (same pair generator and
     min-label semantics as `dedup_near_corpus`) → members per component →
     (size, n_clusters) rows.
 
-    Shape: verified pairs stay a Dataset (`minhash_dedup_pairs_ds`),
-    components via the distributed min-label propagation, member counts
-    per label through ONE bucket exchange, and the histogram itself is a
-    size-bounded coalesced combine. Singleton (dup-free) docs are not
-    clusters and emit nothing — same as the SQL twin's `rep` set.
+    Shape: like keep-one dedup, two forms share one semantics — the
+    default pulls the dup-bounded verified pair set and runs driver
+    union-find (pairs ≪ corpus; saves the ~4 fixed plan-execution walls
+    the iterative propagation pays at fixture scale, 6.1 → 2.6 s);
+    ``distributed=True`` is the extreme-dup-rate form: pairs stay a
+    Dataset (`minhash_dedup_pairs_ds`), components via min-label
+    propagation, member counts per label through ONE bucket exchange.
+    The histogram finish is size-bounded either way. Singleton
+    (dup-free) docs are not clusters and emit nothing — same as the SQL
+    twin's `rep` set.
     """
     from ..stages.agg import bucketed_int64_group_sum
+
+    if not distributed:
+        pdf = dedup.minhash_dedup_pairs(_docs(sf_dir), threshold=0.8,
+                                        docs_hint=_docs_count(sf_dir))
+        rep = dedup.union_find_components(pdf[["id_a", "id_b"]])
+        import collections
+        # union_find_components maps only NON-root members (the root —
+        # the component's min id — never enters `parent`), so each
+        # component's size is its value-count plus the root itself
+        sizes = collections.Counter(rep.values())
+        hist = collections.Counter(v + 1 for v in sizes.values())
+        out = pa.table({
+            "size": pa.array(sorted(hist), pa.int64()),
+            "n_clusters": pa.array([hist[k] for k in sorted(hist)],
+                                   pa.int64())})
+        return ray.data.from_arrow(out)
 
     pairs = dedup.minhash_dedup_pairs_ds(_docs(sf_dir), threshold=0.8,
                                          docs_hint=_docs_count(sf_dir))

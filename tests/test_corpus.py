@@ -1020,3 +1020,12 @@ def test_dup_cluster_histogram_consistent_with_dedup():
     # docs dropped by keep-one dedup == Σ (size-1)·n_clusters
     dropped = int(((hist["size"] - 1) * hist.n_clusters).sum())
     assert total - survivors == dropped
+
+
+def test_dup_cluster_histogram_distributed_path_equal():
+    from pyofs_ray.pipelines.corpus import dup_cluster_histogram
+    a = dup_cluster_histogram(SF_SMOKE).to_pandas() \
+        .sort_values("size").reset_index(drop=True)
+    b = dup_cluster_histogram(SF_SMOKE, distributed=True).to_pandas() \
+        .sort_values("size").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
