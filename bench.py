@@ -115,6 +115,9 @@ BENCH_QUERIES = [
     "host_capped_topk", "token_typo_pairs", "host_trend_slope",
     "cluster_top_tokens", "cell_centroid_drift", "cell_shard_plan",
     "link_reciprocity", "dup_cluster_histogram",
+    # round 4 late block 15: HITS reverse propagation, big-big spatial
+    # self-join (grid blocking + half-plane replication)
+    "link_hits", "spatial_pairs_250",
 ]
 
 

@@ -2074,3 +2074,29 @@ register("link_reciprocity", _link_reciprocity,
          linkgraph.link_reciprocity_sql())
 register("dup_cluster_histogram", corpus.dup_cluster_histogram,
          corpus.dup_cluster_histogram_sql())
+
+
+# ------------------------------------- round-4 continuation: HITS + big-big
+# spatial self-join (the two remaining graph/join shapes)
+
+def _link_hits(sf_dir: str):
+    n = _doc_count(sf_dir)
+    ids = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+    return linkgraph.hits_scores(ids, n, iterations=2)
+
+
+register("link_hits", _link_hits, linkgraph.hits_sql(2))
+
+
+def _spatial_pairs(sf_dir: str):
+    from .stages.geocode import geocode
+    from .stages.spatial_join import within_radius_pairs
+    pages = geocode(pages_dataset(sf_dir, with_text=False))
+    return within_radius_pairs(pages, 250)
+
+
+from .stages.spatial_join import within_radius_pairs_sql  # noqa: E402
+
+register("spatial_pairs_250", _spatial_pairs,
+         f"{sqlgen.pages_prefix()},\n{within_radius_pairs_sql(250)}")

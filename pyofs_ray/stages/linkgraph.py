@@ -640,3 +640,148 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e2) AS n_edges,
          / CAST((SELECT COUNT(*) FROM e2) AS DOUBLE) AS reciprocity
 FROM r
 """
+
+
+# ------------------------------------------------- HITS hubs & authorities
+
+def hits_scores(doc_ids: ray.data.Dataset, n_nodes: int,
+                iterations: int = 2, id_col: str = "doc_id",
+                num_buckets: int | None = None) -> ray.data.Dataset:
+    """Unnormalized integer HITS over the deterministic link graph:
+    per iteration ``auth(v) = Σ_{u→v} hub(u)`` then
+    ``hub(u) = Σ_{u→v} auth(v)`` — the REVERSE-propagation complement of
+    PageRank (which only pushes along out-edges).
+
+    Scale shape: two exchanges per iteration. Exchange A is keyed on the
+    edge TARGET v and fuses three roles into one all-to-all — each edge row
+    (v, u, hub(u)) is simultaneously the auth contribution AND the
+    reverse-routing request, and a zero self-row keeps in-linkless nodes
+    alive; its kernel reduces auth(v) per cell group and immediately
+    re-emits per-u hub partials (auth(v) summed over the group's edges of
+    u), so the reverse join costs NO extra exchange. Exchange B is one
+    bucketed segment-sum keyed on the node that finalizes (node, hub, auth).
+    Edges are generated, never materialized (`_out_edges`).
+
+    Exactness: pure int64 sums of non-negative iterates (hub₀ = 1), so any
+    reduce order gives identical results and the DuckDB twin
+    (`hits_sql`, unrolled-iteration CTEs) is bit-exact. Unnormalized HITS
+    grows ≤ (max_in·max_out)^iterations — a loud guard raises long before
+    int64 wraps (normalization would need floats and break bit-parity;
+    rank ORDER is what HITS is used for and it is normalization-invariant).
+    """
+    if num_buckets is None:
+        import ray as _ray
+        cpus = int(_ray.cluster_resources().get("CPU", 8)) \
+            if _ray.is_initialized() else 8
+        num_buckets = max(8, cpus)
+    from .agg import hash_bucket_tag
+
+    state = doc_ids.map_batches(
+        lambda b: pa.table({
+            "node": b[id_col].cast(pa.int64()),
+            "hub": pa.array(np.ones(len(b), np.int64)),
+            "auth": pa.array(np.zeros(len(b), np.int64))}),
+        batch_format="pyarrow")
+
+    def expand(b: pa.Table) -> pa.Table:
+        node = b["node"].to_numpy().astype(np.int64)
+        hub = b["hub"].to_numpy().astype(np.int64)
+        if len(hub) and int(hub.max()) > (1 << 56):
+            raise OverflowError(
+                "HITS iterate exceeds 2^56 — reduce iterations "
+                "(unnormalized integer HITS grows geometrically)")
+        deg = 1 + (node % 4)
+        src_rep, dst, _ = _out_edges(node, n_nodes)
+        # edge rows (key=v, u, hub(u)) + zero self-rows (key=v, u=-1, 0)
+        key = np.concatenate([dst, node])
+        u = np.concatenate([src_rep, np.full(len(node), -1, np.int64)])
+        c = np.concatenate([np.repeat(hub, deg), np.zeros(len(node), np.int64)])
+        return pa.table({"key": pa.array(key, pa.int64()),
+                         "u": pa.array(u, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    def kernel_a(g: pa.Table) -> pa.Table:
+        key = g["key"].to_numpy().astype(np.int64)
+        u = g["u"].to_numpy().astype(np.int64)
+        c = g["c"].to_numpy().astype(np.int64)
+        order = np.argsort(key, kind="stable")
+        k_s, u_s, c_s = key[order], u[order], c[order]
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        seg = np.cumsum(np.r_[True, k_s[1:] != k_s[:-1]]) - 1
+        auth = np.add.reduceat(c_s, starts)
+        # auth rows (kind 0): one per v in this group — final, since a key
+        # lives in exactly one bucket
+        out_n = [k_s[starts]]
+        out_v = [auth]
+        out_k = [np.zeros(len(starts), np.int8)]
+        # hub partials (kind 1): auth(v) routed back to each edge's u,
+        # pre-combined per u within the group
+        em = u_s >= 0
+        if em.any():
+            uu = u_s[em]
+            av = auth[seg[em]]
+            uo = np.argsort(uu, kind="stable")
+            uu, av = uu[uo], av[uo]
+            ust = np.flatnonzero(np.r_[True, uu[1:] != uu[:-1]])
+            out_n.append(uu[ust])
+            out_v.append(np.add.reduceat(av, ust))
+            out_k.append(np.ones(len(ust), np.int8))
+        return pa.table({"node": pa.array(np.concatenate(out_n), pa.int64()),
+                         "val": pa.array(np.concatenate(out_v), pa.int64()),
+                         "kind": pa.array(np.concatenate(out_k), pa.int8())})
+
+    def kernel_b(g: pa.Table) -> pa.Table:
+        node = g["node"].to_numpy().astype(np.int64)
+        val = g["val"].to_numpy().astype(np.int64)
+        kind = g["kind"].to_numpy().astype(np.int64)
+        order = np.argsort(node, kind="stable")
+        n_s, v_s, k_s = node[order], val[order], kind[order]
+        starts = np.flatnonzero(np.r_[True, n_s[1:] != n_s[:-1]])
+        auth = np.add.reduceat(np.where(k_s == 0, v_s, 0), starts)
+        hub = np.add.reduceat(np.where(k_s == 1, v_s, 0), starts)
+        return pa.table({"node": pa.array(n_s[starts], pa.int64()),
+                         "hub": pa.array(hub, pa.int64()),
+                         "auth": pa.array(auth, pa.int64())})
+
+    for _ in range(iterations):
+        rows = state.map_batches(expand, batch_format="pyarrow")
+        mixed = (rows.map_batches(
+                     lambda b: hash_bucket_tag(b, ["key"], num_buckets),
+                     batch_format="pyarrow")
+                 .groupby("_bucket").map_groups(kernel_a,
+                                                batch_format="pyarrow"))
+        state = (mixed.map_batches(
+                     lambda b: hash_bucket_tag(b, ["node"], num_buckets),
+                     batch_format="pyarrow")
+                 .groupby("_bucket").map_groups(kernel_b,
+                                                batch_format="pyarrow"))
+    return state
+
+
+def hits_sql(iterations: int = 2, table: str = "documents",
+             id_col: str = "doc_id") -> str:
+    """Unrolled-iteration DuckDB twin of `hits_scores` (bit-exact int64)."""
+    parts = [f"WITH {edges_cte(table, id_col)}",
+             f"h0 AS (SELECT {id_col} AS node, CAST(1 AS BIGINT) AS hub "
+             f"FROM {table})"]
+    prev = "h0"
+    for i in range(1, iterations + 1):
+        parts.append(f"""a{i} AS (
+  SELECT d.{id_col} AS node,
+         COALESCE(s.a, CAST(0 AS BIGINT)) AS auth
+  FROM {table} d LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM(h.hub) AS BIGINT) AS a
+    FROM edges e JOIN {prev} h ON h.node = e.src GROUP BY e.dst
+  ) s ON s.node = d.{id_col})""")
+        parts.append(f"""h{i} AS (
+  SELECT e.src AS node, CAST(SUM(a.auth) AS BIGINT) AS hub
+  FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY e.src)""")
+        prev = f"h{i}"
+    return (",\n".join(parts)
+            + f"""
+SELECT d.{id_col} AS node,
+       COALESCE(h.hub, CAST(0 AS BIGINT)) AS hub,
+       a.auth
+FROM {table} d
+LEFT JOIN h{iterations} h ON h.node = d.{id_col}
+JOIN a{iterations} a ON a.node = d.{id_col}""")

@@ -219,3 +219,50 @@ def test_link_reciprocity_matches_setcheck():
     recip = sum(1 for (a, b) in es if (b, a) in es and a < b)
     assert int(df.n_edges.iloc[0]) == len(es)
     assert int(df.n_recip_pairs.iloc[0]) == recip
+
+
+# ------------------------------------------------------------------- HITS
+
+def _brute_hits(n: int, iterations: int) -> tuple[np.ndarray, np.ndarray]:
+    node = np.arange(n, dtype=np.int64)
+    hub = np.ones(n, np.int64)
+    auth = np.zeros(n, np.int64)
+    for _ in range(iterations):
+        auth = np.zeros(n, np.int64)
+        for j in range(4):
+            mask = j <= node % 4
+            dst = (node[mask] * lg.EDGE_MUL + j * lg.EDGE_JMUL + 1) % n
+            np.add.at(auth, dst, hub[mask])
+        hub = np.zeros(n, np.int64)
+        for j in range(4):
+            mask = j <= node % 4
+            dst = (node[mask] * lg.EDGE_MUL + j * lg.EDGE_JMUL + 1) % n
+            np.add.at(hub, node[mask], auth[dst])
+    return hub, auth
+
+
+@pytest.mark.parametrize("n,iters", [(97, 1), (400, 2), (400, 3)])
+def test_hits_bitwise_vs_brute(n, iters):
+    got = (lg.hits_scores(_ids_ds(n), n, iterations=iters)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    hub, auth = _brute_hits(n, iters)
+    assert np.array_equal(got["node"].to_numpy(), np.arange(n))
+    assert np.array_equal(got["hub"].to_numpy(), hub)
+    assert np.array_equal(got["auth"].to_numpy(), auth)
+
+
+def test_hits_bucket_count_independent():
+    a = (lg.hits_scores(_ids_ds(200), 200, iterations=2, num_buckets=3)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    b = (lg.hits_scores(_ids_ds(200, blocks=7), 200, iterations=2,
+                        num_buckets=17)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    assert a.equals(b)
+
+
+def test_hits_overflow_guard():
+    # 40 unnormalized iterations would blow well past 2^56 on any graph
+    # with in/out degree > 1 — the guard must raise loudly, not wrap
+    # Ray wraps the worker's OverflowError in RayTaskError — match message
+    with pytest.raises(Exception, match="HITS iterate exceeds"):
+        lg.hits_scores(_ids_ds(100), 100, iterations=40).materialize()
