@@ -117,7 +117,7 @@ BENCH_QUERIES = [
     "link_reciprocity", "dup_cluster_histogram",
     # round 4 late block 15: HITS reverse propagation, big-big spatial
     # self-join (grid blocking + half-plane replication)
-    "link_hits", "spatial_pairs_250",
+    "link_hits", "spatial_pairs_250", "host_boilerplate_tokens",
 ]
 
 

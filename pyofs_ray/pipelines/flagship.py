@@ -1887,3 +1887,100 @@ SELECT cell_id, CAST(n AS BIGINT) AS n,
          AS shard
 FROM w
 """
+
+
+# --------------------------------------- per-host boilerplate vocabulary
+
+BOILER_NUM, BOILER_DEN = 9, 10  # token is boilerplate at df >= 90% of host docs
+
+
+def host_boilerplate_tokens(sf_dir: str) -> ray.data.Dataset:
+    """Site-level boilerplate detection: tokens present in >= 90% of a
+    host's documents (nav bars, footers, templated chrome — the per-SITE
+    counterpart of the per-document quality filters; CCNet-style curation
+    drops these before training). Output: (host, token, df, host_docs).
+
+    Scale shape: per-batch Arrow distinct-(doc, token) + group_by compress
+    each block to its (host, token) partial document frequencies (a doc is
+    one row, so a doc never spans batches and per-batch df partials are
+    exact); ONE (host, token)-keyed bucket exchange sums them —
+    skew-neutral against the 70%-one-host fixture because the exchange key
+    includes the token. Host doc totals are a separate ≤|hosts| reduce over
+    the narrow url column, broadcast once via ray.put and applied as a
+    fused filter map (no second all-to-all, no driver pull of the big
+    side). The threshold is the integer cross-multiplication
+    ``den·df >= num·n`` — no float predicate.
+    """
+    from ..sources.pages import pages_dataset
+    from ..stages.agg import bucketed_group_agg
+
+    ds = pages_dataset(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(b["text"], r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        host = url_host(b["url"])
+        t = pa.table({"host": host.take(parent), "d": parent, "token": flat})
+        t = t.filter(pc.not_equal(t["token"], ""))
+        dd = t.group_by(["host", "d", "token"]).aggregate([])
+        g = dd.group_by(["host", "token"]).aggregate([("d", "count")])
+        return pa.table({"host": g["host"], "token": g["token"],
+                         "df": g["d_count"].cast(pa.int64())})
+
+    dft = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["host", "token"], [("df", "sum", "df")])
+
+    # host doc totals: ≤|hosts| rows from the url column only
+    import ray as _ray
+
+    from ..sources.pages import pages_dataset as _pd
+    tot = (_pd(sf_dir, with_text=False)
+           .map_batches(lambda b: pa.table({"host": url_host(b["url"])})
+                        .group_by("host").aggregate([("host", "count")])
+                        .rename_columns(["host", "n"]),
+                        batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("host").sum("n").materialize())
+    # drop empty blocks: Ray 2.49 groupby can emit schema-less empties
+    # that poison concat_tables
+    tt = pa.concat_tables(
+        [t for t in _ray.get(tot.to_arrow_refs()) if t.num_rows]
+    ).combine_chunks()
+    totals = dict(zip(tt["host"].to_pylist(),
+                      tt["sum(n)"].to_pylist()))
+    tot_ref = _ray.put(totals)
+
+    def filt(b: pa.Table) -> pa.Table:
+        look = _ray.get(tot_ref)
+        import numpy as np
+        hosts = b["host"].to_pylist()
+        n = np.array([look[h] for h in hosts], np.int64)
+        df = b["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = BOILER_DEN * df >= BOILER_NUM * n
+        out = b.append_column("host_docs", pa.array(n, pa.int64()))
+        return out.filter(pa.array(keep))
+
+    return dft.map_batches(filt, batch_format="pyarrow")
+
+
+HOST_BOILERPLATE_SQL = rf"""
+tok AS (
+  SELECT DISTINCT host, page_key, token FROM (
+    SELECT SPLIT_PART(url, '/', 3) AS host, page_key,
+           unnest(regexp_split_to_array(text, '\s+')) AS token
+    FROM pages)
+  WHERE token <> ''
+),
+df AS (
+  SELECT host, token, CAST(COUNT(*) AS BIGINT) AS df
+  FROM tok GROUP BY host, token
+),
+tot AS (
+  SELECT SPLIT_PART(url, '/', 3) AS host, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pages GROUP BY 1
+)
+SELECT d.host, d.token, d.df, t.n AS host_docs
+FROM df d JOIN tot t USING (host)
+WHERE {BOILER_DEN} * d.df >= {BOILER_NUM} * t.n
+"""

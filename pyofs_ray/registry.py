@@ -2100,3 +2100,9 @@ from .stages.spatial_join import within_radius_pairs_sql  # noqa: E402
 
 register("spatial_pairs_250", _spatial_pairs,
          f"{sqlgen.pages_prefix()},\n{within_radius_pairs_sql(250)}")
+
+
+# per-host boilerplate vocabulary (site-level curation: tokens in >=90% of
+# a host's docs)
+register("host_boilerplate_tokens", flagship.host_boilerplate_tokens,
+         f"{sqlgen.pages_prefix()},\n{flagship.HOST_BOILERPLATE_SQL}")

@@ -183,3 +183,35 @@ def test_cell_shard_plan_balanced_and_contiguous():
     # every shard except possibly those holding one giant cell is
     # ≤ target + (max single cell − 1): a cell is never split
     assert (per <= target + df.n.max() - 1).all()
+
+
+# ------------------------------------------- host boilerplate vocabulary
+
+def test_host_boilerplate_tokens_engineered(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from pyofs_ray.pipelines.flagship import host_boilerplate_tokens
+
+    # doc_ids 10/20/30 -> hot host h0 (k % 10 < 7); doc_id 19 -> host h19
+    rows = pa.table({
+        "doc_id": pa.array([10, 20, 30, 19], pa.int64()),
+        "text": ["nav foo alpha", "nav foo beta", "nav gamma gamma",
+                 "solo page"],
+        "lang": ["en"] * 4, "source": ["t"] * 4,
+        "n_chars": pa.array([1, 1, 1, 1], pa.int64())})
+    _pq.write_table(rows, str(tmp_path / "documents.parquet"))
+    df = host_boilerplate_tokens(str(tmp_path)).to_pandas()
+    by_host = {(r.host, r.token): (r.df, r.host_docs)
+               for r in df.itertuples()}
+    # h0 has 3 docs: only 'nav' hits df=3 (10*3 >= 9*3); 'foo' df=2 and
+    # 'gamma' df=1 (distinct per doc!) miss
+    h0 = "h0.example.com"
+    assert by_host[(h0, "nav")] == (3, 3)
+    assert (h0, "foo") not in by_host
+    assert (h0, "gamma") not in by_host
+    # the single-doc host: every token is trivially boilerplate
+    h19 = "h19.example.com"
+    assert by_host[(h19, "solo")] == (1, 1)
+    assert by_host[(h19, "page")] == (1, 1)
+    assert set(df.host) == {h0, h19}
