@@ -1984,3 +1984,108 @@ SELECT d.host, d.token, d.df, t.n AS host_docs
 FROM df d JOIN tot t USING (host)
 WHERE {BOILER_DEN} * d.df >= {BOILER_NUM} * t.n
 """
+
+
+def host_boilerplate_strip(sf_dir: str) -> ray.data.Dataset:
+    """Apply the learned per-host boilerplate vocabulary: drop every token
+    of a page that is host-boilerplate (`host_boilerplate_tokens`), rejoin
+    the survivors single-spaced. Output (page_key, clean_text, n_removed)
+    for EVERY page (a fully-boilerplate page keeps an empty string) — the
+    broadcast-apply half of site-level curation.
+
+    Scale shape: the detection result is bounded by |hosts| × |vocabulary|
+    (hosts ≤ 97 here; at an unbounded host count the set would attach via
+    a bucketed (host, token) join instead — same key as the detection
+    exchange). It is pulled once, broadcast via ray.put, and applied in a
+    stateless vectorized map: pandas hash-merge marks boilerplate token
+    positions, Arrow list reassembly + binary_join rebuilds each page's
+    text — no Python loop over docs or tokens.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray as _ray
+
+    from ..sources.pages import pages_dataset
+
+    bp = host_boilerplate_tokens(sf_dir).materialize()
+    bpt = pa.concat_tables(
+        [t for t in _ray.get(bp.to_arrow_refs()) if t.num_rows])
+    bp_df = pd.DataFrame({"host": bpt["host"].to_pylist(),
+                          "token": bpt["token"].to_pylist()})
+    bp_ref = _ray.put(bp_df)
+
+    def strip(b: pa.Table) -> pa.Table:
+        boiler = _ray.get(bp_ref)
+        b = b.combine_chunks()  # ListArray.from_arrays needs flat Arrays
+        toks = pc.split_pattern_regex(b["text"], r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        host = url_host(b["url"])
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        tok_df = pd.DataFrame({
+            "host": host.take(pa.array(parent)).to_pandas(),
+            "token": flat.to_pandas()})
+        hit = tok_df.merge(boiler.assign(_bp=True), how="left",
+                           on=["host", "token"])["_bp"].notna().to_numpy()
+        keep = nonempty & ~hit
+        n_docs = len(b)
+        kept_counts = np.bincount(parent[keep], minlength=n_docs)
+        removed = np.bincount(parent[nonempty & hit], minlength=n_docs)
+        offsets = np.zeros(n_docs + 1, np.int32)
+        np.cumsum(kept_counts, out=offsets[1:])
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            flat.filter(pa.array(keep)).cast(pa.string()))
+        clean = pc.binary_join(lists, " ")
+        return pa.table({"page_key": b["page_key"],
+                         "clean_text": clean,
+                         "n_removed": pa.array(removed, pa.int64())})
+
+    return pages_dataset(sf_dir, keep_key=True).map_batches(
+        strip, batch_format="pyarrow", zero_copy_batch=True)
+
+
+HOST_BOILERPLATE_STRIP_SQL = rf"""
+bp AS (
+  SELECT d.host, d.token FROM (
+    SELECT host, token, CAST(COUNT(*) AS BIGINT) AS df FROM (
+      SELECT DISTINCT host, page_key, token FROM (
+        SELECT SPLIT_PART(url, '/', 3) AS host, page_key,
+               unnest(regexp_split_to_array(text, '\s+')) AS token
+        FROM pages)
+      WHERE token <> '')
+    GROUP BY host, token) d
+  JOIN (SELECT SPLIT_PART(url, '/', 3) AS host,
+               CAST(COUNT(*) AS BIGINT) AS n FROM pages GROUP BY 1) t
+    USING (host)
+  WHERE {BOILER_DEN} * d.df >= {BOILER_NUM} * t.n
+),
+tokpos AS (
+  SELECT page_key, host, token, pos FROM (
+    SELECT page_key, host,
+           unnest(arr) AS token,
+           generate_subscripts(arr, 1) AS pos
+    FROM (SELECT page_key, SPLIT_PART(url, '/', 3) AS host,
+                 regexp_split_to_array(text, '\s+') AS arr
+          FROM pages))
+  WHERE token <> ''
+),
+marked AS (
+  SELECT t.page_key, t.token, t.pos, b.token IS NOT NULL AS is_bp
+  FROM tokpos t
+  LEFT JOIN bp b ON b.host = t.host AND b.token = t.token
+)
+SELECT p.page_key,
+       COALESCE(s.clean_text, '') AS clean_text,
+       COALESCE(s.n_removed, CAST(0 AS BIGINT)) AS n_removed
+FROM pages p
+LEFT JOIN (
+  SELECT page_key,
+         STRING_AGG(token, ' ' ORDER BY pos) FILTER (NOT is_bp)
+           AS clean_text,
+         CAST(COUNT(*) FILTER (is_bp) AS BIGINT) AS n_removed
+  FROM marked GROUP BY page_key
+) s USING (page_key)
+"""

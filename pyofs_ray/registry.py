@@ -2106,3 +2106,7 @@ register("spatial_pairs_250", _spatial_pairs,
 # a host's docs)
 register("host_boilerplate_tokens", flagship.host_boilerplate_tokens,
          f"{sqlgen.pages_prefix()},\n{flagship.HOST_BOILERPLATE_SQL}")
+
+
+register("host_boilerplate_strip", flagship.host_boilerplate_strip,
+         f"{sqlgen.pages_prefix()},\n{flagship.HOST_BOILERPLATE_STRIP_SQL}")

@@ -215,3 +215,28 @@ def test_host_boilerplate_tokens_engineered(tmp_path):
     assert by_host[(h19, "solo")] == (1, 1)
     assert by_host[(h19, "page")] == (1, 1)
     assert set(df.host) == {h0, h19}
+
+
+def test_host_boilerplate_strip_engineered(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from pyofs_ray.pipelines.flagship import host_boilerplate_strip
+
+    rows = pa.table({
+        "doc_id": pa.array([10, 20, 30, 19], pa.int64()),
+        "text": ["nav foo alpha", "nav foo beta", "nav gamma gamma",
+                 "solo page"],
+        "lang": ["en"] * 4, "source": ["t"] * 4,
+        "n_chars": pa.array([1, 1, 1, 1], pa.int64())})
+    _pq.write_table(rows, str(tmp_path / "documents.parquet"))
+    df = (host_boilerplate_strip(str(tmp_path)).to_pandas()
+          .set_index("page_key").sort_index())
+    # h0: only 'nav' is boilerplate (df 3/3); order of survivors preserved
+    assert df.loc[10, "clean_text"] == "foo alpha"
+    assert df.loc[20, "clean_text"] == "foo beta"
+    assert df.loc[30, "clean_text"] == "gamma gamma"
+    assert df.loc[10, "n_removed"] == 1
+    # single-doc host: EVERYTHING is boilerplate -> empty string survives
+    assert df.loc[19, "clean_text"] == ""
+    assert df.loc[19, "n_removed"] == 2
