@@ -2089,3 +2089,125 @@ LEFT JOIN (
   FROM marked GROUP BY page_key
 ) s USING (page_key)
 """
+
+
+# ------------------------------------------------- cross-host mirror pairs
+
+MIRROR_MOD0, MIRROR_MOD1 = 20, 40   # seeded mirror strides
+MIRROR_MIN_SHARED = 3               # host pair reported at >= 3 shared docs
+MIRROR_HOSTS = ("mirror0.example.com", "mirror1.example.com")
+
+
+def host_mirror_pairs(sf_dir: str, min_shared: int = MIRROR_MIN_SHARED
+                      ) -> ray.data.Dataset:
+    """Site-mirror / spam-farm detection: host pairs sharing >= k identical
+    documents (by text fingerprint). The fixture corpus is dup-free, so —
+    like the `embedding_dup_pairs_ivf` seeded gate — the query plants a
+    deterministic mirror set INSIDE the pipeline (every ``page_key % 20``
+    doc re-hosted on mirror0, every ``% 40`` also on mirror1) so the
+    driver's gate row is non-vacuous; the SQL twin seeds identically.
+
+    Scale shape: in-host dups collapse in per-batch distinct partials
+    (only 32-char fingerprints + hosts move, never text); ONE text-hash
+    bucket exchange groups each fingerprint's host set (per-group pair
+    expansion is |hosts-sharing-a-text|²-bounded); pair partials pre-sum
+    in-group, then ONE (host_a, host_b) exchange totals shared counts and
+    the >= k filter keeps output mirror-bounded.
+    """
+    from ..stages.agg import bucketed_group_agg, hash_bucket_tag
+    from ..stages.cocite import _pair_rows
+    from ..stages.text import fingerprint
+
+    ds = pages_dataset(sf_dir, keep_key=True)
+
+    def seeded_partial(b: pa.Table) -> pa.Table:
+        key = b["page_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        th = fingerprint(b, "text")["text_hash"]
+        host = url_host(b["url"])
+        hs, fps = [host], [th]
+        for mod, mhost in zip((MIRROR_MOD0, MIRROR_MOD1), MIRROR_HOSTS):
+            mask = pa.array(key % mod == 0)
+            sub = th.filter(mask)
+            hs.append(pa.array([mhost] * len(sub), pa.string()))
+            fps.append(sub)
+        t = pa.table({"host": pa.concat_arrays([a.combine_chunks() if
+                                                isinstance(a, pa.ChunkedArray)
+                                                else a for a in hs]),
+                      "th": pa.concat_arrays([a.combine_chunks() if
+                                              isinstance(a, pa.ChunkedArray)
+                                              else a for a in fps])})
+        return t.group_by(["host", "th"]).aggregate([])  # in-batch distinct
+
+    rows = ds.map_batches(seeded_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    import ray as _ray
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) \
+        if _ray.is_initialized() else 8
+    nb = max(8, cpus)
+
+    def pair_kernel(g: pa.Table) -> pa.Table:
+        # global distinct per (host, th) inside the text-hash group, then
+        # host-pair expansion per fingerprint (the _pair_rows segment
+        # arithmetic over string hosts via in-group dictionary codes)
+        gg = g.select(["host", "th"]).group_by(["th", "host"]).aggregate([])
+        hosts = gg["host"].combine_chunks()
+        codes = hosts.dictionary_encode()
+        # _pair_rows keys segments by an int64 dst — dictionary-encode the
+        # 32-char fingerprints too (code values are group-local, which is
+        # fine: segmentation only needs equality)
+        th_codes = gg["th"].combine_chunks().dictionary_encode()
+        pairs = _pair_rows(pa.table({
+            "dst": th_codes.indices.cast(pa.int64()),
+            "src": codes.indices.cast(pa.int64())}))
+        dic = codes.dictionary
+        return pa.table({
+            "host_a": dic.take(pairs["src_a"].cast(pa.int32())),
+            "host_b": dic.take(pairs["src_b"].cast(pa.int32())),
+            "one": pairs["one"]})
+
+    tagged = rows.map_batches(lambda b: hash_bucket_tag(b, ["th"], nb),
+                              batch_format="pyarrow")
+    pair_parts = tagged.groupby("_bucket").map_groups(
+        pair_kernel, batch_format="pyarrow")
+
+    counted = bucketed_group_agg(pair_parts, ["host_a", "host_b"],
+                                 [("one", "sum", "shared")], coalesce=True)
+
+    def finish(b: pa.Table) -> pa.Table:
+        # codes order within a group is arbitrary — canonicalize the pair
+        # lexicographically, then threshold
+        a = b["host_a"].combine_chunks()
+        c = b["host_b"].combine_chunks()
+        lo = pc.min_element_wise(a, c)
+        hi = pc.max_element_wise(a, c)
+        t = pa.table({"host_a": lo, "host_b": hi, "shared": b["shared"]})
+        t = (t.group_by(["host_a", "host_b"])
+              .aggregate([("shared", "sum")]))
+        t = pa.table({"host_a": t["host_a"], "host_b": t["host_b"],
+                      "shared": t["shared_sum"].cast(pa.int64())})
+        return t.filter(pc.greater_equal(t["shared"], min_shared))
+
+    # pair keys are mirror-bounded: coalesce before the tiny canonical
+    # re-aggregation (host codes differ per group, so lexicographic
+    # canonicalization must re-combine once globally)
+    return counted.repartition(1).map_batches(finish,
+                                              batch_format="pyarrow")
+
+
+def host_mirror_pairs_sql(min_shared: int = MIRROR_MIN_SHARED) -> str:
+    return f"""
+seeded AS (
+  SELECT SPLIT_PART(url, '/', 3) AS host, text FROM pages
+  UNION ALL
+  SELECT '{MIRROR_HOSTS[0]}', text FROM pages WHERE page_key % {MIRROR_MOD0} = 0
+  UNION ALL
+  SELECT '{MIRROR_HOSTS[1]}', text FROM pages WHERE page_key % {MIRROR_MOD1} = 0
+),
+per AS (SELECT DISTINCT host, md5(text) AS th FROM seeded)
+SELECT LEAST(a.host, b.host) AS host_a,
+       GREATEST(a.host, b.host) AS host_b,
+       CAST(COUNT(*) AS BIGINT) AS shared
+FROM per a JOIN per b ON a.th = b.th AND a.host < b.host
+GROUP BY 1, 2
+HAVING COUNT(*) >= {min_shared}
+"""

@@ -2110,3 +2110,8 @@ register("host_boilerplate_tokens", flagship.host_boilerplate_tokens,
 
 register("host_boilerplate_strip", flagship.host_boilerplate_strip,
          f"{sqlgen.pages_prefix()},\n{flagship.HOST_BOILERPLATE_STRIP_SQL}")
+
+
+# cross-host mirror detection (seeded, like embedding_dup_pairs_ivf)
+register("host_mirror_pairs", flagship.host_mirror_pairs,
+         f"{sqlgen.pages_prefix()},\n{flagship.host_mirror_pairs_sql()}")

@@ -240,3 +240,27 @@ def test_host_boilerplate_strip_engineered(tmp_path):
     # single-doc host: EVERYTHING is boilerplate -> empty string survives
     assert df.loc[19, "clean_text"] == ""
     assert df.loc[19, "n_removed"] == 2
+
+
+def test_host_mirror_pairs_expected_sets(duck_smoke):
+    import duckdb
+
+    from pyofs_ray.pipelines.flagship import (MIRROR_HOSTS,
+                                              host_mirror_pairs)
+
+    df = host_mirror_pairs("/root/testdata/sf0.001").to_pandas()
+    got = {(r.host_a, r.host_b): r.shared for r in df.itertuples()}
+    # mirror0 carries every %20 doc: 70% live on h0 -> (h0, mirror0) must
+    # be a heavy pair; mirror1 ⊂ mirror0 by construction
+    m0, m1 = MIRROR_HOSTS
+    assert got[("h0.example.com", m0)] >= 3
+    assert got[(m0, m1)] >= 3
+    # every %40 doc is on both mirrors: (m0, m1) shared == mirror1's size
+    import duckdb as _dd
+    n_m1 = _dd.sql("SELECT COUNT(*) FROM "
+                   "'/root/testdata/sf0.001/documents.parquet' "
+                   "WHERE doc_id % 40 = 0").fetchone()[0]
+    assert got[(m0, m1)] == n_m1
+    # all pairs meet the threshold and are canonically ordered
+    assert (df.shared >= 3).all()
+    assert (df.host_a < df.host_b).all()
