@@ -118,7 +118,7 @@ BENCH_QUERIES = [
     # round 4 late block 15: HITS reverse propagation, big-big spatial
     # self-join (grid blocking + half-plane replication)
     "link_hits", "spatial_pairs_250", "host_boilerplate_tokens",
-    "host_boilerplate_strip", "host_mirror_pairs",
+    "host_boilerplate_strip", "host_mirror_pairs", "cell_morton_plan",
 ]
 
 

@@ -116,3 +116,19 @@ def parent_cell(cell_id: np.ndarray, dz: int = 1) -> np.ndarray:
 def overview_levels(z_base: int) -> list[int]:
     """Zoom levels of the pyramid, base first (z_base … 0)."""
     return list(range(z_base, -1, -1))
+
+
+def morton_interleave(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Z-order (Morton) code: bit-interleave x (odd bits) and y (even
+    bits). Supports coordinates < 2^26 (every zoom this engine packs).
+    Space-filling-curve order keeps spatially-adjacent cells in the same
+    range shard — the locality property row-major cell_id order lacks."""
+    def part1by1(v: np.ndarray) -> np.ndarray:
+        v = v.astype(np.int64)
+        v = (v | (v << 16)) & 0x0000FFFF0000FFFF
+        v = (v | (v << 8)) & 0x00FF00FF00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0F
+        v = (v | (v << 2)) & 0x3333333333333333
+        v = (v | (v << 1)) & 0x5555555555555555
+        return v
+    return (part1by1(np.asarray(x)) << 1) | part1by1(np.asarray(y))

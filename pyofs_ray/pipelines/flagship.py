@@ -2211,3 +2211,73 @@ FROM per a JOIN per b ON a.th = b.th AND a.host < b.host
 GROUP BY 1, 2
 HAVING COUNT(*) >= {min_shared}
 """
+
+
+def cell_morton_plan(sf_dir: str, zoom: int = geom.BASE_ZOOM,
+                     nshards: int = SHARD_COUNT) -> ray.data.Dataset:
+    """`cell_shard_plan` ordered by the Z-ORDER (Morton) space-filling
+    curve instead of row-major cell_id: shard boundaries cut the
+    bit-interleaved (x, y) walk, so each range shard is a spatially
+    COMPACT tile cluster (≈√(cells/shard) side) rather than a full-height
+    longitude strip — neighbor-stencil and PIP follow-up stages then read
+    ~1 shard instead of ~√nshards. Output (cell_id, morton, n, shard);
+    same ONE count exchange + ≤4^z coalesced prefix finish.
+    """
+    from ..stages.agg import two_stage_cell_agg
+
+    ds = geocoded_pages(sf_dir, zoom).select_columns(["cell_id"])
+    counts = two_stage_cell_agg(ds, keys=("cell_id",), int_sum_cols=(),
+                                count_name="n")
+
+    def finish(b: pa.Table) -> pa.Table:
+        cid = b["cell_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = (cid >> geom.CELL_X_SHIFT) & geom.CELL_XY_MASK
+        y = cid & geom.CELL_XY_MASK
+        m = geom.morton_interleave(x, y)
+        order = np.argsort(m, kind="stable")
+        cid, n, m = cid[order], n[order], m[order]
+        total = int(n.sum())
+        target = -(-total // nshards) if total else 1
+        cum_before = np.concatenate(([0], np.cumsum(n)[:-1]))
+        return pa.table({"cell_id": pa.array(cid), "morton": pa.array(m),
+                         "n": pa.array(n),
+                         "shard": pa.array(cum_before // target)})
+
+    return counts.repartition(1).map_batches(finish, batch_format="pyarrow",
+                                             batch_size=None)
+
+
+def cell_morton_plan_sql(zoom: int = geom.BASE_ZOOM,
+                         nshards: int = SHARD_COUNT) -> str:
+    from ..core import sqlgen
+    bits = zoom  # x, y < 2^zoom at this zoom
+    mx = " + ".join(f"((x // {1 << i}) % 2) * {1 << (2 * i + 1)}"
+                    for i in range(bits))
+    my = " + ".join(f"((y // {1 << i}) % 2) * {1 << (2 * i)}"
+                    for i in range(bits))
+    return f"""{sqlgen.pages_prefix()},
+cells AS (
+  SELECT {sqlgen.cell_expr(zoom)} AS cell_id, COUNT(*) AS n
+  FROM pages GROUP BY 1
+),
+mcells AS (
+  SELECT cell_id, n, CAST({mx} + {my} AS BIGINT) AS morton
+  FROM (SELECT cell_id, n,
+               (cell_id // {1 << geom.CELL_X_SHIFT}) % {1 << 26} AS x,
+               cell_id % {1 << 26} AS y
+        FROM cells)
+),
+w AS (
+  SELECT cell_id, morton, n,
+         COALESCE(SUM(n) OVER (ORDER BY morton
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before,
+         SUM(n) OVER () AS total
+  FROM mcells
+)
+SELECT cell_id, morton, CAST(n AS BIGINT) AS n,
+       CAST(cum_before // ((total + {nshards} - 1) // {nshards}) AS BIGINT)
+         AS shard
+FROM w
+"""

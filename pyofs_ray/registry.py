@@ -2115,3 +2115,8 @@ register("host_boilerplate_strip", flagship.host_boilerplate_strip,
 # cross-host mirror detection (seeded, like embedding_dup_pairs_ivf)
 register("host_mirror_pairs", flagship.host_mirror_pairs,
          f"{sqlgen.pages_prefix()},\n{flagship.host_mirror_pairs_sql()}")
+
+
+# Z-order (Morton) range-shard planning — spatially compact shards
+register("cell_morton_plan", flagship.cell_morton_plan,
+         flagship.cell_morton_plan_sql())

@@ -264,3 +264,28 @@ def test_host_mirror_pairs_expected_sets(duck_smoke):
     # all pairs meet the threshold and are canonically ordered
     assert (df.shared >= 3).all()
     assert (df.host_a < df.host_b).all()
+
+
+def test_cell_morton_plan_locality_and_mass(duck_smoke):
+    import numpy as np
+
+    from pyofs_ray.core.geom import CELL_X_SHIFT, CELL_XY_MASK, \
+        morton_interleave
+    from pyofs_ray.pipelines.flagship import cell_morton_plan, \
+        cell_shard_plan
+
+    df = (cell_morton_plan("/root/testdata/sf0.001").to_pandas()
+          .sort_values("morton").reset_index(drop=True))
+    # morton recomputes from cell_id exactly
+    x = (df.cell_id.to_numpy() >> CELL_X_SHIFT) & CELL_XY_MASK
+    y = df.cell_id.to_numpy() & CELL_XY_MASK
+    assert np.array_equal(df.morton.to_numpy(), morton_interleave(x, y))
+    # shard ids are nondecreasing along the curve and mass-balanced
+    assert (np.diff(df.shard.to_numpy()) >= 0).all()
+    total = df.n.sum()
+    target = -(-total // (df.shard.max() + 1))
+    assert df.groupby("shard").n.sum().max() <= 2 * target
+    # same cells, same counts, same total mass as the row-major plan
+    rm = cell_shard_plan("/root/testdata/sf0.001").to_pandas()
+    assert sorted(rm.cell_id) == sorted(df.cell_id)
+    assert rm.n.sum() == total
