@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     # self-join (grid blocking + half-plane replication)
     "link_hits", "spatial_pairs_250", "host_boilerplate_tokens",
     "host_boilerplate_strip", "host_mirror_pairs", "cell_morton_plan",
+    "dedup_template_normalized",
 ]
 
 

@@ -2281,3 +2281,170 @@ SELECT cell_id, morton, CAST(n AS BIGINT) AS n,
          AS shard
 FROM w
 """
+
+
+# -------------------------------- stop-token-normalized exact dedup
+
+STOP_NUM, STOP_DEN = 3, 4          # stop token: df >= 75% of docs
+NORM_SEED_MOD = 25                 # every 25th page gets a templated variant
+NORM_SEED_OFF = 1_000_000_000      # seeded page_key offset
+
+
+def dedup_template_normalized(sf_dir: str) -> ray.data.Dataset:
+    """Exact dedup AFTER stop-token normalization: documents whose token
+    sequences are identical once corpus-level stop tokens (df >= 75%) are
+    stripped — catches template-varied near-copies that raw-md5 dedup
+    misses. The dup-free fixture is seeded INSIDE the query (every
+    ``page_key % 25`` doc gains a variant prepending the corpus's single
+    most-frequent token — a guaranteed stop token, so the variant
+    normalizes back to its source and every seeded pair MUST surface);
+    the SQL twin seeds identically. Output (key_a, key_b), key_a < key_b.
+
+    Scale shape: stop detection is ONE token-keyed exchange over per-batch
+    distinct-(doc, token) df partials (vocabulary-bounded result,
+    broadcast once via ray.put — the jaccard broadcast-df pattern);
+    normalization + md5 is a stateless vectorized map (Arrow ListArray
+    reassembly, hashlib in C); pair emission is ONE fingerprint bucket
+    exchange with dup-bounded in-group expansion. Raw text never
+    shuffles — only 32-char fingerprints and int64 keys.
+    """
+    import ray as _ray
+
+    from ..stages.agg import bucketed_group_agg, hash_bucket_tag
+    from ..stages.cocite import _pair_rows
+    from ..stages.text import fingerprint
+
+    ds = pages_dataset(sf_dir, keep_key=True)
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(b["text"], r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        t = pa.table({"d": parent, "token": flat})
+        t = t.filter(pc.not_equal(t["token"], ""))
+        dd = t.group_by(["d", "token"]).aggregate([])
+        g = dd.group_by("token").aggregate([("d", "count")])
+        return pa.table({"token": g["token"],
+                         "df": g["d_count"].cast(pa.int64())})
+
+    dft = bucketed_group_agg(
+        ds.map_batches(df_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["token"], [("df", "sum", "df")], coalesce=True).materialize()
+    n_docs = int(pages_dataset(sf_dir, with_text=False).count())
+    vt = pa.concat_tables(
+        [t for t in _ray.get(dft.to_arrow_refs()) if t.num_rows]
+    ).combine_chunks()
+    toks = np.asarray(vt["token"].to_pylist(), dtype=object)
+    dfs = vt["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    stop_set = set(toks[STOP_DEN * dfs >= STOP_NUM * n_docs].tolist())
+    # single most-frequent token (ties token-ascending) — the injected
+    # template chrome; guaranteed a stop token at this fixture's skew
+    order = np.lexsort((toks, -dfs))
+    top_tok = str(toks[order[0]])
+    if top_tok not in stop_set:
+        raise ValueError("top-df token is not a stop token — the seeded "
+                         "variants would never normalize back; lower "
+                         "STOP_NUM/STOP_DEN for this corpus")
+    stops_ref = _ray.put(stop_set)
+
+    def normalize_and_hash(b: pa.Table) -> pa.Table:
+        stops = _ray.get(stops_ref)
+        b = b.combine_chunks()
+        key = b["page_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        text = b["text"].cast(pa.string())
+        mask = key % NORM_SEED_MOD == 0
+        seed_text = pc.binary_join_element_wise(
+            pa.array([top_tok] * int(mask.sum()), pa.string()),
+            text.filter(pa.array(mask)), " ")
+        all_key = np.concatenate([key, key[mask] + NORM_SEED_OFF])
+        all_text = pa.concat_arrays([
+            text.combine_chunks() if isinstance(text, pa.ChunkedArray)
+            else text,
+            seed_text.combine_chunks() if isinstance(seed_text,
+                                                     pa.ChunkedArray)
+            else seed_text])
+        toks = pc.split_pattern_regex(all_text, r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        # vectorized set membership: pandas isin hashes in C
+        import pandas as pd
+        is_stop = pd.Series(flat.to_pandas()).isin(stops).to_numpy()
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        keep = nonempty & ~is_stop
+        nk = len(all_key)
+        counts = np.bincount(parent[keep], minlength=nk)
+        offsets = np.zeros(nk + 1, np.int32)
+        np.cumsum(counts, out=offsets[1:])
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            flat.filter(pa.array(keep)).cast(pa.string()))
+        norm = pc.binary_join(lists, " ")
+        ht = fingerprint(pa.table({"page_key": pa.array(all_key, pa.int64()),
+                                   "text": norm}), "text")
+        return ht.select(["page_key", "text_hash"])
+
+    rows = ds.map_batches(normalize_and_hash, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) \
+        if _ray.is_initialized() else 8
+    nb = max(8, cpus)
+
+    def pair_kernel(g: pa.Table) -> pa.Table:
+        th_codes = g["text_hash"].combine_chunks().dictionary_encode()
+        pairs = _pair_rows(pa.table({
+            "dst": th_codes.indices.cast(pa.int64()),
+            "src": g["page_key"].combine_chunks().cast(pa.int64())}))
+        return pa.table({"key_a": pairs["src_a"], "key_b": pairs["src_b"]})
+
+    tagged = rows.map_batches(
+        lambda b: hash_bucket_tag(b, ["text_hash"], nb),
+        batch_format="pyarrow")
+    return tagged.groupby("_bucket").map_groups(pair_kernel,
+                                                batch_format="pyarrow")
+
+
+def dedup_template_normalized_sql() -> str:
+    return rf"""
+tokd AS (
+  SELECT DISTINCT page_key, token FROM (
+    SELECT page_key, unnest(regexp_split_to_array(text, '\s+')) AS token
+    FROM pages)
+  WHERE token <> ''
+),
+dfs AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tokd GROUP BY 1),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM pages),
+stops AS (SELECT token FROM dfs, nn WHERE {STOP_DEN} * df >= {STOP_NUM} * c),
+top1 AS (SELECT token FROM dfs ORDER BY df DESC, token ASC LIMIT 1),
+seeded AS (
+  SELECT page_key, text FROM pages
+  UNION ALL
+  SELECT page_key + {NORM_SEED_OFF},
+         (SELECT token FROM top1) || ' ' || text
+  FROM pages WHERE page_key % {NORM_SEED_MOD} = 0
+),
+toks AS (
+  SELECT page_key, token, pos FROM (
+    SELECT page_key, unnest(arr) AS token, generate_subscripts(arr, 1) AS pos
+    FROM (SELECT page_key, regexp_split_to_array(text, '\s+') AS arr
+          FROM seeded))
+  WHERE token <> ''
+),
+kept AS (
+  SELECT t.page_key, t.token, t.pos
+  FROM toks t LEFT JOIN stops s ON s.token = t.token
+  WHERE s.token IS NULL
+),
+norm AS (
+  SELECT p.page_key,
+         md5(COALESCE(k.nt, '')) AS th
+  FROM seeded p LEFT JOIN (
+    SELECT page_key, STRING_AGG(token, ' ' ORDER BY pos) AS nt
+    FROM kept GROUP BY page_key
+  ) k USING (page_key)
+)
+SELECT a.page_key AS key_a, b.page_key AS key_b
+FROM norm a JOIN norm b ON a.th = b.th AND a.page_key < b.page_key
+"""

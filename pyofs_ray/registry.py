@@ -2120,3 +2120,9 @@ register("host_mirror_pairs", flagship.host_mirror_pairs,
 # Z-order (Morton) range-shard planning — spatially compact shards
 register("cell_morton_plan", flagship.cell_morton_plan,
          flagship.cell_morton_plan_sql())
+
+
+# stop-token-normalized dedup (template-varied copies surface only after
+# normalization; seeded variants, like host_mirror_pairs)
+register("dedup_template_normalized", flagship.dedup_template_normalized,
+         f"{sqlgen.pages_prefix()},\n{flagship.dedup_template_normalized_sql()}")

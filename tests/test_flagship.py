@@ -289,3 +289,42 @@ def test_cell_morton_plan_locality_and_mass(duck_smoke):
     rm = cell_shard_plan("/root/testdata/sf0.001").to_pandas()
     assert sorted(rm.cell_id) == sorted(df.cell_id)
     assert rm.n.sum() == total
+
+
+def test_dedup_template_normalized_seeded_pairs(duck_smoke):
+    from pyofs_ray.pipelines.flagship import (NORM_SEED_MOD, NORM_SEED_OFF,
+                                              dedup_template_normalized)
+
+    df = dedup_template_normalized("/root/testdata/sf0.001").to_pandas()
+    got = set(zip(df.key_a.astype(int), df.key_b.astype(int)))
+    # every seeded template variant must normalize back to its source
+    seeded = {(k, k + NORM_SEED_OFF) for k in range(0, 500, NORM_SEED_MOD)}
+    assert seeded <= got
+    # independent brute-force reference over the 500-doc fixture (stop
+    # detection + injection + strip + all-pairs), including the NATURAL
+    # collisions of stop-only documents
+    import collections
+    import itertools
+
+    import duckdb as _dd
+    rows = _dd.sql("SELECT doc_id, text FROM "
+                   "'/root/testdata/sf0.001/documents.parquet'").fetchall()
+    docs = {k: [t for t in txt.split() if t] for k, txt in rows}
+    df_count = collections.Counter(
+        t for toks in docs.values() for t in set(toks))
+    n = len(docs)
+    stops = {t for t, c in df_count.items() if 4 * c >= 3 * n}
+    top = min((t for t, c in df_count.items()
+               if c == max(df_count.values())))
+    all_docs = dict(docs)
+    for k in list(docs):
+        if k % NORM_SEED_MOD == 0:
+            all_docs[k + NORM_SEED_OFF] = [top] + docs[k]
+    norm = {k: " ".join(t for t in v if t not in stops)
+            for k, v in all_docs.items()}
+    groups = collections.defaultdict(list)
+    for k, s in norm.items():
+        groups[s].append(k)
+    expect = {tuple(sorted(p)) for g in groups.values() if len(g) > 1
+              for p in itertools.combinations(g, 2)}
+    assert got == expect
