@@ -2126,3 +2126,25 @@ register("cell_morton_plan", flagship.cell_morton_plan,
 # normalization; seeded variants, like host_mirror_pairs)
 register("dedup_template_normalized", flagship.dedup_template_normalized,
          f"{sqlgen.pages_prefix()},\n{flagship.dedup_template_normalized_sql()}")
+
+
+# k-core of the link graph (iterative distributed peel; unrolled-peel twin)
+def _link_kcore(sf_dir: str):
+    n = _doc_count(sf_dir)
+    ids = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+    return linkgraph.kcore(ids, n, k=4)
+
+
+register("link_kcore", _link_kcore, linkgraph.kcore_sql(k=4))
+
+
+# per-user exact median absolute deviation (robust spread, by selection)
+def _event_value_mad(sf_dir: str):
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "value"])
+    return quantile.grouped_mad(ev, "user_id", "value")
+
+
+register("event_value_mad", _event_value_mad,
+         quantile.grouped_mad_sql("events", "user_id", "value"))

@@ -785,3 +785,156 @@ SELECT d.{id_col} AS node,
 FROM {table} d
 LEFT JOIN h{iterations} h ON h.node = d.{id_col}
 JOIN a{iterations} a ON a.node = d.{id_col}""")
+
+
+# ------------------------------------------------------- k-core decomposition
+
+def _degrees_among(active: ray.data.Dataset, n_nodes: int, k: int,
+                   num_buckets: int) -> ray.data.Dataset:
+    """One peeling round: degrees of each active node counted over the
+    simple undirected graph INDUCED by the active set, filtered to deg>=k.
+
+    Two bucket exchanges: (1) candidate directed edges keyed by dst,
+    unioned with active-presence markers, semi-filtered per bucket (src is
+    active by construction — only dst needs the membership test); (2) the
+    surviving edges' endpoint rows keyed by node, deduplicated to distinct
+    neighbors (parallel + bidirectional generator edges collapse, matching
+    the DISTINCT LEAST/GREATEST twin) and counted.
+    """
+    B = num_buckets
+
+    def expand(b: pa.Table) -> pa.Table:
+        node = b["node"].to_numpy().astype(np.int64)
+        src_rep, dst, _ = _out_edges(node, n_nodes)
+        keep = src_rep != dst  # simple graph: self-loops never count
+        src_rep, dst = src_rep[keep], dst[keep]
+        return pa.table({"key": pa.array(dst, pa.int64()),
+                         "src": pa.array(src_rep, pa.int64()),
+                         "is_edge": pa.array(np.ones(len(dst), np.int64)),
+                         "_bucket": pa.array(dst % B)})
+
+    def marker(b: pa.Table) -> pa.Table:
+        node = b["node"].to_numpy().astype(np.int64)
+        return pa.table({"key": pa.array(node, pa.int64()),
+                         "src": pa.array(np.zeros(len(node), np.int64)),
+                         "is_edge": pa.array(np.zeros(len(node), np.int64)),
+                         "_bucket": pa.array(node % B)})
+
+    def semi(g: pa.Table) -> pa.Table:
+        key = g["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = g["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_edge = g["is_edge"].to_numpy(zero_copy_only=False).astype(np.int64)
+        present = key[is_edge == 0]
+        m = (is_edge == 1) & np.isin(key, present)
+        u, w = src[m], key[m]
+        node = np.concatenate([u, w])
+        nbr = np.concatenate([w, u])
+        return pa.table({"node": pa.array(node, pa.int64()),
+                         "nbr": pa.array(nbr, pa.int64()),
+                         "_b2": pa.array(node % B)})
+
+    def deg_filter(g: pa.Table) -> pa.Table:
+        node = g["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nbr = g["nbr"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((nbr, node))
+        node, nbr = node[order], nbr[order]
+        first = np.empty(len(node), bool)
+        first[0] = True
+        first[1:] = (node[1:] != node[:-1]) | (nbr[1:] != nbr[:-1])
+        node = node[first]  # distinct (node, nbr) -> simple-graph degree
+        newn = np.empty(len(node), bool)
+        newn[0] = True
+        newn[1:] = node[1:] != node[:-1]
+        starts = np.flatnonzero(newn)
+        deg = np.diff(np.r_[starts, len(node)])
+        keep = deg >= k
+        return pa.table({"node": pa.array(node[starts][keep], pa.int64()),
+                         "deg": pa.array(deg[keep].astype(np.int64))})
+
+    edges = active.map_batches(expand, batch_format="pyarrow")
+    marks = active.map_batches(marker, batch_format="pyarrow")
+    survivors = (edges.union(marks).groupby("_bucket")
+                 .map_groups(semi, batch_format="pyarrow"))
+    return survivors.groupby("_b2").map_groups(
+        deg_filter, batch_format="pyarrow")
+
+
+def kcore(ids: ray.data.Dataset, n_nodes: int, k: int = 3,
+          id_col: str = "doc_id", max_rounds: int = 12,
+          num_buckets: int | None = None) -> ray.data.Dataset:
+    """Members of the k-core of the deterministic undirected link graph,
+    with each member's degree WITHIN the core.
+
+    Iterative peeling (Batagelj–Zaveršnik shape, distributed): each round
+    recomputes induced degrees over the current active set (two bucket
+    exchanges, see `_degrees_among`) and drops nodes with deg<k, until a
+    fixpoint. Only row COUNTS ever land on the driver; the active set
+    stays distributed (materialized per round so Ray's lazy plan doesn't
+    recompute the whole history). Raises if the peel hasn't converged in
+    ``max_rounds`` rounds — the SQL twin unrolls exactly ``max_rounds``,
+    so an unconverged result would silently diverge instead.
+
+    Graph analogue of the reference's iterative mask erosion (repeatedly
+    shrinking a study area until stable); re-imagined over the link graph.
+    """
+    if num_buckets is None:
+        import ray as _ray
+        cpus = int(_ray.cluster_resources().get("CPU", 8)) \
+            if _ray.is_initialized() else 8
+        num_buckets = max(8, cpus)
+
+    def to_nodes(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b[id_col].cast(pa.int64())})
+
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "deg": pa.array([], pa.int64())})
+    active = ids.map_batches(to_nodes, batch_format="pyarrow").materialize()
+    n_active = active.count()
+    if n_active == 0:
+        return ray.data.from_arrow(empty)
+    for _ in range(max_rounds):
+        nxt = _degrees_among(active, n_nodes, k, num_buckets).materialize()
+        n_next = nxt.count()
+        if n_next == n_active:
+            return nxt  # fixpoint: degrees were computed over the core
+        if n_next == 0:
+            # the core emptied — the empty set is trivially the fixpoint.
+            # Ray 2.49: an ALL-empty map_groups result loses its schema,
+            # so return the typed empty (node, deg) frame explicitly.
+            return ray.data.from_arrow(empty)
+        active = nxt.select_columns(["node"]).materialize()
+        n_active = n_next
+    raise RuntimeError(
+        f"k-core peel did not converge within {max_rounds} rounds "
+        f"(raise max_rounds AND regenerate the SQL twin together)")
+
+
+def kcore_sql(k: int = 3, max_rounds: int = 12, table: str = "documents",
+              id_col: str = "doc_id") -> str:
+    """Unrolled-peel DuckDB twin of `kcore`. Extra rounds past the
+    fixpoint are idempotent, so unrolling ``max_rounds`` matches any run
+    that converged earlier (and `kcore` raises when it would not).
+
+    Every per-round CTE is MATERIALIZED: each round references the
+    previous active set four times (two joins × two UNION branches), and
+    DuckDB inlines plain CTEs — un-materialized, the expression tree
+    grows 4^rounds and the query never finishes."""
+    parts = [f"WITH {edges_cte(table, id_col)}",
+             """und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS w
+  FROM edges WHERE src <> dst)""",
+             f"a0 AS MATERIALIZED (SELECT {id_col} AS node FROM {table})"]
+    for i in range(1, max_rounds + 1):
+        p = f"a{i - 1}"
+        parts.append(f"""d{i} AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT e.u AS node FROM und e
+      JOIN {p} p ON p.node = e.u JOIN {p} q ON q.node = e.w
+    UNION ALL
+    SELECT e.w AS node FROM und e
+      JOIN {p} p ON p.node = e.u JOIN {p} q ON q.node = e.w) t
+  GROUP BY node)""")
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {k})")
+    return (",\n".join(parts)
+            + f"\nSELECT node, deg FROM d{max_rounds} WHERE deg >= {k}")

@@ -266,3 +266,61 @@ def test_hits_overflow_guard():
     # Ray wraps the worker's OverflowError in RayTaskError — match message
     with pytest.raises(Exception, match="HITS iterate exceeds"):
         lg.hits_scores(_ids_ds(100), 100, iterations=40).materialize()
+
+
+# ------------------------------------------------------------------- k-core
+
+def _brute_kcore(n: int, k: int):
+    """Pure-numpy peel over the generator graph (simple, undirected)."""
+    node = np.arange(n, dtype=np.int64)
+    src, dst, _ = lg._out_edges(node, n)
+    m = src != dst
+    u = np.minimum(src[m], dst[m])
+    w = np.maximum(src[m], dst[m])
+    pairs = np.unique(np.stack([u, w], 1), axis=0)
+    active = np.ones(n, bool)
+    while True:
+        em = active[pairs[:, 0]] & active[pairs[:, 1]]
+        deg = np.zeros(n, np.int64)
+        np.add.at(deg, pairs[em, 0], 1)
+        np.add.at(deg, pairs[em, 1], 1)
+        keep = active & (deg >= k)
+        if (keep == active).all():
+            return np.flatnonzero(active), deg[active]
+        active = keep
+
+
+def test_kcore_vs_brute_peel():
+    n, k = 200, 4
+    nodes, degs = _brute_kcore(n, k)
+    assert 0 < len(nodes) < n  # the fixture actually peels something
+    got = (lg.kcore(_ids_ds(n), n, k=k, num_buckets=3)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert np.array_equal(got["node"].to_numpy(), nodes)
+    assert np.array_equal(got["deg"].to_numpy(), degs)
+
+
+def test_kcore_degrees_are_within_core():
+    # every member's deg counts CORE neighbors only, hence >= k but also
+    # <= its full-graph degree
+    n, k = 150, 3
+    got = lg.kcore(_ids_ds(n), n, k=k).to_pandas()
+    assert (got["deg"] >= k).all()
+    full_nodes, full_degs = _brute_kcore(n, 0)  # k=0: nobody peels
+    full = dict(zip(full_nodes.tolist(), full_degs.tolist()))
+    assert all(d <= full[v] for v, d in zip(got["node"], got["deg"]))
+
+
+def test_kcore_empty_core_keeps_schema():
+    n = 64
+    got = lg.kcore(_ids_ds(n), n, k=50)
+    assert got.count() == 0
+    assert set(got.schema().names) == {"node", "deg"}
+
+
+def test_link_kcore_oracle_smoke():
+    from .conftest import SF_SMOKE, assert_matches_oracle, make_duckdb
+    from pyofs_ray.registry import QUERIES, ORACLES
+    con = make_duckdb(SF_SMOKE)
+    assert_matches_oracle(QUERIES["link_kcore"](SF_SMOKE), con,
+                          ORACLES["link_kcore"])

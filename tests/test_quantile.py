@@ -80,3 +80,48 @@ def test_events_modal_type_oracle(duck_smoke):
     assert_matches_oracle(
         QUERIES["events_modal_type"](SF_SMOKE), duck_smoke,
         grouped_mode_sql("events", "user_id", "event_type"))
+
+
+# ------------------------------------------------------ median abs deviation
+
+def _run_mad(keys, vals, blocks=3):
+    from pyofs_ray.stages.quantile import grouped_mad
+    tbl = pa.table({"k": pa.array(keys, pa.int64()),
+                    "v": pa.array(vals, pa.float64())})
+    ds = ray.data.from_arrow(tbl).repartition(blocks)
+    return (grouped_mad(ds, "k", "v").to_pandas()
+            .sort_values("k").reset_index(drop=True))
+
+
+def test_mad_hand_values():
+    # group 1 (odd n): v=[1,2,10] → med=2 (low-median), devs=[1,0,8] →
+    # mad=1. group 2 (even n): v=[1,2,3,4] → med=2, devs=[1,0,1,2]
+    # sorted [0,1,1,2], 2cc>=4 at the second value → mad=1 (selected,
+    # never interpolated). group 3: all equal → mad=0.
+    out = _run_mad([1, 1, 1, 2, 2, 2, 2, 3, 3],
+                   [1, 2, 10, 1, 2, 3, 4, 7, 7])
+    assert out["n"].tolist() == [3, 4, 2]
+    assert out["median"].tolist() == [2.0, 2.0, 7.0]
+    assert out["mad"].tolist() == [1.0, 1.0, 0.0]
+
+
+def test_mad_matches_numpy_reference_cross_block():
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 23, 5000)
+    vals = np.round(rng.normal(0, 10, 5000), 2)
+    out = _run_mad(keys.tolist(), vals.tolist(), blocks=7)
+
+    def lowmed(a):
+        a = np.sort(a)
+        return a[int(np.ceil(len(a) / 2)) - 1]
+
+    for _, r in out.iterrows():
+        g = vals[keys == r["k"]]
+        assert r["median"] == lowmed(g)
+        assert r["mad"] == lowmed(np.abs(g - lowmed(g)))
+
+
+def test_event_value_mad_oracle(duck_smoke):
+    from pyofs_ray.registry import ORACLES
+    assert_matches_oracle(QUERIES["event_value_mad"](SF_SMOKE), duck_smoke,
+                          ORACLES["event_value_mad"])
