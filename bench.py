@@ -191,10 +191,10 @@ def run_bench() -> dict:
     # the parquet reader path and the page cache end-to-end
     headline(pages_dir)
 
-    # GRAFT_HEADLINE_REPS>1 (scaling legs): min of N timed passes — the
-    # steady-state capability number, robust to transient scheduler /
-    # page-cache noise that otherwise dominates pair-ratio variance
-    reps = int(os.environ.get("GRAFT_HEADLINE_REPS", "1"))
+    # min of N timed passes — the steady-state capability number, robust
+    # to transient scheduler / page-cache noise (one contended pass
+    # measured 1.8 s where min-of-5 on the same host gave 0.547 s)
+    reps = int(os.environ.get("GRAFT_HEADLINE_REPS", "3"))
     times = []
     for _ in range(max(reps, 1)):
         t0 = time.perf_counter()

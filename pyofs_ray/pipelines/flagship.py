@@ -2297,20 +2297,28 @@ def dedup_template_normalized(sf_dir: str) -> ray.data.Dataset:
     misses. The dup-free fixture is seeded INSIDE the query (every
     ``page_key % 25`` doc gains a variant prepending the corpus's single
     most-frequent token — a guaranteed stop token, so the variant
-    normalizes back to its source and every seeded pair MUST surface);
-    the SQL twin seeds identically. Output (key_a, key_b), key_a < key_b.
+    normalizes back to its source and every seeded pair whose source has
+    any non-stop content MUST surface); fully-stop-covered docs
+    (normalized text '') are pure boilerplate and are EXCLUDED from
+    pairing — they aren't template-varied copies of anything, and the
+    ''-class otherwise goes quadratic on saturated-vocabulary corpora.
+    The SQL twin seeds and excludes identically. Output (key_a, key_b),
+    key_a < key_b.
 
-    Scale shape: stop detection is ONE token-keyed exchange over per-batch
-    distinct-(doc, token) df partials (vocabulary-bounded result,
-    broadcast once via ray.put — the jaccard broadcast-df pattern);
-    normalization + md5 is a stateless vectorized map (Arrow ListArray
-    reassembly, hashlib in C); pair emission is ONE fingerprint bucket
+    Scale shape: stop detection collects per-batch distinct-(doc, token)
+    df partials (each block's partial is VOCABULARY-bounded, not
+    row-bounded) and merges them on the driver — the sketch-finish shape:
+    a Ray groupby here costs a fixed ~4 s of all-to-all wall at any scale,
+    while the driver merge is (blocks × vocab) rows of Arrow group_by.
+    The merged stop set broadcasts once via ray.put; normalization + md5
+    is a stateless vectorized map (Arrow ListArray reassembly, pc.is_in
+    in C++, hashlib in C); pair emission is ONE fingerprint bucket
     exchange with dup-bounded in-group expansion. Raw text never
     shuffles — only 32-char fingerprints and int64 keys.
     """
     import ray as _ray
 
-    from ..stages.agg import bucketed_group_agg, hash_bucket_tag
+    from ..stages.agg import hash_bucket_tag
     from ..stages.cocite import _pair_rows
     from ..stages.text import fingerprint
 
@@ -2327,14 +2335,15 @@ def dedup_template_normalized(sf_dir: str) -> ray.data.Dataset:
         return pa.table({"token": g["token"],
                          "df": g["d_count"].cast(pa.int64())})
 
-    dft = bucketed_group_agg(
-        ds.map_batches(df_partial, batch_format="pyarrow",
-                       zero_copy_batch=True),
-        ["token"], [("df", "sum", "df")], coalesce=True).materialize()
-    n_docs = int(pages_dataset(sf_dir, with_text=False).count())
-    vt = pa.concat_tables(
-        [t for t in _ray.get(dft.to_arrow_refs()) if t.num_rows]
-    ).combine_chunks()
+    partials = ds.map_batches(df_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    merged = pa.concat_tables(
+        [t for t in _ray.get(partials.to_arrow_refs()) if t.num_rows])
+    vt = (merged.group_by("token").aggregate([("df", "sum")])
+          .rename_columns(["token", "df"]).combine_chunks())
+    import pyarrow.parquet as _pq
+    n_docs = _pq.read_metadata(
+        f"{sf_dir}/documents.parquet").num_rows  # pages rows == doc rows
     toks = np.asarray(vt["token"].to_pylist(), dtype=object)
     dfs = vt["df"].to_numpy(zero_copy_only=False).astype(np.int64)
     stop_set = set(toks[STOP_DEN * dfs >= STOP_NUM * n_docs].tolist())
@@ -2346,7 +2355,7 @@ def dedup_template_normalized(sf_dir: str) -> ray.data.Dataset:
         raise ValueError("top-df token is not a stop token — the seeded "
                          "variants would never normalize back; lower "
                          "STOP_NUM/STOP_DEN for this corpus")
-    stops_ref = _ray.put(stop_set)
+    stops_ref = _ray.put(pa.array(sorted(stop_set), pa.string()))
 
     def normalize_and_hash(b: pa.Table) -> pa.Table:
         stops = _ray.get(stops_ref)
@@ -2369,9 +2378,10 @@ def dedup_template_normalized(sf_dir: str) -> ray.data.Dataset:
             toks = toks.combine_chunks()
         flat = pc.list_flatten(toks)
         parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        # vectorized set membership: pandas isin hashes in C
-        import pandas as pd
-        is_stop = pd.Series(flat.to_pandas()).isin(stops).to_numpy()
+        # vectorized set membership in C++ — pc.is_in avoids materializing
+        # the flat token array as Python objects (pandas isin did)
+        is_stop = pc.is_in(flat, value_set=stops).to_numpy(
+            zero_copy_only=False)
         nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
         keep = nonempty & ~is_stop
         nk = len(all_key)
@@ -2384,6 +2394,12 @@ def dedup_template_normalized(sf_dir: str) -> ray.data.Dataset:
         norm = pc.binary_join(lists, " ")
         ht = fingerprint(pa.table({"page_key": pa.array(all_key, pa.int64()),
                                    "text": norm}), "text")
+        # fully-stop-covered docs normalize to '': pure boilerplate has no
+        # content to be a duplicate OF — pairing it is noise, and on a
+        # saturated-vocabulary corpus the ''-class goes quadratic (measured
+        # 12.2M pairs / 9.4 s from one 4,940-doc class at sf0.1). The twin
+        # applies the same exclusion (INNER join on kept tokens).
+        ht = ht.filter(pc.not_equal(ht["text"], ""))
         return ht.select(["page_key", "text_hash"])
 
     rows = ds.map_batches(normalize_and_hash, batch_format="pyarrow",
@@ -2438,9 +2454,10 @@ kept AS (
   WHERE s.token IS NULL
 ),
 norm AS (
-  SELECT p.page_key,
-         md5(COALESCE(k.nt, '')) AS th
-  FROM seeded p LEFT JOIN (
+  -- INNER join: fully-stop-covered docs (no kept tokens) are pure
+  -- boilerplate, excluded from pairing — mirrors the Ray-side '' filter
+  SELECT p.page_key, md5(k.nt) AS th
+  FROM seeded p JOIN (
     SELECT page_key, STRING_AGG(token, ' ' ORDER BY pos) AS nt
     FROM kept GROUP BY page_key
   ) k USING (page_key)

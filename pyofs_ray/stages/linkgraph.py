@@ -327,6 +327,14 @@ def resolve_redirects(ptrs: ray.data.Dataset, rounds: int = 2,
 
     Self-pointing terminals make the join total: ptr(ptr) always exists,
     so an inner join loses nothing and no driver-side fix-up is needed.
+
+    The pointer table is materialized per round: each round references it
+    TWICE (left and right of the self-join), and Ray does not dedupe
+    common lazy subplans — un-materialized, round i re-executes every
+    earlier round's exchange once per branch (2^i growth; measured 8–9 s
+    → 2.8 s at rounds=2). The per-round table is 2 int64 columns × n rows
+    in the (spillable) object store — the iteration state any pointer-
+    doubling scheme must hold.
     """
     from .join import bucketed_hash_join
 
@@ -344,7 +352,7 @@ def resolve_redirects(ptrs: ray.data.Dataset, rounds: int = 2,
                                     num_buckets=num_buckets)
         ptrs = joined.map_batches(
             lambda b: pa.table({"node": b["node"], "ptr": b["ptr"]}),
-            batch_format="pyarrow")
+            batch_format="pyarrow").materialize()
     return ptrs
 
 
