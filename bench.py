@@ -120,6 +120,10 @@ BENCH_QUERIES = [
     "link_hits", "spatial_pairs_250", "host_boilerplate_tokens",
     "host_boilerplate_strip", "host_mirror_pairs", "cell_morton_plan",
     "dedup_template_normalized",
+    # round 4 late block 16: SCD2 crawl history, robots longest-prefix
+    # policy (containment_pairs stays gate-scale — exact Σ df² family,
+    # saturated-vocabulary pathology at sf0.1, like ngram_jaccard_pairs)
+    "scd2_url_history", "robots_policy",
 ]
 
 

@@ -1,0 +1,319 @@
+"""Crawl-history + crawl-policy operators over the pages corpus.
+
+Three web-scale pipeline pieces the incremental-crawl store needs beyond
+point-in-time snapshots (reference analogue: PyOFS's per-day granule
+inventory and skip-existing scans, `state/manifest` / reference
+`viirs.py` — the "what version was live when" and "may I fetch this"
+questions asked against that inventory):
+
+- ``scd2_url_history`` — SCD-type-2 version intervals per url from
+  epochal crawl snapshots (`stages/scd.py`), the temporal complement of
+  `crawl_diff_3way`'s single-epoch delta.
+- ``robots_policy`` — robots.txt-style LONGEST-prefix-match rule
+  application per url: broadcast rule table, per-batch vectorized
+  `starts_with` cascade, zero shuffles.
+- ``containment_pairs`` — asymmetric near-dup: docs ≥ τ CONTAINED in
+  another doc (quote/excerpt detection), the directed complement of the
+  symmetric Jaccard family in `stages/dedup.py`.
+
+The fixture corpus is dup-free and single-epoch, so — like
+`host_mirror_pairs` / `crawl_diff_3way` — each query plants its
+deterministic fixture INSIDE the pipeline and the SQL twin seeds
+identically, keeping the driver's gate row non-vacuous.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..sources.pages import pages_dataset
+
+# ------------------------------------------------------------- SCD2 history
+SCD_EPOCHS = 4          # crawl epochs 0..3
+SCD_SENTINEL = 999      # open valid_to
+
+
+def _emit_snapshots(b: pa.Table) -> pa.Table:
+    """Four seeded crawl epochs per page: the text fingerprint bumps a
+    version at epoch e ≥ 1 iff ``(page_key + e²) % 3 == 0`` — per key that
+    yields 1, 2 or 3 distinct versions (key%3 = 1 / 0 / 2), exercising
+    no-change runs, a mid-history change and consecutive changes. Only
+    (key, url, epoch, fp) rows leave the read task — text never shuffles.
+    """
+    key = b["page_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    texts = b["text"].to_pylist()
+    n = len(key)
+    ver = np.zeros((SCD_EPOCHS, n), np.int64)
+    for e in range(1, SCD_EPOCHS):
+        ver[e] = ver[e - 1] + ((key + e * e) % 3 == 0)
+    maxv = ver[SCD_EPOCHS - 1]
+    fpm = np.empty((SCD_EPOCHS, n), object)
+    fpm[0] = np.asarray(
+        [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts], object)
+    for v in range(1, SCD_EPOCHS):
+        for i in np.flatnonzero(maxv >= v):
+            fpm[v, i] = hashlib.md5(
+                (texts[i] + f" v{v}").encode("utf-8")).hexdigest()
+    ar = np.arange(n)
+    url = b["url"].combine_chunks()
+    return pa.table({
+        "page_key": pa.array(np.tile(key, SCD_EPOCHS)),
+        "url": pa.concat_arrays([url] * SCD_EPOCHS),
+        "epoch": pa.array(np.repeat(np.arange(SCD_EPOCHS, dtype=np.int64),
+                                    n)),
+        "fp": pa.array(np.concatenate(
+            [fpm[ver[e], ar] for e in range(SCD_EPOCHS)]).tolist(),
+            pa.string()),
+    })
+
+
+def scd2_url_history(sf_dir: str) -> ray.data.Dataset:
+    """SCD-type-2 url history: (url, text_hash, valid_from, valid_to)
+    version intervals over the seeded 4-epoch crawl (valid_to = 999 for
+    the open current version).
+
+    ZERO exchanges: the epoch emitter generates every snapshot of a key
+    inside one batch, so the collapse runs fused in the same UDF —
+    intervalizing BEFORE returning also means Ray's output-buffer block
+    slicing can never tear a key's snapshot run (the ADVICE round-3
+    prefix_emit failure shape). Snapshots arriving as separate rows (real
+    multi-epoch crawl stores) go through the general one-exchange stage
+    `stages/scd.scd2_intervals` instead, which the unit tests exercise
+    with cross-bucket keys."""
+    from ..stages.scd import intervals_table
+
+    def emit_and_collapse(b: pa.Table) -> pa.Table:
+        iv = intervals_table(_emit_snapshots(b), key_col="page_key",
+                             ts_col="epoch", fp_col="fp", carry=("url",),
+                             sentinel=SCD_SENTINEL)
+        return pa.table({"url": iv["url"], "text_hash": iv["fp"],
+                         "valid_from": iv["valid_from"],
+                         "valid_to": iv["valid_to"]})
+
+    return pages_dataset(sf_dir, keep_key=True).map_batches(
+        emit_and_collapse, batch_format="pyarrow")
+
+
+def scd2_url_history_sql() -> str:
+    return f"""
+snaps AS (
+  SELECT p.page_key, p.url, t.e,
+         SUM(CASE WHEN t.e > 0 AND (p.page_key + t.e * t.e) % 3 = 0
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY p.page_key ORDER BY t.e) AS ver,
+         p.text
+  FROM pages p CROSS JOIN (VALUES (0), (1), (2), (3)) t(e)
+),
+fps AS (
+  SELECT url, e,
+         md5(text || CASE WHEN ver = 0 THEN ''
+                          ELSE ' v' || CAST(ver AS VARCHAR) END) AS fp
+  FROM snaps
+),
+st AS (
+  SELECT url, e, fp,
+         CASE WHEN LAG(fp) OVER (PARTITION BY url ORDER BY e)
+                   IS DISTINCT FROM fp THEN 1 ELSE 0 END AS s
+  FROM fps
+),
+iv AS (SELECT url, fp, e FROM st WHERE s = 1)
+SELECT url, fp AS text_hash, CAST(e AS BIGINT) AS valid_from,
+       CAST(COALESCE(LEAD(e) OVER (PARTITION BY url ORDER BY e),
+                     {SCD_SENTINEL}) AS BIGINT) AS valid_to
+FROM iv
+"""
+
+
+# --------------------------------------------------- robots longest-prefix
+# (prefix, allow); longest matching prefix wins — two distinct same-length
+# prefixes cannot both match one path, so the winner is unique.
+ROBOTS_RULES: tuple[tuple[str, int], ...] = (
+    ("/", 1), ("/p/", 1), ("/p/1", 0), ("/p/3", 0), ("/p/7", 0),
+    ("/p/12", 1), ("/p/33", 1), ("/p/77", 1))
+
+
+def robots_policy(sf_dir: str) -> ray.data.Dataset:
+    """Longest-prefix-match crawl-policy application: every page's path is
+    matched against the broadcast rule table; the longest matching prefix
+    decides allow/deny. Zero shuffles — per-batch vectorized
+    ``starts_with`` cascade in ascending prefix-length order (a later,
+    longer match overwrites a shorter one); the rule table is a module
+    constant here and a ``ray.put`` broadcast for real robots corpora."""
+    rules = sorted(ROBOTS_RULES, key=lambda r: (len(r[0]), r[0]))
+
+    def apply_rules(b: pa.Table) -> pa.Table:
+        n = len(b)
+        path = pc.binary_join_element_wise(
+            pa.array(["/p/"] * n), pc.cast(b["page_key"], pa.string()), "")
+        matched = np.full(n, "", object)
+        allowed = np.zeros(n, np.int64)
+        for prefix, allow in rules:
+            m = pc.starts_with(path, prefix).to_numpy(zero_copy_only=False)
+            matched[m] = prefix
+            allowed[m] = allow
+        return pa.table({"url": b["url"],
+                         "matched_rule": pa.array(matched.tolist(),
+                                                  pa.string()),
+                         "allowed": pa.array(allowed)})
+
+    return pages_dataset(sf_dir, keep_key=True, with_text=False).map_batches(
+        apply_rules, batch_format="pyarrow")
+
+
+def robots_policy_sql() -> str:
+    vals = ", ".join(f"('{p}', {a})" for p, a in ROBOTS_RULES)
+    return f"""
+rules AS (SELECT * FROM (VALUES {vals}) v(prefix, allow)),
+m AS (SELECT url, '/p/' || CAST(page_key AS VARCHAR) AS path FROM pages)
+SELECT m.url, r.prefix AS matched_rule, CAST(r.allow AS BIGINT) AS allowed
+FROM m JOIN rules r ON starts_with(m.path, r.prefix)
+QUALIFY ROW_NUMBER() OVER (PARTITION BY m.url
+                           ORDER BY LENGTH(r.prefix) DESC) = 1
+"""
+
+
+# -------------------------------------------------------- containment pairs
+QUOTE_MOD = 50            # every 50th page gets a seeded excerpt doc
+QUOTE_STRIDE = 40_000_000  # excerpt doc_id offset (disjoint from replicas)
+CONTAIN_NUM, CONTAIN_DEN = 4, 5   # τ = 0.8 as an exact integer ratio
+CONTAIN_MAX_DF = 4096     # loud gate-scale bound (exactness is the contract)
+
+
+def _seeded_quote_docs(b: pa.Table) -> pa.Table:
+    """Base docs + a seeded middle-third excerpt ('Q<key> ' + slice) per
+    ``page_key % QUOTE_MOD == 0`` page — every excerpt gram except the
+    few spanning the salt prefix is a gram of its host, so the excerpt is
+    ≈ (m-4)/(m+len(salt)) contained and passes τ for hosts ≳ 150 chars
+    while staying a genuinely distinct document."""
+    key = b["page_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    texts = b["text"].to_pylist()
+    qidx = np.flatnonzero(key % QUOTE_MOD == 0)
+    qtexts = []
+    for i in qidx:
+        t = texts[i]
+        third = len(t) // 3
+        qtexts.append(f"Q{key[i]} " + t[third:third + third])
+    return pa.table({
+        "doc_id": pa.array(np.concatenate([key, key[qidx] + QUOTE_STRIDE])),
+        "text": pa.concat_arrays([
+            b["text"].combine_chunks().cast(pa.string()),
+            pa.array(qtexts, pa.string())]),
+    })
+
+
+def containment_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Directed near-dup: (contained_id, container_id, shared, n_contained)
+    for every doc pair where ≥ τ of the contained doc's distinct byte
+    5-grams appear in the container — quote/excerpt detection, the
+    asymmetric complement of `minhash_pairs`' symmetric Jaccard.
+
+    Exactness is the contract (same gram space and FNV hashing as the
+    Jaccard family, `stages/dedup._distinct_gram_rows`): ONE gram-hash
+    bucket exchange, per-gram pair expansion (Σ df² — the same cost the
+    DuckDB twin pays), pair totals via a second bounded exchange. A gram
+    with df > {CONTAIN_MAX_DF} raises loudly instead of truncating
+    (ADVICE round-3: silent caps void exact contracts); vocabulary-
+    saturated corpora should use the prefix-filtered Jaccard family
+    instead — this operator is gate-scale, like `ngram_jaccard_pairs`.
+    """
+    import ray as _ray
+
+    from ..stages.agg import bucketed_group_agg, hash_bucket_tag
+    from ..stages.cocite import _pair_rows
+    from ..stages.dedup import _distinct_gram_rows
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) \
+        if _ray.is_initialized() else 8
+    nb = max(8, cpus)
+
+    def gram_rows(b: pa.Table) -> pa.Table:
+        return _distinct_gram_rows(_seeded_quote_docs(b), "doc_id")
+
+    rows = pages_dataset(sf_dir, keep_key=True).map_batches(
+        gram_rows, batch_format="pyarrow")
+    tagged = rows.map_batches(lambda b: hash_bucket_tag(b, ["bkey"], nb),
+                              batch_format="pyarrow")
+
+    def pair_kernel(g: pa.Table) -> pa.Table:
+        bkey = g["bkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ng = g["ng"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, counts = np.unique(bkey, return_counts=True)
+        if len(counts) and counts.max() > CONTAIN_MAX_DF:
+            raise RuntimeError(
+                f"containment_pairs: gram df {counts.max()} exceeds the "
+                f"exactness bound {CONTAIN_MAX_DF} — vocabulary-saturated "
+                "corpus; use the prefix-filtered Jaccard family instead")
+        pairs = _pair_rows(pa.table({"dst": pa.array(bkey),
+                                     "src": pa.array(ids)}))
+        uid, first = np.unique(ids, return_index=True)
+        ngu = ng[first]
+        a = pairs["src_a"].to_numpy().astype(np.int64)
+        c = pairs["src_b"].to_numpy().astype(np.int64)
+        return pa.table({"id_a": pairs["src_a"], "id_b": pairs["src_b"],
+                         "one": pairs["one"],
+                         "n_a": pa.array(ngu[np.searchsorted(uid, a)]),
+                         "n_b": pa.array(ngu[np.searchsorted(uid, c)])})
+
+    parts = tagged.groupby("_bucket").map_groups(pair_kernel,
+                                                 batch_format="pyarrow")
+    counted = bucketed_group_agg(parts, ["id_a", "id_b"],
+                                 [("one", "sum", "shared"),
+                                  ("n_a", "max", "n_a"),
+                                  ("n_b", "max", "n_b")])
+
+    def direct(b: pa.Table) -> pa.Table:
+        ia = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ib = b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b["shared"].to_numpy(zero_copy_only=False).astype(np.int64)
+        na = b["n_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nbv = b["n_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ka = c * CONTAIN_DEN >= CONTAIN_NUM * na
+        kb = c * CONTAIN_DEN >= CONTAIN_NUM * nbv
+        return pa.table({
+            "contained_id": pa.array(np.concatenate([ia[ka], ib[kb]])),
+            "container_id": pa.array(np.concatenate([ib[ka], ia[kb]])),
+            "shared": pa.array(np.concatenate([c[ka], c[kb]])),
+            "n_contained": pa.array(np.concatenate([na[ka], nbv[kb]])),
+        })
+
+    return counted.map_batches(direct, batch_format="pyarrow")
+
+
+def containment_pairs_sql() -> str:
+    return f"""
+cdocs AS (
+  SELECT page_key AS doc_id, text FROM pages
+  UNION ALL
+  SELECT page_key + {QUOTE_STRIDE} AS doc_id,
+         'Q' || CAST(page_key AS VARCHAR) || ' ' ||
+         substr(text, length(text) // 3 + 1, length(text) // 3) AS text
+  FROM pages WHERE page_key % {QUOTE_MOD} = 0
+),
+g AS (
+  SELECT DISTINCT doc_id, substr(text, i, 5) AS gram
+  FROM cdocs, LATERAL (SELECT unnest(generate_series(1, length(text)-4)) AS i)
+  WHERE length(text) >= 5
+  UNION
+  SELECT doc_id, chr(1) AS gram FROM cdocs WHERE length(text) < 5
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a AS contained_id, id_b AS container_id, c AS shared,
+       s.n AS n_contained
+FROM inter JOIN sz s ON s.doc_id = id_a
+WHERE c * {CONTAIN_DEN} >= {CONTAIN_NUM} * s.n
+UNION ALL
+SELECT id_b, id_a, c, s.n
+FROM inter JOIN sz s ON s.doc_id = id_b
+WHERE c * {CONTAIN_DEN} >= {CONTAIN_NUM} * s.n
+"""

@@ -2148,3 +2148,23 @@ def _event_value_mad(sf_dir: str):
 
 register("event_value_mad", _event_value_mad,
          quantile.grouped_mad_sql("events", "user_id", "value"))
+
+
+# crawl-history + crawl-policy family (pipelines/webhistory.py): SCD2
+# version intervals over seeded crawl epochs, robots.txt-style
+# longest-prefix policy application, and directed (containment) near-dup
+from .pipelines import webhistory
+
+register("scd2_url_history", webhistory.scd2_url_history,
+         f"{sqlgen.pages_prefix()},\n{webhistory.scd2_url_history_sql()}")
+
+register("robots_policy", webhistory.robots_policy,
+         f"{sqlgen.pages_prefix()},\n{webhistory.robots_policy_sql()}")
+
+# exact directed containment (quote/excerpt detection). Gate-scale like
+# ngram_jaccard_pairs: the per-gram pair expansion is the SAME Σ df² the
+# DuckDB twin pays, and both degenerate identically on vocabulary-
+# saturated corpora — raises loudly past CONTAIN_MAX_DF instead of
+# silently truncating.
+register("containment_pairs", webhistory.containment_pairs,
+         f"{sqlgen.pages_prefix()},\n{webhistory.containment_pairs_sql()}")
