@@ -92,3 +92,25 @@ def test_webhistory_queries_match_oracle_smoke():
     con = make_duckdb(SF_SMOKE)
     for name in ("scd2_url_history", "robots_policy", "containment_pairs"):
         assert_matches_oracle(QUERIES[name](SF_SMOKE), con, ORACLES[name])
+
+
+def test_containment_overcap_raises_loudly():
+    # exactness contract: a vocabulary-saturated gram (df > bound) must
+    # raise, never silently truncate (round-3 ADVICE on jaccard caps)
+    import pytest
+
+    orig = wh.CONTAIN_MAX_DF
+    wh.CONTAIN_MAX_DF = 1  # every shared gram is now "over cap"
+    try:
+        with pytest.raises(Exception, match="exactness bound"):
+            wh.containment_pairs(SF_SMOKE).materialize()
+    finally:
+        wh.CONTAIN_MAX_DF = orig
+
+
+def test_scd2_single_snapshot_key():
+    ds = _snaps([(9, 2, "only")])
+    out = scd2_intervals(ds, key_col="page_key", ts_col="epoch",
+                         fp_col="fp", num_buckets=2).to_pandas()
+    assert len(out) == 1
+    assert out.valid_from[0] == 2 and out.valid_to[0] == 999
