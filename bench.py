@@ -123,7 +123,7 @@ BENCH_QUERIES = [
     # round 4 late block 16: SCD2 crawl history, robots longest-prefix
     # policy (containment_pairs stays gate-scale — exact Σ df² family,
     # saturated-vocabulary pathology at sf0.1, like ngram_jaccard_pairs)
-    "scd2_url_history", "robots_policy",
+    "scd2_url_history", "robots_policy", "pack_sequences",
 ]
 
 

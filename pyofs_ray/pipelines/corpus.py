@@ -1588,3 +1588,146 @@ SELECT CAST(size AS BIGINT) AS size,
        CAST(COUNT(*) AS BIGINT) AS n_clusters
 FROM sizes GROUP BY size
 """
+
+
+# ------------------------------------------------- LLM sequence packing
+PACK_SEQ_LEN = 2048   # training sequence length (tokens)
+PACK_RANGE_W = 256    # doc_id range width — pick ≈ rows-per-block at scale
+
+
+PACK_DRIVER_MAX = 2_000_000  # narrow (3×int64) rows ≈ 50 MB — coalesce OK
+
+
+def pack_sequences(sf_dir: str, seq_len: int = PACK_SEQ_LEN,
+                   range_w: int = PACK_RANGE_W,
+                   force_distributed: bool = False) -> ray.data.Dataset:
+    """Concat-and-chunk sequence packing — the standard LLM-pretraining
+    step that lays the token stream of the doc_id-ordered corpus into
+    fixed-length training sequences: each doc gets its global token
+    offset ``tok_start`` (exclusive prefix sum of token counts), the
+    sequence it starts in (``seq_id = tok_start // seq_len``) and its
+    offset inside it (``seq_off``); a doc crossing a boundary continues
+    into the next sequence, exactly as a packed-dataset loader reads it.
+
+    Distributed exclusive SCAN in three narrow steps after ONE corpus
+    text scan (the `curate_corpus` single-scan discipline — token counts
+    are materialized as a 3-int-column table and the text is never read
+    again): (1) per-range token totals via per-batch partials + a
+    range-count-bounded coalesced prefix (the `cell_shard_plan` finish
+    shape — range width ≈ rows-per-block keeps that table block-count
+    sized), (2) offsets broadcast once via ``ray.put``, (3) ONE
+    range-bucket exchange whose kernel lexsorts (range, doc_id) segments
+    and adds the broadcast base to the in-segment exclusive cumsum.
+
+    Below ``PACK_DRIVER_MAX`` rows (parquet metadata, no scan) the scan
+    collapses to ONE execution — counts → single coalesced exclusive
+    cumsum (the narrow table is 3 int64 columns, the same bounded-finish
+    judgment as `dup_cluster_histogram`'s driver default); plan
+    executions, not compute, dominate fixture-scale pipelines.
+    """
+    import ray as _ray
+
+    from ..stages.agg import hash_bucket_tag
+    from ..stages.text import TOKEN_RE
+
+    def counts(b: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(b["text"], TOKEN_RE),
+                    pa.int64())
+        key = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": b["doc_id"], "n_tokens": n,
+                         "rng": pa.array(key // range_w)})
+
+    narrow = _docs(sf_dir).map_batches(
+        counts, batch_format="pyarrow", zero_copy_batch=True)
+
+    if not force_distributed and _docs_count(sf_dir) <= PACK_DRIVER_MAX:
+        def finish(b: pa.Table) -> pa.Table:
+            key = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            n = b["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.argsort(key, kind="stable")
+            key, n = key[order], n[order]
+            tok_start = np.cumsum(n) - n
+            return pa.table({"doc_id": pa.array(key),
+                             "n_tokens": pa.array(n),
+                             "tok_start": pa.array(tok_start),
+                             "seq_id": pa.array(tok_start // seq_len),
+                             "seq_off": pa.array(tok_start % seq_len)})
+
+        return narrow.repartition(1).map_batches(
+            finish, batch_format="pyarrow", batch_size=None)
+
+    narrow = narrow.materialize()
+
+    def range_partials(b: pa.Table) -> pa.Table:
+        g = b.select(["rng", "n_tokens"]).group_by("rng").aggregate(
+            [("n_tokens", "sum")])
+        return pa.table({"rng": g["rng"],
+                         "tot": g["n_tokens_sum"].cast(pa.int64())})
+
+    def prefix(b: pa.Table) -> pa.Table:
+        r = b["rng"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b["tot"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(r, kind="stable")
+        r, t = r[order], t[order]
+        ur, inv = np.unique(r, return_inverse=True)
+        tot = np.zeros(len(ur), np.int64)
+        np.add.at(tot, inv, t)
+        return pa.table({"rng": pa.array(ur),
+                         "offset": pa.array(np.cumsum(tot) - tot)})
+
+    offsets = (narrow.map_batches(range_partials, batch_format="pyarrow")
+               .repartition(1)
+               .map_batches(prefix, batch_format="pyarrow", batch_size=None)
+               .to_arrow_refs())
+    off_tbl = pa.concat_tables([_ray.get(ref) for ref in offsets])
+    off_ref = _ray.put((off_tbl["rng"].to_numpy().astype(np.int64),
+                        off_tbl["offset"].to_numpy().astype(np.int64)))
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) \
+        if _ray.is_initialized() else 8
+    nb = max(8, cpus)
+    tagged = narrow.map_batches(lambda b: hash_bucket_tag(b, ["rng"], nb),
+                                batch_format="pyarrow")
+
+    def kernel(g: pa.Table) -> pa.Table:
+        rkeys, roffs = _ray.get(off_ref)
+        key = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = g["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rng = g["rng"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((key, rng))
+        key, n, rng = key[order], n[order], rng[order]
+        base = np.cumsum(n) - n
+        starts = np.flatnonzero(np.r_[True, rng[1:] != rng[:-1]])
+        seg_base = np.repeat(base[starts],
+                             np.diff(np.r_[starts, len(rng)]))
+        tok_start = base - seg_base + roffs[np.searchsorted(rkeys, rng)]
+        return pa.table({"doc_id": pa.array(key),
+                         "n_tokens": pa.array(n),
+                         "tok_start": pa.array(tok_start),
+                         "seq_id": pa.array(tok_start // seq_len),
+                         "seq_off": pa.array(tok_start % seq_len)})
+
+    return tagged.groupby("_bucket").map_groups(kernel,
+                                                batch_format="pyarrow")
+
+
+def pack_sequences_sql(seq_len: int = PACK_SEQ_LEN,
+                       table: str = "documents") -> str:
+    from ..core.sqlgen_text import _count
+    from ..stages.text import TOKEN_RE
+    return f"""
+WITH n AS (
+  SELECT doc_id, {_count('text', TOKEN_RE)} AS n_tokens FROM {table}
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_start
+  FROM n
+)
+SELECT doc_id, n_tokens, tok_start,
+       tok_start // {seq_len} AS seq_id,
+       tok_start % {seq_len} AS seq_off
+FROM c
+"""

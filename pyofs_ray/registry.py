@@ -2168,3 +2168,9 @@ register("robots_policy", webhistory.robots_policy,
 # silently truncating.
 register("containment_pairs", webhistory.containment_pairs,
          f"{sqlgen.pages_prefix()},\n{webhistory.containment_pairs_sql()}")
+
+
+# LLM sequence packing (concat-and-chunk): distributed exclusive prefix
+# sum of token counts over the doc_id order; window-cumsum twin
+register("pack_sequences", corpus.pack_sequences,
+         corpus.pack_sequences_sql())

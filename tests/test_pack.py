@@ -1,0 +1,35 @@
+"""Sequence packing: exclusive-scan semantics (boundary crossing, range
+segmentation, empty docs) on a constructed corpus + oracle parity."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyofs_ray.pipelines import corpus
+from pyofs_ray.registry import ORACLES, QUERIES
+
+from .conftest import SF_SMOKE, assert_matches_oracle, make_duckdb
+
+
+def test_pack_sequences_boundaries(tmp_path):
+    # token counts: 5, 3, 0, 7, 4 -> starts 0, 5, 8, 8, 15; seq_len=8
+    texts = ["a b c d e", "x y z", "", "t u v w q r s", "m n o p"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(texts, pa.string())}),
+        tmp_path / "documents.parquet")
+    for dist in (False, True):  # coalesced finish AND the 3-step scan
+        out = (corpus.pack_sequences(str(tmp_path), seq_len=8, range_w=2,
+                                     force_distributed=dist)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert list(out.n_tokens) == [5, 3, 0, 7, 4], dist
+        assert list(out.tok_start) == [0, 5, 8, 8, 15], dist
+        assert list(out.seq_id) == [0, 0, 1, 1, 1], dist
+        assert list(out.seq_off) == [0, 5, 0, 0, 7], dist
+
+
+def test_pack_sequences_matches_oracle_smoke():
+    con = make_duckdb(SF_SMOKE)
+    assert_matches_oracle(QUERIES["pack_sequences"](SF_SMOKE), con,
+                          ORACLES["pack_sequences"])
