@@ -1731,3 +1731,88 @@ SELECT doc_id, n_tokens, tok_start,
        tok_start % {seq_len} AS seq_off
 FROM c
 """
+
+
+def pack_seq_stats(sf_dir: str, seq_len: int = PACK_SEQ_LEN,
+                   range_w: int = PACK_RANGE_W) -> ray.data.Dataset:
+    """Per-SEQUENCE composition of the packed token stream: how many docs
+    each fixed-length training sequence touches (``n_docs``), how many
+    START inside it (``n_starters``) and how many continue past its end
+    (``n_crossers``) — the attention-mask / document-boundary accounting
+    a packed-pretraining loader needs (cross-doc attention contamination
+    is proportional to ``n_docs - 1``).
+
+    Shape: `pack_sequences`' doc-offset table (never the text again) →
+    vectorized ``np.repeat`` range expansion of each doc over the
+    sequences it overlaps (expansion factor = doc_len/seq_len + 1, so
+    output ≈ input rows + total_tokens/seq_len) → `bucketed_group_agg`
+    by seq_id (sequence cardinality tracks corpus size — the plain
+    groupby pathology documented on `agg.bucketed_group_agg`)."""
+    from ..stages.agg import bucketed_group_agg
+
+    packed = pack_sequences(sf_dir, seq_len=seq_len, range_w=range_w)
+
+    def expand(b: pa.Table) -> pa.Table:
+        n = b["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = b["tok_start"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = n > 0
+        n, ts = n[keep], ts[keep]
+        s0 = ts // seq_len
+        s1 = (ts + n - 1) // seq_len
+        reps = s1 - s0 + 1
+        seq = np.repeat(s0, reps) + _ranges_within(reps)
+        return pa.table({
+            "seq_id": pa.array(seq),
+            "one": pa.array(np.ones(len(seq), np.int64)),
+            "st": pa.array((seq == np.repeat(s0, reps)).astype(np.int64)),
+            "cr": pa.array((seq < np.repeat(s1, reps)).astype(np.int64))})
+
+    expanded = packed.map_batches(expand, batch_format="pyarrow")
+    return bucketed_group_agg(expanded, ["seq_id"],
+                              [("one", "sum", "n_docs"),
+                               ("st", "sum", "n_starters"),
+                               ("cr", "sum", "n_crossers")])
+
+
+def _ranges_within(reps: np.ndarray) -> np.ndarray:
+    """[0,1,..,reps[0]-1, 0,1,..,reps[1]-1, ...] without a Python loop."""
+    total = int(reps.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    starts = np.cumsum(reps) - reps
+    out = np.ones(total, np.int64)
+    out[0] = 0
+    out[starts[1:]] = 1 - reps[:-1]
+    return np.cumsum(out)
+
+
+def pack_seq_stats_sql(seq_len: int = PACK_SEQ_LEN,
+                       table: str = "documents") -> str:
+    from ..core.sqlgen_text import _count
+    from ..stages.text import TOKEN_RE
+    return f"""
+WITH n AS (
+  SELECT doc_id, {_count('text', TOKEN_RE)} AS n_tokens FROM {table}
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_start
+  FROM n
+),
+exp AS (
+  SELECT tok_start, n_tokens,
+         UNNEST(generate_series(tok_start // {seq_len},
+                                (tok_start + n_tokens - 1) // {seq_len}))
+           AS seq_id
+  FROM c WHERE n_tokens > 0
+)
+SELECT seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN tok_start // {seq_len} = seq_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_starters,
+       CAST(SUM(CASE WHEN (tok_start + n_tokens - 1) // {seq_len} > seq_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_crossers
+FROM exp GROUP BY seq_id
+"""

@@ -2174,3 +2174,10 @@ register("containment_pairs", webhistory.containment_pairs,
 # sum of token counts over the doc_id order; window-cumsum twin
 register("pack_sequences", corpus.pack_sequences,
          corpus.pack_sequences_sql())
+
+# per-sequence composition (docs touched / started / crossing — the
+# attention-mask boundary accounting); seq_len=128 so the fixture packs
+# into ~2-4 docs per sequence instead of one giant sequence
+register("pack_seq_stats",
+         lambda sf: corpus.pack_seq_stats(sf, seq_len=128),
+         corpus.pack_seq_stats_sql(seq_len=128))

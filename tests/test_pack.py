@@ -33,3 +33,25 @@ def test_pack_sequences_matches_oracle_smoke():
     con = make_duckdb(SF_SMOKE)
     assert_matches_oracle(QUERIES["pack_sequences"](SF_SMOKE), con,
                           ORACLES["pack_sequences"])
+
+
+def test_pack_seq_stats_composition(tmp_path):
+    # counts 5, 3, 0, 20, 4 -> starts 0, 5, 8, 8, 28; seq_len=8:
+    #   doc0 seqs [0], doc1 [0], doc2 none (empty), doc3 [1,2,3], doc4 [3]
+    texts = ["a b c d e", "x y z", "", " ".join(["t"] * 20), "m n o p"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(texts, pa.string())}),
+        tmp_path / "documents.parquet")
+    out = (corpus.pack_seq_stats(str(tmp_path), seq_len=8, range_w=2)
+           .to_pandas().sort_values("seq_id").reset_index(drop=True))
+    assert list(out.seq_id) == [0, 1, 2, 3]
+    assert list(out.n_docs) == [2, 1, 1, 2]
+    assert list(out.n_starters) == [2, 1, 0, 1]   # doc3 starts in seq 1
+    assert list(out.n_crossers) == [0, 1, 1, 0]   # doc3 crosses 1->2->3
+
+
+def test_pack_seq_stats_matches_oracle_smoke():
+    con = make_duckdb(SF_SMOKE)
+    assert_matches_oracle(QUERIES["pack_seq_stats"](SF_SMOKE), con,
+                          ORACLES["pack_seq_stats"])
