@@ -10,7 +10,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data
 
-from ..stages import ann, dedup
+from ..stages import ann, cdc, dedup
 from ..stages.text import fingerprint, lang_id, text_stats
 from ..sources.readers import read_parquet_clean
 
@@ -1816,3 +1816,15 @@ SELECT seq_id,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_crossers
 FROM exp GROUP BY seq_id
 """
+
+
+# --------------------------------------- content-defined chunking (CDC)
+
+def cdc_doc_chunks(sf_dir: str) -> ray.data.Dataset:
+    """Anchor rolling-hash chunk table of the corpus (`stages/cdc.py`)."""
+    return cdc.cdc_chunks(_docs(sf_dir))
+
+
+def cdc_dup_chunk_stats(sf_dir: str) -> ray.data.Dataset:
+    """Chunk-store dedup accounting: signatures stored more than once."""
+    return cdc.cdc_dup_chunks(_docs(sf_dir))

@@ -2181,3 +2181,16 @@ register("pack_sequences", corpus.pack_sequences,
 register("pack_seq_stats",
          lambda sf: corpus.pack_seq_stats(sf, seq_len=128),
          corpus.pack_seq_stats_sql(seq_len=128))
+
+
+# Content-defined chunking (anchor/Gear rolling hash, stages/cdc.py):
+# boundaries move WITH the content, so chunk-level dedup survives edits
+# that shift byte offsets. cdc_chunks = the chunk table (one streaming
+# scan, no exchange); cdc_dup_chunks = chunk-store dedup accounting
+# (one sig-bucket exchange). Twins run the same splitmix64/2^k-window
+# arithmetic in HUGEINT.
+from .stages import cdc as _cdc  # noqa: E402
+
+register("cdc_chunks", corpus.cdc_doc_chunks, _cdc.cdc_chunks_sql())
+register("cdc_dup_chunks", corpus.cdc_dup_chunk_stats,
+         _cdc.cdc_dup_chunks_sql())
