@@ -227,6 +227,24 @@ def _embedding_dim_ranges_sql() -> str:
 
 register("embedding_dim_ranges", _embedding_dim_ranges,
          _embedding_dim_ranges_sql())
+
+
+def _embedding_quantize(sf_dir: str):
+    from .stages import ann as _ann
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    return _ann.embedding_quantize(ds)
+
+
+def _embedding_quantize_sql() -> str:
+    from .stages.ann import embedding_quantize_sql
+    return embedding_quantize_sql()
+
+
+# int8 scalar quantization (long-form codes — the quantized store):
+# broadcast per-dim ranges + one streaming codes scan, bit-exact twin
+register("embedding_quantize", _embedding_quantize,
+         _embedding_quantize_sql())
 register_recall_gated("ann_topk_lsh", corpus.ann_topk_lsh,
                       baseline="ann_topk", tau=0.6)
 register("ann_hybrid_fusion", corpus.ann_hybrid_fusion,

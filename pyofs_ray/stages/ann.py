@@ -754,3 +754,70 @@ WITH q AS (
 SELECT a.i AS i, b.i AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS qq_sum
 FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
 GROUP BY 1, 2"""
+
+
+def embedding_quantize(ds: ray.data.Dataset,
+                       levels: int = 255) -> ray.data.Dataset:
+    """Scalar (per-dimension min/max) int8 quantization of the embedding
+    column — the storage/serving compression step before an ANN index
+    ships to disk: ``code = floor((v - lo_d) * levels / (hi_d - lo_d)
+    + 0.5)``, constant dimensions code to 0.
+
+    Two passes by semantics (the range is global): (1)
+    `embedding_dim_ranges`' partial-per-block min/max (exchange volume
+    D × blocks, independent of rows), pulled (D rows) and broadcast once
+    via ``ray.put``; (2) one streaming codes scan. Long-form output
+    (vec_id, dim, code) IS the quantized store. Every arithmetic step is
+    a single IEEE double op in the same order as the DuckDB twin, so
+    codes are bit-exact."""
+    import ray as _ray
+
+    rng = embedding_dim_ranges(ds.select_columns(["embedding"]))
+    rt = pa.concat_tables(
+        [_ray.get(r) for r in rng.to_arrow_refs()]).sort_by("dim")
+    lo = rt["vmin"].to_numpy(zero_copy_only=False).astype(np.float64)
+    hi = rt["vmax"].to_numpy(zero_copy_only=False).astype(np.float64)
+    rng_ref = _ray.put((lo, hi))
+
+    def codes(b: pa.Table) -> pa.Table:
+        lo_, hi_ = _ray.get(rng_ref)
+        arr = b["embedding"].combine_chunks() \
+            if isinstance(b["embedding"], pa.ChunkedArray) else b["embedding"]
+        n = len(arr)
+        m = arr.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(n, -1).astype(np.float64)
+        d = m.shape[1]
+        denom = hi_ - lo_
+        ok = denom > 0
+        c = np.floor((m - lo_) * float(levels) / np.where(ok, denom, 1.0)
+                     + 0.5).astype(np.int64)
+        c[:, ~ok] = 0
+        vid = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(vid, d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), n)),
+            "code": pa.array(c.ravel())})
+
+    return ds.map_batches(codes, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def embedding_quantize_sql(levels: int = 255,
+                           table: str = "embeddings") -> str:
+    return f"""
+WITH vals AS (
+  SELECT vec_id, UNNEST(embedding) AS vf,
+         UNNEST(range(1, len(embedding) + 1)) AS dim
+  FROM {table}
+),
+v AS (SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+             CAST(vf AS DOUBLE) AS v FROM vals),
+rng AS (SELECT dim, MIN(v) AS lo, MAX(v) AS hi FROM v GROUP BY dim)
+SELECT v.vec_id, v.dim,
+       CASE WHEN r.hi > r.lo
+            THEN CAST(FLOOR((v.v - r.lo) * CAST({levels} AS DOUBLE)
+                            / (r.hi - r.lo) + CAST(0.5 AS DOUBLE))
+                      AS BIGINT)
+            ELSE 0 END AS code
+FROM v JOIN rng r USING (dim)
+"""

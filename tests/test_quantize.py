@@ -1,0 +1,53 @@
+"""int8 embedding quantization: code bounds, constant-dim handling,
+reconstruction error bound, oracle parity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from pyofs_ray.stages.ann import embedding_quantize
+from pyofs_ray.registry import ORACLES, QUERIES
+
+from .conftest import SF_SMOKE, assert_matches_oracle, make_duckdb
+
+
+def _ds(mat: np.ndarray) -> ray.data.Dataset:
+    return ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(len(mat), dtype=np.int64)),
+        "embedding": pa.array(list(mat.astype(np.float32)),
+                              pa.list_(pa.float32()))}))
+
+
+def test_codes_bounds_and_constant_dim(ray_session):
+    rng = np.random.default_rng(3)
+    m = rng.normal(size=(40, 6)).astype(np.float32)
+    m[:, 2] = 1.25                       # constant dimension -> code 0
+    out = embedding_quantize(_ds(m)).to_pandas()
+    assert len(out) == 40 * 6
+    assert out.code.between(0, 255).all()
+    assert (out[out.dim == 3].code == 0).all()
+    # extremes hit the rails in every non-constant dimension
+    for d in [1, 2, 4, 5, 6]:
+        sub = out[out.dim == d]
+        assert sub.code.min() == 0 and sub.code.max() == 255
+
+
+def test_reconstruction_error_half_step(ray_session):
+    rng = np.random.default_rng(5)
+    m = rng.uniform(-1, 1, size=(64, 8)).astype(np.float32)
+    out = (embedding_quantize(_ds(m)).to_pandas()
+           .sort_values(["vec_id", "dim"]))
+    codes = out.code.to_numpy().reshape(64, 8)
+    lo = m.astype(np.float64).min(0)
+    hi = m.astype(np.float64).max(0)
+    recon = lo + codes * (hi - lo) / 255.0
+    step = (hi - lo) / 255.0
+    assert (np.abs(recon - m.astype(np.float64)) <= step / 2 + 1e-12).all()
+
+
+def test_quantize_matches_oracle_smoke():
+    con = make_duckdb(SF_SMOKE)
+    assert_matches_oracle(QUERIES["embedding_quantize"](SF_SMOKE), con,
+                          ORACLES["embedding_quantize"])
