@@ -1828,3 +1828,93 @@ def cdc_doc_chunks(sf_dir: str) -> ray.data.Dataset:
 def cdc_dup_chunk_stats(sf_dir: str) -> ray.data.Dataset:
     """Chunk-store dedup accounting: signatures stored more than once."""
     return cdc.cdc_dup_chunks(_docs(sf_dir))
+
+
+# ------------------------------------- pretraining data-mixture planning
+MIX_PPM = 1_000_000
+
+
+def lang_mixture_plan(sf_dir: str) -> ray.data.Dataset:
+    """Temperature-scaled mixture plan over the per-language corpus
+    slices — the multilingual-pretraining sampling schedule (XLM-R's
+    exponent-smoothed sampling with alpha = 0.5): a language's sampling
+    weight is sqrt(n_docs), so low-resource slices are up-weighted
+    relative to their raw share without ever dominating.
+
+    Integer-exact end to end: ``weight_s = floor(sqrt(n_docs))`` is ONE
+    correctly-rounded IEEE op both sides (n_docs < 2^53), everything
+    after is int64 floor arithmetic — ``share_ppm`` (parts-per-million
+    of the training stream), ``target_docs`` (share of the corpus-sized
+    budget), ``epochs_ppm`` (how often the slice repeats: > 1M means
+    the slice is seen more than once per epoch).
+
+    ONE execution: per-batch (lang, count) partials (languages are a
+    ~100-key space — the documented small-key finish shape, NOT a Ray
+    groupby) coalesced to a single finish kernel that computes the whole
+    plan vectorized; overflow-guarded (share_ppm × corpus_size must stay
+    in int64 — raises loudly past ~9·10^12 docs)."""
+
+    def partials(b: pa.Table) -> pa.Table:
+        g = b.group_by("lang").aggregate([("doc_id", "count")])
+        return pa.table({"lang": g["lang"],
+                         "n": g["doc_id_count"].cast(pa.int64())})
+
+    def finish(b: pa.Table) -> pa.Table:
+        langs = np.asarray(b["lang"].to_pylist(), dtype=object)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(langs, kind="stable")
+        langs, n = langs[order], n[order]
+        ul, inv = np.unique(langs, return_inverse=True)
+        cnt = np.zeros(len(ul), np.int64)
+        np.add.at(cnt, inv, n)
+        w = np.floor(np.sqrt(cnt.astype(np.float64))).astype(np.int64)
+        tot_w, tot_n = int(w.sum()), int(cnt.sum())
+        if tot_n >= (1 << 63) // MIX_PPM:
+            raise OverflowError(
+                "lang_mixture_plan: share_ppm * corpus_size leaves int64 "
+                f"(corpus {tot_n} docs) — plan in shards or raise to HUGEINT")
+        share = w * MIX_PPM // tot_w
+        target = share * tot_n // MIX_PPM
+        epochs = target * MIX_PPM // cnt
+        return pa.table({"lang": pa.array(list(ul), pa.string()),
+                         "n_docs": pa.array(cnt),
+                         "weight_s": pa.array(w),
+                         "share_ppm": pa.array(share),
+                         "target_docs": pa.array(target),
+                         "epochs_ppm": pa.array(epochs)})
+
+    return (_docs(sf_dir, columns=("doc_id", "lang"))
+            .map_batches(partials, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(finish, batch_format="pyarrow", batch_size=None))
+
+
+def lang_mixture_plan_sql(table: str = "documents") -> str:
+    return f"""
+WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM {table} GROUP BY lang
+),
+w AS (
+  SELECT lang, n_docs,
+         CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT) AS weight_s
+  FROM counts
+),
+t AS (
+  SELECT CAST(SUM(weight_s) AS BIGINT) AS tot_w,
+         CAST(SUM(n_docs) AS BIGINT) AS tot_n
+  FROM w
+),
+s AS (
+  SELECT lang, n_docs, weight_s,
+         weight_s * {MIX_PPM} // t.tot_w AS share_ppm,
+         t.tot_n AS tot_n
+  FROM w, t
+)
+SELECT lang, n_docs, weight_s,
+       CAST(share_ppm AS BIGINT) AS share_ppm,
+       CAST(share_ppm * tot_n // {MIX_PPM} AS BIGINT) AS target_docs,
+       CAST((share_ppm * tot_n // {MIX_PPM}) * {MIX_PPM} // n_docs
+            AS BIGINT) AS epochs_ppm
+FROM s
+"""

@@ -2212,3 +2212,8 @@ from .stages import cdc as _cdc  # noqa: E402
 register("cdc_chunks", corpus.cdc_doc_chunks, _cdc.cdc_chunks_sql())
 register("cdc_dup_chunks", corpus.cdc_dup_chunk_stats,
          _cdc.cdc_dup_chunks_sql())
+
+# temperature-scaled (alpha=0.5) multilingual mixture plan — integer-
+# exact sampling schedule (share_ppm / target_docs / epochs_ppm)
+register("lang_mixture_plan", corpus.lang_mixture_plan,
+         corpus.lang_mixture_plan_sql())
