@@ -317,3 +317,77 @@ SELECT id_b, id_a, c, s.n
 FROM inter JOIN sz s ON s.doc_id = id_b
 WHERE c * {CONTAIN_DEN} >= {CONTAIN_NUM} * s.n
 """
+
+
+# ------------------------------------------------- politeness wave plan
+
+def crawl_wave_plan(sf_dir: str) -> ray.data.Dataset:
+    """Politeness-constrained crawl schedule: with one-request-per-host
+    politeness, the frontier drains in WAVES — wave ``w`` fetches one url
+    from every host that still has ≥ w urls queued. The wave profile
+    (``n_hosts`` = fetches in that wave, ``cum_pages`` = frontier drained
+    so far) is the crawl-makespan estimate: the tail after the bulk of
+    hosts exhaust is exactly the hot-host skew (the fixture's 70 %-one-
+    host shape shows as a long n_hosts=1 tail).
+
+    Shape: per-host counts via `bucketed_group_agg` (host cardinality
+    tracks corpus size), then the count HISTOGRAM coalesces (distinct
+    count-values are log-scale few) and one finish kernel derives every
+    wave row by suffix-cumsum — no per-wave expansion of the host table
+    (the SQL twin's generate_series does expand; at engine scale the
+    histogram form moves #distinct-counts rows, not #pages).
+    """
+    from ..pipelines.flagship import url_host
+    from ..stages.agg import bucketed_group_agg
+
+    pages = pages_dataset(sf_dir, with_text=False)
+
+    def hosted(b: pa.Table) -> pa.Table:
+        return pa.table({"host": url_host(b["url"]),
+                         "one": pa.array(np.ones(len(b), np.int64))})
+
+    per_host = bucketed_group_agg(
+        pages.map_batches(hosted, batch_format="pyarrow"),
+        ["host"], [("one", "sum", "cnt")])
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        c = b["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uc, n = np.unique(c, return_counts=True)
+        return pa.table({"cnt": pa.array(uc),
+                         "n_hosts": pa.array(n.astype(np.int64))})
+
+    def finish(b: pa.Table) -> pa.Table:
+        c = b["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nh = b["n_hosts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(c, kind="stable")
+        c, nh = c[order], nh[order]
+        uc, inv = np.unique(c, return_inverse=True)
+        hist = np.zeros(len(uc), np.int64)
+        np.add.at(hist, inv, nh)
+        waves = np.arange(1, int(uc.max()) + 1, dtype=np.int64) \
+            if len(uc) else np.zeros(0, np.int64)
+        # hosts still active in wave w = sum of hist over cnt >= w
+        suffix = np.cumsum(hist[::-1])[::-1]
+        n_hosts = suffix[np.searchsorted(uc, waves)]
+        return pa.table({"wave": pa.array(waves),
+                         "n_hosts": pa.array(n_hosts),
+                         "cum_pages": pa.array(np.cumsum(n_hosts))})
+
+    return (per_host.map_batches(hist_partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(finish, batch_format="pyarrow", batch_size=None))
+
+
+def crawl_wave_plan_sql() -> str:
+    """Composed after `sqlgen.pages_prefix()`."""
+    return """
+hc AS (
+  SELECT SPLIT_PART(url, '/', 3) AS host,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pages GROUP BY host
+),
+wv AS (SELECT UNNEST(generate_series(1, cnt)) AS wave FROM hc)
+SELECT wave, CAST(COUNT(*) AS BIGINT) AS n_hosts,
+       CAST(SUM(COUNT(*)) OVER (ORDER BY wave) AS BIGINT) AS cum_pages
+FROM wv GROUP BY wave
+"""

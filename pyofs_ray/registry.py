@@ -2217,3 +2217,8 @@ register("cdc_dup_chunks", corpus.cdc_dup_chunk_stats,
 # exact sampling schedule (share_ppm / target_docs / epochs_ppm)
 register("lang_mixture_plan", corpus.lang_mixture_plan,
          corpus.lang_mixture_plan_sql())
+
+# politeness-wave crawl schedule: per-host frontier counts -> count
+# histogram -> suffix-cumsum wave profile (hot-host skew = the tail)
+register("crawl_wave_plan", webhistory.crawl_wave_plan,
+         f"{sqlgen.pages_prefix()},\n{webhistory.crawl_wave_plan_sql()}")
