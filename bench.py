@@ -124,6 +124,10 @@ BENCH_QUERIES = [
     # policy (containment_pairs stays gate-scale — exact Σ df² family,
     # saturated-vocabulary pathology at sf0.1, like ngram_jaccard_pairs)
     "scd2_url_history", "robots_policy", "pack_sequences",
+    # round 4 late block 17: packed-sequence accounting, content-defined
+    # chunking (storage dedup), int8 quantization, mixture/crawl planning
+    "pack_seq_stats", "cdc_chunks", "cdc_dup_chunks",
+    "embedding_quantize", "lang_mixture_plan", "crawl_wave_plan",
 ]
 
 
