@@ -304,6 +304,12 @@ def ann_topk(sf_dir: str) -> pd.DataFrame:
     return ann.ann_topk_brute(ds, _query_vectors(sf_dir), k=TOPK)
 
 
+def ann_topk_quantized(sf_dir: str) -> pd.DataFrame:
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    return ann.ann_topk_quantized(ds, _query_vectors(sf_dir), k=TOPK)
+
+
 def ann_topk_lsh(sf_dir: str) -> pd.DataFrame:
     ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])

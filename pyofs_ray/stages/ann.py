@@ -756,6 +756,40 @@ FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
 GROUP BY 1, 2"""
 
 
+def _global_dim_ranges(ds: ray.data.Dataset) -> tuple[np.ndarray,
+                                                      np.ndarray]:
+    """Exact global per-dim (lo, hi) as float64 on the DRIVER: per-block
+    D-row partial min/max (selection only — float32 values untouched)
+    merged with np.minimum/maximum.at — D ≤ 2k keys is the documented
+    no-Ray-groupby finish shape. Shared by `embedding_quantize` and
+    `ann_topk_quantized`."""
+    import ray as _ray
+
+    def range_partials(b: pa.Table) -> pa.Table:
+        arr = b["embedding"].combine_chunks() \
+            if isinstance(b["embedding"], pa.ChunkedArray) else b["embedding"]
+        m = arr.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(len(arr), -1)
+        d = m.shape[1]
+        return pa.table({"dim": pa.array(np.arange(d, dtype=np.int64)),
+                         "vmin": pa.array(m.min(axis=0)),
+                         "vmax": pa.array(m.max(axis=0))})
+
+    pt = pa.concat_tables(
+        [_ray.get(r) for r in ds.select_columns(["embedding"])
+         .map_batches(range_partials, batch_format="pyarrow",
+                      zero_copy_batch=True).to_arrow_refs()])
+    dims = pt["dim"].to_numpy(zero_copy_only=False)
+    d_all = int(dims.max()) + 1
+    lo = np.full(d_all, np.inf, np.float64)
+    hi = np.full(d_all, -np.inf, np.float64)
+    np.minimum.at(lo, dims,
+                  pt["vmin"].to_numpy(zero_copy_only=False).astype(np.float64))
+    np.maximum.at(hi, dims,
+                  pt["vmax"].to_numpy(zero_copy_only=False).astype(np.float64))
+    return lo, hi
+
+
 def embedding_quantize(ds: ray.data.Dataset,
                        levels: int = 255) -> ray.data.Dataset:
     """Scalar (per-dimension min/max) int8 quantization of the embedding
@@ -763,20 +797,17 @@ def embedding_quantize(ds: ray.data.Dataset,
     ships to disk: ``code = floor((v - lo_d) * levels / (hi_d - lo_d)
     + 0.5)``, constant dimensions code to 0.
 
-    Two passes by semantics (the range is global): (1)
-    `embedding_dim_ranges`' partial-per-block min/max (exchange volume
-    D × blocks, independent of rows), pulled (D rows) and broadcast once
-    via ``ray.put``; (2) one streaming codes scan. Long-form output
-    (vec_id, dim, code) IS the quantized store. Every arithmetic step is
-    a single IEEE double op in the same order as the DuckDB twin, so
-    codes are bit-exact."""
+    Two passes by semantics (the range is global): (1) per-block
+    partial min/max rows (D rows per block, independent of row count)
+    merged ON THE DRIVER — D ≤ 2k keys is the documented
+    no-Ray-groupby finish shape — and broadcast once via ``ray.put``;
+    (2) one streaming codes scan. Long-form output (vec_id, dim, code)
+    IS the quantized store. Every arithmetic step is a single IEEE
+    double op in the same order as the DuckDB twin, so codes are
+    bit-exact."""
     import ray as _ray
 
-    rng = embedding_dim_ranges(ds.select_columns(["embedding"]))
-    rt = pa.concat_tables(
-        [_ray.get(r) for r in rng.to_arrow_refs()]).sort_by("dim")
-    lo = rt["vmin"].to_numpy(zero_copy_only=False).astype(np.float64)
-    hi = rt["vmax"].to_numpy(zero_copy_only=False).astype(np.float64)
+    lo, hi = _global_dim_ranges(ds)
     rng_ref = _ray.put((lo, hi))
 
     def codes(b: pa.Table) -> pa.Table:
@@ -821,3 +852,55 @@ SELECT v.vec_id, v.dim,
             ELSE 0 END AS code
 FROM v JOIN rng r USING (dim)
 """
+
+
+def ann_topk_quantized(ds: ray.data.Dataset, queries: pa.Table, k: int = 5,
+                       levels: int = 255,
+                       exclude_self: bool = True) -> "pd.DataFrame":
+    """Asymmetric-distance (ADC) top-k over the int8-quantized store:
+    full-precision queries scored against DEQUANTIZED base vectors —
+    exactly what a serving tier computes when only codes are resident.
+    Same per-batch partial-top-k / `_finish_topk` shape as the brute
+    path; accuracy is a recall gate against `ann_topk` (scalar int8 on
+    unit-norm-ish vectors loses little; the gate documents how much)."""
+    lo, hi = _global_dim_ranges(ds)
+    denom = hi - lo
+    ok = denom > 0
+    qref = ray.put(queries)
+    lh_ref = ray.put((lo, hi, denom, ok))
+
+    class QuantizedTopK:
+        def __init__(self):
+            qtab = ray.get(qref)
+            self.qids = qtab["vec_id"].to_numpy(zero_copy_only=False)
+            self.qmat = _normalize(_embedding_matrix(qtab))
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            lo_, hi_, den_, ok_ = ray.get(lh_ref)
+            vids = b["vec_id"].to_numpy(zero_copy_only=False)
+            m = _embedding_matrix(b).astype(np.float64)
+            code = np.floor((m - lo_) * float(levels)
+                            / np.where(ok_, den_, 1.0) + 0.5)
+            code[:, ~ok_] = 0.0
+            recon = lo_ + code * den_ / float(levels)
+            sims = _normalize(recon) @ self.qmat.T
+            kk = min(k + 1, len(vids))
+            out_q, out_v, out_s = [], [], []
+            for qi in range(sims.shape[1]):
+                order = np.lexsort((vids, -sims[:, qi]))[:kk]
+                out_q.append(np.full(len(order), self.qids[qi], np.int64))
+                out_v.append(vids[order])
+                out_s.append(sims[order, qi])
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "sim": pa.array(np.concatenate(out_s))})
+
+    def probe(b: pa.Table) -> pa.Table:
+        from ..core.memo import memo_broadcast
+        return memo_broadcast(f"ann_quant:{qref.hex()}:{k}:{levels}",
+                              QuantizedTopK)(b)
+
+    sims = ds.map_batches(probe, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return _finish_topk(sims, k, exclude_self)

@@ -51,3 +51,18 @@ def test_quantize_matches_oracle_smoke():
     con = make_duckdb(SF_SMOKE)
     assert_matches_oracle(QUERIES["embedding_quantize"](SF_SMOKE), con,
                           ORACLES["embedding_quantize"])
+
+
+def test_ann_topk_quantized_recall_smoke(ray_session):
+    from pyofs_ray.pipelines import corpus
+    exact = corpus.ann_topk(SF_SMOKE)
+    quant = corpus.ann_topk_quantized(SF_SMOKE)
+    e = set(map(tuple, exact[["query_id", "vec_id"]]
+                .itertuples(index=False)))
+    q = set(map(tuple, quant[["query_id", "vec_id"]]
+                .itertuples(index=False)))
+    assert len(e & q) / len(e) >= 0.9
+    # same contract shape as the exact path
+    assert sorted(quant.columns) == sorted(exact.columns)
+    assert quant.groupby("query_id").size().eq(
+        exact.groupby("query_id").size()).all()
