@@ -1604,9 +1604,13 @@ PACK_RANGE_W = 256    # doc_id range width — pick ≈ rows-per-block at scale
 PACK_DRIVER_MAX = 2_000_000  # narrow (3×int64) rows ≈ 50 MB — coalesce OK
 
 
+PACK_SHUFFLE_SHIFT = 54   # draw >> shift → 2^10 hash-prefix ranges
+
+
 def pack_sequences(sf_dir: str, seq_len: int = PACK_SEQ_LEN,
                    range_w: int = PACK_RANGE_W,
-                   force_distributed: bool = False) -> ray.data.Dataset:
+                   force_distributed: bool = False,
+                   shuffled: bool = False) -> ray.data.Dataset:
     """Concat-and-chunk sequence packing — the standard LLM-pretraining
     step that lays the token stream of the doc_id-ordered corpus into
     fixed-length training sequences: each doc gets its global token
@@ -1630,9 +1634,20 @@ def pack_sequences(sf_dir: str, seq_len: int = PACK_SEQ_LEN,
     cumsum (the narrow table is 3 int64 columns, the same bounded-finish
     judgment as `dup_cluster_histogram`'s driver default); plan
     executions, not compute, dominate fixture-scale pipelines.
+
+    ``shuffled=True`` packs in DETERMINISTIC-SHUFFLE order — the
+    pretraining loader's epoch permutation: stream position follows
+    ``(splitmix64(doc_id), doc_id)`` instead of ``doc_id``. The same
+    three-step scan applies unchanged because the draw's high bits ARE
+    contiguous prefixes of the shuffled order: ranges become
+    ``draw >> PACK_SHUFFLE_SHIFT`` (uniform by construction — better
+    balanced than id-ranges on a skewed id space). The draw column
+    stores the uint64 bit pattern int64-signed; every sort views it
+    back (``.view(np.uint64)``) so ordering matches the HUGEINT twin.
     """
     import ray as _ray
 
+    from ..core.hashing import splitmix64
     from ..stages.agg import hash_bucket_tag
     from ..stages.text import TOKEN_RE
 
@@ -1640,8 +1655,22 @@ def pack_sequences(sf_dir: str, seq_len: int = PACK_SEQ_LEN,
         n = pc.cast(pc.count_substring_regex(b["text"], TOKEN_RE),
                     pa.int64())
         key = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if shuffled:
+            draw = splitmix64(key.view(np.uint64))
+            rng = (draw >> np.uint64(PACK_SHUFFLE_SHIFT)).astype(np.int64)
+            return pa.table({"doc_id": b["doc_id"], "n_tokens": n,
+                             "rng": pa.array(rng),
+                             "draw": pa.array(draw.view(np.int64))})
         return pa.table({"doc_id": b["doc_id"], "n_tokens": n,
                          "rng": pa.array(key // range_w)})
+
+    def _order(key: np.ndarray, draw: np.ndarray | None,
+               rng: np.ndarray | None = None) -> np.ndarray:
+        """Sort order of the packing stream (optionally rng-major)."""
+        cols = [key] if draw is None else [key, draw.view(np.uint64)]
+        if rng is not None:
+            cols.append(rng)
+        return np.lexsort(tuple(cols))
 
     narrow = _docs(sf_dir).map_batches(
         counts, batch_format="pyarrow", zero_copy_batch=True)
@@ -1650,7 +1679,9 @@ def pack_sequences(sf_dir: str, seq_len: int = PACK_SEQ_LEN,
         def finish(b: pa.Table) -> pa.Table:
             key = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
             n = b["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
-            order = np.argsort(key, kind="stable")
+            draw = b["draw"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64) if shuffled else None
+            order = _order(key, draw)
             key, n = key[order], n[order]
             tok_start = np.cumsum(n) - n
             return pa.table({"doc_id": pa.array(key),
@@ -1700,7 +1731,9 @@ def pack_sequences(sf_dir: str, seq_len: int = PACK_SEQ_LEN,
         key = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         n = g["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
         rng = g["rng"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((key, rng))
+        draw = g["draw"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64) if shuffled else None
+        order = _order(key, draw, rng)
         key, n, rng = key[order], n[order], rng[order]
         base = np.cumsum(n) - n
         starts = np.flatnonzero(np.r_[True, rng[1:] != rng[:-1]])
@@ -1728,6 +1761,34 @@ WITH n AS (
 c AS (
   SELECT doc_id, n_tokens,
          CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_start
+  FROM n
+)
+SELECT doc_id, n_tokens, tok_start,
+       tok_start // {seq_len} AS seq_id,
+       tok_start % {seq_len} AS seq_off
+FROM c
+"""
+
+
+def pack_sequences_shuffled_sql(seq_len: int = PACK_SEQ_LEN,
+                                table: str = "documents") -> str:
+    """Twin of ``pack_sequences(shuffled=True)``: the shared splitmix64
+    CTE chain supplies the HUGEINT draw; the window orders by it."""
+    from ..core.sqlgen_sample import _mix_ctes
+    from ..core.sqlgen_text import _count
+    from ..stages.text import TOKEN_RE
+    return f"""{_mix_ctes(table, 'doc_id', 0, 'doc_id, text',
+                          'pack_sequences_shuffled_sql')},
+n AS (
+  SELECT doc_id, xor(z2, z2 >> 31) AS draw,
+         {_count('text', TOKEN_RE)} AS n_tokens
+  FROM q2
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY draw, doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
               AS BIGINT) AS tok_start
   FROM n

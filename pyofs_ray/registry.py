@@ -2198,6 +2198,12 @@ register("containment_pairs", webhistory.containment_pairs,
 register("pack_sequences", corpus.pack_sequences,
          corpus.pack_sequences_sql())
 
+# deterministic-shuffle packing (the epoch permutation): stream order =
+# (splitmix64(doc_id), doc_id); same 3-step scan, hash-prefix ranges
+register("pack_sequences_shuffled",
+         lambda sf: corpus.pack_sequences(sf, shuffled=True),
+         corpus.pack_sequences_shuffled_sql())
+
 # per-sequence composition (docs touched / started / crossing — the
 # attention-mask boundary accounting); seq_len=128 so the fixture packs
 # into ~2-4 docs per sequence instead of one giant sequence

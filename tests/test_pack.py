@@ -35,6 +35,31 @@ def test_pack_sequences_matches_oracle_smoke():
                           ORACLES["pack_sequences"])
 
 
+def test_pack_shuffled_both_paths_agree(tmp_path):
+    """Shuffled order: coalesced and distributed scans produce identical
+    offsets, the stream is a permutation (same token total), and the
+    order is NOT the id order (the draw actually shuffles)."""
+    texts = [f"{'tok ' * (i % 7 + 1)}" for i in range(40)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": pa.array(texts, pa.string())}),
+        tmp_path / "documents.parquet")
+    outs = []
+    for dist in (False, True):
+        outs.append(corpus.pack_sequences(str(tmp_path), seq_len=8,
+                                          force_distributed=dist,
+                                          shuffled=True)
+                    .to_pandas().sort_values("doc_id")
+                    .reset_index(drop=True))
+    assert outs[0].equals(outs[1])
+    out = outs[0]
+    total = out.n_tokens.sum()
+    assert sorted(out.tok_start + out.n_tokens)[-1] == total
+    # the id-ordered prefix sum differs from the shuffled one somewhere
+    id_ts = out.n_tokens.cumsum() - out.n_tokens
+    assert (out.tok_start != id_ts).any()
+
+
 def test_pack_seq_stats_composition(tmp_path):
     # counts 5, 3, 0, 20, 4 -> starts 0, 5, 8, 8, 28; seq_len=8:
     #   doc0 seqs [0], doc1 [0], doc2 none (empty), doc3 [1,2,3], doc4 [3]
