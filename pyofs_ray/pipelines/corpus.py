@@ -1985,3 +1985,114 @@ SELECT lang, n_docs, weight_s,
             AS BIGINT) AS epochs_ppm
 FROM s
 """
+
+
+def pack_bins_bucketed(sf_dir: str,
+                       seq_len: int = 128) -> ray.data.Dataset:
+    """Length-bucketed bin packing — the OTHER production packing scheme
+    (dynamic/bucketed batching): docs are padded up to the nearest
+    power-of-two slot ``blen`` (truncated to ``seq_len`` first), bins of
+    capacity ``seq_len`` hold ``seq_len // blen`` same-bucket docs, so
+    intra-bin padding is bounded by 2× and attention never crosses docs
+    (the trade against `pack_sequences`' zero-waste concat-and-chunk).
+
+    Per power-of-two bucket: ``n_docs``, ``n_trunc`` (docs cut to
+    seq_len), ``n_bins`` (ceil-div by slots-per-bin), ``sum_tokens``
+    (post-truncation), ``waste_tokens = n_bins*seq_len - sum_tokens``
+    and ``fill_ppm`` — the padding-efficiency report a loader tunes
+    bucket boundaries with. All integer arithmetic.
+
+    ONE execution: token counts → per-batch per-bucket partials (≤
+    log2(seq_len)+1 keys) → coalesced finish (the small-key rule)."""
+    from ..stages.text import TOKEN_RE
+
+    if seq_len & (seq_len - 1):
+        raise ValueError(f"seq_len must be a power of two, got {seq_len}")
+    powers = 2 ** np.arange(0, int(np.log2(seq_len)) + 1, dtype=np.int64)
+
+    def partials(b: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(b["text"], TOKEN_RE),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        n = n[n > 0]
+        trunc = n > seq_len
+        eff = np.minimum(n, seq_len)
+        blen = powers[np.searchsorted(powers, eff)]
+        ub, inv = np.unique(blen, return_inverse=True)
+        cnt = np.zeros(len(ub), np.int64)
+        tok = np.zeros(len(ub), np.int64)
+        ntr = np.zeros(len(ub), np.int64)
+        np.add.at(cnt, inv, 1)
+        np.add.at(tok, inv, eff)
+        np.add.at(ntr, inv, trunc.astype(np.int64))
+        return pa.table({"blen": pa.array(ub), "n_docs": pa.array(cnt),
+                         "sum_tokens": pa.array(tok),
+                         "n_trunc": pa.array(ntr)})
+
+    def finish(b: pa.Table) -> pa.Table:
+        bl = b["blen"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ub, inv = np.unique(bl, return_inverse=True)
+        cnt = np.zeros(len(ub), np.int64)
+        tok = np.zeros(len(ub), np.int64)
+        ntr = np.zeros(len(ub), np.int64)
+        np.add.at(cnt, inv,
+                  b["n_docs"].to_numpy(zero_copy_only=False))
+        np.add.at(tok, inv,
+                  b["sum_tokens"].to_numpy(zero_copy_only=False))
+        np.add.at(ntr, inv,
+                  b["n_trunc"].to_numpy(zero_copy_only=False))
+        dpb = seq_len // ub
+        bins = (cnt + dpb - 1) // dpb
+        waste = bins * seq_len - tok
+        return pa.table({"blen": pa.array(ub), "n_docs": pa.array(cnt),
+                         "n_trunc": pa.array(ntr),
+                         "n_bins": pa.array(bins),
+                         "sum_tokens": pa.array(tok),
+                         "waste_tokens": pa.array(waste),
+                         "fill_ppm": pa.array(
+                             tok * MIX_PPM // (bins * seq_len))})
+
+    return (_docs(sf_dir)
+            .map_batches(partials, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(finish, batch_format="pyarrow", batch_size=None))
+
+
+def pack_bins_bucketed_sql(seq_len: int = 128,
+                           table: str = "documents") -> str:
+    from ..core.sqlgen_text import _count
+    from ..stages.text import TOKEN_RE
+    pws = ", ".join(f"({1 << k})"
+                    for k in range(int(seq_len).bit_length()))
+    return f"""
+WITH p(blen) AS (VALUES {pws}),
+n AS (
+  SELECT doc_id, {_count('text', TOKEN_RE)} AS n_tokens FROM {table}
+),
+e AS (
+  SELECT doc_id, LEAST(n_tokens, {seq_len}) AS eff,
+         CASE WHEN n_tokens > {seq_len} THEN 1 ELSE 0 END AS trunc
+  FROM n WHERE n_tokens > 0
+),
+sl AS (
+  SELECT e.doc_id, e.eff, e.trunc, MIN(p.blen) AS blen
+  FROM e JOIN p ON p.blen >= e.eff
+  GROUP BY e.doc_id, e.eff, e.trunc
+),
+g AS (
+  SELECT blen,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(trunc) AS BIGINT) AS n_trunc,
+         CAST(SUM(eff) AS BIGINT) AS sum_tokens
+  FROM sl GROUP BY blen
+)
+SELECT blen, n_docs, n_trunc,
+       (n_docs + ({seq_len} // blen) - 1) // ({seq_len} // blen) AS n_bins,
+       sum_tokens,
+       ((n_docs + ({seq_len} // blen) - 1) // ({seq_len} // blen))
+         * {seq_len} - sum_tokens AS waste_tokens,
+       sum_tokens * {MIX_PPM}
+         // (((n_docs + ({seq_len} // blen) - 1) // ({seq_len} // blen))
+             * {seq_len}) AS fill_ppm
+FROM g
+"""

@@ -2211,6 +2211,11 @@ register("pack_seq_stats",
          lambda sf: corpus.pack_seq_stats(sf, seq_len=128),
          corpus.pack_seq_stats_sql(seq_len=128))
 
+# length-bucketed bin packing (power-of-two slots, no cross-doc
+# attention) — the padding-efficiency counterpart of concat-and-chunk
+register("pack_bins_bucketed", corpus.pack_bins_bucketed,
+         corpus.pack_bins_bucketed_sql())
+
 
 # Content-defined chunking (anchor/Gear rolling hash, stages/cdc.py):
 # boundaries move WITH the content, so chunk-level dedup survives edits

@@ -80,3 +80,31 @@ def test_pack_seq_stats_matches_oracle_smoke():
     con = make_duckdb(SF_SMOKE)
     assert_matches_oracle(QUERIES["pack_seq_stats"](SF_SMOKE), con,
                           ORACLES["pack_seq_stats"])
+
+
+def test_pack_bins_bucketed_semantics(tmp_path):
+    # token counts 1, 3, 3, 9, 20 with seq_len=16:
+    #   slots 1, 4, 4, 16, 16(truncated); bins: 1x(1/16-slot), 1x(2 of 4
+    #   slots used of 4-per-bin), 2x(16-slot singleton bins)
+    texts = ["a", "a b c", "x y z", " ".join("t" * 1 for _ in range(9)),
+             " ".join("u" for _ in range(20))]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(texts, pa.string())}),
+        tmp_path / "documents.parquet")
+    out = (corpus.pack_bins_bucketed(str(tmp_path), seq_len=16)
+           .to_pandas().set_index("blen").sort_index())
+    assert list(out.index) == [1, 4, 16]
+    assert list(out.n_docs) == [1, 2, 2]
+    assert list(out.n_trunc) == [0, 0, 1]        # the 20-token doc is cut
+    assert list(out.n_bins) == [1, 1, 2]
+    assert list(out.sum_tokens) == [1, 6, 25]    # 9 + min(20,16)
+    assert list(out.waste_tokens) == [15, 10, 7]
+    assert (out.fill_ppm
+            == out.sum_tokens * 1_000_000 // (out.n_bins * 16)).all()
+
+
+def test_pack_bins_matches_oracle_smoke():
+    con = make_duckdb(SF_SMOKE)
+    assert_matches_oracle(QUERIES["pack_bins_bucketed"](SF_SMOKE), con,
+                          ORACLES["pack_bins_bucketed"])
