@@ -128,6 +128,9 @@ BENCH_QUERIES = [
     # chunking (storage dedup), int8 quantization, mixture/crawl planning
     "pack_seq_stats", "cdc_chunks", "cdc_dup_chunks",
     "embedding_quantize", "lang_mixture_plan", "crawl_wave_plan",
+    # round 4 late block 18: shuffle-order packing, bucketed bins,
+    # ADC retrieval over the int8 store
+    "pack_sequences_shuffled", "pack_bins_bucketed", "ann_topk_quantized",
 ]
 
 
