@@ -391,3 +391,39 @@ SELECT wave, CAST(COUNT(*) AS BIGINT) AS n_hosts,
        CAST(SUM(COUNT(*)) OVER (ORDER BY wave) AS BIGINT) AS cum_pages
 FROM wv GROUP BY wave
 """
+
+
+# ------------------------------------------- placement / budget planning
+
+def hrw_doc_shards(sf_dir: str, num_shards: int = 8) -> ray.data.Dataset:
+    """Rendezvous-hashing shard plan over doc_id (`stages/placement.py`)."""
+    from ..sources.readers import read_parquet_clean
+    from ..stages.placement import hrw_shard_plan
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+    return hrw_shard_plan(ds, num_shards)
+
+
+CRAWL_BUDGET = 200
+
+
+def crawl_budget_alloc(sf_dir: str,
+                       budget: int = CRAWL_BUDGET) -> ray.data.Dataset:
+    """Max-min-fair fetch allocation across hosts under a global budget
+    (`stages/placement.py:waterfill_alloc`): small hosts fetch fully,
+    the hot host is clamped to the waterline — the fairness complement
+    of `crawl_wave_plan`'s makespan view."""
+    from ..pipelines.flagship import url_host
+    from ..stages.agg import bucketed_group_agg
+    from ..stages.placement import crawl_budget_waterfill
+
+    pages = pages_dataset(sf_dir, with_text=False)
+
+    def hosted(b: pa.Table) -> pa.Table:
+        return pa.table({"host": url_host(b["url"]),
+                         "one": pa.array(np.ones(len(b), np.int64))})
+
+    per_host = bucketed_group_agg(
+        pages.map_batches(hosted, batch_format="pyarrow"),
+        ["host"], [("one", "sum", "cnt")])
+    return crawl_budget_waterfill(per_host, budget)

@@ -2238,3 +2238,21 @@ register("lang_mixture_plan", corpus.lang_mixture_plan,
 # histogram -> suffix-cumsum wave profile (hot-host skew = the tail)
 register("crawl_wave_plan", webhistory.crawl_wave_plan,
          f"{sqlgen.pages_prefix()},\n{webhistory.crawl_wave_plan_sql()}")
+
+# rendezvous (HRW) shard plan: populations under S and S+1 shards plus
+# per-shard movement (≈N/(S+1) total — the consistent-placement win)
+from .stages import placement as _placement  # noqa: E402
+
+register("hrw_shard_plan", webhistory.hrw_doc_shards,
+         _placement.hrw_shard_plan_sql(8))
+
+# max-min-fair crawl budget (water-filling): saturate small hosts, clamp
+# the hot host to the waterline; remainder +1 by host order
+register("crawl_budget_alloc", webhistory.crawl_budget_alloc,
+         f"""{sqlgen.pages_prefix()},
+hc AS (
+  SELECT SPLIT_PART(url, '/', 3) AS host,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pages GROUP BY host
+),
+{_placement.crawl_budget_waterfill_sql(webhistory.CRAWL_BUDGET)}""")
