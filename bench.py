@@ -131,6 +131,8 @@ BENCH_QUERIES = [
     # round 4 late block 18: shuffle-order packing, bucketed bins,
     # ADC retrieval over the int8 store
     "pack_sequences_shuffled", "pack_bins_bucketed", "ann_topk_quantized",
+    # round 4 late block 19: placement planning
+    "hrw_shard_plan", "crawl_budget_alloc",
 ]
 
 
