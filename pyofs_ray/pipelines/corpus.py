@@ -2096,3 +2096,8 @@ SELECT blen, n_docs, n_trunc,
              * {seq_len}) AS fill_ppm
 FROM g
 """
+
+
+def cdc_doc_overlap_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Sub-document near-dup pairs via shared CDC chunk signatures."""
+    return cdc.cdc_doc_overlap(_docs(sf_dir))

@@ -2229,6 +2229,12 @@ register("cdc_chunks", corpus.cdc_doc_chunks, _cdc.cdc_chunks_sql())
 register("cdc_dup_chunks", corpus.cdc_dup_chunk_stats,
          _cdc.cdc_dup_chunks_sql())
 
+# sub-document near-dup: doc pairs sharing >=1 distinct chunk signature
+# (boilerplate/quote overlap below whole-doc granularity); Σ df² cost =
+# the twin's, loud guard past CDC_OVERLAP_MAX_DF
+register("cdc_doc_overlap", corpus.cdc_doc_overlap_pairs,
+         _cdc.cdc_doc_overlap_sql())
+
 # temperature-scaled (alpha=0.5) multilingual mixture plan — integer-
 # exact sampling schedule (share_ppm / target_docs / epochs_ppm)
 register("lang_mixture_plan", corpus.lang_mixture_plan,

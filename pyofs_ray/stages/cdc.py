@@ -272,3 +272,84 @@ SELECT sig,
        CAST((COUNT(*) - 1) * MIN(chunk_len) AS BIGINT) AS saved_chars
 FROM sigs GROUP BY sig HAVING COUNT(*) > 1
 """
+
+
+CDC_OVERLAP_MAX_DF = 4096  # loud guard: a sig this hot is a stop-chunk
+
+
+def cdc_doc_overlap(ds: ray.data.Dataset, min_shared: int = 1,
+                    window: int = CDC_WINDOW,
+                    divisor: int = CDC_DIVISOR,
+                    id_col: str = "doc_id",
+                    max_df: int = CDC_OVERLAP_MAX_DF) -> ray.data.Dataset:
+    """Sub-document near-dup pairs: documents sharing ≥ ``min_shared``
+    distinct CDC chunk signatures — boilerplate/quote overlap that
+    whole-document hashing misses and gram-Jaccard only sees diluted.
+
+    Shape: chunk table → distinct (doc, sig) per batch (exact globally:
+    a doc's chunks never span batches) → ONE sig-bucket exchange with
+    in-group pair expansion (`cocite._pair_rows` segment arithmetic) →
+    ONE pair-key exchange counting shared sigs. Cost is the same Σ df²
+    the SQL twin pays; a signature hotter than ``CDC_OVERLAP_MAX_DF``
+    raises loudly (a chunk shared by thousands of docs is template
+    boilerplate — strip it first) instead of silently truncating."""
+    from .agg import bucketed_group_agg, hash_bucket_tag
+    from .cocite import _pair_rows
+
+    import ray as _ray
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) \
+        if _ray.is_initialized() else 8
+    nb = max(8, cpus)
+
+    chunks = cdc_chunks(ds, window=window, divisor=divisor, id_col=id_col)
+
+    def distinct_pairs(b: pa.Table) -> pa.Table:
+        sig = b["sig"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.unique(np.stack([sig, doc], axis=1), axis=0)
+        return pa.table({"dst": pa.array(u[:, 0]),
+                         "src": pa.array(u[:, 1])})
+
+    tagged = (chunks.map_batches(distinct_pairs, batch_format="pyarrow")
+              .map_batches(lambda b: hash_bucket_tag(b, ["dst"], nb),
+                           batch_format="pyarrow"))
+
+    def expand(g: pa.Table) -> pa.Table:
+        d = g["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(d):
+            _, cnt = np.unique(d, return_counts=True)
+            if cnt.max() > max_df:
+                raise ValueError(
+                    f"cdc_doc_overlap: chunk signature shared by "
+                    f"{int(cnt.max())} docs (> {max_df}) — "
+                    "template boilerplate; strip it before pairing")
+        return _pair_rows(g)
+
+    pairs = tagged.groupby("_bucket").map_groups(expand,
+                                                 batch_format="pyarrow")
+    counted = bucketed_group_agg(pairs, ["src_a", "src_b"],
+                                 [("one", "sum", "n_shared")])
+    out = counted.filter(
+        expr=f"n_shared >= {min_shared}") if min_shared > 1 else counted
+    return out.rename_columns(
+        {"src_a": "doc_a", "src_b": "doc_b", "n_shared": "n_shared"})
+
+
+def cdc_doc_overlap_sql(min_shared: int = 1, window: int = CDC_WINDOW,
+                        divisor: int = CDC_DIVISOR,
+                        table: str = "documents",
+                        id_col: str = "doc_id") -> str:
+    return f"""
+WITH {_chunk_cte(window, divisor, table, id_col)},
+sigs AS (
+  SELECT DISTINCT {id_col},
+         CAST(CASE WHEN sigu >= {1 << 63} THEN sigu - {MOD64} ELSE sigu END
+              AS BIGINT) AS sig
+  FROM agg
+)
+SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.{id_col} < b.{id_col}
+GROUP BY 1, 2
+HAVING COUNT(*) >= {min_shared}
+"""

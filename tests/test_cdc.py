@@ -85,6 +85,35 @@ def test_dup_chunks_counts_identical_texts(ray_session):
     assert len(out) == len(set(ref["sig"].to_pylist()))
 
 
+def test_doc_overlap_finds_shared_boilerplate(ray_session):
+    import ray.data
+    boiler = "shared footer boilerplate text common to both pages " * 4
+    texts = ["unique alpha body " * 12 + boiler,
+             "unique beta body " * 12 + boiler,
+             "totally unrelated gamma " * 20]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    out = cdc.cdc_doc_overlap(ds).to_pandas()
+    pairs = set(map(tuple, out[["doc_a", "doc_b"]].itertuples(index=False)))
+    assert (0, 1) in pairs
+    assert not any(2 in p for p in pairs)
+    assert out.set_index(["doc_a", "doc_b"]).loc[(0, 1), "n_shared"] >= 2
+
+
+def test_doc_overlap_hot_sig_raises(ray_session):
+    import pytest
+    import ray.data
+    from ray.exceptions import RayTaskError
+    texts = ["identical page body " * 10] * 40
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    with pytest.raises((ValueError, RayTaskError),
+                       match="template boilerplate"):
+        cdc.cdc_doc_overlap(ds, max_df=8).materialize()
+
+
 def test_cdc_matches_oracle_smoke():
     con = make_duckdb(SF_SMOKE)
     assert_matches_oracle(QUERIES["cdc_chunks"](SF_SMOKE), con,
