@@ -427,3 +427,132 @@ def crawl_budget_alloc(sf_dir: str,
         pages.map_batches(hosted, batch_format="pyarrow"),
         ["host"], [("one", "sum", "cnt")])
     return crawl_budget_waterfill(per_host, budget)
+
+
+# ------------------------------------------- cross-epoch content drift
+
+def host_content_drift(sf_dir: str) -> ray.data.Dataset:
+    """Per-host content drift between two crawl epochs, measured at CDC
+    chunk granularity: epoch 1 PREPENDS a seeded marker to every third
+    page (the byte-offset-shifting edit whole-doc hashing maximally
+    overstates); drift = 1 − Jaccard of the host's chunk-signature sets,
+    reported as exact integers (n0, n1, inter, uni) plus ``drift_ppm``.
+    Because CDC boundaries move with content, an edited page loses only
+    its head chunks — drift isolates how much of a site actually changed,
+    not how many bytes moved.
+
+    Shape: one pages scan emits BOTH epochs of a page in-batch (the
+    `scd2_url_history` emitter discipline — both snapshots of a key in
+    one kernel call), `cdc.chunk_batch` over the doubled batch, per-batch
+    distinct (host, sig, epoch-presence) partials, ONE (host, sig) bucket
+    exchange with max-combine, ONE host reduce. Hosts span batches, so
+    presence flags combine with MAX across the exchange."""
+    from ..core.geom import host_of_key
+    from ..stages.agg import bucketed_group_agg
+    from ..stages.cdc import chunk_batch
+
+    def epochs_and_chunks(b: pa.Table) -> pa.Table:
+        key = b["page_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        text = b["text"].combine_chunks() \
+            if isinstance(b["text"], pa.ChunkedArray) else b["text"]
+        mask = pa.array(key % 3 == 0)
+        kstr = pa.array(key.astype(str))
+        pre = pc.binary_join_element_wise(
+            pa.array(["u"] * len(b)), kstr, pa.array([" "] * len(b)), "")
+        edited = pc.if_else(mask,
+                            pc.binary_join_element_wise(pre, text, ""),
+                            text)
+        doubled = pa.table({
+            "sid": pa.array(np.concatenate([key * 2, key * 2 + 1])),
+            "text": pa.concat_arrays([text, edited.combine_chunks()
+                                      if isinstance(edited, pa.ChunkedArray)
+                                      else edited])})
+        ch = chunk_batch(doubled, id_col="sid")
+        sid = ch["sid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sig = ch["sig"].to_numpy(zero_copy_only=False).astype(np.int64)
+        host = host_of_key(sid // 2)
+        epoch = sid % 2
+        # distinct (host, sig) presence flags within the batch
+        u, inv = np.unique(np.stack([host, sig], axis=1), axis=0,
+                           return_inverse=True)
+        in0 = np.zeros(len(u), np.int64)
+        in1 = np.zeros(len(u), np.int64)
+        np.maximum.at(in0, inv, (epoch == 0).astype(np.int64))
+        np.maximum.at(in1, inv, (epoch == 1).astype(np.int64))
+        return pa.table({"host_id": pa.array(u[:, 0]),
+                         "sig": pa.array(u[:, 1]),
+                         "in0": pa.array(in0), "in1": pa.array(in1)})
+
+    presence = bucketed_group_agg(
+        pages_dataset(sf_dir, keep_key=True)
+        .map_batches(epochs_and_chunks, batch_format="pyarrow",
+                     zero_copy_batch=True),
+        ["host_id", "sig"],
+        [("in0", "max", "in0"), ("in1", "max", "in1")])
+
+    def to_counts(b: pa.Table) -> pa.Table:
+        i0 = b["in0"].to_numpy(zero_copy_only=False)
+        i1 = b["in1"].to_numpy(zero_copy_only=False)
+        return pa.table({"host_id": b["host_id"],
+                         "n0": pa.array(i0), "n1": pa.array(i1),
+                         "inter": pa.array(i0 * i1)})
+
+    per_host = bucketed_group_agg(
+        presence.map_batches(to_counts, batch_format="pyarrow"),
+        ["host_id"],
+        [("n0", "sum", "n0"), ("n1", "sum", "n1"),
+         ("inter", "sum", "inter")])
+
+    def finish(b: pa.Table) -> pa.Table:
+        n0 = b["n0"].to_numpy(zero_copy_only=False)
+        n1 = b["n1"].to_numpy(zero_copy_only=False)
+        it = b["inter"].to_numpy(zero_copy_only=False)
+        uni = n0 + n1 - it
+        return pa.table({"host_id": b["host_id"], "n0": b["n0"],
+                         "n1": b["n1"], "inter": b["inter"],
+                         "uni": pa.array(uni),
+                         "drift_ppm": pa.array(
+                             (uni - it) * 1_000_000 // uni)})
+
+    return per_host.map_batches(finish, batch_format="pyarrow")
+
+
+def host_content_drift_sql() -> str:
+    from ..core import geom
+    from ..core.sqlgen_sample import MOD64
+    from ..stages.cdc import _chunk_cte
+    host_expr = (f"CASE WHEN (sid // 2) % 10 < {geom.HOST_HOT_FRAC} THEN 0 "
+                 f"ELSE (sid // 2) % {geom.HOST_MOD} END")
+    return f"""
+WITH snap AS (
+  SELECT doc_id * 2 AS sid, text FROM documents
+  UNION ALL
+  SELECT doc_id * 2 + 1 AS sid,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'u' || CAST(doc_id AS VARCHAR) || ' ' || text
+              ELSE text END AS text
+  FROM documents
+),
+{_chunk_cte(16, 64, 'snap', 'sid').lstrip()},
+sigs AS (
+  SELECT DISTINCT {host_expr} AS host_id, sid % 2 AS epoch,
+         CAST(CASE WHEN sigu >= {1 << 63} THEN sigu - {MOD64} ELSE sigu END
+              AS BIGINT) AS sig
+  FROM agg
+),
+per_sig AS (
+  SELECT host_id, sig,
+         MAX(CASE WHEN epoch = 0 THEN 1 ELSE 0 END) AS in0,
+         MAX(CASE WHEN epoch = 1 THEN 1 ELSE 0 END) AS in1
+  FROM sigs GROUP BY host_id, sig
+)
+SELECT host_id,
+       CAST(SUM(in0) AS BIGINT) AS n0,
+       CAST(SUM(in1) AS BIGINT) AS n1,
+       CAST(SUM(in0 * in1) AS BIGINT) AS inter,
+       CAST(SUM(in0) + SUM(in1) - SUM(in0 * in1) AS BIGINT) AS uni,
+       CAST((SUM(in0) + SUM(in1) - 2 * SUM(in0 * in1)) * 1000000
+            // (SUM(in0) + SUM(in1) - SUM(in0 * in1)) AS BIGINT)
+         AS drift_ppm
+FROM per_sig GROUP BY host_id
+"""

@@ -2254,6 +2254,11 @@ register("hrw_shard_plan", webhistory.hrw_doc_shards,
 
 # max-min-fair crawl budget (water-filling): saturate small hosts, clamp
 # the hot host to the waterline; remainder +1 by host order
+# cross-epoch content drift at CDC-chunk granularity: prepend-edit
+# seeded epoch pair; drift = 1 - Jaccard of per-host chunk-sig sets
+register("host_content_drift", webhistory.host_content_drift,
+         webhistory.host_content_drift_sql())
+
 register("crawl_budget_alloc", webhistory.crawl_budget_alloc,
          f"""{sqlgen.pages_prefix()},
 hc AS (

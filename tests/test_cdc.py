@@ -120,3 +120,24 @@ def test_cdc_matches_oracle_smoke():
                           ORACLES["cdc_chunks"])
     assert_matches_oracle(QUERIES["cdc_dup_chunks"](SF_SMOKE), con,
                           ORACLES["cdc_dup_chunks"])
+
+
+def test_host_content_drift_semantics(ray_session):
+    """Prepended-edit pages drift PARTIALLY (CDC locality keeps tail
+    chunks); hosts whose pages all dodge the key%3 edit have drift 0."""
+    out = (QUERIES["host_content_drift"](SF_SMOKE).to_pandas()
+           .set_index("host_id"))
+    assert (out.inter <= out[["n0", "n1"]].min(axis=1)).all()
+    assert (out.uni == out.n0 + out.n1 - out.inter).all()
+    assert (out.drift_ppm == (out.uni - out.inter) * 1_000_000
+            // out.uni).all()
+    assert (out.drift_ppm > 0).any() and (out.drift_ppm == 0).any()
+    # the hot host (0) carries ~70% of pages; a third get edited, but
+    # CDC locality keeps its drift well below the fully-rechunked bound
+    assert 0 < out.loc[0, "drift_ppm"] < 500_000
+
+
+def test_host_content_drift_matches_oracle_smoke():
+    con = make_duckdb(SF_SMOKE)
+    assert_matches_oracle(QUERIES["host_content_drift"](SF_SMOKE), con,
+                          ORACLES["host_content_drift"])
