@@ -218,7 +218,24 @@ def run_bench() -> dict:
     qtimes = {}
     if os.environ.get("GRAFT_HEADLINE_ONLY") != "1":
         from pyofs_ray.registry import QUERIES
-        for name in BENCH_QUERIES:
+        # Ray 2.49 can fatally abort a session after ~160 back-to-back
+        # pipeline executions (reference_count.cc / task_manager.cc
+        # Check-failure — observed on this exact list at query ~163).
+        # Recycle the session every GRAFT_SESSION_CHUNK queries: ~2 s
+        # re-init per chunk buys crash-free full-list runs and resets
+        # the session-age slowdown.
+        chunk = int(os.environ.get("GRAFT_SESSION_CHUNK", "60"))
+        for i, name in enumerate(BENCH_QUERIES):
+            if i and i % chunk == 0:
+                ray.shutdown()
+                ray.init(address="local", num_cpus=NUM_CPUS,
+                         include_dashboard=False, ignore_reinit_error=True,
+                         logging_level="ERROR")
+                ctx = DataContext.get_current()
+                ctx.enable_progress_bars = False
+                ctx.execution_options.verbose_progress = False
+                ctx.target_max_block_size = 32 * 1024 * 1024
+                ctx.op_resource_reservation_enabled = False
             t0 = time.perf_counter()
             _consume(QUERIES[name](SF_DIR))
             qtimes[name] = round(time.perf_counter() - t0, 3)

@@ -63,9 +63,19 @@ def main():
               "documents embeddings").split():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     fails = 0
+    # Ray 2.49 fatally aborts a session after ~160 back-to-back pipeline
+    # executions (reference_count.cc Check failure — hit at query 163 on
+    # this list); recycle the session periodically like bench.py does.
+    chunk = 60
+    ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        if ran and ran % chunk == 0:
+            ray.shutdown()
+            ray.init(address="local", num_cpus=8, include_dashboard=False,
+                     ignore_reinit_error=True, logging_level="ERROR")
+        ran += 1
         try:
             ray_df = to_pandas(fn(sf_dir))
         except Exception as ex:
