@@ -133,6 +133,8 @@ BENCH_QUERIES = [
     "pack_sequences_shuffled", "pack_bins_bucketed", "ann_topk_quantized",
     # round 4 late block 19: placement planning
     "hrw_shard_plan", "crawl_budget_alloc",
+    # round 4 late block 20: sub-doc overlap + cross-epoch drift (CDC)
+    "cdc_doc_overlap", "host_content_drift",
 ]
 
 
