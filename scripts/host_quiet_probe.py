@@ -3,15 +3,16 @@ numpy matmul control. Quiet host ≈ its recorded reference time; a steal
 wave inflates it 5-70x. Run before any bench/scaling measurement and
 only record numbers when this is at parity.
 
-Reference on this host (quiet): ~1.1 s (3x 2000^3 float64 matmul,
-default BLAS threads). Prints seconds and a QUIET/NOISY verdict.
+Reference on this host (quiet): ~3.4 s (3x 2000^3 float64 matmul;
+OMP_NUM_THREADS=1 in this environment, ~12.6 GFLOP/s single core).
+Prints seconds and a QUIET/NOISY verdict.
 """
 
 import time
 
 import numpy as np
 
-QUIET_REF = 1.1
+QUIET_REF = 3.4
 NOISY_FACTOR = 2.0
 
 rng = np.random.default_rng(0)
