@@ -201,7 +201,8 @@ def test_recall_gates_pass_at_smoke_scale():
     baseline at smoke scale — the checker's gate, exercised in-tree."""
     from pyofs_ray.registry import RECALL_GATES
     assert set(RECALL_GATES) == {"ann_topk_lsh", "ann_topk_ivf",
-                                 "embedding_dup_pairs_ivf"}
+                                 "embedding_dup_pairs_ivf",
+                                 "ann_topk_quantized"}
     for name, (base_name, tau, cols) in RECALL_GATES.items():
         base = QUERIES[base_name](SF_SMOKE)
         approx = QUERIES[name](SF_SMOKE)
