@@ -2101,3 +2101,10 @@ FROM g
 def cdc_doc_overlap_pairs(sf_dir: str) -> ray.data.Dataset:
     """Sub-document near-dup pairs via shared CDC chunk signatures."""
     return cdc.cdc_doc_overlap(_docs(sf_dir))
+
+
+def dup_span_report(sf_dir: str) -> ray.data.Dataset:
+    """Exact duplicated-substring coverage per doc (stages/dupspan.py)."""
+    from ..stages.dupspan import dup_span_coverage
+    return dup_span_coverage(
+        _docs(sf_dir, columns=("doc_id", "text", "n_chars")))

@@ -2267,3 +2267,14 @@ hc AS (
   FROM pages GROUP BY host
 ),
 {_placement.crawl_budget_waterfill_sql(webhistory.CRAWL_BUDGET)}""")
+
+
+# exact duplicated-substring span coverage (Lee et al. 2022 exact
+# substring dedup accounting): per doc, the union size of [pos, pos+L)
+# intervals whose L-gram occurs in ANOTHER doc. Gram key = the raw
+# utf-32 window bytes (string-exact, not hash-exact); two bucketed
+# exchanges, every kernel vectorized (stages/dupspan.py)
+from .stages import dupspan as _dupspan  # noqa: E402
+
+register("dup_span_coverage", corpus.dup_span_report,
+         _dupspan.dup_span_coverage_sql())

@@ -1030,3 +1030,52 @@ def test_dup_cluster_histogram_distributed_path_equal():
     b = dup_cluster_histogram(SF_SMOKE, distributed=True).to_pandas() \
         .sort_values("size").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+# ------------------------------------------------ exact dup-span coverage
+
+def test_dup_span_coverage_oracle(duck_smoke):
+    assert_matches_oracle(QUERIES["dup_span_coverage"](SF_SMOKE),
+                          duck_smoke, ORACLES["dup_span_coverage"])
+
+
+def test_dup_span_coverage_hand_values():
+    """Interval-union arithmetic on a corpus small enough to verify by
+    hand: docs 0 and 1 share one L-window at two overlapping positions
+    in doc 0; doc 2 repeats a window only WITHIN itself (not a dup);
+    doc 3 shares nothing."""
+    from pyofs_ray.stages.dupspan import dup_span_coverage
+    L = 5
+    shared = "abcde"          # the cross-doc gram
+    t0 = "xx" + shared + shared + "yy"   # grams at pos 3 and 8 (1-based)
+    t1 = "qq" + shared + "zzzz"          # gram at pos 3
+    t2 = "hello...hello"                 # within-doc repeat only
+    t3 = "nothing in common"
+    rows = [{"doc_id": i, "text": t, "n_chars": len(t)}
+            for i, t in enumerate([t0, t1, t2, t3])]
+    ds = ray.data.from_items(rows)
+    out = (dup_span_coverage(ds, L=L).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # doc 0: dup positions 3 and 8 -> union [3,7]∪[8,12] = 10 chars
+    # doc 1: position 3 -> 5 chars
+    # docs 2, 3: absent (no CROSS-doc dup gram)
+    assert list(out["doc_id"]) == [0, 1]
+    assert list(out["dup_grams"]) == [2, 1]
+    assert list(out["covered_chars"]) == [10, 5]
+    assert out["covered_frac"].tolist() == [10 / len(t0), 5 / len(t1)]
+
+
+def test_dup_span_overlapping_intervals_union():
+    """Overlapping dup windows must not double-count positions: doc 0
+    shares the whole run "ABCDEFG" with doc 1 — three overlapping L=5
+    grams (pos 3, 4, 5) whose interval union is 7 chars, not 15."""
+    from pyofs_ray.stages.dupspan import dup_span_coverage
+    L = 5
+    a = "ABCDEFG"
+    rows = [{"doc_id": 0, "text": "zz" + a + "zz", "n_chars": 11},
+            {"doc_id": 1, "text": a + "qqqq", "n_chars": 11}]
+    ds = ray.data.from_items(rows)
+    out = (dup_span_coverage(ds, L=L).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    d0 = out[out.doc_id == 0].iloc[0]
+    assert d0["dup_grams"] == 3 and d0["covered_chars"] == 7
