@@ -135,8 +135,9 @@ BENCH_QUERIES = [
     "hrw_shard_plan", "crawl_budget_alloc",
     # round 4 late block 20: sub-doc overlap + cross-epoch drift (CDC)
     "cdc_doc_overlap", "host_content_drift",
-    # round 4 session 5: exact duplicated-substring span coverage
-    "dup_span_coverage",
+    # round 4 session 5: exact duplicated-substring span coverage;
+    # directed Hausdorff coverage audits (both directions)
+    "dup_span_coverage", "host_station_hausdorff", "station_nearest_page",
 ]
 
 

@@ -2278,3 +2278,31 @@ from .stages import dupspan as _dupspan  # noqa: E402
 
 register("dup_span_coverage", corpus.dup_span_report,
          _dupspan.dup_span_coverage_sql())
+
+
+# directed Hausdorff coverage audits (stages/hausdorff.py): exact int64
+# max-min squared milli-degree distances between the page cloud and the
+# broadcast station network, both directions. Host partials collapse
+# per batch (hot-host skew costs one partial row, not a hot reducer);
+# the station direction finishes coalesced (station-bounded).
+from .stages import hausdorff as _hausdorff  # noqa: E402
+
+
+def _host_station_hausdorff(sf_dir: str):
+    ds = flagship.geocoded_pages(sf_dir).select_columns(
+        ["page_key", "url", "lon_milli", "lat_milli"])
+    return _hausdorff.host_station_hausdorff(ds)
+
+
+register("host_station_hausdorff", _host_station_hausdorff,
+         f"{sqlgen.pages_prefix()},{_hausdorff.host_station_hausdorff_sql()}")
+
+
+def _station_nearest_page(sf_dir: str):
+    ds = flagship.geocoded_pages(sf_dir).select_columns(
+        ["lon_milli", "lat_milli"])
+    return _hausdorff.station_nearest_page(ds)
+
+
+register("station_nearest_page", _station_nearest_page,
+         f"{sqlgen.pages_prefix()},{_hausdorff.station_nearest_page_sql()}")

@@ -117,3 +117,48 @@ def test_coverage_gaps_oracle(duck_smoke):
     from pyofs_ray.registry import ORACLES, QUERIES
     assert_matches_oracle(QUERIES["station_coverage_gaps"](SF_SMOKE),
                           duck_smoke, ORACLES["station_coverage_gaps"])
+
+
+# --------------------------------------------- directed Hausdorff audits
+
+def test_host_station_hausdorff_oracle(duck_smoke):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+    from pyofs_ray.registry import ORACLES, QUERIES
+    assert_matches_oracle(QUERIES["host_station_hausdorff"](SF_SMOKE),
+                          duck_smoke, ORACLES["host_station_hausdorff"])
+
+
+def test_station_nearest_page_oracle(duck_smoke):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+    from pyofs_ray.registry import ORACLES, QUERIES
+    assert_matches_oracle(QUERIES["station_nearest_page"](SF_SMOKE),
+                          duck_smoke, ORACLES["station_nearest_page"])
+
+
+def test_host_hausdorff_is_max_of_min_d2():
+    """The per-host hausdorff_d2 equals the max over that host's pages of
+    the per-page min station distance (coverage_gaps' d2 with radius 0),
+    and the witness page is the smallest page_key attaining it."""
+    import numpy as np
+    from pyofs_ray.pipelines import flagship
+    from pyofs_ray.stages.hausdorff import host_station_hausdorff
+    from pyofs_ray.stages.knn import coverage_gaps
+    from tests.conftest import SF_SMOKE
+
+    ds = flagship.geocoded_pages(SF_SMOKE).select_columns(
+        ["page_key", "url", "lon_milli", "lat_milli"])
+    out = host_station_hausdorff(ds).to_pandas()
+    # reference: every page's min-d2 (radius 0 keeps all pages)
+    ref = coverage_gaps(ds.select_columns(
+        ["page_key", "lon_milli", "lat_milli"]), 0).to_pandas()
+    urls = flagship.geocoded_pages(SF_SMOKE).select_columns(
+        ["page_key", "url"]).to_pandas()
+    urls["host"] = urls.url.str.split("/").str[2]
+    ref = ref.merge(urls[["page_key", "host"]], on="page_key")
+    g = ref.groupby("host")["d2"].max()
+    assert len(out) == len(g)
+    for _, r in out.iterrows():
+        assert r.hausdorff_d2 == g[r.host]
+        cand = ref[(ref.host == r.host) & (ref.d2 == r.hausdorff_d2)]
+        assert r.worst_page == cand.page_key.min()
+    assert int(out.n_pages.sum()) == len(urls)
