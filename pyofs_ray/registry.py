@@ -2306,3 +2306,17 @@ def _station_nearest_page(sf_dir: str):
 
 register("station_nearest_page", _station_nearest_page,
          f"{sqlgen.pages_prefix()},{_hausdorff.station_nearest_page_sql()}")
+
+
+# directed out->in degree assortativity (Newman 2002 mixing): six exact
+# int64 moment sums factored through the target (one dst-bucket
+# exchange, no edge join), fixed IEEE finish (stages/linkgraph.py)
+def _link_assortativity(sf_dir: str):
+    n = _doc_count(sf_dir)
+    ids = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+    return linkgraph.degree_assortativity(ids, n)
+
+
+register("link_assortativity", _link_assortativity,
+         linkgraph.degree_assortativity_sql())

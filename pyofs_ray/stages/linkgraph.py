@@ -946,3 +946,97 @@ def kcore_sql(k: int = 3, max_rounds: int = 12, table: str = "documents",
             f"a{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {k})")
     return (",\n".join(parts)
             + f"\nSELECT node, deg FROM d{max_rounds} WHERE deg >= {k}")
+
+
+def degree_assortativity(ids: ray.data.Dataset, n_nodes: int,
+                         num_buckets: int | None = None) -> ray.data.Dataset:
+    """Directed out→in degree assortativity: Pearson correlation, over
+    EDGES, between the source's out-degree (x = 1 + src % 4, closed form)
+    and the target's in-degree (y). Newman 2002's mixing coefficient for
+    the crawl graph — disassortative webs (hubs pointing at leaves) go
+    negative.
+
+    Shape: because y is constant per target, every edge moment factors
+    through the target —  Σxy = Σ_dst indeg·sx(dst), Σy² = Σ indeg³ — so
+    ONE dst-bucketed exchange of (indeg, sx, sxx) partials plus a
+    batch-local scalar fold replaces any edge-level join. The correlation
+    is a fixed IEEE expression over six exact int64 sums after the final
+    reduce (`lineitem_qty_disc_corr` recipe); a loud guard raises before
+    any product could leave int64 (DuckDB's BIGINT would error equally)."""
+    def expand(b: pa.Table) -> pa.Table:
+        node = b[b.column_names[0]].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        src, dst, _ = _out_edges(node, n_nodes)
+        x = 1 + src % 4
+        return pa.table({"dst": pa.array(dst), "one": pa.array(
+            np.ones(len(dst), np.int64)), "x": pa.array(x),
+            "xx": pa.array(x * x)})
+
+    edges = ids.map_batches(expand, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    ind = bucketed_group_agg(edges, ["dst"],
+                             [("one", "sum", "indeg"),
+                              ("x", "sum", "sx"),
+                              ("xx", "sum", "sxx")],
+                             num_buckets=num_buckets)
+
+    def fold(b: pa.Table) -> pa.Table:
+        indeg = b["indeg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sx = b["sx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sxx = b["sxx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "m": pa.array([int(indeg.sum())]),
+            "sx": pa.array([int(sx.sum())]),
+            "sxx": pa.array([int(sxx.sum())]),
+            "sy": pa.array([int((indeg * indeg).sum())]),
+            "syy": pa.array([int((indeg * indeg * indeg).sum())]),
+            "sxy": pa.array([int((indeg * sx).sum())])})
+
+    def finish(b: pa.Table) -> pa.Table:
+        m = int(pc.sum(b["m"]).as_py() or 0)
+        sx = int(pc.sum(b["sx"]).as_py() or 0)
+        sxx = int(pc.sum(b["sxx"]).as_py() or 0)
+        sy = int(pc.sum(b["sy"]).as_py() or 0)
+        syy = int(pc.sum(b["syy"]).as_py() or 0)
+        sxy = int(pc.sum(b["sxy"]).as_py() or 0)
+        vx, vy = m * sxx - sx * sx, m * syy - sy * sy
+        cov = m * sxy - sx * sy
+        for v in (vx, vy, cov, m * sxx, m * syy, m * sxy):
+            if not -(2**63) <= v < 2**63:
+                raise OverflowError(
+                    "degree_assortativity: moment product leaves int64 — "
+                    "widen to two-limb sums before this corpus size")
+        r = (float(cov) / (np.sqrt(float(vx)) * np.sqrt(float(vy)))
+             if vx > 0 and vy > 0 else None)
+        return pa.table({"m_edges": pa.array([m]),
+                         "assortativity": pa.array([r], pa.float64())})
+
+    return (ind.map_batches(fold, batch_format="pyarrow")
+            .repartition(1).map_batches(finish, batch_format="pyarrow"))
+
+
+def degree_assortativity_sql(table: str = "documents",
+                             id_col: str = "doc_id") -> str:
+    return f"""
+WITH {edges_cte(table, id_col)},
+ind AS (
+  SELECT dst, CAST(COUNT(*) AS BIGINT) AS indeg,
+         CAST(SUM(1 + src % 4) AS BIGINT) AS sx,
+         CAST(SUM((1 + src % 4) * (1 + src % 4)) AS BIGINT) AS sxx
+  FROM edges GROUP BY dst),
+s AS (
+  SELECT CAST(SUM(indeg) AS BIGINT) AS m,
+         CAST(SUM(sx) AS BIGINT) AS sx,
+         CAST(SUM(sxx) AS BIGINT) AS sxx,
+         CAST(SUM(indeg * indeg) AS BIGINT) AS sy,
+         CAST(SUM(indeg * indeg * indeg) AS BIGINT) AS syy,
+         CAST(SUM(indeg * sx) AS BIGINT) AS sxy
+  FROM ind)
+SELECT m AS m_edges,
+       CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+            THEN CAST(m * sxy - sx * sy AS DOUBLE)
+                 / (SQRT(CAST(m * sxx - sx * sx AS DOUBLE))
+                    * SQRT(CAST(m * syy - sy * sy AS DOUBLE)))
+            END AS assortativity
+FROM s
+"""

@@ -324,3 +324,34 @@ def test_link_kcore_oracle_smoke():
     con = make_duckdb(SF_SMOKE)
     assert_matches_oracle(QUERIES["link_kcore"](SF_SMOKE), con,
                           ORACLES["link_kcore"])
+
+
+# ------------------------------------------------- degree assortativity
+
+def test_link_assortativity_oracle(duck_smoke):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+    from pyofs_ray.registry import ORACLES, QUERIES
+    assert_matches_oracle(QUERIES["link_assortativity"](SF_SMOKE),
+                          duck_smoke, ORACLES["link_assortativity"])
+
+
+def test_link_assortativity_matches_numpy_pearson():
+    """The factored-through-target moment sums equal the naive per-edge
+    Pearson correlation computed densely on the same deterministic graph."""
+    import numpy as np
+    import ray.data
+    from pyofs_ray.stages.linkgraph import (_out_edges,
+                                            degree_assortativity)
+
+    n = 97
+    node = np.arange(n, dtype=np.int64)
+    src, dst, _ = _out_edges(node, n)
+    x = 1 + src % 4
+    indeg = np.bincount(dst, minlength=n)
+    y = indeg[dst]
+    r_ref = np.corrcoef(x.astype(float), y.astype(float))[0, 1]
+
+    ids = ray.data.from_items([{"doc_id": int(i)} for i in range(n)])
+    out = degree_assortativity(ids, n).to_pandas()
+    assert out.m_edges[0] == len(src)
+    assert abs(out.assortativity[0] - r_ref) < 1e-12
