@@ -2320,3 +2320,19 @@ def _link_assortativity(sf_dir: str):
 
 register("link_assortativity", _link_assortativity,
          linkgraph.degree_assortativity_sql())
+
+
+# BPE training merge selection (Sennrich 2016 pass 1): exact adjacent
+# code-point pair counts within words, deterministic top-k; alphabet-
+# bounded partials, coalesced finish, zero wide exchanges
+from .stages import bpe as _bpe  # noqa: E402
+
+
+def _bpe_merge_candidates(sf_dir: str):
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+    return _bpe.bpe_merge_candidates(ds)
+
+
+register("bpe_merge_candidates", _bpe_merge_candidates,
+         _bpe.bpe_merge_candidates_sql())

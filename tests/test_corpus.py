@@ -1079,3 +1079,26 @@ def test_dup_span_overlapping_intervals_union():
            .sort_values("doc_id").reset_index(drop=True))
     d0 = out[out.doc_id == 0].iloc[0]
     assert d0["dup_grams"] == 3 and d0["covered_chars"] == 7
+
+
+# ------------------------------------------------ BPE merge selection
+
+def test_bpe_merge_candidates_oracle(duck_smoke):
+    assert_matches_oracle(QUERIES["bpe_merge_candidates"](SF_SMOKE),
+                          duck_smoke, ORACLES["bpe_merge_candidates"])
+
+
+def test_bpe_merge_candidates_hand_counts():
+    """Pair counts never cross word or document boundaries, and the
+    top-1 is the pair a BPE trainer would merge first."""
+    from pyofs_ray.stages.bpe import bpe_merge_candidates
+    rows = [{"doc_id": 0, "text": "aab aab"},   # aa×2, ab×2 ('b a' crosses a space)
+            {"doc_id": 1, "text": "ab"},        # ab×1
+            {"doc_id": 2, "text": "xa"},        # xa×1; doc boundary to doc 1
+            {"doc_id": 3, "text": ""}]
+    ds = ray.data.from_items(rows)
+    out = bpe_merge_candidates(ds, k=10).to_pandas()
+    got = dict(zip(out.pair, out.pair_count))
+    assert got == {"ab": 3, "aa": 2, "xa": 1}
+    # rank 1 = highest count; tie between aa(2)... ab wins at 3
+    assert out.sort_values("rank").iloc[0]["pair"] == "ab"
