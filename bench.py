@@ -138,7 +138,7 @@ BENCH_QUERIES = [
     # round 4 session 5: exact duplicated-substring span coverage;
     # directed Hausdorff coverage audits (both directions)
     "dup_span_coverage", "host_station_hausdorff", "station_nearest_page",
-    "link_assortativity", "bpe_merge_candidates",
+    "link_assortativity", "bpe_merge_candidates", "bpe_second_merge",
 ]
 
 

@@ -2336,3 +2336,16 @@ def _bpe_merge_candidates(sf_dir: str):
 
 register("bpe_merge_candidates", _bpe_merge_candidates,
          _bpe.bpe_merge_candidates_sql())
+
+
+# BPE training iteration 2: greedy-apply merge #1 (REPLACE semantics on
+# both sides), recount, re-rank — the iterative step of tokenizer
+# training as a two-scan pipeline (stages/bpe.py)
+def _bpe_second_merge(sf_dir: str):
+    return _bpe.bpe_second_merge(
+        lambda: read_parquet_clean(f"{sf_dir}/documents.parquet",
+                                   columns=["text"]))
+
+
+register("bpe_second_merge", _bpe_second_merge,
+         _bpe.bpe_second_merge_sql())

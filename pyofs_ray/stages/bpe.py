@@ -83,8 +83,8 @@ def bpe_merge_candidates_sql(k: int = 20, table: str = "documents"
                              ) -> str:
     return f"""
 WITH ch AS (
-  SELECT unicode(substr(text, CAST(i AS INT), 1)) AS c1,
-         unicode(substr(text, CAST(i + 1 AS INT), 1)) AS c2
+  SELECT CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT) AS c1,
+         CAST(unicode(substr(text, CAST(i + 1 AS INT), 1)) AS BIGINT) AS c2
   FROM (SELECT text, UNNEST(generate_series(1, length(text) - 1)) AS i
         FROM {table})
 ),
@@ -102,4 +102,77 @@ r AS (
 SELECT CAST(rank AS BIGINT) AS rank, chr(CAST(c1 AS INT)) ||
        chr(CAST(c2 AS INT)) AS pair, cnt AS pair_count
 FROM r WHERE rank <= {k}
+"""
+
+
+MERGE_SYM = 0xE000  # private-use code point standing in for merge #1
+
+
+def bpe_apply_merge(ds: ray.data.Dataset, pair: str,
+                    sym: int = MERGE_SYM) -> ray.data.Dataset:
+    """Apply one BPE merge: replace every non-overlapping occurrence of
+    ``pair`` (left-to-right, the greedy BPE rule — both Arrow
+    ``replace_substring`` and DuckDB ``replace`` implement exactly this)
+    with the single private-use symbol ``sym``."""
+    rep = chr(sym)
+
+    def apply(b: pa.Table) -> pa.Table:
+        t = pc.replace_substring(pc.fill_null(b["text"], ""),
+                                 pattern=pair, replacement=rep)
+        return pa.table({"text": t})
+
+    return ds.map_batches(apply, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def bpe_second_merge(ds_factory, k: int = 20) -> ray.data.Dataset:
+    """BPE training iteration 2: select merge #1 (a 1-row driver pull —
+    the merge table IS driver-sized by definition), apply it, recount.
+    ``ds_factory()`` returns a fresh text Dataset per pass (two corpus
+    scans by semantics — pair statistics change after the merge)."""
+    top = bpe_merge_candidates(ds_factory(), k=1).to_pandas()
+    if len(top) == 0:
+        return bpe_merge_candidates(ds_factory(), k=k)
+    return bpe_merge_candidates(
+        bpe_apply_merge(ds_factory(), str(top.pair.iloc[0])), k=k)
+
+
+def bpe_second_merge_sql(k: int = 20, table: str = "documents") -> str:
+    """Twin: the same two passes, merge #1 chosen by the same
+    (count DESC, key ASC) rule, applied with REPLACE (same
+    non-overlapping left-to-right semantics)."""
+    def pair_rank_cte(src: str, tag: str) -> str:
+        return f"""
+ch{tag} AS (
+  SELECT CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT) AS c1,
+         CAST(unicode(substr(text, CAST(i + 1 AS INT), 1)) AS BIGINT) AS c2
+  FROM (SELECT text, UNNEST(generate_series(1, length(text) - 1)) AS i
+        FROM {src})
+),
+p{tag} AS (
+  SELECT c1 * {1 << PAIR_SHIFT} + c2 AS k, MIN(c1) AS c1, MIN(c2) AS c2,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ch{tag} WHERE c1 <> {SPACE} AND c2 <> {SPACE}
+  GROUP BY c1 * {1 << PAIR_SHIFT} + c2
+),
+r{tag} AS (
+  SELECT c1, c2, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, k ASC) AS rank
+  FROM p{tag}
+)"""
+    return f"""
+WITH {pair_rank_cte(table, '1')},
+m1 AS (
+  SELECT chr(CAST(c1 AS INT)) || chr(CAST(c2 AS INT)) AS mp
+  FROM r1 WHERE rank = 1
+),
+t2 AS (
+  SELECT replace(text, (SELECT mp FROM m1), chr({MERGE_SYM})) AS text
+  FROM {table}
+),
+{pair_rank_cte('t2', '2')}
+SELECT CAST(rank AS BIGINT) AS rank,
+       chr(CAST(c1 AS INT)) || chr(CAST(c2 AS INT)) AS pair,
+       cnt AS pair_count
+FROM r2 WHERE rank <= {k}
 """

@@ -1102,3 +1102,21 @@ def test_bpe_merge_candidates_hand_counts():
     assert got == {"ab": 3, "aa": 2, "xa": 1}
     # rank 1 = highest count; tie between aa(2)... ab wins at 3
     assert out.sort_values("rank").iloc[0]["pair"] == "ab"
+
+
+def test_bpe_second_merge_oracle(duck_smoke):
+    assert_matches_oracle(QUERIES["bpe_second_merge"](SF_SMOKE),
+                          duck_smoke, ORACLES["bpe_second_merge"])
+
+
+def test_bpe_second_merge_counts_merged_symbol():
+    """After applying merge #1 greedily, pass 2 counts pairs THROUGH the
+    merged symbol — 'aaaa' with top pair 'aa' becomes 'XX' whose only
+    pair is (X, X)."""
+    from pyofs_ray.stages.bpe import MERGE_SYM, bpe_second_merge
+    X = chr(MERGE_SYM)
+    rows = [{"doc_id": 0, "text": "aaaa"}, {"doc_id": 1, "text": "aaaa"}]
+    out = bpe_second_merge(
+        lambda: ray.data.from_items(rows), k=5).to_pandas()
+    got = dict(zip(out.pair, out.pair_count))
+    assert got == {X + X: 2}
