@@ -2349,3 +2349,19 @@ def _bpe_second_merge(sf_dir: str):
 
 register("bpe_second_merge", _bpe_second_merge,
          _bpe.bpe_second_merge_sql())
+
+
+# leading principal component by exact fixed-point power iteration:
+# distributed int64 Gram partials + a D-sized driver eigensolve whose
+# shift/truncate arithmetic is mirrored bit-for-bit in the twin
+from .stages import pca as _pca  # noqa: E402
+
+
+def _embedding_pca_power(sf_dir: str):
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["embedding"])
+    return _pca.embedding_pca_power(ds)
+
+
+register("embedding_pca_power", _embedding_pca_power,
+         _pca.embedding_pca_power_sql())

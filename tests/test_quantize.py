@@ -66,3 +66,37 @@ def test_ann_topk_quantized_recall_smoke(ray_session):
     assert sorted(quant.columns) == sorted(exact.columns)
     assert quant.groupby("query_id").size().eq(
         exact.groupby("query_id").size()).all()
+
+
+# ------------------------------------------- PCA fixed-point power iter
+
+def test_embedding_pca_power_oracle(duck_smoke):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+    from pyofs_ray.registry import ORACLES, QUERIES
+    assert_matches_oracle(QUERIES["embedding_pca_power"](SF_SMOKE),
+                          duck_smoke, ORACLES["embedding_pca_power"])
+
+
+def test_pca_power_converges_to_planted_direction():
+    """On a corpus with one dominant planted direction, the fixed-point
+    iterate must align with it (cosine > 0.99 after 3 steps)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from pyofs_ray.stages.pca import embedding_pca_power
+
+    rng = np.random.default_rng(11)
+    d = 16
+    u = rng.normal(size=d)
+    u /= np.linalg.norm(u)
+    # strong rank-1 signal + small noise
+    rows = []
+    for i in range(300):
+        coef = rng.normal() * 10.0
+        e = coef * u + rng.normal(size=d) * 0.1
+        rows.append({"vec_id": i, "embedding": e.astype(np.float32).tolist()})
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = embedding_pca_power(ds).to_pandas().sort_values("dim")
+    v = out.v_component.to_numpy().astype(float)
+    cos = abs(v @ u) / (np.linalg.norm(v) * np.linalg.norm(u))
+    assert cos > 0.99
