@@ -2365,3 +2365,16 @@ def _embedding_pca_power(sf_dir: str):
 
 register("embedding_pca_power", _embedding_pca_power,
          _pca.embedding_pca_power_sql())
+
+
+# all-but-the-top debias (Mu & Viswanath 2018): orthogonal-projection
+# residual cross-multiplied by ||v||^2 (no division — exact int64),
+# dominant direction broadcast, one streaming corpus scan
+def _embedding_debias(sf_dir: str):
+    return _pca.embedding_debias(
+        lambda: read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                                   columns=["vec_id", "embedding"]))
+
+
+register("embedding_debias", _embedding_debias,
+         _pca.embedding_debias_sql())

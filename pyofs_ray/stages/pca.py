@@ -68,9 +68,11 @@ def embedding_pca_power(ds: ray.data.Dataset, iters: int = PCA_ITERS,
         "v_component": pa.array(np.array(v, dtype=np.int64))}))
 
 
-def embedding_pca_power_sql(dim: int = 64, iters: int = PCA_ITERS,
-                            scale: int = PCA_SCALE,
-                            table: str = "embeddings") -> str:
+def _pca_cte(dim: int = 64, iters: int = PCA_ITERS,
+             scale: int = PCA_SCALE,
+             table: str = "embeddings") -> tuple[str, str]:
+    """(CTE body, final-iterate name) — shared by the PCA query and the
+    all-but-the-top debias query."""
     steps = []
     prev = "v0"
     for t in range(1, iters + 1):
@@ -93,8 +95,7 @@ v{t} AS (
   FROM w{t}
 )""")
         prev = f"v{t}"
-    return f"""
-WITH q AS (
+    body = f"""q AS (
   SELECT vec_id, CAST(t.i AS BIGINT) AS i,
          CAST(ROUND(CAST(embedding[t.i + 1] AS DOUBLE) * {scale})
               AS BIGINT) AS qv
@@ -113,6 +114,92 @@ cf AS (
 v0 AS (
   SELECT CAST(t.i AS BIGINT) AS dim, CAST(1 AS BIGINT) AS v
   FROM generate_series(0, {dim - 1}) t(i)
-),{",".join(steps)}
-SELECT dim, v AS v_component FROM {prev}
+),{",".join(steps)}"""
+    return body, prev
+
+
+def embedding_pca_power_sql(dim: int = 64, iters: int = PCA_ITERS,
+                            scale: int = PCA_SCALE,
+                            table: str = "embeddings") -> str:
+    body, last = _pca_cte(dim, iters, scale, table)
+    return f"""
+WITH {body}
+SELECT dim, v AS v_component FROM {last}
+"""
+
+
+def embedding_debias(ds_factory, iters: int = PCA_ITERS,
+                     scale: int = PCA_SCALE) -> ray.data.Dataset:
+    """All-but-the-top (Mu & Viswanath 2018) step 2: remove the dominant
+    direction from every embedding, exactly — long-form int64 output
+    ``(vec_id, dim, corrected)`` where
+
+        corrected_i = q_i·‖v‖² − (q·v)·v_i,
+
+    i.e. the orthogonal-projection residual cross-multiplied by ‖v‖² so
+    no division happens (bit-exact twin; divide by ‖v‖² downstream if a
+    float residual is wanted). ``v`` is the PCA fixed-point iterate
+    (D-sized, broadcast); one streaming scan over the corpus.
+
+    Magnitude budget: |q|·‖v‖² and |q·v|·|v| both ≤ ~2⁵¹ at the default
+    scale/VCAP — a loud Python-int bound check per batch raises before
+    any silent int64 wrap (numpy would wrap; the twin would error)."""
+    vdf = embedding_pca_power(ds_factory(), iters=iters,
+                              scale=scale).to_pandas().sort_values("dim")
+    v = vdf.v_component.to_numpy().astype(np.int64)
+    n2 = int(sum(int(x) * int(x) for x in v))
+    d = len(v)
+    vmax = int(np.abs(v).max()) if d else 0
+
+    def fix(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        arr = b["embedding"].combine_chunks() \
+            if isinstance(b["embedding"], pa.ChunkedArray) else b["embedding"]
+        flat = arr.flatten()
+        q = pc.cast(pc.round(pc.multiply(pc.cast(flat, pa.float64()),
+                                         float(scale)),
+                             round_mode="half_towards_infinity"),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(arr)
+        if n == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "corrected": pa.array([], pa.int64())})
+        if len(q) != n * d:
+            raise ValueError("ragged embedding lists")
+        Q = q.reshape(n, d)
+        qmax = int(np.abs(Q).max())
+        # worst-case products in Python ints — no silent wrap possible
+        if max(qmax * n2, qmax * d * vmax * vmax) >= 2**62:
+            raise OverflowError("debias product leaves int64 — lower "
+                                "`scale` (the twin errors identically)")
+        dot = Q @ v
+        out = Q * n2 - dot[:, None] * v[None, :]
+        vid = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(vid, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+            "corrected": pa.array(out.ravel())})
+
+    return ds_factory().map_batches(fix, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+
+def embedding_debias_sql(dim: int = 64, iters: int = PCA_ITERS,
+                         scale: int = PCA_SCALE,
+                         table: str = "embeddings") -> str:
+    body, last = _pca_cte(dim, iters, scale, table)
+    return f"""
+WITH {body},
+n2 AS (SELECT CAST(SUM(v * v) AS BIGINT) AS n2 FROM {last}),
+dots AS (
+  SELECT q.vec_id, CAST(SUM(q.qv * vv.v) AS BIGINT) AS dot
+  FROM q JOIN {last} vv ON vv.dim = q.i
+  GROUP BY q.vec_id
+)
+SELECT q.vec_id, q.i AS dim,
+       CAST(q.qv * (SELECT n2 FROM n2) - dots.dot * vv.v AS BIGINT)
+         AS corrected
+FROM q JOIN dots ON dots.vec_id = q.vec_id
+       JOIN {last} vv ON vv.dim = q.i
 """

@@ -100,3 +100,35 @@ def test_pca_power_converges_to_planted_direction():
     v = out.v_component.to_numpy().astype(float)
     cos = abs(v @ u) / (np.linalg.norm(v) * np.linalg.norm(u))
     assert cos > 0.99
+
+
+def test_embedding_debias_oracle(duck_smoke):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+    from pyofs_ray.registry import ORACLES, QUERIES
+    assert_matches_oracle(QUERIES["embedding_debias"](SF_SMOKE),
+                          duck_smoke, ORACLES["embedding_debias"])
+
+
+def test_embedding_debias_residual_orthogonal_to_v():
+    """corrected = q·||v||² − (q·v)·v  ⇒  corrected ⊥ v exactly
+    (integer dot products are exactly zero)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from pyofs_ray.stages.pca import (embedding_debias,
+                                      embedding_pca_power)
+
+    rng = np.random.default_rng(7)
+    rows = [{"vec_id": i,
+             "embedding": rng.normal(size=8).astype(np.float32).tolist()}
+            for i in range(60)]
+
+    def factory():
+        return ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+    v = (embedding_pca_power(factory()).to_pandas()
+         .sort_values("dim").v_component.to_numpy().astype(object))
+    out = embedding_debias(factory).to_pandas()
+    for vid, g in out.groupby("vec_id"):
+        c = g.sort_values("dim").corrected.to_numpy().astype(object)
+        assert int(sum(int(a) * int(b) for a, b in zip(c, v))) == 0
