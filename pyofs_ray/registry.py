@@ -2378,3 +2378,19 @@ def _embedding_debias(sf_dir: str):
 
 register("embedding_debias", _embedding_debias,
          _pca.embedding_debias_sql())
+
+
+# greedy k-center coreset (Gonzalez farthest-point): k argmax scans over
+# the materialized quantized corpus, chosen set driver-sized, candidate
+# vectors ride partials as blobs — no wide exchange
+from .stages import kcenter as _kcenter  # noqa: E402
+
+
+def _embedding_kcenter(sf_dir: str):
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    return _kcenter.embedding_kcenter(ds)
+
+
+register("embedding_kcenter", _embedding_kcenter,
+         _kcenter.embedding_kcenter_sql())

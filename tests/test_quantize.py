@@ -132,3 +132,40 @@ def test_embedding_debias_residual_orthogonal_to_v():
     for vid, g in out.groupby("vec_id"):
         c = g.sort_values("dim").corrected.to_numpy().astype(object)
         assert int(sum(int(a) * int(b) for a, b in zip(c, v))) == 0
+
+
+# --------------------------------------------- greedy k-center coreset
+
+def test_embedding_kcenter_oracle(duck_smoke):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+    from pyofs_ray.registry import ORACLES, QUERIES
+    assert_matches_oracle(QUERIES["embedding_kcenter"](SF_SMOKE),
+                          duck_smoke, ORACLES["embedding_kcenter"])
+
+
+def test_kcenter_farthest_point_on_planted_clusters():
+    """Three tight, well-separated clusters: the first 3 selections must
+    hit 3 DIFFERENT clusters (farthest-point guarantee), and the radii
+    are non-increasing after each new center."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from pyofs_ray.stages.kcenter import embedding_kcenter
+
+    rng = np.random.default_rng(3)
+    centers = np.array([[0.0] * 8, [50.0] + [0.0] * 7,
+                        [0.0, 50.0] + [0.0] * 6])
+    rows = []
+    for i in range(90):
+        c = centers[i % 3]
+        rows.append({"vec_id": i, "embedding":
+                     (c + rng.normal(size=8) * 0.01)
+                     .astype(np.float32).tolist()})
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = embedding_kcenter(ds, k=5).to_pandas().sort_values("sel_rank")
+    first3_clusters = {int(v) % 3 for v in out.vec_id.head(3)}
+    assert first3_clusters == {0, 1, 2}
+    radii = out.mind2.to_numpy()
+    assert all(radii[i] >= radii[i + 1] for i in range(1, len(radii) - 1))
+    # cross-cluster gap dwarfs within-cluster noise
+    assert radii[1] > 1000 * max(radii[3], 1)
