@@ -1162,3 +1162,86 @@ SELECT day, new_users,
        CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT)
          AS cumulative_users
 FROM h"""
+
+
+TRIM_PCT = 10  # drop the lowest/highest n·PCT//100 observations per group
+
+
+def event_value_trimmed_mean(sf_dir: str,
+                             pct: int = TRIM_PCT) -> ray.data.Dataset:
+    """Exact per-type trimmed mean WITHOUT sorting rows: the same
+    value-histogram shape as `event_value_quantiles` (two-stage count per
+    (event_type, val_c), value-bounded), with the trim applied as
+    histogram-count clipping — kept(bucket) = overlap of the bucket's
+    cumulative rank interval with [t, n−t), t = n·pct//100. Rank-trim and
+    count-trim agree exactly because ranks are assigned in value order.
+    ``trimmed_mean`` is ONE IEEE division of exact ints (cents sum /
+    (kept·100)), bit-equal to the SQL window twin."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b["value"]),
+                             pc.is_valid(b["event_type"])))
+        return pa.table({"event_type": b["event_type"],
+                         "val_c": _cents(b["value"])})
+
+    hist = two_stage_cell_agg(ds.map_batches(prep, batch_format="pyarrow"),
+                              keys=("event_type", "val_c"), int_sum_cols=(),
+                              count_name="cnt")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"event_type": [], "kept_n": [], "kept_cents": [],
+               "trimmed_mean": []}
+        for et, g in df.groupby("event_type", sort=True):
+            g = g.sort_values("val_c")
+            vals = g.val_c.to_numpy().astype(np.int64)
+            cnt = g.cnt.to_numpy().astype(np.int64)
+            cum = cnt.cumsum()
+            n = int(cum[-1])
+            t = n * pct // 100
+            lo, hi = t, n - t
+            prev = cum - cnt
+            kept = np.clip(np.minimum(cum, hi) - np.maximum(prev, lo),
+                           0, None)
+            m = int(kept.sum())
+            if m == 0:
+                continue
+            s = int((vals * kept).sum())
+            out["event_type"].append(et)
+            out["kept_n"].append(m)
+            out["kept_cents"].append(s)
+            out["trimmed_mean"].append(float(s) / float(m * 100))
+        return pd.DataFrame({
+            "event_type": out["event_type"],
+            "kept_n": np.array(out["kept_n"], np.int64),
+            "kept_cents": np.array(out["kept_cents"], np.int64),
+            "trimmed_mean": np.array(out["trimmed_mean"], np.float64)})
+
+    return hist.repartition(1).map_batches(finish, batch_format="pandas",
+                                           batch_size=None)
+
+
+def event_value_trimmed_mean_sql(pct: int = TRIM_PCT) -> str:
+    return f"""
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS val_c
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+r AS (
+  SELECT event_type, val_c,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY val_c) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+k AS (
+  SELECT event_type, val_c FROM r
+  WHERE rn > n * {pct} // 100 AND rn <= n - n * {pct} // 100
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS kept_n,
+       CAST(SUM(val_c) AS BIGINT) AS kept_cents,
+       CAST(SUM(val_c) AS DOUBLE) / CAST(COUNT(*) * 100 AS BIGINT)
+         AS trimmed_mean
+FROM k GROUP BY event_type
+"""

@@ -2394,3 +2394,9 @@ def _embedding_kcenter(sf_dir: str):
 
 register("embedding_kcenter", _embedding_kcenter,
          _kcenter.embedding_kcenter_sql())
+
+
+# exact grouped trimmed mean (robust location): value-histogram shape
+# (no row sort), trim as cumulative-count clipping, one IEEE division
+register("event_value_trimmed_mean", relational.event_value_trimmed_mean,
+         relational.event_value_trimmed_mean_sql())

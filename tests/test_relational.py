@@ -305,3 +305,29 @@ def test_hdr_quantile_sketch_accuracy_and_bounded_size(duck_smoke):
     assert (v[pos] - reps[pos] <= np.maximum(v[pos] >> QSKETCH_BITS, 0)).all()
     # bounded state: buckets for the whole int48 range fit in ~thousands
     assert len(np.unique(b)) < 4000
+
+
+# ------------------------------------------------- exact trimmed mean
+
+def test_event_value_trimmed_mean_oracle(duck_smoke):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+    from pyofs_ray.registry import ORACLES, QUERIES
+    assert_matches_oracle(QUERIES["event_value_trimmed_mean"](SF_SMOKE),
+                          duck_smoke, ORACLES["event_value_trimmed_mean"])
+
+
+def test_trimmed_mean_histogram_clip_equals_rank_trim():
+    """Count-clipping on the histogram must equal trimming by row rank,
+    including when the trim boundary lands inside a tie run."""
+    import numpy as np
+    import pandas as pd
+    vals = np.array([1, 2, 2, 2, 2, 3, 3, 9, 9, 50], np.int64)  # n=10, t=1
+    # rank-trim reference: drop one lowest, one highest
+    ref = np.sort(vals)[1:-1]
+    # histogram-clip (the engine kernel's arithmetic)
+    uv, cnt = np.unique(vals, return_counts=True)
+    cum = cnt.cumsum(); n = cum[-1]; t = n * 10 // 100
+    prev = cum - cnt
+    kept = np.clip(np.minimum(cum, n - t) - np.maximum(prev, t), 0, None)
+    assert int(kept.sum()) == len(ref)
+    assert int((uv * kept).sum()) == int(ref.sum())
