@@ -140,7 +140,7 @@ BENCH_QUERIES = [
     "dup_span_coverage", "host_station_hausdorff", "station_nearest_page",
     "link_assortativity", "bpe_merge_candidates", "bpe_second_merge",
     "embedding_pca_power", "embedding_debias", "embedding_kcenter",
-    "event_value_trimmed_mean",
+    "event_value_trimmed_mean", "split_embedding_leakage",
 ]
 
 

@@ -2400,3 +2400,40 @@ register("embedding_kcenter", _embedding_kcenter,
 # (no row sort), trim as cumulative-count clipping, one IEEE division
 register("event_value_trimmed_mean", relational.event_value_trimmed_mean,
          relational.event_value_trimmed_mean_sql())
+
+
+# train/eval EMBEDDING leakage: the seeded exact near-dup pairs whose
+# endpoints land in different hash splits — the semantic-dup counterpart
+# of split_contamination (which only sees token n-grams). Split label is
+# a pure function of vec_id on both sides; pairs are the oracle-exact
+# seeded baseline, so the twin is generator arithmetic + the split CTE.
+def _split_embedding_leakage(sf_dir: str):
+    from .stages.ann import embedding_dup_pairs
+    from .stages.sample import split_labels
+
+    seeded, n = _seeded_embeddings(sf_dir)
+    pairs = embedding_dup_pairs(seeded, threshold=0.95,
+                                docs_hint=n)[["id_a", "id_b"]]
+    import numpy as _np
+    sa = split_labels(pairs.id_a.to_numpy().astype(_np.int64),
+                      _SPLITS, salt=23)
+    sb = split_labels(pairs.id_b.to_numpy().astype(_np.int64),
+                      _SPLITS, salt=23)
+    out = pairs.assign(split_a=sa, split_b=sb)
+    out = out[out.split_a != out.split_b]
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+register("split_embedding_leakage", _split_embedding_leakage, f"""
+WITH sp AS ({hash_split_sql(
+    f'''(SELECT vec_id FROM embeddings
+     UNION ALL
+     SELECT vec_id + {_SEED_OFFSET} FROM embeddings
+     WHERE vec_id % {_SEED_MOD} = 0)''',
+    'vec_id', _SPLITS, salt=23, select='vec_id')})
+SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b
+FROM (SELECT vec_id AS id_a, vec_id + {_SEED_OFFSET} AS id_b
+      FROM embeddings WHERE vec_id % {_SEED_MOD} = 0) p
+JOIN sp sa ON sa.vec_id = p.id_a
+JOIN sp sb ON sb.vec_id = p.id_b
+WHERE sa.split <> sb.split""")

@@ -169,3 +169,24 @@ def test_kcenter_farthest_point_on_planted_clusters():
     assert all(radii[i] >= radii[i + 1] for i in range(1, len(radii) - 1))
     # cross-cluster gap dwarfs within-cluster noise
     assert radii[1] > 1000 * max(radii[3], 1)
+
+
+def test_split_embedding_leakage_oracle(duck_smoke):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+    from pyofs_ray.registry import ORACLES, QUERIES
+    assert_matches_oracle(QUERIES["split_embedding_leakage"](SF_SMOKE),
+                          duck_smoke, ORACLES["split_embedding_leakage"])
+
+
+def test_split_embedding_leakage_is_cross_split_subset():
+    """Leakage pairs = exactly the seeded dup pairs whose hash splits
+    differ — non-empty on the fixture, and every row crosses splits."""
+    from pyofs_ray.registry import QUERIES
+    from tests.conftest import SF_SMOKE
+    out = QUERIES["split_embedding_leakage"](SF_SMOKE)
+    base = QUERIES["embedding_dup_pairs_seeded"](SF_SMOKE)
+    assert len(out) > 0
+    assert (out.split_a != out.split_b).all()
+    got = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    allp = set(map(tuple, base[["id_a", "id_b"]].to_numpy()))
+    assert got <= allp
