@@ -2465,3 +2465,128 @@ norm AS (
 SELECT a.page_key AS key_a, b.page_key AS key_b
 FROM norm a JOIN norm b ON a.th = b.th AND a.page_key < b.page_key
 """
+
+
+def cell_raster_open(sf_dir: str, zoom: int = geom.BASE_ZOOM,
+                     threshold: int = BOUNDARY_MEAN_CHARS
+                     ) -> ray.data.Dataset:
+    """Morphological OPENING of the above-threshold coverage raster
+    (erosion then dilation with the 5-cell cross element) — the speckle
+    filter of the raster family: isolated above-cells vanish, solid
+    regions survive with their boundary restored. Opening is
+    anti-extensive (⊆ the above set) by construction.
+
+    Two grid-bounded exchanges sharing `cell_boundary_vector`'s
+    flags-through-the-exchange machinery: (1) erode — above ∧ all four
+    above-neighbors (x wraps, off-grid y = missing); (2) dilate — each
+    eroded cell re-emits itself (``core=1``) and its four neighbors
+    (``core=0``), reduced by MAX(core). The above predicate is the same
+    integer cross-multiplication; no float touches any decision.
+
+    Output: ``cell_id, x, y, core`` for opened cells."""
+    from ..stages.agg import bucketed_group_agg
+
+    if zoom < 2:
+        raise ValueError("cell_raster_open: zoom < 2 makes x-wrap "
+                         "neighbors coincide (see cell_boundary_vector)")
+    cells = cell_aggregates(sf_dir, zoom).select_columns(
+        ["cell_id", "n_chars_sum", "doc_count"])
+
+    def expand(b: pa.Table) -> pa.Table:
+        cid = b["cell_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z, x, y = geom.unpack_cell(cid)
+        n = np.int64(1) << z
+        s = b["n_chars_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b["doc_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        above = (s >= threshold * c).astype(np.int64)
+        tgt = [cid]
+        nbr = [np.zeros(len(cid), np.int64)]
+        ctr = [above + 2]
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            tx = (x + dx) % n
+            ty = y + dy
+            ok = (ty >= 0) & (ty < n) & (above > 0)
+            tgt.append(((z << geom.CELL_Z_SHIFT)
+                        | (tx << geom.CELL_X_SHIFT) | ty)[ok])
+            nbr.append(np.ones(int(ok.sum()), np.int64))
+            ctr.append(np.zeros(int(ok.sum()), np.int64))
+        return pa.table({"cell_id": pa.array(np.concatenate(tgt)),
+                         "nbr": pa.array(np.concatenate(nbr)),
+                         "ctr": pa.array(np.concatenate(ctr))})
+
+    agg = bucketed_group_agg(
+        cells.map_batches(expand, batch_format="pyarrow"),
+        ["cell_id"],
+        [("nbr", "sum", "nbr"), ("ctr", "sum", "_ctr")],
+        coalesce=True)
+
+    def dilate(b: pa.Table) -> pa.Table:
+        ctr = b["_ctr"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nbr = b["nbr"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (ctr == 3) & (nbr == 4)  # eroded core
+        cid = b["cell_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)[keep]
+        z, x, y = geom.unpack_cell(cid)
+        n = np.int64(1) << z if len(cid) else np.int64(4)
+        tgt = [cid]
+        core = [np.ones(len(cid), np.int64)]
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            tx = (x + dx) % n
+            ty = y + dy
+            ok = (ty >= 0) & (ty < n)
+            tgt.append(((z << geom.CELL_Z_SHIFT)
+                        | (tx << geom.CELL_X_SHIFT) | ty)[ok])
+            core.append(np.zeros(int(ok.sum()), np.int64))
+        return pa.table({"cell_id": pa.array(np.concatenate(tgt)),
+                         "core": pa.array(np.concatenate(core))})
+
+    opened = bucketed_group_agg(
+        agg.map_batches(dilate, batch_format="pyarrow"),
+        ["cell_id"], [("core", "max", "core")], coalesce=True)
+
+    def finish(b: pa.Table) -> pa.Table:
+        cid = b["cell_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, x, y = geom.unpack_cell(cid)
+        return pa.table({"cell_id": pa.array(cid),
+                         "x": pa.array(x), "y": pa.array(y),
+                         "core": b["core"].cast(pa.int64())})
+
+    return opened.map_batches(finish, batch_format="pyarrow")
+
+
+def cell_raster_open_sql(zoom: int = geom.BASE_ZOOM,
+                         threshold: int = BOUNDARY_MEAN_CHARS) -> str:
+    from ..core import sqlgen
+
+    n = 1 << zoom
+    return f"""{sqlgen.pages_prefix()},
+c AS (
+  SELECT {sqlgen.x_expr(zoom)} AS x, {sqlgen.y_expr(zoom)} AS y,
+         CAST(SUM(LENGTH(text)) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pages GROUP BY 1, 2
+), ab AS (SELECT x, y FROM c WHERE s >= {threshold} * cnt),
+nb AS (
+  SELECT a.x, a.y, CAST(COUNT(*) AS BIGINT) AS nn
+  FROM ab a JOIN ab b
+    ON (b.x = ((a.x + 1) % {n} + {n}) % {n} AND b.y = a.y)
+    OR (b.x = ((a.x - 1) % {n} + {n}) % {n} AND b.y = a.y)
+    OR (b.x = a.x AND b.y = a.y + 1)
+    OR (b.x = a.x AND b.y = a.y - 1)
+  GROUP BY 1, 2
+),
+er AS (SELECT a.x, a.y FROM ab a JOIN nb ON nb.x = a.x AND nb.y = a.y
+       WHERE nb.nn = 4),
+dil AS (
+  SELECT ((e.x + o.dx) % {n} + {n}) % {n} AS x, e.y + o.dy AS y,
+         CAST(0 AS BIGINT) AS core
+  FROM er e JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) o(dx, dy)
+    ON TRUE
+  WHERE e.y + o.dy >= 0 AND e.y + o.dy <= {n - 1}
+  UNION ALL
+  SELECT x, y, CAST(1 AS BIGINT) FROM er
+)
+SELECT ({zoom} * {1 << geom.CELL_Z_SHIFT} + dil.x * {1 << geom.CELL_X_SHIFT}
+        + dil.y) AS cell_id,
+       dil.x AS x, dil.y AS y, CAST(MAX(core) AS BIGINT) AS core
+FROM dil GROUP BY 1, 2, 3"""

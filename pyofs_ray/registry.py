@@ -2437,3 +2437,10 @@ FROM (SELECT vec_id AS id_a, vec_id + {_SEED_OFFSET} AS id_b
 JOIN sp sa ON sa.vec_id = p.id_a
 JOIN sp sb ON sb.vec_id = p.id_b
 WHERE sa.split <> sb.split""")
+
+
+# morphological opening of the coverage raster (erode -> dilate, 5-cell
+# cross): the speckle filter of the raster family, two grid-bounded
+# flag exchanges, integer-only predicates
+register("cell_raster_open", flagship.cell_raster_open,
+         flagship.cell_raster_open_sql())

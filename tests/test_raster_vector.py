@@ -51,3 +51,46 @@ def test_polygon_cell_area_consistent_with_raster():
     assert (area.n_cells.sort_index() == counts.sort_index()).all()
     assert ((area.coverage > 0) & (area.coverage <= 1)).all()
     assert (area.n_cells <= area.bbox_cells).all()
+
+
+# ------------------------------------------------ morphological opening
+
+def test_cell_raster_open_oracle(duck_smoke):
+    from tests.conftest import SF_SMOKE, assert_matches_oracle
+    from pyofs_ray.registry import ORACLES, QUERIES
+    assert_matches_oracle(QUERIES["cell_raster_open"](SF_SMOKE),
+                          duck_smoke, ORACLES["cell_raster_open"])
+
+
+def test_cell_raster_open_anti_extensive_and_core_consistent():
+    """Opening ⊆ the above-threshold set; every core cell has all four
+    neighbors above; non-core opened cells are adjacent to a core cell."""
+    import duckdb
+    from pyofs_ray.registry import QUERIES
+    from pyofs_ray.pipelines.flagship import (BOUNDARY_MEAN_CHARS)
+    from pyofs_ray.core import sqlgen, geom
+    from tests.conftest import SF_SMOKE
+
+    out = QUERIES["cell_raster_open"](SF_SMOKE).to_pandas()
+    assert len(out) > 0 and set(out.core.unique()) <= {0, 1}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF_SMOKE}/documents.parquet')")
+    z = geom.BASE_ZOOM
+    ab = con.sql(f"""{sqlgen.pages_prefix()},
+c AS (SELECT {sqlgen.x_expr(z)} AS x, {sqlgen.y_expr(z)} AS y,
+             SUM(LENGTH(text)) AS s, COUNT(*) AS cnt
+      FROM pages GROUP BY 1, 2)
+SELECT x, y FROM c WHERE s >= {BOUNDARY_MEAN_CHARS} * cnt""").fetchdf()
+    above = set(zip(ab.x.astype(int), ab.y.astype(int)))
+    opened = set(zip(out.x.astype(int), out.y.astype(int)))
+    assert opened <= above  # anti-extensive
+    n = 1 << z
+    core = set(zip(out[out.core == 1].x.astype(int),
+                   out[out.core == 1].y.astype(int)))
+    for (x, y) in core:
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            assert ((x + dx) % n, y + dy) in above
+    for (x, y) in opened - core:
+        assert any(((x + dx) % n, y + dy) in core
+                   for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)))
