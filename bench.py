@@ -141,7 +141,7 @@ BENCH_QUERIES = [
     "link_assortativity", "bpe_merge_candidates", "bpe_second_merge",
     "embedding_pca_power", "embedding_debias", "embedding_kcenter",
     "event_value_trimmed_mean", "split_embedding_leakage",
-    "cell_raster_open",
+    "cell_raster_open", "source_quality_report",
 ]
 
 

@@ -2108,3 +2108,36 @@ def dup_span_report(sf_dir: str) -> ray.data.Dataset:
     from ..stages.dupspan import dup_span_coverage
     return dup_span_coverage(
         _docs(sf_dir, columns=("doc_id", "text", "n_chars")))
+
+
+def source_quality_report(sf_dir: str) -> ray.data.Dataset:
+    """Per-source corpus accounting — the data-mixture card a release
+    pipeline prints per provenance bucket: doc_count / n_chars_sum /
+    mean_chars / n_langs. Same skew-neutral two-level shape as
+    `flagship.host_stats`: per-batch Arrow partials over (source, lang)
+    compress each batch to ≤|sources|·|langs| rows before the tiny
+    exchange; mean is ONE IEEE division from exact int64 sums."""
+    from ..stages.agg import partial_group_sums, two_stage_cell_agg
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["source", "lang", "n_chars"])
+    agg = two_stage_cell_agg(ds, keys=("source", "lang"),
+                             int_sum_cols=("n_chars",),
+                             count_name="doc_count")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", sort=True).agg(
+            doc_count=("doc_count", "sum"),
+            n_chars_sum=("n_chars_sum", "sum"),
+            n_langs=("lang", "nunique")).reset_index()
+        return pd.DataFrame({
+            "source": g.source,
+            "doc_count": g.doc_count.astype(np.int64),
+            "n_chars_sum": g.n_chars_sum.astype(np.int64),
+            "mean_chars": g.n_chars_sum.astype(np.int64).to_numpy()
+            .astype(np.float64)
+            / g.doc_count.astype(np.int64).to_numpy().astype(np.float64),
+            "n_langs": g.n_langs.astype(np.int64)})
+
+    return agg.repartition(1).map_batches(finish, batch_format="pandas",
+                                          batch_size=None)

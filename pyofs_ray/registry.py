@@ -2444,3 +2444,15 @@ WHERE sa.split <> sb.split""")
 # flag exchanges, integer-only predicates
 register("cell_raster_open", flagship.cell_raster_open,
          flagship.cell_raster_open_sql())
+
+
+# per-source data-mixture card (provenance accounting over the fixture's
+# `source` column): skew-neutral (source, lang) partials, tiny finish
+register("source_quality_report", corpus.source_quality_report, """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS doc_count,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum,
+       CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS mean_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents GROUP BY source""")

@@ -1120,3 +1120,8 @@ def test_bpe_second_merge_counts_merged_symbol():
         lambda: ray.data.from_items(rows), k=5).to_pandas()
     got = dict(zip(out.pair, out.pair_count))
     assert got == {X + X: 2}
+
+
+def test_source_quality_report_oracle(duck_smoke):
+    assert_matches_oracle(QUERIES["source_quality_report"](SF_SMOKE),
+                          duck_smoke, ORACLES["source_quality_report"])
