@@ -142,6 +142,9 @@ BENCH_QUERIES = [
     "embedding_pca_power", "embedding_debias", "embedding_kcenter",
     "event_value_trimmed_mean", "split_embedding_leakage",
     "cell_raster_open", "source_quality_report",
+    # round 4 session 6: SemDeDup end-to-end (cluster-bucketed
+    # within-cluster pairwise + keep-one)
+    "semdedup_keep",
 ]
 
 

@@ -678,6 +678,50 @@ register_recall_gated("embedding_dup_pairs_ivf", _embedding_dup_pairs_ivf,
                       cols=("id_a", "id_b"))
 
 
+def _semdedup_keep(sf_dir: str):
+    """SemDeDup end-to-end (Abbas et al. 2023): k-means cluster → pairwise
+    cosine ONLY within clusters → keep one per duplicate component. Runs on
+    the seeded corpus (injected exact copies — the non-vacuous gate
+    pattern); the twin reuses the kmeans-assign CTE over the seeded corpus
+    and decides keep by id arithmetic, valid because no natural pair
+    reaches 0.95 (the `embedding_dup_pairs` margin fact) while seeded
+    copies are bit-identical vectors that always co-cluster."""
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    from .pipelines.corpus import KMEANS_K
+    from .stages.semdedup import semdedup
+
+    seeded, _ = _seeded_embeddings(sf_dir)
+    cent = _pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    cent = cent.filter(_pc.less(cent["vec_id"], KMEANS_K))
+    cent = cent.take(_pc.sort_indices(cent["vec_id"]))
+    return semdedup(seeded, cent, threshold=0.95)
+
+
+register("semdedup_keep", _semdedup_keep, f"""
+WITH seeded AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_SEED_OFFSET} AS vec_id, embedding
+  FROM embeddings WHERE vec_id % {_SEED_MOD} = 0
+), c AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings
+  WHERE vec_id < {corpus.KMEANS_K}
+), a AS (
+  SELECT s.vec_id, c.centroid_id,
+         ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id
+             ORDER BY list_cosine_similarity(s.embedding, c.embedding) DESC,
+                      c.centroid_id ASC) AS rnk
+  FROM seeded s CROSS JOIN c
+)
+SELECT vec_id, centroid_id AS cluster_id,
+       (vec_id < {_SEED_OFFSET}) AS keep
+FROM a WHERE rnk = 1""")
+
+
 def _video_frame_features(sf_dir: str):
     """FAKV1 clips from doc ids → actor-pool frame sampling (every 2nd
     frame) → exact per-frame mean. Oracle recomputes from the generator
