@@ -143,8 +143,8 @@ BENCH_QUERIES = [
     "event_value_trimmed_mean", "split_embedding_leakage",
     "cell_raster_open", "source_quality_report",
     # round 4 session 6: SemDeDup end-to-end (cluster-bucketed
-    # within-cluster pairwise + keep-one)
-    "semdedup_keep",
+    # within-cluster pairwise + keep-one); hashed linear quality classifier
+    "semdedup_keep", "doc_classifier_score",
 ]
 
 

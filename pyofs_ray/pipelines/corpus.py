@@ -482,6 +482,40 @@ def top_tokens(sf_dir: str, k: int = TOP_TOKENS_K) -> ray.data.Dataset:
                   .map_batches(topk, batch_format="pyarrow"))
 
 
+def doc_classifier_score(sf_dir: str) -> ray.data.Dataset:
+    """Model-based quality filtering (the fastText-classifier stage of
+    CCNet / FineWeb): feature-hashed linear scorer over whitespace tokens,
+    keep = score ≥ 0. One streaming scan, zero exchanges — the classifier
+    weights derive from the token hash itself (`stages/text._token_weight`),
+    so no model artifact ships; a learned table would broadcast via
+    ray.put with the identical per-batch kernel."""
+    from ..stages.text import linear_classifier_score
+
+    return _docs(sf_dir).map_batches(linear_classifier_score,
+                                     batch_format="pyarrow",
+                                     zero_copy_batch=True)
+
+
+CLASSIFIER_SCORE_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS token
+  FROM documents
+), w AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) % 2001 - 1000
+             AS wt
+  FROM toks WHERE token <> ''
+), g AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(wt) AS BIGINT) AS score
+  FROM w GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(g.n_tokens, 0) AS n_tokens,
+       COALESCE(g.score, 0) AS score, COALESCE(g.score, 0) >= 0 AS keep
+FROM documents d LEFT JOIN g USING (doc_id)
+"""
+
+
 TOP_TOKENS_SQL = f"""
 WITH toks AS (
   SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token FROM documents

@@ -562,6 +562,11 @@ from .core.sqlgen_text import quality_scores_sql, token_repetition_sql  # noqa: 
 
 register("doc_quality", _doc_quality, quality_scores_sql())
 
+# model-based quality filtering (fastText-classifier stage): feature-hashed
+# linear scorer, exact integer weights from md5 on BOTH sides
+register("doc_classifier_score", corpus.doc_classifier_score,
+         corpus.CLASSIFIER_SCORE_SQL)
+
 
 def _doc_repetition(sf_dir: str):
     """Within-document token-repetition quality signal (Gopher-style):
