@@ -144,7 +144,7 @@ BENCH_QUERIES = [
     "cell_raster_open", "source_quality_report",
     # round 4 session 6: SemDeDup end-to-end (cluster-bucketed
     # within-cluster pairwise + keep-one); hashed linear quality classifier
-    "semdedup_keep", "doc_classifier_score",
+    "semdedup_keep", "doc_classifier_score", "lang_mixture_apply",
 ]
 
 

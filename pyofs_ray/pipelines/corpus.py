@@ -2021,6 +2021,91 @@ FROM s
 """
 
 
+MIX_APPLY_SALT = 0xA5A50F0F
+
+
+def lang_mixture_apply(sf_dir: str) -> ray.data.Dataset:
+    """The APPLY half of the temperature-sampling schedule: realize
+    `lang_mixture_plan`'s per-language ``epochs_ppm`` as a deterministic
+    per-document copy count — ``floor(epochs_ppm / 1M)`` whole epochs for
+    every doc, plus one extra copy for docs whose splitmix64 draw falls
+    under the fractional part (the standard hash-thresholded fractional
+    epoch). Output (doc_id, lang, n_copies) for n_copies > 0 — the exact
+    materialization order a training-data writer replays.
+
+    Scale shape: the plan is pulled once (bounded by |langs| ≈ 100 rows)
+    and rides the task closure; the apply is ONE streaming scan with a
+    vectorized per-batch kernel (np.unique over ~100 langs + hash draw),
+    zero exchanges. Exactness: draw·1M < frac_ppm·2²⁰ is pure int64 on
+    both sides (draw < 2²⁰ so every product < 2⁴⁰)."""
+    from ..core.hashing import splitmix64
+
+    plan = lang_mixture_plan(sf_dir).to_pandas()
+    emap = dict(zip(plan["lang"], plan["epochs_ppm"].astype(np.int64)))
+    den = 1 << 20
+
+    def tag(b: pa.Table) -> pa.Table:
+        langs = np.asarray(b["lang"].to_pylist(), dtype=object)
+        ul, inv = np.unique(langs, return_inverse=True)
+        ue = np.fromiter((emap[l] for l in ul), np.int64, len(ul))
+        eppm = ue[inv]
+        vid = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        draw = (splitmix64(vid.view(np.uint64) ^ np.uint64(MIX_APPLY_SALT))
+                % np.uint64(den)).astype(np.int64)
+        extra = (draw * MIX_PPM) < (eppm % MIX_PPM) * den
+        nc = eppm // MIX_PPM + extra
+        keep = nc > 0
+        return pa.table({"doc_id": pa.array(vid[keep]),
+                         "lang": pa.array(langs[keep], pa.string()),
+                         "n_copies": pa.array(nc[keep])})
+
+    return (_docs(sf_dir, columns=("doc_id", "lang"))
+            .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True))
+
+
+def lang_mixture_apply_sql(table: str = "documents") -> str:
+    from ..core.sqlgen_sample import _mix_ctes
+
+    mix = _mix_ctes(table, "doc_id", MIX_APPLY_SALT, "doc_id, lang",
+                    "lang_mixture_apply_sql")
+    return f"""{mix},
+counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM {table} GROUP BY lang
+),
+w AS (
+  SELECT lang, n_docs,
+         CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT) AS weight_s
+  FROM counts
+),
+t AS (
+  SELECT CAST(SUM(weight_s) AS BIGINT) AS tot_w,
+         CAST(SUM(n_docs) AS BIGINT) AS tot_n
+  FROM w
+),
+ep AS (
+  SELECT lang,
+         CAST((weight_s * {MIX_PPM} // t.tot_w) * t.tot_n // {MIX_PPM}
+              AS BIGINT) * {MIX_PPM} // n_docs AS epochs_ppm
+  FROM w, t
+),
+drawn AS (
+  SELECT doc_id, lang,
+         CAST(xor(z2, z2 >> 31) % 1048576 AS BIGINT) AS draw
+  FROM q2
+),
+nc AS (
+  SELECT d.doc_id, d.lang,
+         ep.epochs_ppm // {MIX_PPM}
+         + CASE WHEN d.draw * {MIX_PPM}
+                     < (ep.epochs_ppm % {MIX_PPM}) * 1048576
+                THEN 1 ELSE 0 END AS n_copies
+  FROM drawn d JOIN ep USING (lang)
+)
+SELECT doc_id, lang, CAST(n_copies AS BIGINT) AS n_copies
+FROM nc WHERE n_copies > 0
+"""
+
+
 def pack_bins_bucketed(sf_dir: str,
                        seq_len: int = 128) -> ray.data.Dataset:
     """Length-bucketed bin packing — the OTHER production packing scheme

@@ -2289,6 +2289,11 @@ register("cdc_doc_overlap", corpus.cdc_doc_overlap_pairs,
 register("lang_mixture_plan", corpus.lang_mixture_plan,
          corpus.lang_mixture_plan_sql())
 
+# the APPLY half: deterministic per-doc copy counts realizing epochs_ppm
+# (whole epochs + hash-thresholded fractional epoch)
+register("lang_mixture_apply", corpus.lang_mixture_apply,
+         corpus.lang_mixture_apply_sql())
+
 # politeness-wave crawl schedule: per-host frontier counts -> count
 # histogram -> suffix-cumsum wave profile (hot-host skew = the tail)
 register("crawl_wave_plan", webhistory.crawl_wave_plan,
