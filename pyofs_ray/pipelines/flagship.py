@@ -1215,6 +1215,63 @@ def host_extent(sf_dir: str) -> ray.data.Dataset:
     return agg
 
 
+def host_hull_points(sf_dir: str) -> ray.data.Dataset:
+    """Per-host convex-hull extreme points — the exact polygonal footprint
+    of each host's pages (vector-layer K4 beside `host_extent`'s bbox).
+    Decomposable-aggregate shape: per-batch partial hulls (only hull-sized
+    partials shuffle), ONE host-bucket exchange, same kernel finishes
+    (`stages/hull.py`). Output is the unordered extreme-point set; the
+    twin uses the pair-witness characterization of p ∈ conv(others) —
+    pure int64 cross products on both sides."""
+    from ..stages.hull import group_extreme_points
+
+    ds = geocoded_pages(sf_dir).select_columns(
+        ["url", "lon_milli", "lat_milli"])
+
+    def with_host(b: pa.Table) -> pa.Table:
+        return pa.table({"host": url_host(b["url"]),
+                         "lon_milli": b["lon_milli"],
+                         "lat_milli": b["lat_milli"]})
+
+    return group_extreme_points(
+        ds.map_batches(with_host, batch_format="pyarrow",
+                       zero_copy_batch=True))
+
+
+# p is NOT extreme iff conv(others) has a point weakly above AND one
+# weakly below p on p's vertical line; each witness is a same-column
+# point or a strictly-x-bracketing pair (int64 cross product)
+HOST_HULL_SQL_BODY = """,
+pts AS (
+  SELECT DISTINCT SPLIT_PART(url, '/', 3) AS host,
+         lon_milli AS x, lat_milli AS y
+  FROM pages
+),
+above AS (
+  SELECT p.host, p.x, p.y FROM pts p
+  WHERE EXISTS (SELECT 1 FROM pts q
+                WHERE q.host = p.host AND q.x = p.x AND q.y > p.y)
+     OR EXISTS (SELECT 1 FROM pts a, pts b
+                WHERE a.host = p.host AND b.host = p.host
+                  AND a.x < p.x AND p.x < b.x
+                  AND (p.y - a.y) * (b.x - a.x) <= (b.y - a.y) * (p.x - a.x))
+),
+below AS (
+  SELECT p.host, p.x, p.y FROM pts p
+  WHERE EXISTS (SELECT 1 FROM pts q
+                WHERE q.host = p.host AND q.x = p.x AND q.y < p.y)
+     OR EXISTS (SELECT 1 FROM pts a, pts b
+                WHERE a.host = p.host AND b.host = p.host
+                  AND a.x < p.x AND p.x < b.x
+                  AND (p.y - a.y) * (b.x - a.x) >= (b.y - a.y) * (p.x - a.x))
+)
+SELECT host, x AS lon_milli, y AS lat_milli FROM pts
+EXCEPT
+SELECT * FROM (SELECT host, x, y FROM above
+               INTERSECT
+               SELECT host, x, y FROM below)"""
+
+
 HOST_EXTENT_SQL_BODY = """
 SELECT SPLIT_PART(url, '/', 3) AS host,
        CAST(MIN(lon_milli) AS BIGINT) AS lon_min,

@@ -1814,6 +1814,10 @@ register("tile_pyramid_delta", flagship.tile_pyramid_delta,
 register("host_extent", flagship.host_extent,
          f"{sqlgen.pages_prefix()}{flagship.HOST_EXTENT_SQL_BODY}")
 
+# per-host convex-hull extreme points (exact polygonal footprint)
+register("host_hull_points", flagship.host_hull_points,
+         f"{sqlgen.pages_prefix()}{flagship.HOST_HULL_SQL_BODY}")
+
 
 # per-user event-type Markov transitions (the behavioural bigram table)
 register("event_transitions", relational.event_transitions,
