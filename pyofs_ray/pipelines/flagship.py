@@ -1215,6 +1215,74 @@ def host_extent(sf_dir: str) -> ray.data.Dataset:
     return agg
 
 
+HEX_W = 5_000   # milli-degree cell width
+HEX_H = 4_330   # ≈ W·√3/2 — hexagonal row pitch
+
+
+def hex_cell_agg(sf_dir: str) -> ray.data.Dataset:
+    """Counts over a STAGGERED (hex-like) lattice — the H3-flavoured
+    binning beside the square `cell_agg`: odd rows shift by half a cell
+    width, so every cell has 6 equidistant lateral neighbors instead of
+    the square grid's 4+4 mixed distances (better isotropy for density /
+    focal work). Pure integer binning: row = (lat+off) // H, col =
+    (lon+off + W − (row%2)·W/2) // W (the +W pad keeps the numerator
+    non-negative — no floor-vs-trunc divergence anywhere). Same per-batch
+    partial + ONE bucketed (hex_id) reduce as `cell_agg`."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = geocoded_pages(sf_dir).select_columns(
+        ["lon_milli", "lat_milli", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        lon = b["lon_milli"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat = b["lat_milli"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        row = (lat + geom.LAT_OFFSET) // HEX_H
+        col = (lon + geom.LON_OFFSET + HEX_W - (row % 2) * (HEX_W // 2)) \
+            // HEX_W
+        hid = row * (np.int64(1) << 32) + col
+        t = pa.table({"hex_id": pa.array(hid), "n_chars": pa.array(nch),
+                      "one": pa.array(np.ones(len(b), np.int64))})
+        g = t.group_by("hex_id").aggregate(
+            [("n_chars", "sum"), ("one", "sum")])
+        return pa.table({"hex_id": g["hex_id"],
+                         "nc": g["n_chars_sum"].cast(pa.int64()),
+                         "c": g["one_sum"].cast(pa.int64())})
+
+    agg = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["hex_id"],
+        [("nc", "sum", "n_chars_sum"), ("c", "sum", "doc_count")])
+
+    def finish(b: pa.Table) -> pa.Table:
+        hid = b["hex_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"hex_id": b["hex_id"],
+                         "hex_row": pa.array(hid >> 32),
+                         "hex_col": pa.array(hid & ((1 << 32) - 1)),
+                         "n_chars_sum": b["n_chars_sum"],
+                         "doc_count": b["doc_count"]})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+HEX_CELL_SQL_BODY = f""",
+hexed AS (
+  SELECT ((lat_milli + {{lat_off}}) // {HEX_H}) AS hex_row,
+         ((lon_milli + {{lon_off}} + {HEX_W}
+           - (((lat_milli + {{lat_off}}) // {HEX_H}) % 2) * {HEX_W // 2})
+          // {HEX_W}) AS hex_col,
+         LENGTH(text) AS n_chars
+  FROM pages
+)
+SELECT CAST(hex_row * 4294967296 + hex_col AS BIGINT) AS hex_id,
+       CAST(hex_row AS BIGINT) AS hex_row,
+       CAST(hex_col AS BIGINT) AS hex_col,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum,
+       CAST(COUNT(*) AS BIGINT) AS doc_count
+FROM hexed GROUP BY 1, 2, 3"""
+
+
 def host_hull_points(sf_dir: str) -> ray.data.Dataset:
     """Per-host convex-hull extreme points — the exact polygonal footprint
     of each host's pages (vector-layer K4 beside `host_extent`'s bbox).

@@ -1818,6 +1818,12 @@ register("host_extent", flagship.host_extent,
 register("host_hull_points", flagship.host_hull_points,
          f"{sqlgen.pages_prefix()}{flagship.HOST_HULL_SQL_BODY}")
 
+# staggered hex-like lattice binning (H3-flavoured cells, 6 equidistant
+# lateral neighbors; integer-exact row/col both sides)
+register("hex_cell_agg", flagship.hex_cell_agg,
+         sqlgen.pages_prefix() + flagship.HEX_CELL_SQL_BODY.format(
+             lat_off=geom.LAT_OFFSET, lon_off=geom.LON_OFFSET))
+
 
 # per-user event-type Markov transitions (the behavioural bigram table)
 register("event_transitions", relational.event_transitions,
