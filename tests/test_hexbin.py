@@ -40,5 +40,6 @@ def test_hex_cell_agg_matches_recount(ray_session):
     ref = ref.sort_values("hex_id").reset_index(drop=True)
     assert got.astype(int).equals(ref.astype(int))
     # id decode round-trips
-    assert (out["hex_row"] == (out["hex_id"] >> 32)).all()
-    assert (out["hex_col"] == (out["hex_id"] & ((1 << 32) - 1))).all()
+    hid = out["hex_id"].to_numpy().astype(np.int64)
+    assert (out["hex_row"].to_numpy() == (hid >> 32)).all()
+    assert (out["hex_col"].to_numpy() == (hid & ((1 << 32) - 1))).all()
