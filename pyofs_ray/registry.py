@@ -264,6 +264,22 @@ register("simhash_pairs", corpus.simhash_pairs,
 register("ngram_jaccard_pairs", corpus.ngram_jaccard_pairs,
          sqlgen_dedup.minhash_pairs_sql(0.6))
 register("top_tokens", corpus.top_tokens, corpus.TOP_TOKENS_SQL)
+
+
+def _top_tokens_mg(sf_dir: str):
+    """Misra-Gries heavy hitters — the deterministic-guarantee frequent-
+    items sketch (constant memory per block, driver-merged ≤k-row blobs;
+    the scale path where `top_tokens`' exact vocab exchange stops being
+    affordable). Recall-gated against the exact `top_tokens`; the formal
+    sandwich bound est ≤ true ≤ est + max_err is pytest-asserted."""
+    from .stages.mgsketch import top_tokens_mg
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
+    return top_tokens_mg(ds, k=4096, out_k=corpus.TOP_TOKENS_K)
+
+
+register_recall_gated("top_tokens_mg", _top_tokens_mg, "top_tokens", 0.8,
+                      cols=("token",))
 register("dedup_near_corpus", corpus.dedup_near_corpus,
          sqlgen_dedup.dedup_corpus_sql(0.8))
 register("dedup_near_corpus_distributed", corpus.dedup_near_corpus_distributed,
