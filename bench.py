@@ -145,7 +145,7 @@ BENCH_QUERIES = [
     # round 4 session 6: SemDeDup end-to-end (cluster-bucketed
     # within-cluster pairwise + keep-one); hashed linear quality classifier
     "semdedup_keep", "doc_classifier_score", "lang_mixture_apply",
-    "host_hull_points", "hex_cell_agg", "top_tokens_mg",
+    "host_hull_points", "hex_cell_agg", "top_tokens_mg", "vocab_growth",
 ]
 
 

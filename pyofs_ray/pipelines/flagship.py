@@ -1215,6 +1215,84 @@ def host_extent(sf_dir: str) -> ray.data.Dataset:
     return agg
 
 
+def vocab_growth(sf_dir: str) -> ray.data.Dataset:
+    """Per-crawl-day vocabulary growth (the Heaps-law audit every corpus
+    card reports): new distinct tokens first seen each day + the cumulative
+    distinct-vocabulary curve. A flattening curve means the crawl stopped
+    discovering language; a jump flags an ingestion-mix change.
+
+    Scale shape: per-batch distinct (token, min day) partials (exact — the
+    Arrow group_by min inside each batch), ONE token-bucket exchange
+    (`bucketed_group_agg` — vocabulary-sized key, the high-cardinality
+    rule), then per-day counts (≤ corpus-days keys) coalesce into a single
+    cumsum finish. All integer: day = (µs − base) // 86400e6, both sides
+    non-negative so floor == trunc."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = pages_dataset(sf_dir, with_html=False)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["warc_ts"].cast(pa.int64())
+        day = pc.divide(pc.subtract(ts, pa.scalar(_EPOCH_US, pa.int64())),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        lists = pc.split_pattern_regex(
+            b["text"].combine_chunks() if isinstance(b["text"], pa.ChunkedArray)
+            else b["text"], r"\s+")
+        flat = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists)
+        t = pa.table({"token": flat,
+                      "d": pc.cast(day, pa.int64()).take(parents)})
+        t = t.filter(pc.not_equal(t["token"], ""))
+        g = t.group_by("token").aggregate([("d", "min")])
+        return pa.table({"token": g["token"],
+                         "d": g["d_min"].cast(pa.int64())})
+
+    firsts = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["token"], [("d", "min", "first_day")])
+
+    def day_counts(b: pa.Table) -> pa.Table:
+        g = b.group_by("first_day").aggregate([("first_day", "count")])
+        return pa.table({"epoch_day": g["first_day"],
+                         "n": g["first_day_count"].cast(pa.int64())})
+
+    def finish(b: pa.Table) -> pa.Table:
+        d = b["epoch_day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ud = np.unique(d)
+        tot = np.zeros(len(ud), np.int64)
+        np.add.at(tot, np.searchsorted(ud, d), n)
+        return pa.table({"epoch_day": pa.array(ud),
+                         "new_tokens": pa.array(tot),
+                         "cum_distinct": pa.array(np.cumsum(tot))})
+
+    return (firsts.map_batches(day_counts, batch_format="pyarrow")
+                  .repartition(1)
+                  .map_batches(finish, batch_format="pyarrow",
+                               batch_size=None))
+
+
+VOCAB_GROWTH_SQL_BODY = """,
+toks AS (
+  SELECT (epoch_us(warc_ts) - 1704067200000000) // 86400000000 AS epoch_day,
+         unnest(regexp_split_to_array(text, '\\s+')) AS token
+  FROM pages
+),
+firsts AS (
+  SELECT token, MIN(epoch_day) AS first_day
+  FROM toks WHERE token <> '' GROUP BY token
+),
+per AS (
+  SELECT first_day AS epoch_day, CAST(COUNT(*) AS BIGINT) AS new_tokens
+  FROM firsts GROUP BY 1
+)
+SELECT CAST(epoch_day AS BIGINT) AS epoch_day, new_tokens,
+       CAST(SUM(new_tokens) OVER (ORDER BY epoch_day) AS BIGINT)
+           AS cum_distinct
+FROM per"""
+
+
 HEX_W = 5_000   # milli-degree cell width
 HEX_H = 4_330   # ≈ W·√3/2 — hexagonal row pitch
 

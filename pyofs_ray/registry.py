@@ -1840,6 +1840,11 @@ register("hex_cell_agg", flagship.hex_cell_agg,
          sqlgen.pages_prefix() + flagship.HEX_CELL_SQL_BODY.format(
              lat_off=geom.LAT_OFFSET, lon_off=geom.LON_OFFSET))
 
+# per-day vocabulary growth (Heaps-law audit): first-seen day per token,
+# new/cumulative distinct counts
+register("vocab_growth", flagship.vocab_growth,
+         sqlgen.pages_prefix() + flagship.VOCAB_GROWTH_SQL_BODY)
+
 
 # per-user event-type Markov transitions (the behavioural bigram table)
 register("event_transitions", relational.event_transitions,

@@ -332,3 +332,20 @@ def test_dedup_template_normalized_seeded_pairs(duck_smoke):
     expect = {tuple(sorted(p)) for g in groups.values() if len(g) > 1
               for p in itertools.combinations(g, 2)}
     assert got == expect
+
+
+def test_vocab_growth_properties(ray_session):
+    from .conftest import SF_SMOKE
+
+    out = flagship.vocab_growth(SF_SMOKE).to_pandas()
+    # cumulative curve is the prefix sum of new tokens, strictly increasing
+    assert (out["new_tokens"] > 0).all()
+    assert (out["cum_distinct"] == out["new_tokens"].cumsum()).all()
+    assert out["epoch_day"].is_monotonic_increasing
+    # total distinct matches an independent recount
+    pages = flagship.pages_dataset(SF_SMOKE, with_html=False).to_pandas()
+    vocab = set()
+    for t in pages["text"]:
+        vocab.update(w for w in t.split() if w)
+    # \s+ split vs python split() agree on this fixture (no exotic ws)
+    assert int(out["cum_distinct"].iloc[-1]) == len(vocab)
