@@ -556,3 +556,53 @@ SELECT host_id,
          AS drift_ppm
 FROM per_sig GROUP BY host_id
 """
+
+
+# ----------------------------------------------- change-rate recrawl order
+REVISIT_K = 100
+
+
+def url_revisit_priority(sf_dir: str, k: int = REVISIT_K) -> ray.data.Dataset:
+    """Change-rate-ordered recrawl schedule (Cho & Garcia-Molina's
+    frequency-based revisit policy): pages that changed most across the
+    seeded 4-epoch crawl history (the `scd2_url_history` seeding) get the
+    highest priority; ``revisit_every = epochs // (n_changes + 1)`` is the
+    integer expected-epochs-between-changes estimate a scheduler feeds its
+    frontier with.
+
+    Scale shape: `with_text=False` — the scan reads ZERO text bytes
+    (change counts derive from the fingerprint-bump arithmetic, exactly
+    as the SCD2 emitter does); global top-k via `agg.exact_topk`
+    (per-block lexsort + coalesced k×blocks finish, no Sort all-to-all);
+    page_key is the numeric total-order tie-break."""
+    from ..stages.agg import exact_topk
+
+    ds = pages_dataset(sf_dir, keep_key=True, with_text=False)
+
+    def score(b: pa.Table) -> pa.Table:
+        key = b["page_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = np.zeros(len(key), np.int64)
+        for e in range(1, SCD_EPOCHS):
+            nc += (key + e * e) % 3 == 0
+        return pa.table({"page_key": b["page_key"], "url": b["url"],
+                         "n_changes": pa.array(nc),
+                         "revisit_every": pa.array(
+                             SCD_EPOCHS // (nc + 1))})
+
+    scored = ds.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return exact_topk(scored, ["n_changes", "page_key"], [True, False], k)
+
+
+def url_revisit_priority_sql(k: int = REVISIT_K) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN (page_key + {e * e}) % 3 = 0 THEN 1 ELSE 0 END)"
+        for e in range(1, SCD_EPOCHS))
+    return f""",
+ch AS (
+  SELECT page_key, url, CAST({terms} AS BIGINT) AS n_changes
+  FROM pages
+)
+SELECT page_key, url, n_changes,
+       CAST({SCD_EPOCHS} // (n_changes + 1) AS BIGINT) AS revisit_every
+FROM ch ORDER BY n_changes DESC, page_key ASC LIMIT {k}"""

@@ -2264,6 +2264,11 @@ register("scd2_url_history", webhistory.scd2_url_history,
 register("robots_policy", webhistory.robots_policy,
          f"{sqlgen.pages_prefix()},\n{webhistory.robots_policy_sql()}")
 
+# change-rate-ordered recrawl schedule (Cho & Garcia-Molina revisit
+# policy over the SCD2 seeded epochs); zero text bytes read
+register("url_revisit_priority", webhistory.url_revisit_priority,
+         sqlgen.pages_prefix() + webhistory.url_revisit_priority_sql())
+
 # exact directed containment (quote/excerpt detection). Gate-scale like
 # ngram_jaccard_pairs: the per-gram pair expansion is the SAME Σ df² the
 # DuckDB twin pays, and both degenerate identically on vocabulary-

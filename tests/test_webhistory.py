@@ -114,3 +114,26 @@ def test_scd2_single_snapshot_key():
                          fp_col="fp", num_buckets=2).to_pandas()
     assert len(out) == 1
     assert out.valid_from[0] == 2 and out.valid_to[0] == 999
+
+
+def test_url_revisit_priority_consistent_with_scd2(ray_session):
+    """n_changes per url must equal the SCD2 history's version count − 1
+    (same seeding arithmetic, independent paths)."""
+    from .conftest import SF_SMOKE
+
+    top = wh.url_revisit_priority(SF_SMOKE, k=10_000).to_pandas()
+    hist = wh.scd2_url_history(SF_SMOKE).to_pandas()
+    versions = hist.groupby("url").size()
+    merged = top.set_index("url")
+    assert len(merged) == len(versions)
+    for url, nv in versions.items():
+        assert merged.loc[url, "n_changes"] == nv - 1
+    # ordering: n_changes non-increasing, page_key ascending within ties
+    nc = top["n_changes"].to_numpy()
+    assert (nc[:-1] >= nc[1:]).all()
+    pk = top["page_key"].to_numpy()
+    same = nc[:-1] == nc[1:]
+    assert (pk[:-1][same] < pk[1:][same]).all()
+    # revisit interval: unchanged pages wait a full cycle, hot pages don't
+    assert (top.loc[top["n_changes"] == 0, "revisit_every"] == 4).all()
+    assert (top.loc[top["n_changes"] > 0, "revisit_every"] <= 2).all()
