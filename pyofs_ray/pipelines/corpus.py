@@ -1954,6 +1954,12 @@ def lang_mixture_plan(sf_dir: str) -> ray.data.Dataset:
     groupby) coalesced to a single finish kernel that computes the whole
     plan vectorized; overflow-guarded (share_ppm × corpus_size must stay
     in int64 — raises loudly past ~9·10^12 docs)."""
+    return mixture_plan_over(_docs(sf_dir, columns=("doc_id", "lang")))
+
+
+def mixture_plan_over(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """`lang_mixture_plan`'s plan kernel over ANY (doc_id, lang) Dataset —
+    shared by the standalone plan query and the curation compositions."""
 
     def partials(b: pa.Table) -> pa.Table:
         g = b.group_by("lang").aggregate([("doc_id", "count")])
@@ -1984,11 +1990,10 @@ def lang_mixture_plan(sf_dir: str) -> ray.data.Dataset:
                          "target_docs": pa.array(target),
                          "epochs_ppm": pa.array(epochs)})
 
-    return (_docs(sf_dir, columns=("doc_id", "lang"))
-            .map_batches(partials, batch_format="pyarrow",
-                         zero_copy_batch=True)
-            .repartition(1)
-            .map_batches(finish, batch_format="pyarrow", batch_size=None))
+    return (ds.map_batches(partials, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .repartition(1)
+              .map_batches(finish, batch_format="pyarrow", batch_size=None))
 
 
 def lang_mixture_plan_sql(table: str = "documents") -> str:
@@ -2038,14 +2043,26 @@ def lang_mixture_apply(sf_dir: str) -> ray.data.Dataset:
     vectorized per-batch kernel (np.unique over ~100 langs + hash draw),
     zero exchanges. Exactness: draw·1M < frac_ppm·2²⁰ is pure int64 on
     both sides (draw < 2²⁰ so every product < 2⁴⁰)."""
-    from ..core.hashing import splitmix64
-
     plan = lang_mixture_plan(sf_dir).to_pandas()
     emap = dict(zip(plan["lang"], plan["epochs_ppm"].astype(np.int64)))
+    return apply_mixture_copies(
+        _docs(sf_dir, columns=("doc_id", "lang")), emap)
+
+
+def apply_mixture_copies(ds: ray.data.Dataset,
+                         emap: dict[str, int]) -> ray.data.Dataset:
+    """The shared apply kernel: (doc_id, lang) Dataset + per-lang
+    epochs_ppm map → (doc_id, lang, n_copies > 0) rows."""
+    from ..core.hashing import splitmix64
+
     den = 1 << 20
 
     def tag(b: pa.Table) -> pa.Table:
         langs = np.asarray(b["lang"].to_pylist(), dtype=object)
+        if len(langs) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "lang": pa.array([], pa.string()),
+                             "n_copies": pa.array([], pa.int64())})
         ul, inv = np.unique(langs, return_inverse=True)
         ue = np.fromiter((emap[l] for l in ul), np.int64, len(ul))
         eppm = ue[inv]
@@ -2059,8 +2076,7 @@ def lang_mixture_apply(sf_dir: str) -> ray.data.Dataset:
                          "lang": pa.array(langs[keep], pa.string()),
                          "n_copies": pa.array(nc[keep])})
 
-    return (_docs(sf_dir, columns=("doc_id", "lang"))
-            .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True))
+    return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def lang_mixture_apply_sql(table: str = "documents") -> str:
@@ -2260,3 +2276,122 @@ def source_quality_report(sf_dir: str) -> ray.data.Dataset:
 
     return agg.repartition(1).map_batches(finish, batch_format="pandas",
                                           batch_size=None)
+
+
+# ------------------------------------- FineWeb-style curation composition
+def curate_corpus_semantic(sf_dir: str) -> ray.data.Dataset:
+    """Second-generation curation composition (the FineWeb/CCNet recipe
+    shape): model-based quality gate → exact dedup → temperature-rebalanced
+    emission, each stage an already-oracle-checked operator:
+
+    1. hashed linear classifier gate (`stages/text.linear_classifier_score`,
+       keep score ≥ 0) — one streaming scan, zero exchanges;
+    2. exact dedup among SURVIVORS (gate first, dedup after — order is part
+       of the contract): (md5, id) partials through one bucket exchange,
+       dup map (bounded by dup clusters) broadcast back, keep min id;
+    3. mixture plan over the surviving per-lang counts (floor-sqrt α=0.5
+       schedule) realized as deterministic per-doc copy counts
+       (`apply_mixture_copies`).
+
+    Like `curate_docs`, the gated stream stays lazy at fixture scale (the
+    narrow re-scans are cheap); at corpus scale spill it once via
+    `stages.pairs.spill_to_parquet` so raw text is read exactly once."""
+    import ray as _ray
+
+    from ..stages.dedup import exact_dedup
+    from ..stages.text import fingerprint, linear_classifier_score
+
+    docs = _docs(sf_dir, columns=("doc_id", "text", "lang"))
+
+    def gate(b: pa.Table) -> pa.Table:
+        sc = linear_classifier_score(b)
+        return b.filter(sc["keep"])
+
+    gated = docs.map_batches(gate, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    dup_tbl = (exact_dedup(gated)
+               .map_batches(lambda b: b.filter(pc.greater(b["dup_count"], 1)),
+                            batch_format="pyarrow")
+               .to_pandas())  # bounded by dup clusters (curate_docs shape)
+    if len(dup_tbl):
+        dup_ref = _ray.put((pa.array(dup_tbl["text_hash"]),
+                            dup_tbl["doc_id"].to_numpy(dtype=np.int64)))
+
+        def drop_exact_dups(b: pa.Table) -> pa.Table:
+            hashes, min_ids = _ray.get(dup_ref)
+            pos = pc.index_in(fingerprint(b)["text_hash"], value_set=hashes)
+            hit = pc.is_valid(pos).to_numpy(zero_copy_only=False)
+            idx = (pc.fill_null(pos, 0).to_numpy(zero_copy_only=False)
+                   .astype(np.int64))
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            keep = ~hit | (ids == min_ids[idx])
+            return b.filter(pa.array(keep))
+
+        survivors = gated.map_batches(drop_exact_dups,
+                                      batch_format="pyarrow")
+    else:
+        survivors = gated
+
+    pairs = survivors.map_batches(
+        lambda b: b.select(["doc_id", "lang"]), batch_format="pyarrow")
+    plan = mixture_plan_over(pairs).to_pandas()  # ≤ |langs| rows
+    emap = dict(zip(plan["lang"], plan["epochs_ppm"].astype(np.int64)))
+    return apply_mixture_copies(pairs, emap)
+
+
+def curate_corpus_semantic_sql() -> str:
+    from ..core.sqlgen_sample import _mix_ctes
+
+    surv = """(
+  SELECT doc_id, lang FROM (
+    SELECT k.doc_id, k.lang,
+           ROW_NUMBER() OVER (PARTITION BY k.fp ORDER BY k.doc_id) AS rn
+    FROM (
+      SELECT d.doc_id, d.lang, md5(d.text) AS fp
+      FROM documents d LEFT JOIN (
+        SELECT doc_id,
+               SUM(CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT)
+                   % 2001 - 1000) AS s
+        FROM (SELECT doc_id,
+                     unnest(regexp_split_to_array(text, '\\s+')) AS token
+              FROM documents) t
+        WHERE token <> '' GROUP BY doc_id) g USING (doc_id)
+      WHERE COALESCE(g.s, 0) >= 0
+    ) k
+  ) r WHERE rn = 1
+) surv"""
+    mix = _mix_ctes(surv, "doc_id", MIX_APPLY_SALT, "doc_id, lang",
+                    "curate_corpus_semantic_sql")
+    return f"""{mix},
+counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM q2 GROUP BY lang
+),
+w AS (
+  SELECT lang, n_docs,
+         CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT) AS weight_s
+  FROM counts
+),
+t AS (
+  SELECT CAST(SUM(weight_s) AS BIGINT) AS tot_w,
+         CAST(SUM(n_docs) AS BIGINT) AS tot_n
+  FROM w
+),
+ep AS (
+  SELECT lang,
+         CAST((weight_s * {MIX_PPM} // t.tot_w) * t.tot_n // {MIX_PPM}
+              AS BIGINT) * {MIX_PPM} // n_docs AS epochs_ppm
+  FROM w, t
+),
+nc AS (
+  SELECT d.doc_id, d.lang,
+         ep.epochs_ppm // {MIX_PPM}
+         + CASE WHEN CAST(xor(d.z2, d.z2 >> 31) % 1048576 AS BIGINT)
+                     * {MIX_PPM}
+                     < (ep.epochs_ppm % {MIX_PPM}) * 1048576
+                THEN 1 ELSE 0 END AS n_copies
+  FROM q2 d JOIN ep USING (lang)
+)
+SELECT doc_id, lang, CAST(n_copies AS BIGINT) AS n_copies
+FROM nc WHERE n_copies > 0
+"""

@@ -2330,6 +2330,11 @@ register("lang_mixture_plan", corpus.lang_mixture_plan,
 register("lang_mixture_apply", corpus.lang_mixture_apply,
          corpus.lang_mixture_apply_sql())
 
+# FineWeb-style curation v2: classifier gate -> exact dedup -> temperature
+# rebalance, all stages fused streaming with broadcast-back dup map
+register("curate_corpus_semantic", corpus.curate_corpus_semantic,
+         corpus.curate_corpus_semantic_sql())
+
 # politeness-wave crawl schedule: per-host frontier counts -> count
 # histogram -> suffix-cumsum wave profile (hot-host skew = the tail)
 register("crawl_wave_plan", webhistory.crawl_wave_plan,
