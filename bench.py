@@ -146,7 +146,7 @@ BENCH_QUERIES = [
     # within-cluster pairwise + keep-one); hashed linear quality classifier
     "semdedup_keep", "doc_classifier_score", "lang_mixture_apply",
     "host_hull_points", "hex_cell_agg", "top_tokens_mg", "vocab_growth",
-    "url_revisit_priority", "curate_corpus_semantic",
+    "url_revisit_priority", "curate_corpus_semantic", "ip_block_lookup",
 ]
 
 

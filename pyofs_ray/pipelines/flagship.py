@@ -2793,3 +2793,77 @@ SELECT ({zoom} * {1 << geom.CELL_Z_SHIFT} + dil.x * {1 << geom.CELL_X_SHIFT}
         + dil.y) AS cell_id,
        dil.x AS x, dil.y AS y, CAST(MAX(core) AS BIGINT) AS core
 FROM dil GROUP BY 1, 2, 3"""
+
+
+# ------------------------------------------- static range-table enrichment
+IP_SALT = 0x1B00_57ED
+IP_NBLOCKS = 1024
+_IP_MOD = 1 << 32
+IP_BSALT = 0xB10C_B10C
+
+
+def _ip_boundaries() -> np.ndarray:
+    """1023 sorted uint32 block boundaries (deterministic splitmix draws) —
+    1024 contiguous ranges over the IPv4 space."""
+    from ..core.hashing import splitmix64
+
+    j = np.arange(1, IP_NBLOCKS, dtype=np.int64)
+    b = (splitmix64(j.view(np.uint64) ^ np.uint64(IP_BSALT))
+         % np.uint64(_IP_MOD)).astype(np.int64)
+    return np.sort(b)
+
+
+def ip_block_lookup(sf_dir: str) -> ray.data.Dataset:
+    """Static range-table enrichment — the geoip/ASN-lookup join shape: a
+    small SORTED boundary table broadcasts once and every batch resolves
+    its keys with ONE ``np.searchsorted`` (binary search), never a shuffle
+    join — the scale form for any ip→ASN / value→band / key→range-bucket
+    lookup (contrast `events_asof_order`, which buckets TWO large streams).
+
+    Page IPs are deterministic splitmix draws of the page key (seeded-
+    fixture pattern); `with_text=False` — zero text bytes read. Exactness:
+    block_id = #{boundaries ≤ ip}, identical to the twin's correlated
+    count; everything int64."""
+    from ..core.hashing import splitmix64
+
+    bounds = _ip_boundaries()  # 1023 ints — rides the task closure
+
+    ds = pages_dataset(sf_dir, keep_key=True, with_text=False)
+
+    def lookup(b: pa.Table) -> pa.Table:
+        key = b["page_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ip = (splitmix64(key.view(np.uint64) ^ np.uint64(IP_SALT))
+              % np.uint64(_IP_MOD)).astype(np.int64)
+        block = np.searchsorted(bounds, ip, side="right").astype(np.int64)
+        return pa.table({"page_key": b["page_key"],
+                         "ip": pa.array(ip),
+                         "block_id": pa.array(block)})
+
+    return ds.map_batches(lookup, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def ip_block_lookup_sql() -> str:
+    from ..core.sqlgen_sample import _GOLDEN, _mulmod64, to_u64
+
+    def chain(key_u64: str, pre: str) -> tuple[str, str]:
+        """splitmix64 CTE chain with caller-chosen CTE prefix (two chains
+        must coexist in one query without q0..q2 collisions)."""
+        z0 = f"(({key_u64}) + {_GOLDEN}) % {1 << 64}"
+        return (f"""
+{pre}0 AS (SELECT *, {z0} AS {pre}z0 FROM {pre}src),
+{pre}1 AS (SELECT *, {_mulmod64(f'xor({pre}z0, {pre}z0 >> 30)', 0xBF58476D1CE4E5B9)} AS {pre}z1 FROM {pre}0),
+{pre}2 AS (SELECT *, {_mulmod64(f'xor({pre}z1, {pre}z1 >> 27)', 0x94D049BB133111EB)} AS {pre}z2 FROM {pre}1)""",
+                f"CAST(xor({pre}z2, {pre}z2 >> 31) % {_IP_MOD} AS BIGINT)")
+
+    ipc, ip_expr = chain(f"xor({to_u64('page_key')}, {IP_SALT})", "ipq")
+    bc, b_expr = chain(f"xor({to_u64('j')}, {IP_BSALT})", "bq")
+    return f""",
+ipqsrc AS (SELECT page_key FROM pages),
+bqsrc AS (SELECT j FROM generate_series(1, {IP_NBLOCKS - 1}) s(j)),{ipc},{bc},
+ips AS (SELECT page_key, {ip_expr} AS ip FROM ipq2),
+bnds AS (SELECT {b_expr} AS b FROM bq2)
+SELECT i.page_key, i.ip,
+       CAST((SELECT COUNT(*) FROM bnds WHERE bnds.b <= i.ip) AS BIGINT)
+           AS block_id
+FROM ips i"""

@@ -1845,6 +1845,11 @@ register("hex_cell_agg", flagship.hex_cell_agg,
 register("vocab_growth", flagship.vocab_growth,
          sqlgen.pages_prefix() + flagship.VOCAB_GROWTH_SQL_BODY)
 
+# static range-table enrichment (geoip/ASN shape): broadcast sorted
+# boundaries + per-batch binary search, never a shuffle join
+register("ip_block_lookup", flagship.ip_block_lookup,
+         sqlgen.pages_prefix() + flagship.ip_block_lookup_sql())
+
 
 # per-user event-type Markov transitions (the behavioural bigram table)
 register("event_transitions", relational.event_transitions,

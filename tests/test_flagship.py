@@ -349,3 +349,18 @@ def test_vocab_growth_properties(ray_session):
         vocab.update(w for w in t.split() if w)
     # \s+ split vs python split() agree on this fixture (no exotic ws)
     assert int(out["cum_distinct"].iloc[-1]) == len(vocab)
+
+
+def test_ip_block_lookup_binary_search_semantics(ray_session):
+    import numpy as np
+
+    from pyofs_ray.pipelines.flagship import _ip_boundaries, ip_block_lookup
+
+    bounds = _ip_boundaries()
+    assert (np.diff(bounds) >= 0).all() and len(bounds) == 1023
+    out = ip_block_lookup(SF_SMOKE).to_pandas()
+    assert (out["ip"] >= 0).all() and (out["ip"] < (1 << 32)).all()
+    # block_id = #{boundaries <= ip}, verified row by row
+    want = np.searchsorted(bounds, out["ip"].to_numpy(), side="right")
+    assert (out["block_id"].to_numpy() == want).all()
+    assert out["block_id"].between(0, 1023).all()
