@@ -199,13 +199,19 @@ def test_ivf_training_sample_is_unbiased_hash_sample():
 def test_recall_gates_pass_at_smoke_scale():
     """Every RECALL_GATES entry must clear its tau against its oracle-exact
     baseline at smoke scale — the checker's gate, exercised in-tree."""
+    import ray.data
+
     from pyofs_ray.registry import RECALL_GATES
     assert set(RECALL_GATES) == {"ann_topk_lsh", "ann_topk_ivf",
                                  "embedding_dup_pairs_ivf",
-                                 "ann_topk_quantized"}
+                                 "ann_topk_quantized", "top_tokens_mg"}
+
+    def _pd(res):
+        return res.to_pandas() if isinstance(res, ray.data.Dataset) else res
+
     for name, (base_name, tau, cols) in RECALL_GATES.items():
-        base = QUERIES[base_name](SF_SMOKE)
-        approx = QUERIES[name](SF_SMOKE)
+        base = _pd(QUERIES[base_name](SF_SMOKE))
+        approx = _pd(QUERIES[name](SF_SMOKE))
         bset = set(map(tuple, base[list(cols)].to_numpy()))
         got = set(map(tuple, approx[list(cols)].to_numpy()))
         recall = len(bset & got) / len(bset) if bset else 1.0
