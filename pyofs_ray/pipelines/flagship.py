@@ -2867,3 +2867,140 @@ SELECT i.page_key, i.ip,
        CAST((SELECT COUNT(*) FROM bnds WHERE bnds.b <= i.ip) AS BIGINT)
            AS block_id
 FROM ips i"""
+
+
+# ------------------------------------------ host token-profile similarity
+HOST_SIM_K = 50
+
+
+def host_token_similarity(sf_dir: str, k: int = HOST_SIM_K) -> ray.data.Dataset:
+    """Most-similar host pairs by token-count profile (cosine²) — the
+    site-similarity generalization of `host_mirror_pairs` (which needs
+    IDENTICAL fingerprints): template farms and topic twins score high on
+    profile cosine long before any page is an exact copy.
+
+    Scale shape — the dense small-cardinality Gram pattern: hosts are a
+    bounded catalog (one tiny distinct pass, broadcast index), so the
+    host×host Gram matrix is SMALL even though the token dimension is
+    corpus-sized. Per-batch (host, token, c) Arrow partials; ONE
+    token-bucket exchange; inside each bucket group ONE int64 matmul
+    (Vᵀ V over the bucket's token×host count matrix — never a Σ df² pair
+    expansion); |H|²-bounded partials coalesce on the driver where cos² =
+    dot²·10⁶ // (n2_a·n2_b) is computed in Python ints (dot² would leave
+    int64; the twin runs the same expression in HUGEINT).
+
+    Output: top-k (host_a < host_b) by (cos2_ppm DESC, host_a, host_b),
+    self-pairs excluded; dot and the exact integer cos2_ppm."""
+    from ..stages.agg import hash_bucket_tag
+
+    pages = pages_dataset(sf_dir, with_html=False)
+
+    hosts_df = (pages.map_batches(
+        lambda b: pa.table({"host": url_host(b["url"])}).group_by(
+            "host").aggregate([]),
+        batch_format="pyarrow")
+        .to_pandas())  # bounded host catalog
+    hosts = np.sort(hosts_df["host"].unique().astype(object))
+    hidx = {h: i for i, h in enumerate(hosts)}
+    nh = len(hosts)
+    if nh > 4096:
+        raise ValueError(f"host_token_similarity: {nh} hosts — the dense "
+                         "H² Gram partial leaves small-matrix range; "
+                         "shard the host catalog first")
+
+    import ray as _ray
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) \
+        if _ray.is_initialized() else 8
+    nb = max(8, cpus)
+
+    def partial(b: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(
+            b["text"].combine_chunks() if isinstance(b["text"], pa.ChunkedArray)
+            else b["text"], r"\s+")
+        flat = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists)
+        h = url_host(b["url"]).take(parents)
+        t = pa.table({"host": h, "token": flat})
+        t = t.filter(pc.not_equal(t["token"], ""))
+        g = t.group_by(["host", "token"]).aggregate([("token", "count")])
+        out = pa.table({"host": g["host"], "token": g["token"],
+                        "c": g["token_count"].cast(pa.int64())})
+        return hash_bucket_tag(out, ["token"], nb)
+
+    def gram(g: pa.Table) -> pa.Table:
+        toks = np.asarray(g["token"].to_pylist(), dtype=object)
+        hs = np.asarray(g["host"].to_pylist(), dtype=object)
+        c = g["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ut, tinv = np.unique(toks, return_inverse=True)
+        hi = np.fromiter((hidx[x] for x in hs), np.int64, len(hs))
+        v = np.zeros((len(ut), nh), np.int64)
+        np.add.at(v, (tinv, hi), c)
+        gm = v.T @ v  # exact int64: per-bucket dots ≪ 2^63
+        iu, ju = np.triu_indices(nh)  # includes diagonal = partial ‖v‖²
+        d = gm[iu, ju]
+        nz = d > 0
+        return pa.table({"i": pa.array(iu[nz].astype(np.int64)),
+                         "j": pa.array(ju[nz].astype(np.int64)),
+                         "dot": pa.array(d[nz])})
+
+    partials = (pages.map_batches(partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                     .groupby("_bucket").map_groups(gram,
+                                                    batch_format="pyarrow"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        i = t["i"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = t["j"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dot"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = i * nh + j
+        uk, inv = np.unique(key, return_inverse=True)
+        sums = np.zeros(len(uk), np.int64)
+        np.add.at(sums, inv, d)
+        ui, uj = uk // nh, uk % nh
+        diag = ui == uj
+        n2 = np.zeros(nh, np.int64)
+        n2[ui[diag]] = sums[diag]
+        rows = []
+        for a, b, dot in zip(ui[~diag], uj[~diag], sums[~diag]):
+            denom = int(n2[a]) * int(n2[b])
+            if denom == 0:
+                continue
+            cos2 = int(dot) * int(dot) * 1_000_000 // denom  # Python ints
+            rows.append((str(hosts[a]), str(hosts[b]), int(dot), cos2))
+        rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+        rows = rows[:k]
+        return pa.table({
+            "host_a": pa.array([r[0] for r in rows], pa.string()),
+            "host_b": pa.array([r[1] for r in rows], pa.string()),
+            "dot": pa.array([r[2] for r in rows], pa.int64()),
+            "cos2_ppm": pa.array([r[3] for r in rows], pa.int64())})
+
+    return (partials.repartition(1)
+            .map_batches(finish, batch_format="pyarrow", batch_size=None))
+
+
+def host_token_similarity_sql(k: int = HOST_SIM_K) -> str:
+    return f""",
+hv AS (
+  SELECT SPLIT_PART(url, '/', 3) AS host, token,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT url, unnest(regexp_split_to_array(text, '\\s+')) AS token
+        FROM pages) t
+  WHERE token <> '' GROUP BY 1, 2
+),
+nrm AS (
+  SELECT host, CAST(SUM(c * c) AS BIGINT) AS n2 FROM hv GROUP BY 1
+),
+dots AS (
+  SELECT a.host AS host_a, b.host AS host_b,
+         CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+  FROM hv a JOIN hv b ON a.token = b.token AND a.host < b.host
+  GROUP BY 1, 2
+)
+SELECT d.host_a, d.host_b, d.dot,
+       CAST(CAST(d.dot AS HUGEINT) * d.dot * 1000000
+            // (CAST(na.n2 AS HUGEINT) * nb.n2) AS BIGINT) AS cos2_ppm
+FROM dots d
+JOIN nrm na ON na.host = d.host_a
+JOIN nrm nb ON nb.host = d.host_b
+ORDER BY cos2_ppm DESC, host_a ASC, host_b ASC LIMIT {k}"""

@@ -1850,6 +1850,11 @@ register("vocab_growth", flagship.vocab_growth,
 register("ip_block_lookup", flagship.ip_block_lookup,
          sqlgen.pages_prefix() + flagship.ip_block_lookup_sql())
 
+# host token-profile cosine pairs (dense small-cardinality Gram pattern:
+# one int64 matmul per bucket group, never a sum-of-df^2 pair expansion)
+register("host_token_similarity", flagship.host_token_similarity,
+         sqlgen.pages_prefix() + flagship.host_token_similarity_sql())
+
 
 # per-user event-type Markov transitions (the behavioural bigram table)
 register("event_transitions", relational.event_transitions,

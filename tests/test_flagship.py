@@ -364,3 +364,33 @@ def test_ip_block_lookup_binary_search_semantics(ray_session):
     want = np.searchsorted(bounds, out["ip"].to_numpy(), side="right")
     assert (out["block_id"].to_numpy() == want).all()
     assert out["block_id"].between(0, 1023).all()
+
+
+def test_host_token_similarity_reference(ray_session):
+    """Independent dense recount of cosine² over full host token profiles."""
+    import numpy as np
+
+    from pyofs_ray.pipelines.flagship import (host_token_similarity,
+                                              pages_dataset, url_host)
+
+    out = host_token_similarity(SF_SMOKE, k=10).to_pandas()
+    pages = pages_dataset(SF_SMOKE, with_html=False).to_pandas()
+    pages["host"] = [u.split("/")[2] for u in pages["url"]]
+    prof: dict[str, dict[str, int]] = {}
+    for h, t in zip(pages["host"], pages["text"]):
+        d = prof.setdefault(h, {})
+        for w in t.split():
+            if w:
+                d[w] = d.get(w, 0) + 1
+    def cos2(a, b):
+        da, db = prof[a], prof[b]
+        dot = sum(c * db[w] for w, c in da.items() if w in db)
+        na = sum(c * c for c in da.values())
+        nb = sum(c * c for c in db.values())
+        return dot, dot * dot * 1_000_000 // (na * nb)
+    for _, r in out.iterrows():
+        dot, c2 = cos2(r["host_a"], r["host_b"])
+        assert (dot, c2) == (r["dot"], r["cos2_ppm"])
+    # ordering
+    c = out["cos2_ppm"].to_numpy()
+    assert (c[:-1] >= c[1:]).all()
