@@ -890,6 +890,68 @@ WITH {_eph_sql_parts()}
 SELECT period, pass_idx, pass_us FROM allp
 WHERE pass_us >= t0 AND pass_us < t1""")
 
+
+_PASS_WINDOW_US = 20 * 60 * 1_000_000  # ±20 min (2W < the 64-min pass gap)
+_RADIUS_MILLI = 10_000  # shared with the radius-join family below
+
+
+def _pages_pass_radius(sf_dir: str):
+    """Spatio-temporal pass join — the VIIRS matchup shape (`viirs.py`
+    pass times × `data_buoy.py` radius matching composed): pages within
+    the station radius whose crawl timestamp falls inside ±W of a
+    satellite pass. Both small sides broadcast (stations via the memoized
+    index, the pass table in the task closure); zero exchanges."""
+    from ray.data.aggregate import Max, Min
+
+    from .stages.ephemeris import attach_passes_within
+
+    base = flagship.pages_dataset(sf_dir, with_text=False)
+    mm = base.map_batches(
+        lambda b: b.select(["url"]).append_column(
+            "ts", b["warc_ts"].cast("int64")).select(["ts"]),
+        batch_format="pyarrow").aggregate(
+        Min("ts", alias_name="lo"), Max("ts", alias_name="hi"))
+
+    ds = flagship.geocoded_pages(sf_dir).select_columns(
+        ["page_key", "warc_ts", "lon_milli", "lat_milli"])
+    hits = radius_join(ds, _RADIUS_MILLI)
+    matched = attach_passes_within(hits, _PASS_WINDOW_US,
+                                   int(mm["lo"]), int(mm["hi"]))
+    return matched.select_columns(["page_key", "station_id", "d2",
+                                   "pass_us"])
+
+
+def _pages_pass_sql() -> str:
+    from .stages.ephemeris import (EPOCH_US, JITTER_MOD, N_PASSES,
+                                   PERIOD_US, SPACING_US)
+    w = _PASS_WINDOW_US
+    return f"""{sqlgen.pages_prefix()},
+{sqlgen_knn.stations_cte()},
+w AS (SELECT CAST(epoch_us(MIN(warc_ts)) AS BIGINT) AS t0,
+             CAST(epoch_us(MAX(warc_ts)) AS BIGINT) AS t1 FROM pages),
+ks AS (SELECT unnest(generate_series((t0 - {w} - {EPOCH_US}) // {PERIOD_US},
+                                     (t1 + {w} - {EPOCH_US}) // {PERIOD_US}))
+           AS period FROM w),
+px AS (SELECT unnest(generate_series(0, {N_PASSES - 1})) AS pass_idx),
+allp AS (SELECT {EPOCH_US} + period * {PERIOD_US} + pass_idx * {SPACING_US}
+                  + ((pass_idx * pass_idx * 37) % {JITTER_MOD}) * 1000000
+                  AS pass_us
+         FROM ks CROSS JOIN px)
+SELECT p.page_key, s.station_id,
+       (p.lon_milli - s.s_lon) * (p.lon_milli - s.s_lon)
+         + (p.lat_milli - s.s_lat) * (p.lat_milli - s.s_lat) AS d2,
+       a.pass_us
+FROM pages p
+CROSS JOIN stations s
+CROSS JOIN allp a
+WHERE (p.lon_milli - s.s_lon) * (p.lon_milli - s.s_lon)
+        + (p.lat_milli - s.s_lat) * (p.lat_milli - s.s_lat)
+      <= {_RADIUS_MILLI} * {_RADIUS_MILLI}
+  AND ABS(CAST(epoch_us(p.warc_ts) AS BIGINT) - a.pass_us) <= {w}"""
+
+
+register("pages_pass_radius", _pages_pass_radius, _pages_pass_sql())
+
 register("events_pass_asof", _events_pass_asof, f"""
 WITH {_eph_sql_parts(extra_before=1)}
 SELECT e.event_id, CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
@@ -1505,8 +1567,6 @@ register("host_quota_sample",
 
 # ------------------------------------------------- spatial radius join (r4)
 from .stages.knn import radius_join  # noqa: E402
-
-_RADIUS_MILLI = 10_000
 
 
 def _stations_within_radius(sf_dir: str):

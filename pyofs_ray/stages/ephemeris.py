@@ -144,3 +144,36 @@ def attach_last_pass(events: ray.data.Dataset, ts_col: str = "ts",
                  .append_column("pass_us", pa.array(passes[j])))
 
     return events.map_batches(attach, batch_format="pyarrow")
+
+
+def attach_passes_within(ds: ray.data.Dataset, window_us: int,
+                         t0_us: int, t1_us: int,
+                         ts_col: str = "warc_ts") -> ray.data.Dataset:
+    """Row × every ephemeris pass within ±``window_us`` of its timestamp
+    (the windowed sibling of `attach_last_pass`). The pass table for
+    [t0−W, t1+W] broadcasts in the task closure (bounded: 360 rows per
+    16-day period); each batch resolves candidates with ONE searchsorted —
+    at most the two neighbors can fall inside the window whenever
+    2·window < the minimum pass gap, so the per-batch expansion is a
+    fixed two-candidate mask, never a join."""
+    pt = pass_times_array(period_of(t0_us - window_us),
+                          period_of(t1_us + window_us))
+
+    def attach(b: pa.Table) -> pa.Table:
+        ts_arr = b[ts_col]
+        if pa.types.is_timestamp(ts_arr.type):
+            ts_arr = ts_arr.cast(pa.int64())  # µs
+        ts = ts_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(pt, ts)
+        outs = []
+        for ci in (idx - 1, idx):
+            valid = (ci >= 0) & (ci < len(pt))
+            cc = np.clip(ci, 0, len(pt) - 1)
+            p = pt[cc]
+            ok = valid & (np.abs(ts - p) <= window_us)
+            outs.append(b.filter(pa.array(ok)).append_column(
+                "pass_us", pa.array(p[ok])))
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(attach, batch_format="pyarrow",
+                          zero_copy_batch=True)

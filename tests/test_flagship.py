@@ -394,3 +394,32 @@ def test_host_token_similarity_reference(ray_session):
     # ordering
     c = out["cos2_ppm"].to_numpy()
     assert (c[:-1] >= c[1:]).all()
+
+
+def test_pages_pass_radius_brute_force(ray_session):
+    import numpy as np
+
+    from pyofs_ray.registry import QUERIES
+    from pyofs_ray.sources.fixtures import stations
+    from pyofs_ray.stages.ephemeris import pass_times_array, period_of
+
+    out = (QUERIES["pages_pass_radius"](SF_SMOKE).to_pandas()
+           .sort_values(["page_key", "station_id", "pass_us"])
+           .reset_index(drop=True))
+    pages = flagship.geocoded_pages(SF_SMOKE).to_pandas()
+    W = 20 * 60 * 1_000_000
+    ts = pages["warc_ts"].astype("int64").to_numpy()
+    pt = pass_times_array(period_of(ts.min() - W), period_of(ts.max() + W))
+    want = []
+    for key, t, lon, lat in zip(pages["page_key"], ts,
+                                pages["lon_milli"], pages["lat_milli"]):
+        for s in stations():
+            d2 = (lon - s["lon_milli"]) ** 2 + (lat - s["lat_milli"]) ** 2
+            if d2 > 10_000 ** 2:
+                continue
+            for p in pt[np.abs(pt - t) <= W]:
+                want.append((key, s["station_id"], d2, int(p)))
+    want.sort()
+    got = list(map(tuple, out[["page_key", "station_id", "d2",
+                               "pass_us"]].to_numpy()))
+    assert got == want and len(want) > 0
