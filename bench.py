@@ -147,7 +147,7 @@ BENCH_QUERIES = [
     "semdedup_keep", "doc_classifier_score", "lang_mixture_apply",
     "host_hull_points", "hex_cell_agg", "top_tokens_mg", "vocab_growth",
     "url_revisit_priority", "curate_corpus_semantic", "ip_block_lookup",
-    "host_token_similarity", "pages_pass_radius",
+    "host_token_similarity", "pages_pass_radius", "pip_donut",
 ]
 
 

@@ -952,6 +952,49 @@ WHERE (p.lon_milli - s.s_lon) * (p.lon_milli - s.s_lon)
 
 register("pages_pass_radius", _pages_pass_radius, _pages_pass_sql())
 
+
+def _pip_donut(sf_dir: str):
+    """Point-in-polygon-with-HOLE (even-odd multipolygon rule): pages in
+    the annulus = parity(outer) AND NOT parity(hole) — for nested rings
+    the even-odd XOR reduces to exactly that. Same broadcast PolygonIndex
+    machinery as `pip_join` (memoized per worker, zero exchanges); the
+    twin composes the identical per-ring parity expressions."""
+    import ray as _ray
+
+    from .sources.fixtures import donut_polygon
+    from .stages.pip import _memo_index
+
+    outer, hole = donut_polygon()
+    ref = _ray.put([outer, hole])
+
+    ds = flagship.geocoded_pages(sf_dir).select_columns(
+        ["page_key", "url", "lon_milli", "lat_milli"])
+
+    def inside(b):
+        import pyarrow as _pa
+        idx = _memo_index(ref)
+        lon = b["lon_milli"].to_numpy(zero_copy_only=False)
+        lat = b["lat_milli"].to_numpy(zero_copy_only=False)
+        keep = idx.contains(0, lon, lat) & ~idx.contains(1, lon, lat)
+        return b.filter(_pa.array(keep))
+
+    return ds.map_batches(inside, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _pip_donut_sql() -> str:
+    from .sources.fixtures import donut_polygon
+
+    outer, hole = donut_polygon()
+    return f"""{sqlgen.pages_prefix()}
+SELECT page_key, url, lon_milli, lat_milli
+FROM pages
+WHERE {sqlgen_pip.inside_expr(outer)}
+  AND NOT {sqlgen_pip.inside_expr(hole)}"""
+
+
+register("pip_donut", _pip_donut, _pip_donut_sql())
+
 register("events_pass_asof", _events_pass_asof, f"""
 WITH {_eph_sql_parts(extra_before=1)}
 SELECT e.event_id, CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,

@@ -118,3 +118,17 @@ def stations() -> list[dict]:
     out.append({"station_id": f"st{sid:03d}", "lon_milli": cx - 5000, "lat_milli": cy}); sid += 1
     out.append({"station_id": f"st{sid:03d}", "lon_milli": cx + 5000, "lat_milli": cy}); sid += 1
     return out
+
+
+def donut_polygon() -> tuple[Polygon, Polygon]:
+    """(outer, hole) rings of the donut fixture — an axis-aligned square
+    annulus around the hot host-0 cluster (outer ±1500, hole ±600 milli-
+    degrees; the ±2000 page jitter puts mass in the hole, the ring AND
+    outside, so every region of the even-odd test is non-vacuous)."""
+    cx, cy = _host_center(0)
+    def square(r):
+        return (np.array([cx - r, cx + r, cx + r, cx - r], np.int64),
+                np.array([cy - r, cy - r, cy + r, cy + r], np.int64))
+    oxs, oys = square(1500)
+    hxs, hys = square(600)
+    return (Polygon("donut_outer", oxs, oys), Polygon("donut_hole", hxs, hys))

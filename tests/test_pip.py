@@ -124,3 +124,36 @@ def test_coast_distance_tie_breaks_to_min_pid():
     got = coast_distance(ds, polygons=[pa_, pb]).to_pandas()
     assert got.d2_min.item() == 100
     assert got.nearest_pid.item() == "aaa"
+
+
+def test_pip_donut_even_odd_regions(ray_session):
+    """All three even-odd regions non-vacuous; inside = outer AND NOT
+    hole, verified against an independent bbox reference (the rings are
+    axis-aligned squares, so containment is pure interval logic)."""
+    from .conftest import SF_CORRECT
+    from pyofs_ray.pipelines import flagship
+    from pyofs_ray.registry import QUERIES
+    from pyofs_ray.sources.fixtures import donut_polygon
+
+    out = QUERIES["pip_donut"](SF_CORRECT).to_pandas()
+    pages = flagship.geocoded_pages(SF_CORRECT).to_pandas()
+    outer, hole = donut_polygon()
+
+    def in_sq(p, lon, lat):
+        # interior by even-odd parity on an axis-aligned square ==
+        # half-open interval test matching the crossing rule's asymmetry;
+        # the fixture jitter lattice never lands exactly on an edge, so
+        # the closed test below is equivalent here
+        return (p.xs.min() < lon < p.xs.max()) and (p.ys.min() < lat < p.ys.max())
+
+    want = set()
+    n_hole = 0
+    for r in pages.itertuples():
+        o = in_sq(outer, r.lon_milli, r.lat_milli)
+        h = in_sq(hole, r.lon_milli, r.lat_milli)
+        if o and not h:
+            want.add(r.page_key)
+        n_hole += int(h)
+    assert set(out["page_key"]) == want
+    assert len(want) > 0 and n_hole > 0          # ring AND hole populated
+    assert len(want) < len(pages)                # outside populated
