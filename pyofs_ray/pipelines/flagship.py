@@ -3004,3 +3004,101 @@ FROM dots d
 JOIN nrm na ON na.host = d.host_a
 JOIN nrm nb ON nb.host = d.host_b
 ORDER BY cos2_ppm DESC, host_a ASC, host_b ASC LIMIT {k}"""
+
+
+# --------------------------------------------- crawl-volume anomaly audit
+ANOM_K = 3  # flag days with |n - median| > K * MAD
+
+
+def host_anomalous_slots(sf_dir: str) -> ray.data.Dataset:
+    """Per-host crawl-volume anomaly audit: days whose page count departs
+    from the host's median by more than K exact MADs — the robust outlier
+    screen (a mean/stddev screen would let one burst day drag its own
+    threshold). Composes the existing selection-exact `grouped_mad` over
+    the (host, day) count table.
+
+    Scale shape: ONE (h, day) bucketed count exchange; the count table
+    (hosts × days — tiny) materializes once and feeds both the MAD kernel
+    and the flag pass; per-host stats (≤|hosts| rows) ride the closure.
+    All-integer flag: |n − median| > K·mad with int64 counts/medians."""
+    from ..stages.agg import bucketed_group_agg
+    from ..stages.quantile import grouped_mad
+
+    ds = pages_dataset(sf_dir, with_text=False, keep_key=True)
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = b["page_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = np.where(key % 10 < geom.HOST_HOT_FRAC, 0,
+                     key % geom.HOST_MOD).astype(np.int64)
+        ts = b["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # 10-minute slots: the fixture's warc offsets span ~37·N seconds,
+        # so DAY buckets collapse to one at small sf — slots stay plural
+        # at every scale
+        slot = (ts - _EPOCH_US) // 600_000_000
+        t = pa.table({"h": pa.array(h), "epoch_slot": pa.array(slot),
+                      "one": pa.array(np.ones(len(b), np.int64))})
+        g = t.group_by(["h", "epoch_slot"]).aggregate([("one", "sum")])
+        return pa.table({"h": g["h"], "epoch_slot": g["epoch_slot"],
+                         "c": g["one_sum"].cast(pa.int64())})
+
+    base = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["h", "epoch_slot"], [("c", "sum", "n")])
+
+    # seeded bursts: the fixture's warc_ts lattice is perfectly uniform
+    # (zero natural deviation — the audit would be vacuous), so ×10 a
+    # deterministic subset of (h, day) cells INSIDE the query, identically
+    # on both sides (the embedding_dup_pairs_ivf seeding pattern)
+    def seed_burst(b: pa.Table) -> pa.Table:
+        h = b["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["epoch_slot"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        burst = (h * 31 + d) % 11 == 0
+        return pa.table({"h": b["h"], "epoch_slot": b["epoch_slot"],
+                         "n": pa.array(np.where(burst, n * 10, n))})
+
+    counts = base.map_batches(seed_burst, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    stats = grouped_mad(counts, key="h", value_col="n").to_pandas()
+    med = dict(zip(stats["h"].astype(int), stats["median"].astype(int)))
+    mad = dict(zip(stats["h"].astype(int), stats["mad"].astype(int)))
+
+    def flag(b: pa.Table) -> pa.Table:
+        h = b["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.fromiter((med[x] for x in h), np.int64, len(h))
+        d = np.fromiter((mad[x] for x in h), np.int64, len(h))
+        keep = np.abs(n - m) > ANOM_K * d
+        return pa.table({"h": b["h"].filter(pa.array(keep)),
+                         "epoch_slot": b["epoch_slot"].filter(pa.array(keep)),
+                         "n": b["n"].filter(pa.array(keep)),
+                         "median": pa.array(m[keep]),
+                         "mad": pa.array(d[keep])})
+
+    return counts.map_batches(flag, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def host_anomalous_slots_sql() -> str:
+    from ..stages.quantile import grouped_mad_sql
+    counts = f"""
+counts0 AS (
+  SELECT CASE WHEN page_key % 10 < {geom.HOST_HOT_FRAC} THEN 0
+              ELSE page_key % {geom.HOST_MOD} END AS h,
+         (epoch_us(warc_ts) - {_EPOCH_US}) // 600000000 AS epoch_slot,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM pages GROUP BY 1, 2
+),
+counts AS (
+  SELECT h, epoch_slot,
+         CASE WHEN (h * 31 + epoch_slot) % 11 = 0 THEN n * 10 ELSE n END AS n
+  FROM counts0
+),
+stats AS ({grouped_mad_sql('counts', 'h', 'n')})"""
+    return f"""{counts}
+SELECT c.h, CAST(c.epoch_slot AS BIGINT) AS epoch_slot, c.n,
+       CAST(s.median AS BIGINT) AS median, CAST(s.mad AS BIGINT) AS mad
+FROM counts c JOIN stats s USING (h)
+WHERE ABS(c.n - s.median) > {ANOM_K} * s.mad"""

@@ -995,6 +995,10 @@ WHERE {sqlgen_pip.inside_expr(outer)}
 
 register("pip_donut", _pip_donut, _pip_donut_sql())
 
+# per-host crawl-volume anomaly audit (selection-exact MAD outlier flag)
+register("host_anomalous_slots", flagship.host_anomalous_slots,
+         f"{sqlgen.pages_prefix()},{flagship.host_anomalous_slots_sql()}")
+
 register("events_pass_asof", _events_pass_asof, f"""
 WITH {_eph_sql_parts(extra_before=1)}
 SELECT e.event_id, CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,

@@ -423,3 +423,40 @@ def test_pages_pass_radius_brute_force(ray_session):
     got = list(map(tuple, out[["page_key", "station_id", "d2",
                                "pass_us"]].to_numpy()))
     assert got == want and len(want) > 0
+
+
+def test_host_anomalous_slots_reference(ray_session):
+    """Independent recount: flag = |n − lowmed| > 3·MAD over the seeded
+    (×10 burst) per-host slot counts."""
+    import numpy as np
+
+    from pyofs_ray.core import geom as g
+    from pyofs_ray.pipelines.flagship import _EPOCH_US, host_anomalous_slots
+
+    out = host_anomalous_slots(SF_SMOKE).to_pandas()
+    pages = pages_dataset(SF_SMOKE, with_text=False, keep_key=True).to_pandas()
+    key = pages["page_key"].to_numpy().astype(np.int64)
+    h = np.where(key % 10 < g.HOST_HOT_FRAC, 0, key % g.HOST_MOD)
+    slot = (pages["warc_ts"].astype("int64").to_numpy() - _EPOCH_US) \
+        // 600_000_000
+    counts: dict[tuple[int, int], int] = {}
+    for a, b in zip(h, slot):
+        counts[(int(a), int(b))] = counts.get((int(a), int(b)), 0) + 1
+    seeded = {k: (v * 10 if (k[0] * 31 + k[1]) % 11 == 0 else v)
+              for k, v in counts.items()}
+
+    def lowmed(vals):
+        vals = sorted(vals)
+        return vals[(len(vals) - 1) // 2]
+
+    want = set()
+    for hh in set(k[0] for k in seeded):
+        vals = [v for k, v in seeded.items() if k[0] == hh]
+        m = lowmed(vals)
+        mad = lowmed([abs(v - m) for v in vals])
+        for k, v in seeded.items():
+            if k[0] == hh and abs(v - m) > 3 * mad:
+                want.add((hh, k[1], v, m, mad))
+    got = set(map(tuple, out[["h", "epoch_slot", "n", "median",
+                              "mad"]].astype(int).to_numpy()))
+    assert got == want and len(want) > 0
