@@ -2395,3 +2395,112 @@ nc AS (
 SELECT doc_id, lang, CAST(n_copies AS BIGINT) AS n_copies
 FROM nc WHERE n_copies > 0
 """
+
+
+# ---------------------------------------- cross-source duplication matrix
+SRC_MIRROR_MOD = 17
+
+
+def source_dup_matrix(sf_dir: str) -> ray.data.Dataset:
+    """Cross-source duplicate accounting (the RefinedWeb/Dolma mixture
+    audit): for every unordered source pair, how many DISTINCT texts
+    appear in both — tells a mixture builder which provenances to dedup
+    against each other before weighting. The dup-free fixture gets seeded
+    'mirror' copies (doc_id % 17) INSIDE the query — same construction in
+    the twin, which joins on real md5 fingerprints (not id arithmetic).
+
+    Scale shape: per-batch DISTINCT (fp, source) partials (md5 runs once
+    per doc), ONE fp-bucket exchange, per-bucket vectorized pair expansion
+    (`cocite._pair_rows` — sources per fp are tiny), |sources|²-bounded
+    coalesced count. Source catalog collected once (bounded)."""
+    import hashlib
+
+    from ..stages.agg import hash_bucket_tag
+    from ..stages.cocite import _pair_rows
+
+    docs = _docs(sf_dir, columns=("doc_id", "text", "source"))
+
+    src_parts = docs.map_batches(
+        lambda b: pa.table({"source": b["source"]}).group_by(
+            "source").aggregate([]),
+        batch_format="pyarrow").to_pandas()
+    names = sorted(set(src_parts["source"]) | {"mirror"})
+    smap = {s: i for i, s in enumerate(names)}
+    rev = np.asarray(names, dtype=object)
+
+    import ray as _ray
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) \
+        if _ray.is_initialized() else 8
+    nb = max(8, cpus)
+
+    def fps(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = b["text"].to_pylist()
+        fp = np.asarray([hashlib.md5(t.encode("utf-8")).hexdigest()
+                         for t in texts], dtype=object)
+        src = np.fromiter((smap[s] for s in b["source"].to_pylist()),
+                          np.int64, len(b))
+        mirror = ids % SRC_MIRROR_MOD == 0
+        fp_all = np.concatenate([fp, fp[mirror]])
+        src_all = np.concatenate([src,
+                                  np.full(int(mirror.sum()),
+                                          smap["mirror"], np.int64)])
+        # batch-local distinct (fp, source)
+        uf, finv = np.unique(fp_all, return_inverse=True)
+        key = finv * len(names) + src_all
+        uk = np.unique(key)
+        t = pa.table({"fp": pa.array(uf[uk // len(names)], pa.string()),
+                      "src": pa.array(uk % len(names))})
+        return hash_bucket_tag(t, ["fp"], nb)
+
+    def kernel(g: pa.Table) -> pa.Table:
+        f = np.asarray(g["fp"].to_pylist(), dtype=object)
+        s = g["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uf, finv = np.unique(f, return_inverse=True)
+        key = finv * len(names) + s
+        uk = np.unique(key)  # global distinct (fp, source) after combine
+        pairs = _pair_rows(pa.table({"dst": pa.array(uk // len(names)),
+                                     "src": pa.array(uk % len(names))}))
+        if len(pairs) == 0:
+            return pa.table({"src_a": pa.array([], pa.int64()),
+                             "src_b": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        gg = pairs.group_by(["src_a", "src_b"]).aggregate([("one", "sum")])
+        return pa.table({"src_a": gg["src_a"], "src_b": gg["src_b"],
+                         "c": gg["one_sum"].cast(pa.int64())})
+
+    parts = (docs.map_batches(fps, batch_format="pyarrow",
+                              zero_copy_batch=True)
+                 .groupby("_bucket").map_groups(kernel,
+                                                batch_format="pyarrow"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        a = b["src_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b["src_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = a * len(names) + bb
+        uk, inv = np.unique(key, return_inverse=True)
+        tot = np.zeros(len(uk), np.int64)
+        np.add.at(tot, inv, c)
+        return pa.table({
+            "src_a": pa.array(rev[uk // len(names)], pa.string()),
+            "src_b": pa.array(rev[uk % len(names)], pa.string()),
+            "n_dup_texts": pa.array(tot)})
+
+    return (parts.repartition(1)
+            .map_batches(finish, batch_format="pyarrow", batch_size=None))
+
+
+SOURCE_DUP_MATRIX_SQL = f"""
+WITH seeded AS (
+  SELECT md5(text) AS fp, source FROM documents
+  UNION ALL
+  SELECT md5(text) AS fp, 'mirror' AS source FROM documents
+  WHERE doc_id % {SRC_MIRROR_MOD} = 0
+),
+ds AS (SELECT DISTINCT fp, source FROM seeded)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_texts
+FROM ds a JOIN ds b ON a.fp = b.fp AND a.source < b.source
+GROUP BY 1, 2
+"""

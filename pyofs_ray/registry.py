@@ -999,6 +999,11 @@ register("pip_donut", _pip_donut, _pip_donut_sql())
 register("host_anomalous_slots", flagship.host_anomalous_slots,
          f"{sqlgen.pages_prefix()},{flagship.host_anomalous_slots_sql()}")
 
+# cross-source duplicate matrix (mixture-dedup audit; seeded mirror copies
+# keep the dup-free fixture non-vacuous, twin joins real md5 fingerprints)
+register("source_dup_matrix", corpus.source_dup_matrix,
+         corpus.SOURCE_DUP_MATRIX_SQL)
+
 register("events_pass_asof", _events_pass_asof, f"""
 WITH {_eph_sql_parts(extra_before=1)}
 SELECT e.event_id, CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,

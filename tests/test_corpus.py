@@ -1131,3 +1131,37 @@ def test_bpe_second_merge_counts_merged_symbol():
 def test_source_quality_report_oracle(duck_smoke):
     assert_matches_oracle(QUERIES["source_quality_report"](SF_SMOKE),
                           duck_smoke, ORACLES["source_quality_report"])
+
+
+def test_source_dup_matrix_reference(ray_session):
+    """Independent recount over the seeded construction: every (fp,
+    source) pair counted once; mirror rows come from doc_id % 17."""
+    import hashlib
+
+    import numpy as np
+
+    from pyofs_ray.pipelines.corpus import SRC_MIRROR_MOD, source_dup_matrix
+
+    import pyarrow.parquet as pq
+
+    out = source_dup_matrix(SF_SMOKE).to_pandas()
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet",
+                         columns=["doc_id", "text", "source"]).to_pandas()
+    pairs = set()
+    seen: dict[str, set[str]] = {}
+    for i, t, s in zip(docs["doc_id"], docs["text"], docs["source"]):
+        fp = hashlib.md5(t.encode()).hexdigest()
+        seen.setdefault(fp, set()).add(s)
+        if i % SRC_MIRROR_MOD == 0:
+            seen[fp].add("mirror")
+    from collections import Counter
+    want = Counter()
+    for fp, srcs in seen.items():
+        ss = sorted(srcs)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                want[(ss[i], ss[j])] += 1
+    got = {(r.src_a, r.src_b): int(r.n_dup_texts)
+           for r in out.itertuples()}
+    assert got == dict(want) and len(got) > 0
+    assert any(a == "mirror" or b == "mirror" for a, b in got)
