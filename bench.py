@@ -148,7 +148,7 @@ BENCH_QUERIES = [
     "host_hull_points", "hex_cell_agg", "top_tokens_mg", "vocab_growth",
     "url_revisit_priority", "curate_corpus_semantic", "ip_block_lookup",
     "host_token_similarity", "pages_pass_radius", "pip_donut",
-    "host_anomalous_slots", "source_dup_matrix",
+    "host_anomalous_slots", "source_dup_matrix", "split_vocab_jaccard",
 ]
 
 

@@ -2504,3 +2504,85 @@ SELECT a.source AS src_a, b.source AS src_b,
 FROM ds a JOIN ds b ON a.fp = b.fp AND a.source < b.source
 GROUP BY 1, 2
 """
+
+
+def split_vocab_jaccard(sf_dir: str) -> ray.data.Dataset:
+    """Vocabulary OVERLAP between the two corpus halves (doc_id % 2) —
+    the set-level companion of `split_token_tv` (which measures count
+    drift): jaccard = |V0 ∩ V1| / |V0 ∪ V1| over distinct whitespace
+    tokens. A low value flags a split whose halves don't even share a
+    vocabulary (leaky stratification or a shard-ordered corpus).
+
+    Scale shape: per-batch distinct (token, split) presence partials,
+    ONE vocab-cardinality bucket exchange (`bucketed_group_agg` max),
+    per-bucket 3-int partials (both / only-0 / only-1), coalesced finish;
+    jaccard is ONE IEEE division of exact int64 counts."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = _docs(sf_dir, columns=("doc_id", "text"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern_regex(b["text"], r"\s+")
+        n_tok = pc.list_value_length(parts).cast(pa.int64())
+        toks = pc.list_flatten(parts)
+        split = pc.bit_wise_and(b["doc_id"], pa.scalar(1, pa.int64()))
+        rep = np.repeat(split.to_numpy(zero_copy_only=False),
+                        n_tok.to_numpy(zero_copy_only=False))
+        t = pa.table({"token": toks, "split": pa.array(rep)})
+        t = t.filter(pc.not_equal(t["token"], ""))
+        g = t.group_by(["token", "split"]).aggregate([("split", "count")])
+        is0 = pc.equal(g["split"], pa.scalar(0, pa.int64()))
+        one = pa.scalar(1, pa.int64())
+        zero = pa.scalar(0, pa.int64())
+        return pa.table({"token": g["token"],
+                         "in0": pc.if_else(is0, one, zero),
+                         "in1": pc.if_else(is0, zero, one)})
+
+    per_tok = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["token"], aggs=[("in0", "max", "in0"), ("in1", "max", "in1")])
+
+    def counts(b: pa.Table) -> pa.Table:
+        i0 = b["in0"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i1 = b["in1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        both = int(((i0 == 1) & (i1 == 1)).sum())
+        return pa.table({"n_both": pa.array([both], pa.int64()),
+                         "n0": pa.array([int(i0.sum())], pa.int64()),
+                         "n1": pa.array([int(i1.sum())], pa.int64())})
+
+    def finish(b: pa.Table) -> pa.Table:
+        both = int(pc.sum(b["n_both"]).as_py() or 0)
+        n0 = int(pc.sum(b["n0"]).as_py() or 0)
+        n1 = int(pc.sum(b["n1"]).as_py() or 0)
+        union = n0 + n1 - both
+        jac = float(both) / float(union) if union else 1.0
+        return pa.table({"vocab_a": pa.array([n0], pa.int64()),
+                         "vocab_b": pa.array([n1], pa.int64()),
+                         "vocab_both": pa.array([both], pa.int64()),
+                         "jaccard": pa.array([jac], pa.float64())})
+
+    return (per_tok.map_batches(counts, batch_format="pyarrow")
+                   .repartition(1)
+                   .map_batches(finish, batch_format="pyarrow",
+                                batch_size=None))
+
+
+SPLIT_VOCAB_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id % 2 AS split,
+         unnest(regexp_split_to_array(text, '\\s+')) AS token
+  FROM documents
+),
+pres AS (
+  SELECT token,
+         CAST(MAX(CASE WHEN split = 0 THEN 1 ELSE 0 END) AS BIGINT) AS in0,
+         CAST(MAX(CASE WHEN split = 1 THEN 1 ELSE 0 END) AS BIGINT) AS in1
+  FROM toks WHERE token <> '' GROUP BY token
+)
+SELECT CAST(SUM(in0) AS BIGINT) AS vocab_a,
+       CAST(SUM(in1) AS BIGINT) AS vocab_b,
+       CAST(SUM(in0 * in1) AS BIGINT) AS vocab_both,
+       CAST(SUM(in0 * in1) AS DOUBLE)
+         / (SUM(in0) + SUM(in1) - SUM(in0 * in1)) AS jaccard
+FROM pres
+"""

@@ -1004,6 +1004,11 @@ register("host_anomalous_slots", flagship.host_anomalous_slots,
 register("source_dup_matrix", corpus.source_dup_matrix,
          corpus.SOURCE_DUP_MATRIX_SQL)
 
+# vocabulary-overlap audit between split halves (set companion of
+# split_token_tv's count drift)
+register("split_vocab_jaccard", corpus.split_vocab_jaccard,
+         corpus.SPLIT_VOCAB_JACCARD_SQL)
+
 register("events_pass_asof", _events_pass_asof, f"""
 WITH {_eph_sql_parts(extra_before=1)}
 SELECT e.event_id, CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,

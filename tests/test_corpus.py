@@ -1165,3 +1165,21 @@ def test_source_dup_matrix_reference(ray_session):
            for r in out.itertuples()}
     assert got == dict(want) and len(got) > 0
     assert any(a == "mirror" or b == "mirror" for a, b in got)
+
+
+def test_split_vocab_jaccard_reference(ray_session):
+    import pyarrow.parquet as pq
+
+    from pyofs_ray.pipelines.corpus import split_vocab_jaccard
+
+    out = split_vocab_jaccard(SF_SMOKE).to_pandas()
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    v0, v1 = set(), set()
+    for i, t in zip(docs["doc_id"], docs["text"]):
+        (v0 if i % 2 == 0 else v1).update(w for w in t.split() if w)
+    both = len(v0 & v1)
+    assert int(out["vocab_a"].iloc[0]) == len(v0)
+    assert int(out["vocab_b"].iloc[0]) == len(v1)
+    assert int(out["vocab_both"].iloc[0]) == both
+    assert out["jaccard"].iloc[0] == both / len(v0 | v1)
