@@ -1,8 +1,13 @@
 """Per-group convex hull (extreme points) — the vector-layer footprint
 operator: each host's pages reduce to the exact extreme-point set of their
-milli-degree coordinates (the polygonal footprint a vector sink writes,
-PyOFS's polygon-layer analogue — `SURVEY.md` K4 alongside area/perimeter in
-`stages/tracking.py`).
+milli-degree coordinates (the polygonal footprint a vector sink writes).
+
+Reference parity: PyOFS extracts a dataset's convex-hull footprint and
+writes it as a vector layer (`write_convex_hull`,
+`/root/reference/PyOFS/model/wcofs.py:1843-1901` — walks the grid boundary
+and hulls the coordinate points; `SURVEY.md` K4 alongside area/perimeter in
+`stages/tracking.py`). Here the hull is a DISTRIBUTED aggregate over
+arbitrary point sets per group, not a single in-memory boundary walk.
 
 Distributed shape: the convex hull is a decomposable aggregate — every
 extreme point of a union is extreme in its own subset, so hull(S) =
