@@ -1490,6 +1490,19 @@ def _link_triangles(sf_dir: str):
 
 
 register("link_pagerank", _link_pagerank, linkgraph.pagerank_sql())
+
+
+def _link_ppr(sf_dir: str):
+    """Personalized PageRank from the node%37 seed set (topic-sensitive
+    restart — the crawl-prioritization ranker)."""
+    n = _doc_count(sf_dir)
+    ids = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+    return linkgraph.personalized_pagerank(
+        linkgraph.ppr_initial_ranks(ids, n), n)
+
+
+register("link_ppr", _link_ppr, linkgraph.personalized_pagerank_sql())
 register("link_indegree", _link_indegree, linkgraph.indegree_sql())
 register("link_triangles", _link_triangles, linkgraph.triangles_sql())
 

@@ -1040,3 +1040,98 @@ SELECT m AS m_edges,
             END AS assortativity
 FROM s
 """
+
+
+# ------------------------------------------------ personalized PageRank
+PPR_SEED_MOD = 37  # seed set S = {node : node % 37 == 0}
+
+
+def personalized_pagerank(ranks: ray.data.Dataset, n_nodes: int,
+                          seed_mod: int = PPR_SEED_MOD,
+                          iterations: int = 3,
+                          num_buckets: int | None = None) -> ray.data.Dataset:
+    """Topic-sensitive / personalized PageRank (Haveliwala 2002): the
+    teleport mass restarts ONLY at the seed set instead of uniformly —
+    the crawl-prioritization and related-page ranker. Same ONE-exchange-
+    per-iteration shape and exact int64 floor arithmetic as `pagerank`;
+    only the base term differs (seeds get RANK_SCALE·(1−d)/|S|, others
+    zero), so the unrolled twin stays bit-exact."""
+    n_seeds = (n_nodes + seed_mod - 1) // seed_mod
+    base_seed = (RANK_SCALE * (DAMP_DEN - DAMP_NUM)) // (DAMP_DEN * n_seeds)
+
+    def expand(b: pa.Table) -> pa.Table:
+        node = b["node"].to_numpy().astype(np.int64)
+        rank = b["rank"].to_numpy().astype(np.int64)
+        deg = 1 + (node % 4)
+        contrib = rank // deg
+        src_rep, dst, _ = _out_edges(node, n_nodes)
+        out_node = np.concatenate([node, dst])
+        out_c = np.concatenate(
+            [np.zeros(len(node), np.int64), np.repeat(contrib, deg)])
+        return pa.table({"node": pa.array(out_node, pa.int64()),
+                         "contrib": pa.array(out_c, pa.int64())})
+
+    def apply_rank(b: pa.Table) -> pa.Table:
+        node = b["node"].to_numpy().astype(np.int64)
+        m = b["contrib"].to_numpy().astype(np.int64)
+        base = np.where(node % seed_mod == 0, base_seed, 0)
+        rank = base + (DAMP_NUM * m) // DAMP_DEN
+        return pa.table({"node": pa.array(node, pa.int64()),
+                         "rank": pa.array(rank, pa.int64())})
+
+    for _ in range(iterations):
+        ranks = bucketed_int64_group_sum(
+            ranks.map_batches(expand, batch_format="pyarrow"),
+            "node", ["contrib"], num_buckets=num_buckets
+        ).map_batches(apply_rank, batch_format="pyarrow")
+    return ranks
+
+
+def ppr_initial_ranks(doc_ids: ray.data.Dataset, n_nodes: int,
+                      seed_mod: int = PPR_SEED_MOD,
+                      id_col: str = "doc_id") -> ray.data.Dataset:
+    """All restart mass on the seed set: RANK_SCALE // |S| per seed."""
+    n_seeds = (n_nodes + seed_mod - 1) // seed_mod
+    r0 = RANK_SCALE // n_seeds
+
+    def init(b: pa.Table) -> pa.Table:
+        node = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        rank = np.where(node % seed_mod == 0, r0, 0)
+        return pa.table({"node": pa.array(node, pa.int64()),
+                         "rank": pa.array(rank, pa.int64())})
+
+    return doc_ids.map_batches(init, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+def personalized_pagerank_sql(iterations: int = 3,
+                              seed_mod: int = PPR_SEED_MOD,
+                              table: str = "documents",
+                              id_col: str = "doc_id") -> str:
+    """Unrolled twin of `personalized_pagerank` (seed-CASE base term)."""
+    parts = [f"WITH {edges_cte(table, id_col)}",
+             f"""ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {table}
+  WHERE {id_col} % {seed_mod} = 0)""",
+             f"""r0 AS (
+  SELECT d.{id_col} AS node,
+         CASE WHEN d.{id_col} % {seed_mod} = 0
+              THEN CAST({RANK_SCALE} AS BIGINT) // ns.n ELSE 0 END AS rank
+  FROM {table} d CROSS JOIN ns)"""]
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        parts.append(f"""s{i} AS (
+  SELECT e.dst AS node,
+         CAST(SUM(r.rank // (1 + e.src % 4)) AS BIGINT) AS m
+  FROM edges e JOIN {prev} r ON r.node = e.src
+  GROUP BY e.dst)""")
+        parts.append(f"""r{i} AS (
+  SELECT d.{id_col} AS node,
+         CASE WHEN d.{id_col} % {seed_mod} = 0
+              THEN ({RANK_SCALE} * {DAMP_DEN - DAMP_NUM})
+                     // ({DAMP_DEN} * ns.n) ELSE 0 END
+           + ({DAMP_NUM} * COALESCE(s{i}.m, 0)) // {DAMP_DEN} AS rank
+  FROM {table} d CROSS JOIN ns
+  LEFT JOIN s{i} ON s{i}.node = d.{id_col})""")
+        prev = f"r{i}"
+    return (",\n".join(parts)
+            + f"\nSELECT node, rank FROM {prev}")

