@@ -1503,6 +1503,20 @@ def _link_ppr(sf_dir: str):
 
 
 register("link_ppr", _link_ppr, linkgraph.personalized_pagerank_sql())
+
+
+def _link_walk_visits(sf_dir: str):
+    """Deterministic random-walk visit frequencies (node2vec corpus
+    generator shape): closed-form edges ⇒ the whole K-step walk is one
+    vectorized map; only the count reduce shuffles."""
+    n = _doc_count(sf_dir)
+    ids = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+    return linkgraph.walk_visit_counts(ids, n)
+
+
+register("link_walk_visits", _link_walk_visits,
+         linkgraph.walk_visit_counts_sql())
 register("link_indegree", _link_indegree, linkgraph.indegree_sql())
 register("link_triangles", _link_triangles, linkgraph.triangles_sql())
 

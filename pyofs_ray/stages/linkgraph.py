@@ -1135,3 +1135,80 @@ def personalized_pagerank_sql(iterations: int = 3,
         prev = f"r{i}"
     return (",\n".join(parts)
             + f"\nSELECT node, rank FROM {prev}")
+
+
+# ------------------------------------------------ deterministic random walks
+WALK_SALT = 0x9A7C_55AA
+WALK_STEPS = 4
+
+
+def walk_visit_counts(doc_ids: ray.data.Dataset, n_nodes: int,
+                      steps: int = WALK_STEPS,
+                      id_col: str = "doc_id",
+                      num_buckets: int | None = None) -> ray.data.Dataset:
+    """Random-walk visit frequencies (the node2vec/DeepWalk corpus
+    generator, deterministic form): ONE walker starts at every node and
+    takes ``steps`` splitmix-chosen out-edges; output is the per-node
+    visit count over steps 1..K. Because the link graph's edges are
+    CLOSED-FORM (dst = f(src, j)), the whole K-step walk runs inside one
+    vectorized map — no per-step lookup, no per-step exchange; the only
+    shuffle is the final visit-count reduce (`bucketed_int64_group_sum`).
+    pick_i = splitmix64(v_i ^ (SALT + i)) % deg(v_i) — mirrored
+    step-for-step by the unrolled CTE twin."""
+    from ..core.hashing import splitmix64
+
+    def walk(b: pa.Table) -> pa.Table:
+        v = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        visited = []
+        for i in range(steps):
+            deg = 1 + (v % 4)
+            pick = (splitmix64(v.view(np.uint64)
+                               ^ np.uint64(WALK_SALT + i))
+                    % deg.view(np.uint64)).astype(np.int64)
+            v = (v * EDGE_MUL + pick * EDGE_JMUL + 1) % n_nodes
+            visited.append(v.copy())
+        allv = np.concatenate(visited)
+        # per-batch partial counts before the exchange
+        uv, cnt = np.unique(allv, return_counts=True)
+        return pa.table({"node": pa.array(uv),
+                         "visits": pa.array(cnt.astype(np.int64))})
+
+    parts = doc_ids.map_batches(walk, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return bucketed_int64_group_sum(parts, "node", ["visits"],
+                                    num_buckets=num_buckets)
+
+
+def walk_visit_counts_sql(steps: int = WALK_STEPS,
+                          table: str = "documents",
+                          id_col: str = "doc_id") -> str:
+    """Unrolled twin: one splitmix CTE chain per step (linear growth),
+    HUGEINT 32-bit-limb multiplies via `sqlgen_sample._mulmod64`."""
+    from ..core.sqlgen_sample import (_C1, _C2, _GOLDEN, MOD64, _mulmod64,
+                                      to_u64)
+
+    parts = [f"""WITH nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {table}),
+w0 AS (SELECT {id_col} AS v FROM {table})"""]
+    prev = "w0"
+    for i in range(1, steps + 1):
+        key = f"xor({to_u64('v')}, {WALK_SALT + i - 1})"
+        parts.append(f"""m{i}a AS (
+  SELECT v, (({key}) + {_GOLDEN}) % {MOD64} AS z0 FROM {prev})""")
+        parts.append(f"""m{i}b AS (
+  SELECT *, {_mulmod64('xor(z0, z0 >> 30)', _C1)} AS z1 FROM m{i}a)""")
+        parts.append(f"""m{i}c AS (
+  SELECT *, {_mulmod64('xor(z1, z1 >> 27)', _C2)} AS z2 FROM m{i}b)""")
+        parts.append(f"""w{i} AS (
+  SELECT (v * {EDGE_MUL}
+          + CAST(xor(z2, z2 >> 31) % (1 + v % 4) AS BIGINT) * {EDGE_JMUL}
+          + 1) % nn.n AS v
+  FROM m{i}c CROSS JOIN nn)""")
+        prev = f"w{i}"
+    union = "\nUNION ALL\n".join(f"SELECT v FROM w{i}"
+                                 for i in range(1, steps + 1))
+    return (",\n".join(parts)
+            + f""",
+visits AS ({union})
+SELECT v AS node, CAST(COUNT(*) AS BIGINT) AS visits
+FROM visits GROUP BY v""")

@@ -391,3 +391,32 @@ def test_personalized_pagerank_seed_locality(ray_session):
             + (DAMP_NUM * m) // DAMP_DEN
     assert (out["rank"].to_numpy() == rank).all()
     assert 0 < out["rank"].sum() <= RANK_SCALE
+
+
+def test_walk_visit_counts_reference(ray_session):
+    import numpy as np
+    import ray.data
+
+    from pyofs_ray.core.hashing import splitmix64
+    from pyofs_ray.stages.linkgraph import (EDGE_JMUL, EDGE_MUL, WALK_SALT,
+                                            walk_visit_counts)
+
+    n = 211
+    ids = ray.data.range(n).map_batches(
+        lambda b: b.rename_columns(["doc_id"]), batch_format="pyarrow")
+    out = (walk_visit_counts(ids, n, steps=4).to_pandas()
+           .set_index("node")["visits"])
+    # independent scalar walk
+    from collections import Counter
+    want = Counter()
+    for start in range(n):
+        v = start
+        for i in range(4):
+            deg = 1 + v % 4
+            h = int(splitmix64(np.array([v], np.uint64)
+                               ^ np.uint64(WALK_SALT + i))[0])
+            pick = h % deg  # python ints: uint64 % int would go float64
+            v = (v * EDGE_MUL + pick * EDGE_JMUL + 1) % n
+            want[v] += 1
+    assert dict(out) == dict(want)
+    assert out.sum() == 4 * n  # every step lands somewhere, exactly once
