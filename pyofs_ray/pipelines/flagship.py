@@ -2932,6 +2932,11 @@ def host_token_similarity(sf_dir: str, k: int = HOST_SIM_K) -> ray.data.Dataset:
         hs = np.asarray(g["host"].to_pylist(), dtype=object)
         c = g["c"].to_numpy(zero_copy_only=False).astype(np.int64)
         ut, tinv = np.unique(toks, return_inverse=True)
+        if len(ut) * nh > 200_000_000:
+            raise ValueError(
+                f"host_token_similarity: bucket V matrix {len(ut)}×{nh} "
+                "exceeds the per-task memory budget — raise num_buckets "
+                "(keep bucket_vocab × hosts ≲ 2·10⁸)")
         hi = np.fromiter((hidx[x] for x in hs), np.int64, len(hs))
         v = np.zeros((len(ut), nh), np.int64)
         np.add.at(v, (tinv, hi), c)
