@@ -149,7 +149,7 @@ BENCH_QUERIES = [
     "url_revisit_priority", "curate_corpus_semantic", "ip_block_lookup",
     "host_token_similarity", "pages_pass_radius", "pip_donut",
     "host_anomalous_slots", "source_dup_matrix", "split_vocab_jaccard",
-    "link_ppr", "link_walk_visits",
+    "link_ppr", "link_walk_visits", "events_percent_rank",
 ]
 
 

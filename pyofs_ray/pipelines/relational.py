@@ -1245,3 +1245,60 @@ SELECT event_type,
          AS trimmed_mean
 FROM k GROUP BY event_type
 """
+
+
+def events_percent_rank(sf_dir: str) -> ray.data.Dataset:
+    """Global PERCENT_RANK over event values WITHOUT a sort all-to-all:
+    the distributed-rank shape for value-BOUNDED columns. Per-batch cent
+    histograms coalesce to a driver CDF (bounded by the value range, not
+    rows — the `events_value_quantiles` argument), which broadcasts back
+    for a streaming rank attach: pr = count_strictly_below / (N − 1),
+    exactly DuckDB's PERCENT_RANK (= (RANK()−1)/(N−1), ties at the
+    group's min rank). One tiny exchange + one streaming pass; a
+    sort-based rank would move every row."""
+    import ray as _ray
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["value"]))
+        c = _cents(b["value"])
+        g = pa.table({"c": c}).group_by("c").aggregate([("c", "count")])
+        return pa.table({"c": g["c"],
+                         "n": g["c_count"].cast(pa.int64())})
+
+    hist = (ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .to_pandas())  # value-bounded cent histogram
+    g = hist.groupby("c")["n"].sum().sort_index()
+    cents = g.index.to_numpy().astype(np.int64)
+    counts = g.to_numpy().astype(np.int64)
+    below = np.cumsum(counts) - counts
+    total = int(counts.sum())
+    ref = _ray.put((cents, below))
+    denom = float(total - 1) if total > 1 else 1.0
+
+    def attach(b: pa.Table) -> pa.Table:
+        cs, bl = _ray.get(ref)
+        b = b.filter(pc.is_valid(b["value"]))
+        c = _cents(b["value"]).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(cs, c)
+        pr = bl[idx] / denom
+        return pa.table({"event_id": b["event_id"],
+                         "value_cents": pa.array(c.astype(np.int64)),
+                         "pr": pa.array(pr.astype(np.float64))})
+
+    return ds.map_batches(attach, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+EVENTS_PERCENT_RANK_SQL = """
+WITH e AS (
+  SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_id, value_cents,
+       PERCENT_RANK() OVER (ORDER BY value_cents) AS pr
+FROM e
+"""

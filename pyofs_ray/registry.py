@@ -1413,6 +1413,11 @@ register("event_value_histogram", relational.event_value_histogram,
 register("orders_percent_rank", relational.orders_percent_rank,
          relational.ORDERS_PERCENT_RANK_SQL)
 
+# GLOBAL percent-rank without a sort: value-bounded cent CDF broadcast +
+# streaming rank attach (rows never shuffle)
+register("events_percent_rank", relational.events_percent_rank,
+         relational.EVENTS_PERCENT_RANK_SQL)
+
 register("host_crawl_cadence", flagship.host_crawl_cadence, f"""
 {sqlgen.pages_prefix()}
 SELECT page_key, SPLIT_PART(url, '/', 3) AS host, warc_ts,

@@ -331,3 +331,19 @@ def test_trimmed_mean_histogram_clip_equals_rank_trim():
     kept = np.clip(np.minimum(cum, n - t) - np.maximum(prev, t), 0, None)
     assert int(kept.sum()) == len(ref)
     assert int((uv * kept).sum()) == int(ref.sum())
+
+
+def test_events_percent_rank_reference(ray_session):
+    import numpy as np
+
+    from pyofs_ray.pipelines.relational import events_percent_rank
+
+    out = events_percent_rank(SF_SMOKE).to_pandas()
+    c = out["value_cents"].to_numpy()
+    n = len(c)
+    order = np.sort(c)
+    below = np.searchsorted(order, c, side="left")
+    want = below / (n - 1)
+    assert np.array_equal(out["pr"].to_numpy(), want)
+    # ties share a rank; min is 0, max is (n - n_maxties)/(n-1) < 1
+    assert out["pr"].min() == 0.0 and out["pr"].max() < 1.0 + 1e-12
