@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "host_token_similarity", "pages_pass_radius", "pip_donut",
     "host_anomalous_slots", "source_dup_matrix", "split_vocab_jaccard",
     "link_ppr", "link_walk_visits", "events_percent_rank",
+    "cell_lang_simpson",
 ]
 
 

@@ -3107,3 +3107,70 @@ SELECT c.h, CAST(c.epoch_slot AS BIGINT) AS epoch_slot, c.n,
        CAST(s.median AS BIGINT) AS median, CAST(s.mad AS BIGINT) AS mad
 FROM counts c JOIN stats s USING (h)
 WHERE ABS(c.n - s.median) > {ANOM_K} * s.mad"""
+
+
+def cell_lang_simpson(sf_dir: str) -> ray.data.Dataset:
+    """Zonal language diversity raster: per-cell Simpson index
+    1 − Σc²/n² (0 = monolingual cell, →1 = uniformly mixed) — the spatial
+    companion of `host_lang_gini` (same exact-int identity, keyed by the
+    base-zoom cell instead of the host). A diversity raster is the
+    standard zonal-heterogeneity layer beside the modal-class raster
+    (`polygon_modal_lang`).
+
+    Shape: skew-neutral (cell, lang) Arrow partials in ONE bucketed
+    reduce, then a per-cell Σc/Σc² reduce over the (cell, lang)-bounded
+    count table; the float derives from the two int64 sums by single IEEE
+    ops AFTER the final reduce (n < 2²⁶ exact-double guard, as gini)."""
+    from ..stages.agg import bucketed_group_agg
+
+    ds = geocoded_pages(sf_dir).select_columns(["cell_id", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["cell_id", "lang"]).aggregate([("lang", "count")])
+        return pa.table({"cell_id": g["cell_id"], "lang": g["lang"],
+                         "c": g["lang_count"].cast(pa.int64())})
+
+    per_pair = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["cell_id", "lang"], [("c", "sum", "c")])
+
+    def sq(b: pa.Table) -> pa.Table:
+        c = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(c) and int(c.max()) >= (1 << 26):
+            raise ValueError("cell_lang_simpson: per-(cell,lang) count ≥ "
+                             "2^26 — Σc² would leave exact-double range")
+        return pa.table({"cell_id": b["cell_id"], "c": b["c"],
+                         "csq": pa.array(c * c)})
+
+    agg = bucketed_group_agg(
+        per_pair.map_batches(sq, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["cell_id"], [("c", "sum", "doc_count"), ("csq", "sum", "sq_sum")])
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["doc_count"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ssq = b["sq_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return b.append_column("simpson",
+                               pa.array(1.0 - ssq / (n * n), pa.float64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def cell_lang_simpson_sql() -> str:
+    from ..core import sqlgen
+    return f"""{sqlgen.pages_prefix()},
+cl AS (
+  SELECT {sqlgen.cell_expr(geom.BASE_ZOOM)} AS cell_id, lang, COUNT(*) AS c
+  FROM pages GROUP BY 1, 2
+),
+cc AS (
+  SELECT cell_id, SUM(c) AS n, SUM(CAST(c AS HUGEINT) * c) AS ssq
+  FROM cl GROUP BY 1
+)
+SELECT cell_id, CAST(n AS BIGINT) AS doc_count,
+       CAST(ssq AS BIGINT) AS sq_sum,
+       1.0 - CAST(ssq AS DOUBLE) / CAST(n * n AS DOUBLE) AS simpson
+FROM cc
+"""

@@ -995,6 +995,10 @@ WHERE {sqlgen_pip.inside_expr(outer)}
 
 register("pip_donut", _pip_donut, _pip_donut_sql())
 
+# zonal language-diversity raster (per-cell Simpson index)
+register("cell_lang_simpson", flagship.cell_lang_simpson,
+         flagship.cell_lang_simpson_sql())
+
 # per-host crawl-volume anomaly audit (selection-exact MAD outlier flag)
 register("host_anomalous_slots", flagship.host_anomalous_slots,
          f"{sqlgen.pages_prefix()},{flagship.host_anomalous_slots_sql()}")

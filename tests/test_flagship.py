@@ -460,3 +460,21 @@ def test_host_anomalous_slots_reference(ray_session):
     got = set(map(tuple, out[["h", "epoch_slot", "n", "median",
                               "mad"]].astype(int).to_numpy()))
     assert got == want and len(want) > 0
+
+
+def test_cell_lang_simpson_reference(ray_session):
+    import numpy as np
+
+    from pyofs_ray.pipelines.flagship import cell_lang_simpson
+
+    out = cell_lang_simpson(SF_SMOKE).to_pandas()
+    pages = flagship.geocoded_pages(SF_SMOKE).to_pandas()
+    ref = {}
+    for cid, grp in pages.groupby("cell_id"):
+        c = grp["lang"].value_counts().to_numpy().astype(float)
+        n = c.sum()
+        ref[cid] = 1.0 - (c * c).sum() / (n * n)
+    for r in out.itertuples():
+        assert abs(ref[r.cell_id] - r.simpson) < 1e-12
+    assert len(out) == len(ref)
+    assert out["simpson"].between(0, 1).all()
