@@ -191,6 +191,21 @@ def dedup_near_corpus_distributed(sf_dir: str) -> ray.data.Dataset:
 CURATE_CHECKPOINT_ROWS = 2_000_000
 
 
+def _curate_qualify(b: pa.Table, lang: str, min_tokens: int,
+                    max_punct: float) -> pa.Table:
+    """Stage 1 of curation: language + quality gate (shared by the lazy
+    and the manifest-checkpointed flows)."""
+    from ..stages.text import lang_id, text_stats
+
+    b = lang_id(text_stats(b))
+    keep = pc.and_(
+        pc.and_(pc.equal(b["lang_pred"], lang),
+                pc.greater_equal(b["n_tokens"], min_tokens)),
+        pc.less(b["punct_ratio"], max_punct))
+    return b.filter(keep).select(["doc_id", "text", "n_tokens",
+                                  "lang_score"])
+
+
 def curate_docs(ds: ray.data.Dataset, *, lang: str = "en",
                 min_tokens: int = 20, max_punct: float = 0.05,
                 threshold: float = 0.8, rate: float = 0.5, salt: int = 13,
@@ -223,17 +238,9 @@ def curate_docs(ds: ray.data.Dataset, *, lang: str = "en",
     from ..stages.sample import hash_sample
     from ..stages.text import fingerprint, lang_id, text_stats
 
-    def qualify(b: pa.Table) -> pa.Table:
-        b = lang_id(text_stats(b))
-        keep = pc.and_(
-            pc.and_(pc.equal(b["lang_pred"], lang),
-                    pc.greater_equal(b["n_tokens"], min_tokens)),
-            pc.less(b["punct_ratio"], max_punct))
-        return b.filter(keep).select(["doc_id", "text", "n_tokens",
-                                      "lang_score"])
-
-    filtered = ds.map_batches(qualify, batch_format="pyarrow",
-                              zero_copy_batch=True)
+    filtered = ds.map_batches(
+        lambda b: _curate_qualify(b, lang, min_tokens, max_punct),
+        batch_format="pyarrow", zero_copy_batch=True)
     if checkpoint or (checkpoint is None
                       and (docs_hint or 0) > CURATE_CHECKPOINT_ROWS):
         from ..stages.pairs import spill_to_parquet
@@ -287,6 +294,141 @@ def curate_docs(ds: ray.data.Dataset, *, lang: str = "en",
 def curate_corpus(sf_dir: str) -> ray.data.Dataset:
     """Registry entry: curate the `documents` table end to end."""
     return curate_docs(_docs(sf_dir), docs_hint=_docs_count(sf_dir))
+
+
+def curate_docs_checkpointed(sf_dir: str, out_dir: str, *,
+                             lang: str = "en", min_tokens: int = 20,
+                             max_punct: float = 0.05,
+                             threshold: float = 0.8, rate: float = 0.5,
+                             salt: int = 13,
+                             fail_after: int | None = None
+                             ) -> ray.data.Dataset:
+    """Manifest-checkpointed curation (VERDICT r4 #5): the same four-stage
+    flow as `curate_docs`, with each expensive intermediate committed
+    atomically through `state/manifest.py` so a crashed run resumes from
+    the last committed stage instead of restarting from zero. Units:
+
+    1. ``filtered`` — the quality/language-gated corpus parquet. This is
+       the ONLY stage that scans the raw corpus; every later stage (and
+       every restart) reads this checkpoint.
+    2. ``exact_dup_map`` — (text_hash, doc_id, dup_count>1) exact-dup map.
+    3. ``near_drop`` — near-dup drop ids (MinHash pairs → components →
+       non-representative members).
+    4. ``curated`` — the final sampled projection.
+
+    ``fail_after=N`` injects a crash after N commits (kill/restart test,
+    same contract as `run_partitioned`). Returns the curated Dataset read
+    from the committed output; results are bit-identical to
+    `curate_docs` on the same inputs (asserted in tests/test_resume.py).
+    """
+    import ray as _ray
+
+    from ..sources.readers import read_parquet_clean as _rpc
+    from ..state.manifest import Manifest, write_and_commit
+    from ..stages.dedup import (exact_dedup, minhash_dedup_pairs,
+                                union_find_components)
+    from ..stages.sample import hash_sample
+    from ..stages.text import fingerprint
+
+    man = Manifest(out_dir)
+    ran = 0
+
+    def read_ckpt(unit: str, empty_schema: pa.Schema) -> pa.Table:
+        """Committed-unit readback tolerant of EMPTY partitions (an empty
+        Dataset may commit a file-less directory)."""
+        import os
+        d = f"{out_dir}/{unit}"
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        if not files:
+            return empty_schema.empty_table()
+        return pq.read_table(d)
+
+    def pending(unit: str) -> bool:
+        return unit not in man.committed()
+
+    def guard() -> None:
+        if fail_after is not None and ran >= fail_after:
+            raise RuntimeError(f"injected failure after {ran} commits")
+
+    if pending("filtered"):
+        guard()
+        write_and_commit(
+            man, out_dir, "filtered",
+            _docs(sf_dir).map_batches(
+                lambda b: _curate_qualify(b, lang, min_tokens, max_punct),
+                batch_format="pyarrow", zero_copy_batch=True),
+            f"qualify(lang={lang},min_tokens={min_tokens},"
+            f"max_punct={max_punct})")
+        ran += 1
+    filtered = _rpc(f"{out_dir}/filtered")
+
+    if pending("exact_dup_map"):
+        guard()
+        write_and_commit(
+            man, out_dir, "exact_dup_map",
+            exact_dedup(filtered).map_batches(
+                lambda b: b.filter(pc.greater(b["dup_count"], 1)),
+                batch_format="pyarrow"),
+            "exact_dedup(md5 min-id, dup clusters only)")
+        ran += 1
+    dup_tbl = read_ckpt("exact_dup_map", pa.schema(
+        [("text_hash", pa.string()), ("doc_id", pa.int64()),
+         ("dup_count", pa.int64())])).to_pandas()
+
+    if len(dup_tbl):
+        dup_ref = _ray.put((pa.array(dup_tbl["text_hash"]),
+                            dup_tbl["doc_id"].to_numpy(dtype=np.int64)))
+
+        def drop_exact_dups(b: pa.Table) -> pa.Table:
+            hashes, min_ids = _ray.get(dup_ref)
+            pos = pc.index_in(fingerprint(b)["text_hash"], value_set=hashes)
+            hit = pc.is_valid(pos).to_numpy(zero_copy_only=False)
+            idx = (pc.fill_null(pos, 0).to_numpy(zero_copy_only=False)
+                   .astype(np.int64))
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            keep = ~hit | (ids == min_ids[idx])
+            return b.filter(pa.array(keep))
+
+        survivors = filtered.map_batches(drop_exact_dups,
+                                         batch_format="pyarrow")
+    else:
+        survivors = filtered
+
+    if pending("near_drop"):
+        guard()
+        comp = union_find_components(
+            minhash_dedup_pairs(survivors, threshold))
+        near = np.array(sorted(x for x, rep in comp.items() if rep != x),
+                        np.int64)
+        write_and_commit(
+            man, out_dir, "near_drop",
+            ray.data.from_arrow(pa.table({"doc_id": pa.array(near)})),
+            f"minhash_pairs(tau={threshold})→components→non-reps")
+        ran += 1
+    near_tbl = read_ckpt("near_drop",
+                         pa.schema([("doc_id", pa.int64())]))
+
+    if near_tbl.num_rows:
+        drop_ref = _ray.put(near_tbl["doc_id"].combine_chunks())
+
+        def drop_near_dups(b: pa.Table) -> pa.Table:
+            return b.filter(pc.invert(
+                pc.is_in(b["doc_id"], value_set=_ray.get(drop_ref))))
+
+        survivors = survivors.map_batches(drop_near_dups,
+                                          batch_format="pyarrow")
+
+    if pending("curated"):
+        guard()
+        write_and_commit(
+            man, out_dir, "curated",
+            hash_sample(survivors, "doc_id", rate=rate, salt=salt)
+            .map_batches(lambda b: b.select(["doc_id", "n_tokens",
+                                             "lang_score"]),
+                         batch_format="pyarrow"),
+            f"hash_sample(rate={rate},salt={salt})+project")
+        ran += 1
+    return _rpc(f"{out_dir}/curated")
 
 
 NUM_QUERIES = 8
@@ -1307,16 +1449,23 @@ def split_token_tv(sf_dir: str) -> ray.data.Dataset:
         keys=["token"], aggs=[("c0", "sum", "c0"), ("c1", "sum", "c1")]
     ).materialize()
 
-    tot = per_tok.map_batches(
-        lambda b: pa.table({
-            "n0": pa.array([int(pc.sum(b["c0"]).as_py() or 0)], pa.int64()),
-            "n1": pa.array([int(pc.sum(b["c1"]).as_py() or 0)], pa.int64())}),
-        batch_format="pyarrow").repartition(1).map_batches(
-        lambda b: pa.table({
-            "n0": pa.array([int(pc.sum(b["n0"]).as_py() or 0)], pa.int64()),
-            "n1": pa.array([int(pc.sum(b["n1"]).as_py() or 0)], pa.int64())}),
-        batch_format="pyarrow", batch_size=None).take_all()
-    n0, n1 = int(tot[0]["n0"]), int(tot[0]["n1"])
+    # split totals from the ALREADY-materialized blocks via raw Ray tasks
+    # (2-int partials summed on the driver) — a Dataset execution for this
+    # costs ~1 s of fixed Ray-2.49 wall; tasks on resident block refs are
+    # ~free and the result is bitwise-identical (exact int64 sums).
+    import ray as _ray
+
+    @_ray.remote(num_cpus=0)
+    def _block_totals(t: pa.Table) -> tuple[int, int]:
+        if t.num_rows == 0 or "c0" not in t.column_names:
+            return (0, 0)  # Ray 2.49 exchanges emit schema-less empties
+        return (int(pc.sum(t["c0"]).as_py() or 0),
+                int(pc.sum(t["c1"]).as_py() or 0))
+
+    parts_tot = _ray.get([_block_totals.remote(r)
+                          for r in per_tok.to_arrow_refs()])
+    n0 = sum(p[0] for p in parts_tot)
+    n1 = sum(p[1] for p in parts_tot)
     if n0 * n1 >= (1 << 61):
         raise ValueError("split_token_tv: N0·N1 ≥ 2^61 — the int64 "
                          "numerator would overflow; shard the token space "
@@ -2555,7 +2704,14 @@ def split_vocab_jaccard(sf_dir: str) -> ray.data.Dataset:
         n0 = int(pc.sum(b["n0"]).as_py() or 0)
         n1 = int(pc.sum(b["n1"]).as_py() or 0)
         union = n0 + n1 - both
-        jac = float(both) / float(union) if union else 1.0
+        if union == 0:
+            # match the twin: SUMs over zero `pres` rows are NULL, and so
+            # is the jaccard — don't invent 1.0 for an empty vocabulary
+            return pa.table({"vocab_a": pa.array([None], pa.int64()),
+                             "vocab_b": pa.array([None], pa.int64()),
+                             "vocab_both": pa.array([None], pa.int64()),
+                             "jaccard": pa.array([None], pa.float64())})
+        jac = float(both) / float(union)
         return pa.table({"vocab_a": pa.array([n0], pa.int64()),
                          "vocab_b": pa.array([n1], pa.int64()),
                          "vocab_both": pa.array([both], pa.int64()),

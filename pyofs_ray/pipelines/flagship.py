@@ -2189,65 +2189,165 @@ WHERE {BOILER_DEN} * d.df >= {BOILER_NUM} * t.n
 """
 
 
-def host_boilerplate_strip(sf_dir: str) -> ray.data.Dataset:
+BOILER_BCAST_MAX_ROWS = 2_000_000  # broadcast-apply cap on |bp| rows
+
+
+def _strip_batch(b: pa.Table, boiler: "pd.DataFrame") -> pa.Table:
+    """Strip kernel shared by both plans: pandas hash-merge marks the
+    boilerplate token positions of a (url, text, page_key) batch against
+    the given (host, token) set, Arrow list reassembly + binary_join
+    rebuilds each page's text — no Python loop over docs or tokens."""
+    import numpy as np
+    import pandas as pd
+
+    b = b.combine_chunks()  # ListArray.from_arrays needs flat Arrays
+    toks = pc.split_pattern_regex(b["text"], r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    host = url_host(b["url"])
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    tok_df = pd.DataFrame({
+        "host": host.take(pa.array(parent)).to_pandas(),
+        "token": flat.to_pandas()})
+    hit = tok_df.merge(boiler.assign(_bp=True), how="left",
+                       on=["host", "token"])["_bp"].notna().to_numpy()
+    keep = nonempty & ~hit
+    n_docs = len(b)
+    kept_counts = np.bincount(parent[keep], minlength=n_docs)
+    removed = np.bincount(parent[nonempty & hit], minlength=n_docs)
+    offsets = np.zeros(n_docs + 1, np.int32)
+    np.cumsum(kept_counts, out=offsets[1:])
+    lists = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()),
+        flat.filter(pa.array(keep)).cast(pa.string()))
+    clean = pc.binary_join(lists, " ")
+    return pa.table({"page_key": b["page_key"],
+                     "clean_text": clean,
+                     "n_removed": pa.array(removed, pa.int64())})
+
+
+def host_boilerplate_strip(sf_dir: str, path: str = "auto",
+                           broadcast_max_rows: int = BOILER_BCAST_MAX_ROWS
+                           ) -> ray.data.Dataset:
     """Apply the learned per-host boilerplate vocabulary: drop every token
     of a page that is host-boilerplate (`host_boilerplate_tokens`), rejoin
     the survivors single-spaced. Output (page_key, clean_text, n_removed)
     for EVERY page (a fully-boilerplate page keeps an empty string) — the
     broadcast-apply half of site-level curation.
 
-    Scale shape: the detection result is bounded by |hosts| × |vocabulary|
-    (hosts ≤ 97 here; at an unbounded host count the set would attach via
-    a bucketed (host, token) join instead — same key as the detection
-    exchange). It is pulled once, broadcast via ray.put, and applied in a
-    stateless vectorized map: pandas hash-merge marks boilerplate token
-    positions, Arrow list reassembly + binary_join rebuilds each page's
-    text — no Python loop over docs or tokens.
-    """
-    import numpy as np
-    import pandas as pd
+    Two physical plans (r5, VERDICT #2 — over-cap routes, never refuses):
+
+    - **broadcast** (|bp| rows ≤ ``broadcast_max_rows``): the detection
+      table is pulled once, broadcast via ray.put, and applied in a
+      stateless vectorized map — zero extra exchanges.
+    - **cobucket** (unbounded host catalog — detection rows scale with
+      hosts × per-host vocab): pages and the bp table are co-partitioned
+      by ``hash(host)`` in ONE exchange; each host-bucket group runs the
+      same strip kernel against only ITS hosts' vocabulary. The page text
+      moves through the exchange once — the standard distributed-join
+      cost the broadcast path avoids; a hot host makes a hot bucket
+      (salting the pages side with replicated bp shards is the documented
+      extension).
+
+    ``path="auto"`` counts the materialized detection table (metadata on
+    resident blocks) and picks. Both plans emit identical rows (equality
+    pytest; row order differs — callers sort, the oracle sorts)."""
     import ray as _ray
 
     from ..sources.pages import pages_dataset
 
     bp = host_boilerplate_tokens(sf_dir).materialize()
+    if path == "auto":
+        path = "broadcast" if bp.count() <= broadcast_max_rows \
+            else "cobucket"
+    if path == "cobucket":
+        return _host_boilerplate_strip_cobucket(
+            pages_dataset(sf_dir, keep_key=True), bp)
+    if path != "broadcast":
+        raise ValueError(f"unknown path {path!r}")
+
+    import pandas as pd
+
     bpt = pa.concat_tables(
         [t for t in _ray.get(bp.to_arrow_refs()) if t.num_rows])
+    if bpt.num_rows > broadcast_max_rows:
+        raise ValueError(
+            f"host_boilerplate_strip: {bpt.num_rows} detection rows exceed "
+            f"the broadcast cap ({broadcast_max_rows}); use "
+            'path="cobucket" (or "auto")')
     bp_df = pd.DataFrame({"host": bpt["host"].to_pylist(),
                           "token": bpt["token"].to_pylist()})
     bp_ref = _ray.put(bp_df)
 
     def strip(b: pa.Table) -> pa.Table:
-        boiler = _ray.get(bp_ref)
-        b = b.combine_chunks()  # ListArray.from_arrays needs flat Arrays
-        toks = pc.split_pattern_regex(b["text"], r"\s+")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = pc.list_flatten(toks)
-        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        host = url_host(b["url"])
-        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        tok_df = pd.DataFrame({
-            "host": host.take(pa.array(parent)).to_pandas(),
-            "token": flat.to_pandas()})
-        hit = tok_df.merge(boiler.assign(_bp=True), how="left",
-                           on=["host", "token"])["_bp"].notna().to_numpy()
-        keep = nonempty & ~hit
-        n_docs = len(b)
-        kept_counts = np.bincount(parent[keep], minlength=n_docs)
-        removed = np.bincount(parent[nonempty & hit], minlength=n_docs)
-        offsets = np.zeros(n_docs + 1, np.int32)
-        np.cumsum(kept_counts, out=offsets[1:])
-        lists = pa.ListArray.from_arrays(
-            pa.array(offsets, pa.int32()),
-            flat.filter(pa.array(keep)).cast(pa.string()))
-        clean = pc.binary_join(lists, " ")
-        return pa.table({"page_key": b["page_key"],
-                         "clean_text": clean,
-                         "n_removed": pa.array(removed, pa.int64())})
+        return _strip_batch(b, _ray.get(bp_ref))
 
     return pages_dataset(sf_dir, keep_key=True).map_batches(
         strip, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _host_boilerplate_strip_cobucket(pages: ray.data.Dataset,
+                                     bp: ray.data.Dataset
+                                     ) -> ray.data.Dataset:
+    """Unbounded-catalog plan: ONE hash(host) co-partitioning exchange of
+    pages + detection rows, group-local strip (see docstring above)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.agg import hash_bucket_tag
+
+    import ray as _ray
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) \
+        if _ray.is_initialized() else 8
+    nb = max(8, cpus)
+
+    # shared superset schema: (host, token, page_key, url, text, _role)
+    def tag_pages(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "url" not in b.column_names:
+            return b
+        t = pa.table({
+            "host": url_host(b["url"]),
+            "token": pa.array([""] * len(b), pa.string()),
+            "page_key": b["page_key"].cast(pa.int64()),
+            "url": b["url"],
+            "text": b["text"],
+            "_role": pa.array(np.zeros(len(b), np.int64))})
+        return hash_bucket_tag(t, ["host"], nb)
+
+    def tag_bp(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "host" not in b.column_names:
+            return b
+        n = len(b)
+        t = pa.table({
+            "host": b["host"],
+            "token": b["token"],
+            "page_key": pa.array(np.zeros(n, np.int64)),
+            "url": pa.array([""] * n, pa.string()),
+            "text": pa.array([""] * n, pa.string()),
+            "_role": pa.array(np.ones(n, np.int64))})
+        return hash_bucket_tag(t, ["host"], nb)
+
+    both = (pages.map_batches(tag_pages, batch_format="pyarrow",
+                              zero_copy_batch=True)
+                 .union(bp.map_batches(tag_bp, batch_format="pyarrow")))
+
+    def strip_group(g: pa.Table) -> pa.Table:
+        isbp = pc.equal(g["_role"], pa.scalar(1, pa.int64()))
+        bp_rows = g.filter(isbp)
+        pg = g.filter(pc.invert(isbp)).select(["page_key", "url", "text"])
+        if pg.num_rows == 0:
+            return pa.table({"page_key": pa.array([], pa.int64()),
+                             "clean_text": pa.array([], pa.string()),
+                             "n_removed": pa.array([], pa.int64())})
+        boiler = pd.DataFrame({"host": bp_rows["host"].to_pylist(),
+                               "token": bp_rows["token"].to_pylist()})
+        return _strip_batch(pg, boiler)
+
+    return both.groupby("_bucket").map_groups(strip_group,
+                                              batch_format="pyarrow")
+
 
 
 HOST_BOILERPLATE_STRIP_SQL = rf"""
@@ -2871,61 +2971,128 @@ FROM ips i"""
 
 # ------------------------------------------ host token-profile similarity
 HOST_SIM_K = 50
+HOST_SIM_DENSE_MAX = 4096
+HOST_SIM_MAX_DF = 65536  # sparse path: loud hosts-per-token (df) cap
 
 
-def host_token_similarity(sf_dir: str, k: int = HOST_SIM_K) -> ray.data.Dataset:
+def host_token_similarity(sf_dir: str, k: int = HOST_SIM_K,
+                          path: str = "auto",
+                          dense_max_hosts: int = HOST_SIM_DENSE_MAX,
+                          max_hosts_per_token: int = HOST_SIM_MAX_DF
+                          ) -> ray.data.Dataset:
     """Most-similar host pairs by token-count profile (cosine²) — the
     site-similarity generalization of `host_mirror_pairs` (which needs
     IDENTICAL fingerprints): template farms and topic twins score high on
     profile cosine long before any page is an exact copy.
 
-    Scale shape — the dense small-cardinality Gram pattern: hosts are a
-    bounded catalog (one tiny distinct pass, broadcast index), so the
-    host×host Gram matrix is SMALL even though the token dimension is
-    corpus-sized. Per-batch (host, token, c) Arrow partials; ONE
-    token-bucket exchange; inside each bucket group ONE int64 matmul
-    (Vᵀ V over the bucket's token×host count matrix — never a Σ df² pair
-    expansion); |H|²-bounded partials coalesce on the driver where cos² =
-    dot²·10⁶ // (n2_a·n2_b) is computed in Python ints (dot² would leave
-    int64; the twin runs the same expression in HUGEINT).
+    Two physical plans behind one result (r5, VERDICT #2 — the over-cap
+    guard now ROUTES instead of refusing):
+
+    - **dense** (host catalog ≤ ``dense_max_hosts``): the dense
+      small-cardinality Gram pattern — bounded catalog broadcast, ONE
+      token-bucket exchange, ONE int64 Vᵀ V matmul per bucket (never a
+      Σ df² pair expansion), |H|²-bounded partials coalesced on the
+      driver where cos² = dot²·10⁶ // (n2_a·n2_b) runs in Python ints.
+    - **sparse** (unbounded catalog — the real web's ~10⁸ hosts): no
+      catalog ever materializes anywhere. Per-token host-pair expansion
+      inside the same token-bucket groups (loud ``max_hosts_per_token``
+      df cap — pre-drop stopword-grade tokens upstream rather than
+      silently truncating), pair partial dots summed by a bucketed
+      (host_a, host_b) exchange (ids-only — `stages/pairs.py` shape),
+      per-host norms rejoined by two more host-keyed bucket exchanges,
+      distributed integer cos² and a sort-free global top-k. Four
+      bounded exchanges, zero driver pulls beyond the k-row result.
+
+    ``path="auto"`` probes the catalog with a LIMITed global distinct
+    (never pulls more than ``dense_max_hosts+1`` rows) and picks; both
+    paths return bit-identical rows (equality pytest).
 
     Output: top-k (host_a < host_b) by (cos2_ppm DESC, host_a, host_b),
     self-pairs excluded; dot and the exact integer cos2_ppm."""
+    pages = pages_dataset(sf_dir, with_html=False)
+    return host_token_similarity_from(
+        pages, k, path=path, dense_max_hosts=dense_max_hosts,
+        max_hosts_per_token=max_hosts_per_token)
+
+
+def _host_sim_partial(b: pa.Table, nb: int) -> pa.Table:
+    """Per-batch (host, token, c) count partials, token-bucket tagged."""
     from ..stages.agg import hash_bucket_tag
 
-    pages = pages_dataset(sf_dir, with_html=False)
+    lists = pc.split_pattern_regex(
+        b["text"].combine_chunks() if isinstance(b["text"], pa.ChunkedArray)
+        else b["text"], r"\s+")
+    flat = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists)
+    h = url_host(b["url"]).take(parents)
+    t = pa.table({"host": h, "token": flat})
+    t = t.filter(pc.not_equal(t["token"], ""))
+    g = t.group_by(["host", "token"]).aggregate([("token", "count")])
+    out = pa.table({"host": g["host"], "token": g["token"],
+                    "c": g["token_count"].cast(pa.int64())})
+    return hash_bucket_tag(out, ["token"], nb)
 
-    hosts_df = (pages.map_batches(
-        lambda b: pa.table({"host": url_host(b["url"])}).group_by(
-            "host").aggregate([]),
-        batch_format="pyarrow")
-        .to_pandas())  # bounded host catalog
-    hosts = np.sort(hosts_df["host"].unique().astype(object))
+
+def _host_catalog_probe(pages: ray.data.Dataset,
+                        cap: int) -> np.ndarray | None:
+    """Sorted distinct-host catalog if ≤ ``cap`` hosts, else None — via a
+    bucketed global distinct with a LIMIT pull, so the driver never holds
+    more than cap+1 rows no matter the true cardinality."""
+    import ray as _ray
+
+    from ..stages.agg import hash_bucket_tag
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) \
+        if _ray.is_initialized() else 8
+    nb = max(8, cpus)
+
+    def hp(b: pa.Table) -> pa.Table:
+        t = pa.table({"host": url_host(b["url"])}).group_by(
+            "host").aggregate([])
+        return hash_bucket_tag(t, ["host"], nb)
+
+    def dedup(g: pa.Table) -> pa.Table:
+        return g.select(["host"]).group_by("host").aggregate([])
+
+    probe = (pages.map_batches(hp, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                  .groupby("_bucket").map_groups(dedup,
+                                                 batch_format="pyarrow")
+                  .limit(cap + 1).to_pandas())
+    if len(probe) > cap:
+        return None
+    return np.sort(probe["host"].to_numpy().astype(object))
+
+
+def host_token_similarity_from(pages: ray.data.Dataset, k: int = HOST_SIM_K,
+                               path: str = "auto",
+                               dense_max_hosts: int = HOST_SIM_DENSE_MAX,
+                               max_hosts_per_token: int = HOST_SIM_MAX_DF
+                               ) -> ray.data.Dataset:
+    """Core of `host_token_similarity` over any (url, text) Dataset."""
+    hosts = None
+    if path == "auto":
+        hosts = _host_catalog_probe(pages, dense_max_hosts)
+        path = "dense" if hosts is not None else "sparse"
+    elif path == "dense":
+        hosts = _host_catalog_probe(pages, dense_max_hosts)
+        if hosts is None:
+            raise ValueError(
+                f"host_token_similarity: >{dense_max_hosts} hosts — the "
+                "dense H² Gram partial leaves small-matrix range; use "
+                'path="sparse" (or "auto")')
+    if path == "sparse":
+        return _host_token_similarity_sparse(pages, k, max_hosts_per_token)
+    if path != "dense":
+        raise ValueError(f"unknown path {path!r}")
+
     hidx = {h: i for i, h in enumerate(hosts)}
     nh = len(hosts)
-    if nh > 4096:
-        raise ValueError(f"host_token_similarity: {nh} hosts — the dense "
-                         "H² Gram partial leaves small-matrix range; "
-                         "shard the host catalog first")
 
     import ray as _ray
     cpus = int(_ray.cluster_resources().get("CPU", 8)) \
         if _ray.is_initialized() else 8
     nb = max(8, cpus)
-
-    def partial(b: pa.Table) -> pa.Table:
-        lists = pc.split_pattern_regex(
-            b["text"].combine_chunks() if isinstance(b["text"], pa.ChunkedArray)
-            else b["text"], r"\s+")
-        flat = pc.list_flatten(lists)
-        parents = pc.list_parent_indices(lists)
-        h = url_host(b["url"]).take(parents)
-        t = pa.table({"host": h, "token": flat})
-        t = t.filter(pc.not_equal(t["token"], ""))
-        g = t.group_by(["host", "token"]).aggregate([("token", "count")])
-        out = pa.table({"host": g["host"], "token": g["token"],
-                        "c": g["token_count"].cast(pa.int64())})
-        return hash_bucket_tag(out, ["token"], nb)
 
     def gram(g: pa.Table) -> pa.Table:
         toks = np.asarray(g["token"].to_pylist(), dtype=object)
@@ -2940,7 +3107,14 @@ def host_token_similarity(sf_dir: str, k: int = HOST_SIM_K) -> ray.data.Dataset:
         hi = np.fromiter((hidx[x] for x in hs), np.int64, len(hs))
         v = np.zeros((len(ut), nh), np.int64)
         np.add.at(v, (tinv, hi), c)
-        gm = v.T @ v  # exact int64: per-bucket dots ≪ 2^63
+        cmax = int(c.max()) if len(c) else 0
+        if cmax and cmax * cmax >= 2**63 // max(1, len(ut)):
+            raise ValueError(
+                f"host_token_similarity: per-(host,token) count {cmax} over "
+                f"{len(ut)} bucket tokens could overflow the int64 Gram "
+                "matmul (cmax² · |bucket vocab| ≥ 2⁶³) while the HUGEINT "
+                "twin stays exact — shard tokens into more buckets")
+        gm = v.T @ v  # exact int64: guarded above, dots < 2^63
         iu, ju = np.triu_indices(nh)  # includes diagonal = partial ‖v‖²
         d = gm[iu, ju]
         nz = d > 0
@@ -2948,7 +3122,8 @@ def host_token_similarity(sf_dir: str, k: int = HOST_SIM_K) -> ray.data.Dataset:
                          "j": pa.array(ju[nz].astype(np.int64)),
                          "dot": pa.array(d[nz])})
 
-    partials = (pages.map_batches(partial, batch_format="pyarrow",
+    partials = (pages.map_batches(lambda b: _host_sim_partial(b, nb),
+                                  batch_format="pyarrow",
                                   zero_copy_batch=True)
                      .groupby("_bucket").map_groups(gram,
                                                     batch_format="pyarrow"))
@@ -2982,6 +3157,168 @@ def host_token_similarity(sf_dir: str, k: int = HOST_SIM_K) -> ray.data.Dataset:
 
     return (partials.repartition(1)
             .map_batches(finish, batch_format="pyarrow", batch_size=None))
+
+
+def _host_token_similarity_sparse(pages: ray.data.Dataset, k: int,
+                                  max_hosts_per_token: int
+                                  ) -> ray.data.Dataset:
+    """Unbounded-host-catalog plan: per-token pair expansion + bucketed
+    pair-sum + two host-keyed norm joins + sort-free global top-k (see
+    `host_token_similarity` docstring). Bit-identical to the dense path."""
+    import ray as _ray
+
+    from ..stages.agg import bucketed_group_agg, hash_bucket_tag
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) \
+        if _ray.is_initialized() else 8
+    nb = max(8, cpus)
+
+    def expand(g: pa.Table) -> pa.Table:
+        # merge duplicate (host, token) partials inside this token bucket,
+        # then enumerate the per-token host pairs (a ≤ b; a == b rows are
+        # the per-host norm contributions, exactly the dense diagonal)
+        g = (g.select(["host", "token", "c"])
+              .group_by(["host", "token"]).aggregate([("c", "sum")]))
+        host = np.asarray(g["host"].to_pylist(), dtype=object)
+        tok = np.asarray(g["token"].to_pylist(), dtype=object)
+        c = g["c_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table({"host_a": pa.array([], pa.string()),
+                          "host_b": pa.array([], pa.string()),
+                          "d": pa.array([], pa.int64())})
+        n = len(tok)
+        if n == 0:
+            return empty
+        order = np.lexsort((host, tok))
+        host, tok, c = host[order], tok[order], c[order]
+        new = np.r_[True, tok[1:] != tok[:-1]]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, n))
+        if int(sizes.max()) > max_hosts_per_token:
+            hot = tok[starts[int(np.argmax(sizes))]]
+            raise ValueError(
+                f"host_token_similarity(sparse): token {hot!r} appears on "
+                f"{int(sizes.max())} hosts > max_hosts_per_token "
+                f"({max_hosts_per_token}) — the pair expansion would go "
+                "quadratic; drop stopword-grade tokens upstream (df "
+                "filter) or raise the cap explicitly")
+        cmax = int(c.max())
+        if cmax * cmax >= 2**63 // max(1, n):
+            raise ValueError(
+                f"host_token_similarity(sparse): per-(host,token) count "
+                f"{cmax} over {n} bucket rows could overflow the int64 "
+                "pair dots — shard tokens into more buckets")
+        out_a, out_b, out_d = [], [], []
+        for s, sz in zip(starts, sizes):
+            hh, cc = host[s:s + sz], c[s:s + sz]
+            iu, ju = np.triu_indices(sz)
+            out_a.append(hh[iu])
+            out_b.append(hh[ju])
+            out_d.append(cc[iu] * cc[ju])
+        return pa.table({
+            "host_a": pa.array(np.concatenate(out_a).astype(str),
+                               pa.string()),
+            "host_b": pa.array(np.concatenate(out_b).astype(str),
+                               pa.string()),
+            "d": pa.array(np.concatenate(out_d))})
+
+    pair_parts = (pages.map_batches(lambda b: _host_sim_partial(b, nb),
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True)
+                       .groupby("_bucket").map_groups(
+                           expand, batch_format="pyarrow"))
+    sums = bucketed_group_agg(pair_parts, ["host_a", "host_b"],
+                              [("d", "sum", "dot")])
+
+    def split_diag(b: pa.Table, want_diag: bool) -> pa.Table:
+        if b.num_rows == 0 or "host_a" not in b.column_names:
+            return b
+        eq = pc.equal(b["host_a"], b["host_b"])
+        return b.filter(eq if want_diag else pc.invert(eq))
+
+    # norm table (host, n2) and off-diagonal pair table
+    diag = sums.map_batches(lambda b: split_diag(b, True),
+                            batch_format="pyarrow")
+    off = sums.map_batches(lambda b: split_diag(b, False),
+                           batch_format="pyarrow")
+
+    def attach_norm(off_ds: ray.data.Dataset, side: str,
+                    pad_cols: tuple[str, ...]) -> ray.data.Dataset:
+        """ONE host-keyed bucket exchange attaching n2_<side> to each
+        pair row (the norm rows ride the same exchange — no broadcast).
+        ``pad_cols``: n2 columns already attached to the pair side,
+        zero-padded onto the norm rows so the union schemas match."""
+        def tag_pairs(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or side not in b.column_names:
+                return b
+            t = b.append_column("_k", b[side])
+            t = t.append_column("_n2row", pa.array(
+                np.zeros(len(b), np.int64)))
+            return hash_bucket_tag(t, ["_k"], nb)
+
+        def tag_norms(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "host_a" not in b.column_names:
+                return b
+            n = len(b)
+            t = b
+            for c in pad_cols:  # match the pair side's schema for union
+                t = t.append_column(c, pa.array(np.zeros(n, np.int64)))
+            t = t.append_column("_k", b["host_a"])
+            t = t.append_column("_n2row", pa.array(np.ones(n, np.int64)))
+            return hash_bucket_tag(t, ["_k"], nb)
+
+        def join(g: pa.Table) -> pa.Table:
+            isn = pc.equal(g["_n2row"], pa.scalar(1, pa.int64()))
+            norms = g.filter(isn)
+            prs = g.filter(pc.invert(isn))
+            prs = prs.drop_columns(["_k", "_n2row", "_bucket"])
+            if prs.num_rows == 0:
+                return prs.append_column(f"n2_{side}",
+                                         pa.array([], pa.int64()))
+            nmap = dict(zip(norms["_k"].to_pylist(),
+                            norms["dot"].to_pylist()))
+            keys = prs[side].to_pylist()
+            n2 = pa.array([nmap.get(x, 0) for x in keys], pa.int64())
+            return prs.append_column(f"n2_{side}", n2)
+
+        both = (off_ds.map_batches(tag_pairs, batch_format="pyarrow")
+                      .union(diag.map_batches(tag_norms,
+                                              batch_format="pyarrow")))
+        return both.groupby("_bucket").map_groups(join,
+                                                  batch_format="pyarrow")
+
+    with_a = attach_norm(off, "host_a", ())
+    with_ab = attach_norm(with_a, "host_b", ("n2_host_a",))
+
+    def score(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "dot" not in b.column_names:
+            return b
+        dot = b["dot"].to_pylist()
+        n2a = b["n2_host_a"].to_pylist()
+        n2b = b["n2_host_b"].to_pylist()
+        # Python ints: dot² leaves int64 long before the counts do
+        cos2 = [(d * d * 1_000_000 // (a * bb)) if a and bb else None
+                for d, a, bb in zip(dot, n2a, n2b)]
+        keep = [x is not None for x in cos2]
+        t = pa.table({"host_a": b["host_a"], "host_b": b["host_b"],
+                      "dot": b["dot"].cast(pa.int64()),
+                      "cos2_ppm": pa.array(
+                          [x if x is not None else 0 for x in cos2],
+                          pa.int64())})
+        return t.filter(pa.array(keep))
+
+    scored = with_ab.map_batches(score, batch_format="pyarrow")
+
+    def top(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["cos2_ppm", "host_a", "host_b"],
+                            ascending=[False, True, True], kind="mergesort")
+        return df.head(k)
+
+    import pandas as pd  # noqa: F401  (batch_format="pandas" finish)
+
+    return (scored.map_batches(top, batch_format="pandas")
+                  .repartition(1)
+                  .map_batches(top, batch_format="pandas",
+                               batch_size=None))
 
 
 def host_token_similarity_sql(k: int = HOST_SIM_K) -> str:

@@ -21,9 +21,48 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..core import geom
+
+
+def _group_select(t: pa.Table, keys: list[str], order_cols: list[str],
+                  k: int, descending: bool, keep: str) -> pa.Table:
+    """Arrow-native per-key head/tail-k: ONE stable table sort
+    (`pc.sort_indices` — no pandas hop on the wide input batch) + a
+    vectorized segment-boundary mask. ``keep="tail"`` keeps the last row
+    per key group (argmax under the total order), ``"head"`` the first k.
+    Matches the previous pandas mergesort+groupby bit-for-bit: both sorts
+    are stable and place nulls last; NaN-in-order-col behavior is the one
+    caller-facing difference (Arrow sorts NaN as largest, pandas always
+    last) — order columns here are timestamps/keys, never NaN."""
+    t = t.combine_chunks()
+    n = t.num_rows
+    if n == 0:
+        return t
+    order = "descending" if descending else "ascending"
+    sort_keys = [(c, "ascending") for c in keys] + \
+                [(c, order) for c in order_cols]
+    t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+    # group boundary: row i starts a new key group
+    new_grp = np.zeros(n, bool)
+    new_grp[0] = True
+    for c in keys:
+        col = t[c].combine_chunks() if isinstance(t[c], pa.ChunkedArray) \
+            else t[c]
+        neq = pc.fill_null(
+            pc.not_equal(col.slice(0, n - 1), col.slice(1)), True)
+        new_grp[1:] |= neq.to_numpy(zero_copy_only=False)
+    if keep == "tail":
+        mask = np.empty(n, bool)
+        mask[:-1] = new_grp[1:]
+        mask[-1] = True
+        return t.filter(pa.array(mask))
+    starts = np.flatnonzero(new_grp)
+    sizes = np.diff(np.append(starts, n))
+    pos = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+    return t.filter(pa.array(pos < k))
 
 
 def last_per_cell(ds: ray.data.Dataset, keys=("cell_id",),
@@ -41,10 +80,12 @@ def last_per_cell(ds: ray.data.Dataset, keys=("cell_id",),
     payload_cols = list(payload_cols)
     take_cols = keys + sorted(set(order_cols + payload_cols) - set(keys))
 
-    def partial(b: pa.Table) -> pd.DataFrame:
-        df = b.select(take_cols).to_pandas()
-        df = df.sort_values(keys + order_cols, kind="mergesort")
-        return df.groupby(keys, as_index=False, sort=False).tail(1)
+    def partial(b: pa.Table) -> pa.Table:
+        # Arrow stable sort + segment mask — no pandas hop on the wide
+        # input batch (r5, VERDICT #7); bitwise-equal to the previous
+        # pandas mergesort+groupby-tail partial
+        return _group_select(b.select(take_cols), keys, order_cols,
+                             1, False, "tail")
 
     from .agg import auto_partitions
 
@@ -88,10 +129,10 @@ def topk_per_key(ds: ray.data.Dataset, keys=("cell_id",),
     take_cols = keys + sorted(set(order_cols + payload_cols) - set(keys))
     asc = [True] * len(keys) + [not descending] * len(order_cols)
 
-    def partial(b: pa.Table) -> pd.DataFrame:
-        df = b.select(take_cols).to_pandas()
-        df = df.sort_values(keys + order_cols, ascending=asc, kind="mergesort")
-        return df.groupby(keys, as_index=False, sort=False).head(k)
+    def partial(b: pa.Table) -> pa.Table:
+        # Arrow-native per-key top-k partial (r5, VERDICT #7)
+        return _group_select(b.select(take_cols), keys, order_cols,
+                             k, descending, "head")
 
     from .agg import auto_partitions
 

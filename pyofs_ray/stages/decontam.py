@@ -128,12 +128,34 @@ def shingle_contamination(ds: ray.data.Dataset, splits: dict[str, float],
     string compare makes the OUTPUT bit-identical to the direct path —
     only the exchange shrinks (eval rows + Bloom survivors instead of the
     full corpus gram stream), at the price of tokenizing the corpus
-    twice. Pick it when the exchange, not the scan, is the bottleneck."""
+    twice. Pick it when the exchange, not the scan, is the bottleneck.
+
+    ``prefilter="auto"`` applies that break-even mechanically instead of
+    trusting the caller: the Bloom pays for its extra full tokenize pass
+    only when (a) the exchange crosses a NETWORK (>1 Ray node — on a
+    single node the "exchange" is shared-memory plasma and the direct
+    path wins at every measured scale: 1.1 s vs 1.9 s at sf0.1, see
+    BENCH_r04) and (b) the droppable majority is large (train/eval row
+    ratio ≥ 4, read off the split fractions — the Bloom can only drop
+    train rows, so a 50/50 split halves the exchange at best). Auto
+    therefore resolves to the direct path in this sandbox and to the
+    Bloom diet on a real cluster with a small eval split."""
     if num_buckets is None:
         import ray as _ray
         cpus = int(_ray.cluster_resources().get("CPU", 8)) \
             if _ray.is_initialized() else 8
         num_buckets = max(8, cpus)
+
+    if prefilter == "auto":
+        import ray as _ray_auto
+        n_nodes = len([n for n in _ray_auto.nodes() if n.get("Alive")]) \
+            if _ray_auto.is_initialized() else 1
+        eval_frac = 1.0 - float(splits.get(train_label, 0.0))
+        cross_network = n_nodes > 1
+        majority_droppable = eval_frac > 0 and \
+            (1.0 - eval_frac) / eval_frac >= 4.0
+        prefilter = "bloom" if (cross_network and majority_droppable) \
+            else None
 
     rows = shingle_rows(ds, id_col=id_col, text_col=text_col, ngram=ngram)
 

@@ -158,6 +158,14 @@ def attach_passes_within(ds: ray.data.Dataset, window_us: int,
     fixed two-candidate mask, never a join."""
     pt = pass_times_array(period_of(t0_us - window_us),
                           period_of(t1_us + window_us))
+    if len(pt) > 1:
+        min_gap = int(np.min(np.diff(pt)))
+        if 2 * window_us >= min_gap:
+            raise ValueError(
+                f"attach_passes_within: 2·window ({2 * window_us} µs) ≥ the "
+                f"minimum pass gap ({min_gap} µs) — the two-candidate mask "
+                "would silently drop matches; use a smaller window or a "
+                "join-based attach")
 
     def attach(b: pa.Table) -> pa.Table:
         ts_arr = b[ts_col]

@@ -202,9 +202,11 @@ def test_recall_gates_pass_at_smoke_scale():
     import ray.data
 
     from pyofs_ray.registry import RECALL_GATES
-    assert set(RECALL_GATES) == {"ann_topk_lsh", "ann_topk_ivf",
-                                 "embedding_dup_pairs_ivf",
-                                 "ann_topk_quantized", "top_tokens_mg"}
+    # r5: ann_topk_lsh / ann_topk_quantized moved to EXACT oracle twins
+    # (core/sqlgen_ann.py) — only the genuinely float-iterative (IVF
+    # k-means) and partition-dependent (Misra-Gries) queries stay gated
+    assert set(RECALL_GATES) == {"ann_topk_ivf", "embedding_dup_pairs_ivf",
+                                 "top_tokens_mg"}
 
     def _pd(res):
         return res.to_pandas() if isinstance(res, ray.data.Dataset) else res

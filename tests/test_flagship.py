@@ -478,3 +478,93 @@ def test_cell_lang_simpson_reference(ray_session):
         assert abs(ref[r.cell_id] - r.simpson) < 1e-12
     assert len(out) == len(ref)
     assert out["simpson"].between(0, 1).all()
+
+
+def test_host_token_similarity_sparse_equals_dense(ray_session):
+    """r5 (VERDICT #2): the over-cap sparse plan (per-token pair expansion
+    + bucketed pair sums + distributed norm joins) must be bit-identical
+    to the dense Gram plan on the bounded catalog."""
+    from pyofs_ray.pipelines.flagship import host_token_similarity
+
+    dense = host_token_similarity(SF_SMOKE, path="dense").to_pandas()
+    sparse = host_token_similarity(SF_SMOKE, path="sparse").to_pandas()
+    assert list(dense.columns) == list(sparse.columns) == \
+        ["host_a", "host_b", "dot", "cos2_ppm"]
+    assert dense.reset_index(drop=True).equals(sparse.reset_index(drop=True))
+
+
+def test_host_token_similarity_auto_routes_sparse_over_cap(ray_session):
+    """A catalog past dense_max_hosts must make auto pick the sparse path
+    and still produce the exact top-k (verified against a brute recount
+    on a synthetic multi-host corpus)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pyofs_ray.pipelines.flagship import host_token_similarity_from
+
+    rng = np.random.default_rng(7)
+    n_hosts = 200
+    words = [f"w{j}" for j in range(30)]
+    urls, texts = [], []
+    for h in range(n_hosts):
+        toks = rng.choice(words, size=12)
+        urls.append(f"https://h{h:04d}.example/page")
+        texts.append(" ".join(toks))
+    ds = ray.data.from_arrow(pa.table({"url": urls, "text": texts}))
+
+    # force the probe cap below the catalog: auto must route sparse
+    out = host_token_similarity_from(ds, k=20, path="auto",
+                                     dense_max_hosts=50).to_pandas()
+
+    # brute recount
+    prof: dict[str, dict[str, int]] = {}
+    for u, t in zip(urls, texts):
+        d = prof.setdefault(u.split("/")[2], {})
+        for w in t.split():
+            d[w] = d.get(w, 0) + 1
+    hosts = sorted(prof)
+    rows = []
+    for i, a in enumerate(hosts):
+        for b in hosts[i + 1:]:
+            da, db = prof[a], prof[b]
+            dot = sum(c * db[w] for w, c in da.items() if w in db)
+            if dot == 0:
+                continue
+            na = sum(c * c for c in da.values())
+            nb = sum(c * c for c in db.values())
+            rows.append((a, b, dot, dot * dot * 1_000_000 // (na * nb)))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    want = rows[:20]
+    got = list(out.itertuples(index=False, name=None))
+    assert got == want
+
+
+def test_host_token_similarity_sparse_df_cap_raises(ray_session):
+    """The sparse pair expansion must refuse loudly past the
+    hosts-per-token df cap — no silent truncation."""
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    from pyofs_ray.pipelines.flagship import host_token_similarity_from
+
+    urls = [f"https://h{j}.example/p" for j in range(40)]
+    texts = ["common unique%d" % j for j in range(40)]
+    ds = ray.data.from_arrow(pa.table({"url": urls, "text": texts}))
+    with pytest.raises(Exception, match="max_hosts_per_token"):
+        host_token_similarity_from(ds, k=5, path="sparse",
+                                   max_hosts_per_token=10).to_pandas()
+
+
+def test_host_boilerplate_strip_cobucket_equals_broadcast(ray_session):
+    """r5 (VERDICT #2): the unbounded-catalog co-bucket plan must emit
+    exactly the broadcast plan's rows (order-insensitive)."""
+    from pyofs_ray.pipelines.flagship import host_boilerplate_strip
+
+    bc = (host_boilerplate_strip(SF_SMOKE, path="broadcast").to_pandas()
+          .sort_values("page_key").reset_index(drop=True))
+    cb = (host_boilerplate_strip(SF_SMOKE, path="cobucket").to_pandas()
+          .sort_values("page_key").reset_index(drop=True))
+    assert len(bc) == len(cb) > 0
+    assert bc.equals(cb)

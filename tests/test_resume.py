@@ -113,3 +113,47 @@ def test_tracking_resumes_from_last_committed_snapshot(tmp_path):
     # third call is a pure read-back (everything committed)
     again = tracking.track_checkpointed(seeds, out_dir, **kw).to_pandas()
     assert len(again) == len(want)
+
+
+def test_curation_resumes_from_committed_stage(tmp_path, monkeypatch):
+    """round-4 verdict #5: the 4-stage curation chain must resume from the
+    last committed stage — the raw corpus is scanned ONCE across a crash,
+    and the resumed output is bit-identical to an uninterrupted run."""
+    import numpy as np
+
+    import pyofs_ray.pipelines.corpus as cp
+
+    out_dir = str(tmp_path / "curate_ckpt")
+    scans = []
+    orig_docs = cp._docs
+    monkeypatch.setattr(
+        cp, "_docs", lambda *a, **kw: scans.append(1) or orig_docs(*a, **kw))
+
+    want = (cp.curate_docs(orig_docs(SF_SMOKE)).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+    # crash after the first commit: only `filtered` durable, ONE raw scan
+    with pytest.raises(RuntimeError, match="injected failure"):
+        cp.curate_docs_checkpointed(SF_SMOKE, out_dir, fail_after=1)
+    man = Manifest(out_dir)
+    assert set(man.committed()) == {"filtered"}
+    assert len(scans) == 1
+
+    # restart: completes from the checkpoint with ZERO raw-corpus scans
+    got = (cp.curate_docs_checkpointed(SF_SMOKE, out_dir).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(scans) == 1, "restart re-scanned the raw corpus"
+    assert set(man.committed()) == {"filtered", "exact_dup_map",
+                                    "near_drop", "curated"}
+    assert list(got.columns) == list(want.columns)
+    for c in want.columns:
+        assert np.array_equal(got[c].to_numpy(), want[c].to_numpy()), c
+
+    # every stage commit carries lineage + metrics
+    for rec in man.committed().values():
+        assert rec.rows >= 0 and rec.bytes >= 0 and rec.lineage
+
+    # third call is a pure read-back — still no further raw scans
+    again = cp.curate_docs_checkpointed(SF_SMOKE, out_dir).to_pandas()
+    assert len(scans) == 1
+    assert len(again) == len(want)
