@@ -3035,33 +3035,28 @@ def _host_sim_partial(b: pa.Table, nb: int) -> pa.Table:
 
 def _host_catalog_probe(pages: ray.data.Dataset,
                         cap: int) -> np.ndarray | None:
-    """Sorted distinct-host catalog if ≤ ``cap`` hosts, else None — via a
-    bucketed global distinct with a LIMIT pull, so the driver never holds
-    more than cap+1 rows no matter the true cardinality."""
-    import ray as _ray
+    """Sorted distinct-host catalog if ≤ ``cap`` hosts, else None.
 
-    from ..stages.agg import hash_bucket_tag
-
-    cpus = int(_ray.cluster_resources().get("CPU", 8)) \
-        if _ray.is_initialized() else 8
-    nb = max(8, cpus)
-
+    ONE streaming pass of per-batch distinct partials consumed with
+    `iter_batches` and an EARLY STOP: the driver dedups incrementally and
+    abandons the iterator (streaming backpressure cancels the rest) the
+    moment the running distinct count passes ``cap`` — so a 10⁸-host
+    corpus costs a few blocks, not a full scan, and no exchange ever runs
+    (the r5 first cut used a bucketed global distinct here; its fixed
+    all-to-all cost ~0.3 s per call at fixture scale for nothing)."""
     def hp(b: pa.Table) -> pa.Table:
-        t = pa.table({"host": url_host(b["url"])}).group_by(
+        return pa.table({"host": url_host(b["url"])}).group_by(
             "host").aggregate([])
-        return hash_bucket_tag(t, ["host"], nb)
 
-    def dedup(g: pa.Table) -> pa.Table:
-        return g.select(["host"]).group_by("host").aggregate([])
-
-    probe = (pages.map_batches(hp, batch_format="pyarrow",
-                               zero_copy_batch=True)
-                  .groupby("_bucket").map_groups(dedup,
-                                                 batch_format="pyarrow")
-                  .limit(cap + 1).to_pandas())
-    if len(probe) > cap:
-        return None
-    return np.sort(probe["host"].to_numpy().astype(object))
+    seen: set = set()
+    part = pages.map_batches(hp, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    for batch in part.iter_batches(batch_format="pyarrow",
+                                   batch_size=None):  # native blocks
+        seen.update(batch["host"].to_pylist())
+        if len(seen) > cap:
+            return None
+    return np.sort(np.array(sorted(seen), dtype=object))
 
 
 def host_token_similarity_from(pages: ray.data.Dataset, k: int = HOST_SIM_K,
@@ -3319,6 +3314,103 @@ def _host_token_similarity_sparse(pages: ray.data.Dataset, k: int,
                   .repartition(1)
                   .map_batches(top, batch_format="pandas",
                                batch_size=None))
+
+
+# ---------------------------------- per-host distinct-token HLL registers
+def host_distinct_tokens_hll(sf_dir: str) -> ray.data.Dataset:
+    """Per-host distinct-token HyperLogLog REGISTER table — the grouped
+    ("sketch per key") form of `approx_distinct`: one 2¹²-register HLL
+    per host, materialized as sparse (host, idx, rho) rows. This is the
+    operator a 100-TB profile job actually runs: per-key cardinality
+    sketches that merge across shards/epochs by (key, idx) MAX, with no
+    exact distinct exchange anywhere.
+
+    Exactness: the register CONSTRUCTION is deterministic
+    (splitmix64(fnv1a64(token)) → idx = h≫52, ρ = leading-zeros+1 of
+    h≪12), so the sparse register table has a bit-exact DuckDB twin —
+    FNV-1a runs as a recursive CTE in HUGEINT limbs, ρ via length(bin(x))
+    (exact integer bit-length; float log2 would round wrong near 2⁵²).
+    The float ESTIMATE stays out of the oracle row (harmonic-mean sum
+    order is engine-dependent) and is pytest-asserted against exact
+    per-host distinct counts instead.
+
+    Scale shape: per-batch (host, idx) ρ-max partials (Arrow group_by —
+    ≤ hosts × 4096 rows per batch regardless of token count), ONE
+    (host, idx)-keyed bucket exchange with MAX combine. Register blobs
+    never ship; the exchange is 3-int rows."""
+    from ..core.hashing import fnv1a64, splitmix64
+    from ..stages.agg import bucketed_group_agg
+    from ..stages.sketch import hll_idx_rho
+
+    pages = pages_dataset(sf_dir, with_html=False)
+
+    def partial(b: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(
+            b["text"].combine_chunks() if isinstance(b["text"],
+                                                     pa.ChunkedArray)
+            else b["text"], r"\s+")
+        flat = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists)
+        host = url_host(b["url"]).take(parents)
+        t = pa.table({"host": host, "token": flat})
+        t = t.filter(pc.not_equal(t["token"], ""))
+        tok = t["token"].combine_chunks() if isinstance(
+            t["token"], pa.ChunkedArray) else t["token"]
+        idx, rho = hll_idx_rho(splitmix64(fnv1a64(tok)))
+        g = (pa.table({"host": t["host"], "idx": pa.array(idx),
+                       "rho": pa.array(rho.astype(np.int64))})
+             .group_by(["host", "idx"]).aggregate([("rho", "max")]))
+        return pa.table({"host": g["host"], "idx": g["idx"],
+                         "rho": g["rho_max"].cast(pa.int64())})
+
+    return bucketed_group_agg(
+        pages.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        keys=["host", "idx"], aggs=[("rho", "max", "rho")])
+
+
+def host_distinct_tokens_hll_sql() -> str:
+    """Twin fragment (appended to pages_prefix): recursive-CTE FNV-1a in
+    HUGEINT limbs per DISTINCT token, splitmix64 finalizer, idx/ρ via
+    integer division and exact bit-length."""
+    from ..core.sqlgen_sample import MOD64, _GOLDEN, _C1, _C2, _mulmod64
+
+    fnv_offset = 14695981039346656037
+    fnv_prime = 1099511628211
+    fnv_step = _mulmod64("xor(f.h, ord(substr(f.tok, f.i, 1)))", fnv_prime)
+    return f"""
+ht AS (
+  SELECT DISTINCT SPLIT_PART(url, '/', 3) AS host, tok FROM (
+    SELECT url, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+    FROM pages)
+  WHERE tok <> ''
+),
+hashes AS (
+  SELECT tok, h FROM (
+    WITH RECURSIVE f(tok, i, h) AS (
+      SELECT tok, 1, CAST({fnv_offset} AS HUGEINT)
+      FROM (SELECT DISTINCT tok FROM ht)
+      UNION ALL
+      SELECT tok, i + 1, {fnv_step}
+      FROM f WHERE i <= length(tok))
+    SELECT tok, h FROM f WHERE i = length(tok) + 1)
+),
+mix AS (
+  SELECT tok, xor(z2, z2 >> 31) AS u FROM (
+    SELECT tok, {_mulmod64('xor(z1, z1 >> 27)', _C2)} AS z2 FROM (
+      SELECT tok, {_mulmod64('xor(z0, z0 >> 30)', _C1)} AS z1 FROM (
+        SELECT tok, (h + {_GOLDEN}) % {MOD64} AS z0 FROM hashes)))
+),
+reg AS (
+  SELECT tok, CAST(u // {1 << 52} AS BIGINT) AS idx,
+         CASE WHEN (u * 4096) % {MOD64} = 0 THEN 53
+              ELSE 65 - length(bin((u * 4096) % {MOD64})) END AS rho
+  FROM mix
+)
+SELECT ht.host, r.idx, CAST(MAX(r.rho) AS BIGINT) AS rho
+FROM ht JOIN reg r ON r.tok = ht.tok
+GROUP BY 1, 2
+"""
 
 
 def host_token_similarity_sql(k: int = HOST_SIM_K) -> str:

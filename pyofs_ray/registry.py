@@ -276,8 +276,15 @@ def _top_tokens_mg(sf_dir: str):
     """Misra-Gries heavy hitters — the deterministic-guarantee frequent-
     items sketch (constant memory per block, driver-merged ≤k-row blobs;
     the scale path where `top_tokens`' exact vocab exchange stops being
-    affordable). Recall-gated against the exact `top_tokens`; the formal
-    sandwich bound est ≤ true ≤ est + max_err is pytest-asserted."""
+    affordable). PARTITION-DEPENDENT BY CONSTRUCTION (r5, closing the
+    last driver `no_oracle` row): which candidates survive each block's
+    k-counter eviction depends on where block boundaries fall, so no SQL
+    twin can be bit-exact without pinning the physical block layout —
+    this is a true sketch, like HLL/CM. It is therefore recall-gated
+    against the exact `top_tokens` (measured 1.0 at sf0.01) and the
+    formal sandwich bound est ≤ true ≤ est + max_err is pytest-asserted;
+    those two checks together are the right correctness statement for a
+    frequency sketch."""
     from .stages.mgsketch import top_tokens_mg
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
@@ -2403,12 +2410,36 @@ register("spatial_pairs_250", _spatial_pairs,
 
 # per-host boilerplate vocabulary (site-level curation: tokens in >=90% of
 # a host's docs)
+# r5: per-host distinct-token HLL register table — grouped cardinality
+# sketches with a bit-exact construction twin (recursive-CTE FNV-1a +
+# splitmix64 + exact bit-length ρ); the float estimate is pytest-gated
+register("host_distinct_tokens_hll", flagship.host_distinct_tokens_hll,
+         f"{sqlgen.pages_prefix()},\n{flagship.host_distinct_tokens_hll_sql()}")
+
 register("host_boilerplate_tokens", flagship.host_boilerplate_tokens,
          f"{sqlgen.pages_prefix()},\n{flagship.HOST_BOILERPLATE_SQL}")
 
 
 register("host_boilerplate_strip", flagship.host_boilerplate_strip,
          f"{sqlgen.pages_prefix()},\n{flagship.HOST_BOILERPLATE_STRIP_SQL}")
+
+
+# r5: GLOBAL frequent-segment removal (CCNet/RefinedWeb line-level dedup
+# over a newline-free corpus: aligned k-token pseudo-paragraphs) — the
+# cross-site counterpart of host_boilerplate_strip. One segment-keyed df
+# exchange + broadcast apply; see stages/segstrip.py for the 100-TB notes.
+def _segment_dedup_strip(sf_dir: str):
+    from .stages.segstrip import frequent_segment_strip
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return frequent_segment_strip(ds)
+
+
+from .stages.segstrip import segment_dedup_strip_sql  # noqa: E402
+
+register("segment_dedup_strip", _segment_dedup_strip,
+         segment_dedup_strip_sql())
 
 
 # cross-host mirror detection (seeded, like embedding_dup_pairs_ivf)

@@ -197,7 +197,17 @@ def _enum_all_buckets(df: pd.DataFrame, key: str, id_col: str,
 # table is 100+ TB): spill it to a temp parquet layout once and read it
 # back for both the sizes pass and the hot filter. Below it,
 # materialize() is cheaper (no disk round-trip).
-SPILL_EMITTED_ROWS = 50_000_000
+# $PYOFS_SPILL_EMITTED_ROWS overrides (bench --spill forces the spill
+# path end-to-end at fixture scale by setting it to 1 in a fresh
+# process; see BASELINE.md "spill path" row).
+import os as _os
+
+SPILL_EMITTED_ROWS = int(_os.environ.get("PYOFS_SPILL_EMITTED_ROWS",
+                                         50_000_000))
+
+# observability: number of times the spill path actually engaged in this
+# process (bench --spill asserts it is non-zero on the forced leg)
+SPILL_ENGAGED = 0
 
 _SPILL_DIRS: list[str] = []
 
@@ -227,6 +237,8 @@ def _spill_emitted(emitted: ray.data.Dataset,
     import tempfile
     import uuid
 
+    global SPILL_ENGAGED
+    SPILL_ENGAGED += 1
     base = spill_dir or os.environ.get("PYOFS_SPILL_DIR")
     if base:
         path = f"{base.rstrip('/')}/pyofs_emitted_{uuid.uuid4().hex}"

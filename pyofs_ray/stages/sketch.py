@@ -31,9 +31,12 @@ def _hash_values(col: pa.Array) -> np.ndarray:
     return splitmix64(fnv1a64(col))
 
 
-def hll_registers(col: pa.Array) -> np.ndarray:
-    """One (2^p,) uint8 register array for a batch column."""
-    h = _hash_values(col)
+def hll_idx_rho(h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, ρ) per hash — the raw HLL observation pair,
+    exposed so GROUPED sketches (one register set per key, e.g.
+    `flagship.host_distinct_tokens_hll`) can reduce (key, idx) → max ρ
+    through a bucket exchange instead of building whole register arrays
+    per key per batch."""
     idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
     rest = h << np.uint64(HLL_P)  # remaining 64-p bits, left-aligned
     # ρ = position of first set bit from the MSB side, 1-based; 0-rest → max
@@ -49,6 +52,12 @@ def hll_registers(col: pa.Array) -> np.ndarray:
                        63 - np.floor(np.log2(np.maximum(lo, 1).astype(np.float64))).astype(np.int64))
         lead[nz] = top
         rho[nz] = (lead[nz] + 1).astype(np.uint8)
+    return idx, rho
+
+
+def hll_registers(col: pa.Array) -> np.ndarray:
+    """One (2^p,) uint8 register array for a batch column."""
+    idx, rho = hll_idx_rho(_hash_values(col))
     regs = np.zeros(_M, dtype=np.uint8)
     np.maximum.at(regs, idx, rho)
     return regs

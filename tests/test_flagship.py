@@ -568,3 +568,35 @@ def test_host_boilerplate_strip_cobucket_equals_broadcast(ray_session):
           .sort_values("page_key").reset_index(drop=True))
     assert len(bc) == len(cb) > 0
     assert bc.equals(cb)
+
+
+def test_host_distinct_tokens_hll_estimates(ray_session):
+    """r5: the per-host register table must (a) bit-match a direct
+    single-host HLL build and (b) estimate per-host distinct tokens
+    within HLL accuracy (p=12 → ~1.6% σ; assert 5% ≈ 3σ)."""
+    import numpy as np
+
+    from pyofs_ray.pipelines.flagship import (host_distinct_tokens_hll,
+                                              pages_dataset, url_host)
+    from pyofs_ray.stages.sketch import _M, hll_estimate, hll_registers
+
+    regs_df = host_distinct_tokens_hll(SF_SMOKE).to_pandas()
+    pages = pages_dataset(SF_SMOKE, with_html=False).to_pandas()
+    pages["host"] = [u.split("/")[2] for u in pages["url"]]
+
+    import pyarrow as pa
+    checked = 0
+    for host, g in pages.groupby("host"):
+        toks = [w for t in g["text"] for w in t.split() if w]
+        exact = len(set(toks))
+        sub = regs_df[regs_df.host == host]
+        # (a) sparse rows == direct register build for this host
+        direct = hll_registers(pa.array(toks))
+        sparse = np.zeros(_M, np.uint8)
+        sparse[sub["idx"].to_numpy()] = sub["rho"].to_numpy()
+        assert np.array_equal(sparse, direct), host
+        # (b) estimate accuracy
+        est = hll_estimate(sparse)
+        assert abs(est - exact) / exact <= 0.05, (host, est, exact)
+        checked += 1
+    assert checked > 50  # the fixture's host catalog is non-trivial
