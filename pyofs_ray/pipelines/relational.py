@@ -1258,6 +1258,105 @@ FROM k GROUP BY event_type
 """
 
 
+NTILE_SHARDS = 16
+
+
+def events_ntile_shards(sf_dir: str, n: int = NTILE_SHARDS
+                        ) -> ray.data.Dataset:
+    """Distributed equi-depth partitioning — exact NTILE(n) OVER
+    (ORDER BY val_c, event_id) WITHOUT a global sort: the range
+    re-partitioner a 100-TB engine runs to balance shards by a value
+    column (DuckDB's NTILE is the twin, so the assignment is provably
+    the standard one).
+
+    Two bounded stages instead of a sort all-to-all (a sort moves every
+    row; at 10¹² rows that is the single worst exchange in the plan):
+
+    1. value-CDF pass — per-batch cent histograms coalesce on the driver
+       (value-bounded, the `events_percent_rank` shape) giving N and
+       below[v] = #rows with value < v, broadcast once;
+    2. ONE val_c-keyed bucket exchange of slim (event_id, val_c) rows;
+       inside each value group the within-value rank is a vectorized
+       argsort of event_ids (deterministic total order (val_c,
+       event_id)), so global rank rn = below[v] + within + 1 with no
+       cross-group coordination. A pathologically hot single value lands
+       one task's argsort — O(g log g) vectorized; splitting a value
+       group across tasks would need an id-range sub-CDF (documented
+       extension, same pattern one level down).
+
+    Shards follow NTILE exactly: the first N mod n shards take
+    ⌈N/n⌉ rows, the rest ⌊N/n⌋."""
+    import ray as _ray
+
+    from ..stages.agg import hash_bucket_tag
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["value"]))
+        c = _cents(b["value"])
+        g = pa.table({"c": c}).group_by("c").aggregate([("c", "count")])
+        return pa.table({"c": g["c"],
+                         "n": g["c_count"].cast(pa.int64())})
+
+    hist = (ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas())
+    g = hist.groupby("c")["n"].sum().sort_index()
+    cents = g.index.to_numpy().astype(np.int64)
+    below = (np.cumsum(g.to_numpy().astype(np.int64))
+             - g.to_numpy().astype(np.int64))
+    total = int(g.sum())
+    big = -(-total // n)          # ceil(N/n)
+    small = total // n
+    r_big = total % n             # first r_big shards take `big` rows
+    ref = _ray.put((cents, below))
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["value"]))
+        t = pa.table({"event_id": b["event_id"].cast(pa.int64()),
+                      "val_c": _cents(b["value"])})
+        return hash_bucket_tag(t, ["val_c"], max(8, n))
+
+    def rank_group(grp: pa.Table) -> pa.Table:
+        cs, bl = _ray.get(ref)
+        ids = grp["event_id"].to_numpy(zero_copy_only=False)
+        vc = grp["val_c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, vc))
+        ids, vc = ids[order], vc[order]
+        m = len(ids)
+        newv = np.r_[True, vc[1:] != vc[:-1]]
+        starts = np.flatnonzero(newv)
+        sizes = np.diff(np.append(starts, m))
+        within = np.arange(m, dtype=np.int64) - np.repeat(starts, sizes)
+        rn = bl[np.searchsorted(cs, vc)] + within + 1  # 1-based global
+        if r_big and big:
+            shard = np.where(
+                rn <= r_big * big,
+                (rn - 1) // big + 1,
+                r_big + (rn - r_big * big - 1) // max(small, 1) + 1)
+        else:
+            shard = (rn - 1) // max(small, 1) + 1
+        return pa.table({"event_id": pa.array(ids),
+                         "val_c": pa.array(vc),
+                         "shard": pa.array(shard.astype(np.int64))})
+
+    return (ds.map_batches(tag, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby("_bucket")
+              .map_groups(rank_group, batch_format="pyarrow"))
+
+
+def events_ntile_shards_sql(n: int = NTILE_SHARDS) -> str:
+    return f"""
+SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS val_c,
+       CAST(NTILE({n}) OVER (
+            ORDER BY CAST(ROUND(value * 100) AS BIGINT), event_id)
+            AS BIGINT) AS shard
+FROM events WHERE value IS NOT NULL
+"""
+
+
 def events_percent_rank(sf_dir: str) -> ray.data.Dataset:
     """Global PERCENT_RANK over event values WITHOUT a sort all-to-all:
     the distributed-rank shape for value-BOUNDED columns. Per-batch cent

@@ -2720,6 +2720,11 @@ register("embedding_kcenter", _embedding_kcenter,
 
 # exact grouped trimmed mean (robust location): value-histogram shape
 # (no row sort), trim as cumulative-count clipping, one IEEE division
+# r5: exact distributed NTILE (equi-depth re-partitioner) without a
+# global sort — value-CDF broadcast + one val_c-keyed bucket exchange
+register("events_ntile_shards", relational.events_ntile_shards,
+         relational.events_ntile_shards_sql())
+
 register("event_value_trimmed_mean", relational.event_value_trimmed_mean,
          relational.event_value_trimmed_mean_sql())
 

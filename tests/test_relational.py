@@ -347,3 +347,25 @@ def test_events_percent_rank_reference(ray_session):
     assert np.array_equal(out["pr"].to_numpy(), want)
     # ties share a rank; min is 0, max is (n - n_maxties)/(n-1) < 1
     assert out["pr"].min() == 0.0 and out["pr"].max() < 1.0 + 1e-12
+
+
+def test_events_ntile_shards_equidepth(ray_session):
+    """r5: distributed NTILE — shard sizes must be the exact NTILE split
+    (first N mod n shards one row bigger), assignment monotone in
+    (val_c, event_id)."""
+    import numpy as np
+
+    from pyofs_ray.pipelines.relational import events_ntile_shards
+
+    out = (events_ntile_shards(SF_SMOKE, n=16).to_pandas()
+           .sort_values(["val_c", "event_id"]).reset_index(drop=True))
+    n_rows = len(out)
+    assert n_rows > 0
+    sizes = out.groupby("shard").size()
+    big, small = -(-n_rows // 16), n_rows // 16
+    r = n_rows % 16
+    assert sorted(sizes.index) == list(range(1, 17))
+    assert (sizes.sort_index().to_numpy() ==
+            np.array([big] * r + [small] * (16 - r))).all()
+    # monotone non-decreasing shard along the total order
+    assert (np.diff(out["shard"].to_numpy()) >= 0).all()
