@@ -8,6 +8,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
+import ray
 import ray.data
 
 from ..stages import ann, cdc, dedup
@@ -1404,6 +1405,17 @@ GROUP BY 1
 
 
 # ----------------------------------- split-drift audit (total variation)
+@ray.remote(num_cpus=0)
+def _c01_block_totals(t: pa.Table) -> tuple[int, int]:
+    """Per-block (Σc0, Σc1) for `split_token_tv` — module-level so the
+    remote function exports once per session, not once per call."""
+    if t.num_rows == 0 or "c0" not in t.column_names:
+        return (0, 0)  # Ray 2.49 exchanges emit schema-less empties
+    return (int(pc.sum(t["c0"]).as_py() or 0),
+            int(pc.sum(t["c1"]).as_py() or 0))
+
+
+
 def split_token_tv(sf_dir: str) -> ray.data.Dataset:
     """Token-distribution drift between the two halves of a split
     (doc_id % 2): exact total-variation distance
@@ -1453,16 +1465,12 @@ def split_token_tv(sf_dir: str) -> ray.data.Dataset:
     # (2-int partials summed on the driver) — a Dataset execution for this
     # costs ~1 s of fixed Ray-2.49 wall; tasks on resident block refs are
     # ~free and the result is bitwise-identical (exact int64 sums).
+    # (_c01_block_totals is MODULE-level: a per-call @ray.remote def
+    # re-exports the function every invocation, which costs ~1-2 s in an
+    # aged session — measured in the r5 bench at query #140.)
     import ray as _ray
 
-    @_ray.remote(num_cpus=0)
-    def _block_totals(t: pa.Table) -> tuple[int, int]:
-        if t.num_rows == 0 or "c0" not in t.column_names:
-            return (0, 0)  # Ray 2.49 exchanges emit schema-less empties
-        return (int(pc.sum(t["c0"]).as_py() or 0),
-                int(pc.sum(t["c1"]).as_py() or 0))
-
-    parts_tot = _ray.get([_block_totals.remote(r)
+    parts_tot = _ray.get([_c01_block_totals.remote(r)
                           for r in per_tok.to_arrow_refs()])
     n0 = sum(p[0] for p in parts_tot)
     n1 = sum(p[1] for p in parts_tot)
