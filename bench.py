@@ -154,7 +154,7 @@ BENCH_QUERIES = [
     # round 5: exact ANN serving twins, global segment dedup (CCNet line
     # analogue), grouped per-host HLL cardinality sketches
     "ann_topk_lsh", "segment_dedup_strip", "host_distinct_tokens_hll",
-    "events_ntile_shards",
+    "events_ntile_shards", "events_user_tier_asof",
 ]
 
 

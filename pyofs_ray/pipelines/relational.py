@@ -1258,6 +1258,90 @@ FROM k GROUP BY event_type
 """
 
 
+TIER_EPOCHS = 4
+TIER_MOD = 5
+
+
+def events_user_tier_asof(sf_dir: str) -> ray.data.Dataset:
+    """Stream × slowly-changing-dimension TEMPORAL join: each event picks
+    up the user-tier version valid AT ITS TIMESTAMP from a seeded SCD2
+    dimension (4 crawl epochs, tier changes per user across epochs —
+    the events-side companion of `scd2_url_history`). The canonical
+    warehouse shape `fact JOIN dim ON key AND ts BETWEEN valid_from AND
+    valid_to`, executed as a BROADCAST temporal join: the dimension is
+    small by definition (it is a per-key version table, not a fact), so
+    it is resolved ONCE on the driver into a dense (user × epoch) as-of
+    lookup and broadcast via ray.put; the fact stream attaches tiers in
+    a stateless vectorized map — zero exchanges, the fact table never
+    shuffles. With a real (non-enumerable) time axis the dense lookup
+    becomes per-key sorted valid_from arrays + searchsorted — same
+    broadcast, one extra vectorized step. An over-broadcast dimension
+    would route through a user-keyed co-bucket join instead
+    (`host_boilerplate_strip`'s cobucket shape).
+
+    Epoch(event) = (µs // 86 400 000 000) % 4 (UTC day mod 4); dimension
+    snapshot tier(u, e) = (u·7 + e²) mod 5, SCD2-compressed in the twin
+    (LAG-change rows with LEAD validity) and dense-resolved here —
+    identical semantics, bit-exact twin."""
+    import ray as _ray
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id"])
+
+    users = np.sort(ds.map_batches(
+        lambda b: pa.table({"u": b["user_id"]}).filter(
+            pc.is_valid(b["user_id"])).group_by("u").aggregate([]),
+        batch_format="pyarrow").to_pandas()["u"].unique()).astype(np.int64)
+    e = np.arange(TIER_EPOCHS, dtype=np.int64)
+    tier_at = (users[:, None] * 7 + e[None, :] * e[None, :]) % TIER_MOD
+    ref = _ray.put((users, tier_at))
+
+    def attach(b: pa.Table) -> pa.Table:
+        uk, tiers = _ray.get(ref)
+        b = b.filter(pc.is_valid(b["user_id"]))
+        ts = b["ts"]
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        tus = ts.to_numpy(zero_copy_only=False).astype(np.int64)
+        ep = (tus // 86_400_000_000) % TIER_EPOCHS
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tier = tiers[np.searchsorted(uk, u), ep]
+        return pa.table({"event_id": b["event_id"].cast(pa.int64()),
+                         "user_id": pa.array(u),
+                         "epoch": pa.array(ep.astype(np.int64)),
+                         "tier": pa.array(tier.astype(np.int64))})
+
+    return ds.map_batches(attach, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+EVENTS_USER_TIER_ASOF_SQL = f"""
+WITH ue AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+snap AS (
+  SELECT u.user_id, t.e, (u.user_id * 7 + t.e * t.e) % {TIER_MOD} AS tier
+  FROM ue u CROSS JOIN (VALUES (0), (1), (2), (3)) t(e)),
+ver AS (
+  SELECT user_id, e, tier,
+         LAG(tier) OVER (PARTITION BY user_id ORDER BY e) AS prev
+  FROM snap),
+dim AS (
+  SELECT user_id, e AS valid_from,
+         COALESCE(LEAD(e) OVER (PARTITION BY user_id ORDER BY e), 999)
+             AS valid_to,
+         tier
+  FROM ver WHERE prev IS NULL OR tier <> prev),
+ev AS (
+  SELECT event_id, user_id,
+         CAST((epoch_us(ts) // 86400000000) % {TIER_EPOCHS} AS BIGINT)
+             AS epoch
+  FROM events WHERE user_id IS NOT NULL)
+SELECT ev.event_id, ev.user_id, ev.epoch, CAST(d.tier AS BIGINT) AS tier
+FROM ev JOIN dim d
+  ON d.user_id = ev.user_id
+ AND ev.epoch >= d.valid_from AND ev.epoch < d.valid_to
+"""
+
+
 NTILE_SHARDS = 16
 
 

@@ -2725,6 +2725,11 @@ register("embedding_kcenter", _embedding_kcenter,
 register("events_ntile_shards", relational.events_ntile_shards,
          relational.events_ntile_shards_sql())
 
+# r5: stream × SCD2 temporal as-of dimension join (fact never shuffles;
+# dimension dense-resolved on the driver and broadcast)
+register("events_user_tier_asof", relational.events_user_tier_asof,
+         relational.EVENTS_USER_TIER_ASOF_SQL)
+
 register("event_value_trimmed_mean", relational.event_value_trimmed_mean,
          relational.event_value_trimmed_mean_sql())
 

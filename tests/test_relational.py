@@ -369,3 +369,19 @@ def test_events_ntile_shards_equidepth(ray_session):
             np.array([big] * r + [small] * (16 - r))).all()
     # monotone non-decreasing shard along the total order
     assert (np.diff(out["shard"].to_numpy()) >= 0).all()
+
+
+def test_events_user_tier_asof(ray_session):
+    """r5: temporal SCD2 join — every non-null-user event gets exactly
+    the tier valid at its epoch; formula spot-checked row by row."""
+    import numpy as np
+
+    from pyofs_ray.pipelines.relational import events_user_tier_asof
+
+    out = events_user_tier_asof(SF_SMOKE).to_pandas()
+    assert len(out) > 0
+    want = (out["user_id"].to_numpy() * 7
+            + out["epoch"].to_numpy() ** 2) % 5
+    assert np.array_equal(out["tier"].to_numpy(), want)
+    assert out["epoch"].between(0, 3).all()
+    assert out["event_id"].is_unique
