@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     # analogue), grouped per-host HLL cardinality sketches
     "ann_topk_lsh", "segment_dedup_strip", "host_distinct_tokens_hll",
     "events_ntile_shards", "events_user_tier_asof",
+    "cell_agg_incremental",
 ]
 
 

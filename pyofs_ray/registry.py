@@ -100,6 +100,21 @@ FROM pages GROUP BY 1, 2, 3, 4""")
 
 register("tile_pyramid", flagship.tile_pyramid, _pyramid_oracle())
 
+# r5: incremental view maintenance — stored even-day aggregate merged
+# with the odd-day delta's partials; bit-identical to the full
+# recompute, so it shares cell_agg's oracle verbatim
+register(
+    "cell_agg_incremental",
+    flagship.cell_agg_incremental,
+    f"""{sqlgen.pages_prefix()}
+SELECT {sqlgen.cell_expr(geom.BASE_ZOOM)} AS cell_id,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars_sum,
+       CAST(COUNT(*) AS BIGINT) AS doc_count,
+       CAST(SUM(LENGTH(text)) AS DOUBLE) / COUNT(*) AS mean_chars
+FROM pages
+GROUP BY 1""",
+)
+
 
 # ------------------------------------------------------------ PIP join (J1/J2)
 def _pip_rows(sf_dir: str, mode: str):

@@ -600,3 +600,20 @@ def test_host_distinct_tokens_hll_estimates(ray_session):
         assert abs(est - exact) / exact <= 0.05, (host, est, exact)
         checked += 1
     assert checked > 50  # the fixture's host catalog is non-trivial
+
+
+def test_cell_agg_incremental_equals_full(ray_session):
+    """r5: incremental maintenance (state ⊕ delta partials) must equal
+    the full recompute bit for bit, and both partitions must be
+    non-empty so the merge is actually exercised."""
+    from pyofs_ray.pipelines.flagship import (cell_agg_incremental,
+                                              cell_aggregates,
+                                              geocoded_pages)
+
+    inc = (cell_agg_incremental(SF_SMOKE).to_pandas()
+           .sort_values("cell_id").reset_index(drop=True))
+    full = (cell_aggregates(SF_SMOKE).to_pandas()
+            .sort_values("cell_id").reset_index(drop=True))
+    assert inc.equals(full)
+    par = geocoded_pages(SF_SMOKE).to_pandas()["page_key"] % 2
+    assert 0 < par.sum() < len(par), "fixture must hit both partitions"
