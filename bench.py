@@ -155,7 +155,7 @@ BENCH_QUERIES = [
     # analogue), grouped per-host HLL cardinality sketches
     "ann_topk_lsh", "segment_dedup_strip", "host_distinct_tokens_hll",
     "events_ntile_shards", "events_user_tier_asof",
-    "cell_agg_incremental",
+    "cell_agg_incremental", "events_ntile_by_type",
 ]
 
 

@@ -1258,6 +1258,99 @@ FROM k GROUP BY event_type
 """
 
 
+def events_ntile_by_type(sf_dir: str, n: int = 8) -> ray.data.Dataset:
+    """PARTITIONED equi-depth ranks — NTILE(n) OVER (PARTITION BY
+    event_type ORDER BY val_c, event_id) with the same sort-free plan as
+    `events_ntile_shards`, per group: the per-(type, value) histogram is
+    still value-bounded (types × cents) so the CDF merges on the driver;
+    ONE (event_type, val_c)-keyed bucket exchange resolves within-value
+    ranks. Grouped NTILE is the per-stratum shard balancer (equal-depth
+    splits inside each event class)."""
+    import ray as _ray
+
+    from ..stages.agg import hash_bucket_tag
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b["value"]),
+                             pc.is_valid(b["event_type"])))
+        t = pa.table({"et": b["event_type"], "c": _cents(b["value"])})
+        g = t.group_by(["et", "c"]).aggregate([("c", "count")])
+        return pa.table({"et": g["et"], "c": g["c"],
+                         "n": g["c_count"].cast(pa.int64())})
+
+    hist = (ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas())
+    hist = (hist.groupby(["et", "c"], as_index=False)["n"].sum()
+                .sort_values(["et", "c"]))
+    # per-type CDF tables keyed for vectorized lookup
+    cdf: dict = {}
+    for et, g in hist.groupby("et", sort=False):
+        cents = g["c"].to_numpy().astype(np.int64)
+        cnt = g["n"].to_numpy().astype(np.int64)
+        below = np.cumsum(cnt) - cnt
+        cdf[et] = (cents, below, int(cnt.sum()))
+    ref = _ray.put(cdf)
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b["value"]),
+                             pc.is_valid(b["event_type"])))
+        t = pa.table({"event_id": b["event_id"].cast(pa.int64()),
+                      "event_type": b["event_type"],
+                      "val_c": _cents(b["value"])})
+        return hash_bucket_tag(t, ["event_type", "val_c"], max(8, n))
+
+    def rank_group(grp: pa.Table) -> pa.Table:
+        tables = _ray.get(ref)
+        ids = grp["event_id"].to_numpy(zero_copy_only=False)
+        vc = grp["val_c"].to_numpy(zero_copy_only=False)
+        et = np.asarray(grp["event_type"].to_pylist(), dtype=object)
+        order = np.lexsort((ids, vc, et))
+        ids, vc, et = ids[order], vc[order], et[order]
+        m = len(ids)
+        newk = np.r_[True, (et[1:] != et[:-1]) | (vc[1:] != vc[:-1])]
+        starts = np.flatnonzero(newk)
+        sizes = np.diff(np.append(starts, m))
+        within = np.arange(m, dtype=np.int64) - np.repeat(starts, sizes)
+        shard = np.empty(m, np.int64)
+        for s, sz in zip(starts, sizes):  # ≤ distinct (et, val_c) per bucket
+            cents, below, total = tables[et[s]]
+            rn = below[np.searchsorted(cents, vc[s])] \
+                + within[s:s + sz] + 1
+            big = -(-total // n)
+            small = total // n
+            r_big = total % n
+            if r_big and big:
+                shard[s:s + sz] = np.where(
+                    rn <= r_big * big, (rn - 1) // big + 1,
+                    r_big + (rn - r_big * big - 1) // max(small, 1) + 1)
+            else:
+                shard[s:s + sz] = (rn - 1) // max(small, 1) + 1
+        return pa.table({"event_id": pa.array(ids),
+                         "event_type": pa.array(et.astype(str),
+                                                pa.string()),
+                         "val_c": pa.array(vc),
+                         "shard": pa.array(shard)})
+
+    return (ds.map_batches(tag, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby("_bucket")
+              .map_groups(rank_group, batch_format="pyarrow"))
+
+
+def events_ntile_by_type_sql(n: int = 8) -> str:
+    return f"""
+SELECT event_id, event_type, CAST(ROUND(value * 100) AS BIGINT) AS val_c,
+       CAST(NTILE({n}) OVER (
+            PARTITION BY event_type
+            ORDER BY CAST(ROUND(value * 100) AS BIGINT), event_id)
+            AS BIGINT) AS shard
+FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+"""
+
+
 TIER_EPOCHS = 4
 TIER_MOD = 5
 

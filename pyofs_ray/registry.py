@@ -2740,6 +2740,9 @@ register("embedding_kcenter", _embedding_kcenter,
 register("events_ntile_shards", relational.events_ntile_shards,
          relational.events_ntile_shards_sql())
 
+register("events_ntile_by_type", relational.events_ntile_by_type,
+         relational.events_ntile_by_type_sql())
+
 # r5: stream × SCD2 temporal as-of dimension join (fact never shuffles;
 # dimension dense-resolved on the driver and broadcast)
 register("events_user_tier_asof", relational.events_user_tier_asof,
