@@ -277,6 +277,24 @@ register("ann_hybrid_fusion", corpus.ann_hybrid_fusion,
          corpus.ANN_HYBRID_FUSION_SQL)
 register("minhash_pairs", corpus.minhash_pairs,
          sqlgen_dedup.minhash_pairs_sql(0.8))
+
+
+# r5: incremental near-dup — new shard (odd doc_ids) deduped against the
+# stored even-shard signature store without re-sketching it; twin = the
+# exact-Jaccard pair SQL restricted to pairs touching a new doc
+def _minhash_pairs_incremental(sf_dir: str):
+    from .stages.dedup import minhash_pairs_incremental
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    import pyarrow.parquet as _pq
+    n = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return minhash_pairs_incremental(ds, threshold=0.8, docs_hint=n)
+
+
+register("minhash_pairs_incremental", _minhash_pairs_incremental,
+         f"SELECT * FROM ({sqlgen_dedup.minhash_pairs_sql(0.8)})\n"
+         "WHERE id_a % 2 = 1 OR id_b % 2 = 1")
 register("simhash_pairs", corpus.simhash_pairs,
          sqlgen_dedup.simhash_pairs_sql(3))
 # exact n-gram Jaccard (prefix-filter AllPairs) — same exact-Jaccard twin

@@ -1185,3 +1185,24 @@ def test_split_vocab_jaccard_reference(ray_session):
     assert int(out["vocab_b"].iloc[0]) == len(v1)
     assert int(out["vocab_both"].iloc[0]) == both
     assert out["jaccard"].iloc[0] == both / len(v0 | v1)
+
+
+def test_minhash_pairs_incremental_matches_filtered_full(ray_session):
+    """r5: incremental dedup (new shard vs stored signature store) must
+    equal the full pair set restricted to pairs touching a new doc, and
+    the old-side band table must not be recomputed for the verify."""
+    import ray.data
+
+    from pyofs_ray.stages.dedup import (minhash_dedup_pairs,
+                                        minhash_pairs_incremental)
+    from pyofs_ray.sources.readers import read_parquet_clean
+
+    ds = read_parquet_clean(f"{SF_SMOKE}/documents.parquet",
+                            columns=["doc_id", "text"])
+    inc = (minhash_pairs_incremental(ds)
+           .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    full = minhash_dedup_pairs(ds, threshold=0.8)
+    want = (full[(full.id_a % 2 == 1) | (full.id_b % 2 == 1)]
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    assert inc.equals(want)
+    assert len(inc) > 0, "fixture has near-dup pairs touching new docs"
