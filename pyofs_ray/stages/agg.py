@@ -98,14 +98,25 @@ def hash_bucket_tag(b: pa.Table, keys: Sequence[str],
                     num_buckets: int) -> pa.Table:
     """Append the deterministic `_bucket = hash(keys) % B` column — the
     one hash every same-key-same-bucket exchange in the repo shares
-    (process-independent, unlike Python's salted `hash`)."""
+    (process-independent, unlike Python's salted `hash`).
+
+    PADDING-INVARIANT (r5 fix): `_col_words` pads strings to the BATCH
+    max width, so an unconditional mix let trailing NUL words mutate the
+    hash — the same key hashed differently in batches with different
+    max string lengths (measured: a 4-row frequent-segment table vs the
+    corpus segment stream bucketed the identical segment apart, so a
+    co-partitioned join matched nothing; the same effect could split a
+    key's partials across buckets in any variable-width string exchange
+    whenever batch maxima diverge). Zero words are skipped, so the hash
+    depends only on the key's own bytes."""
     nb = np.uint64(num_buckets)
     h = np.zeros(len(b), np.uint64)
     with np.errstate(over="ignore"):
         for k in keys:
             for j_col in _col_words(b[k]).T:
-                h = (h ^ j_col) * _BUCKET_PHI
-                h ^= h >> np.uint64(29)
+                hj = (h ^ j_col) * _BUCKET_PHI
+                hj ^= hj >> np.uint64(29)
+                h = np.where(j_col != 0, hj, h)
     return b.append_column(
         "_bucket", pa.array(((h >> np.uint64(3)) % nb).astype(np.int64)))
 

@@ -107,14 +107,30 @@ def frequent_segments(ds: ray.data.Dataset, k: int = SEG_K,
 def frequent_segment_strip(ds: ray.data.Dataset, k: int = SEG_K,
                            min_df: int = SEG_MIN_DF, *,
                            id_col: str = "doc_id", text_col: str = "text",
-                           broadcast_max_rows: int = SEG_FREQ_BCAST_MAX
-                           ) -> ray.data.Dataset:
+                           broadcast_max_rows: int = SEG_FREQ_BCAST_MAX,
+                           path: str = "auto") -> ray.data.Dataset:
     """Every document with its frequent segments removed:
     (id_col, clean_text, n_removed) — single-spaced reassembly, empty
     string when everything was boilerplate. ``ds`` must be re-readable
-    (a parquet-backed Dataset; it is scanned twice: detect + apply)."""
+    (a parquet-backed Dataset; it is scanned twice: detect + apply).
+
+    Apply plans: ``"broadcast"`` (frequent set ≤ ``broadcast_max_rows``:
+    ray.put once, stateless vectorized map) or ``"cobucket"`` (r5 — the
+    unbounded-frequent-set plan: ONE segment-keyed exchange marks hit
+    (doc, seg_idx) pairs against the co-partitioned frequent rows, ONE
+    doc-keyed exchange rejoins the slim hits with the documents for
+    group-local reassembly; the frequent set never materializes
+    anywhere). ``"auto"`` counts the materialized frequent set and
+    picks. Both plans emit identical rows (equality pytest)."""
     freq = frequent_segments(ds, k, min_df, id_col=id_col,
                              text_col=text_col).materialize()
+    if path == "auto":
+        path = "broadcast" if freq.count() <= broadcast_max_rows \
+            else "cobucket"
+    if path == "cobucket":
+        return _strip_cobucket(ds, freq, k, id_col, text_col)
+    if path != "broadcast":
+        raise ValueError(f"unknown path {path!r}")
     ft = pa.concat_tables(
         [t for t in ray.get(freq.to_arrow_refs())
          if t.num_rows and "seg" in t.column_names] or
@@ -123,9 +139,8 @@ def frequent_segment_strip(ds: ray.data.Dataset, k: int = SEG_K,
     if ft.num_rows > broadcast_max_rows:
         raise ValueError(
             f"frequent_segment_strip: {ft.num_rows} frequent segments "
-            f"exceed the broadcast cap ({broadcast_max_rows}) — apply via "
-            "the segment-keyed co-bucket join plan "
-            "(host_boilerplate_strip's cobucket shape with key = seg)")
+            f"exceed the broadcast cap ({broadcast_max_rows}) — use "
+            'path="cobucket" (or "auto")')
     freq_ref = ray.put(ft["seg"].combine_chunks())
 
     def strip(b: pa.Table) -> pa.Table:
@@ -155,6 +170,116 @@ def frequent_segment_strip(ds: ray.data.Dataset, k: int = SEG_K,
 
     return ds.map_batches(strip, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def _strip_cobucket(ds: ray.data.Dataset, freq: ray.data.Dataset,
+                    k: int, id_col: str, text_col: str
+                    ) -> ray.data.Dataset:
+    """Unbounded-frequent-set apply (see `frequent_segment_strip`)."""
+    import ray as _ray
+
+    from .agg import hash_bucket_tag
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) \
+        if _ray.is_initialized() else 8
+    nb = max(8, cpus)
+
+    # exchange 1: segment-keyed hit marking -------------------------------
+    def tag_doc_segs(b: pa.Table) -> pa.Table:
+        rows, seg_idx, segstr = _doc_segments(b, k, id_col, text_col)
+        d = b[id_col].to_numpy(zero_copy_only=False)[rows] \
+            if len(rows) else np.array([], np.int64)
+        t = pa.table({"seg": segstr,
+                      id_col: pa.array(d.astype(np.int64)),
+                      "seg_idx": pa.array(seg_idx.astype(np.int64)
+                                          if len(rows) else
+                                          np.array([], np.int64)),
+                      "_role": pa.array(np.zeros(len(rows), np.int64))})
+        return hash_bucket_tag(t, ["seg"], nb)
+
+    def tag_freq(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "seg" not in b.column_names:
+            return b
+        n = len(b)
+        t = pa.table({"seg": b["seg"],
+                      id_col: pa.array(np.zeros(n, np.int64)),
+                      "seg_idx": pa.array(np.zeros(n, np.int64)),
+                      "_role": pa.array(np.ones(n, np.int64))})
+        return hash_bucket_tag(t, ["seg"], nb)
+
+    def mark(g: pa.Table) -> pa.Table:
+        isf = pc.equal(g["_role"], pa.scalar(1, pa.int64()))
+        fr = pc.unique(g.filter(isf)["seg"].combine_chunks())
+        ds_rows = g.filter(pc.invert(isf))
+        hits = ds_rows.filter(pc.is_in(ds_rows["seg"], value_set=fr))
+        return pa.table({id_col: hits[id_col], "seg_idx": hits["seg_idx"]})
+
+    hits = (ds.map_batches(tag_doc_segs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .union(freq.map_batches(tag_freq, batch_format="pyarrow"))
+              .groupby("_bucket").map_groups(mark, batch_format="pyarrow"))
+
+    # exchange 2: doc-keyed rejoin + group-local strip --------------------
+    def tag_docs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or text_col not in b.column_names:
+            return b
+        t = pa.table({id_col: b[id_col].cast(pa.int64()),
+                      text_col: b[text_col],
+                      "seg_idx": pa.array(
+                          np.full(len(b), -1, np.int64)),
+                      "_role": pa.array(np.zeros(len(b), np.int64))})
+        return hash_bucket_tag(t, [id_col], nb)
+
+    def tag_hits(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "seg_idx" not in b.column_names:
+            return b
+        n = len(b)
+        t = pa.table({id_col: b[id_col].cast(pa.int64()),
+                      text_col: pa.array([""] * n, pa.string()),
+                      "seg_idx": b["seg_idx"].cast(pa.int64()),
+                      "_role": pa.array(np.ones(n, np.int64))})
+        return hash_bucket_tag(t, [id_col], nb)
+
+    def strip_group(g: pa.Table) -> pa.Table:
+        ish = pc.equal(g["_role"], pa.scalar(1, pa.int64()))
+        hit_t = g.filter(ish)
+        docs = g.filter(pc.invert(ish)).select([id_col, text_col])
+        nb_docs = docs.num_rows
+        if nb_docs == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "clean_text": pa.array([], pa.string()),
+                             "n_removed": pa.array([], pa.int64())})
+        hit_keys = set(zip(hit_t[id_col].to_pylist(),
+                           hit_t["seg_idx"].to_pylist()))
+        rows, seg_idx, segstr = _doc_segments(docs, k, id_col, text_col)
+        doc_ids = docs[id_col].to_numpy(zero_copy_only=False)
+        if len(rows) == 0:
+            return pa.table({
+                id_col: docs[id_col],
+                "clean_text": pa.array([""] * nb_docs, pa.string()),
+                "n_removed": pa.array(np.zeros(nb_docs, np.int64))})
+        hit = np.fromiter(
+            ((int(doc_ids[r]), int(s)) in hit_keys
+             for r, s in zip(rows, seg_idx)), bool, len(rows))
+        keep = ~hit
+        kept_counts = np.bincount(rows[keep], minlength=nb_docs)
+        removed = np.bincount(rows[hit], minlength=nb_docs)
+        offsets = np.zeros(nb_docs + 1, np.int32)
+        np.cumsum(kept_counts, out=offsets[1:])
+        segstr2 = segstr.combine_chunks() if isinstance(
+            segstr, pa.ChunkedArray) else segstr
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            segstr2.filter(pa.array(keep)).cast(pa.string()))
+        return pa.table({id_col: docs[id_col].cast(pa.int64()),
+                         "clean_text": pc.binary_join(lists, " "),
+                         "n_removed": pa.array(removed, pa.int64())})
+
+    return (ds.map_batches(tag_docs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .union(hits.map_batches(tag_hits, batch_format="pyarrow"))
+              .groupby("_bucket").map_groups(strip_group,
+                                             batch_format="pyarrow"))
 
 
 def segment_dedup_strip_sql(k: int = SEG_K, min_df: int = SEG_MIN_DF,

@@ -117,3 +117,18 @@ def test_fnv_splitmix_scalar_parity(s):
     z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) % 2**64
     z = z ^ (z >> 31)
     assert int(splitmix64(np.array([h], np.uint64))[0]) == z
+
+
+@settings(max_examples=100, deadline=None)
+@given(key=st.text(alphabet="xy", min_size=0, max_size=30),
+       pad_to=st.integers(min_value=0, max_value=40))
+def test_hash_bucket_tag_padding_invariant(key, pad_to):
+    """r5 regression: a key's bucket must not depend on the OTHER
+    strings in its batch (batch max width drives the word count)."""
+    from pyofs_ray.stages.agg import hash_bucket_tag
+
+    alone = pa.table({"k": [key]})
+    padded = pa.table({"k": [key, "z" * pad_to]})
+    b1 = hash_bucket_tag(alone, ["k"], 64)["_bucket"][0].as_py()
+    b2 = hash_bucket_tag(padded, ["k"], 64)["_bucket"][0].as_py()
+    assert b1 == b2

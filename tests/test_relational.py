@@ -385,3 +385,24 @@ def test_events_user_tier_asof(ray_session):
     assert np.array_equal(out["tier"].to_numpy(), want)
     assert out["epoch"].between(0, 3).all()
     assert out["event_id"].is_unique
+
+
+def test_events_ntile_by_type_equidepth(ray_session):
+    """r5: grouped NTILE — within every event_type the shard sizes must
+    be the exact per-group NTILE split and monotone in (val_c, id)."""
+    import numpy as np
+
+    from pyofs_ray.pipelines.relational import events_ntile_by_type
+
+    out = (events_ntile_by_type(SF_SMOKE, n=8).to_pandas()
+           .sort_values(["event_type", "val_c", "event_id"])
+           .reset_index(drop=True))
+    assert len(out) > 0
+    for et, g in out.groupby("event_type"):
+        total = len(g)
+        big, small, r = -(-total // 8), total // 8, total % 8
+        sizes = g.groupby("shard").size().sort_index()
+        want = [big] * r + [small] * (8 - r)
+        want = [w for w in want if w > 0]
+        assert sizes.to_list() == want, et
+        assert (np.diff(g["shard"].to_numpy()) >= 0).all(), et

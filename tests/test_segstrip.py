@@ -63,8 +63,45 @@ def test_fully_boilerplate_doc_keeps_empty_string(ray_session):
 
 
 def test_broadcast_guard_raises_loudly(ray_session):
+    """Forcing the broadcast plan past its cap must refuse loudly
+    (auto would route to the co-bucket plan instead — tested below)."""
     seg = " ".join(f"f{i}" for i in range(16))
     docs = [seg] * 4
     with pytest.raises(ValueError, match="broadcast cap"):
         frequent_segment_strip(_mk(docs), k=16, min_df=4,
-                               broadcast_max_rows=0).to_pandas()
+                               broadcast_max_rows=0,
+                               path="broadcast").to_pandas()
+
+
+def test_cobucket_equals_broadcast(ray_session):
+    """r5: the unbounded-frequent-set co-bucket apply plan must emit the
+    broadcast plan's rows exactly."""
+    import ray.data
+
+    from pyofs_ray.sources.readers import read_parquet_clean
+    from pyofs_ray.stages.segstrip import frequent_segment_strip
+
+    from .conftest import SF_SMOKE
+
+    ds = read_parquet_clean(f"{SF_SMOKE}/documents.parquet",
+                            columns=["doc_id", "text"])
+    bc = (frequent_segment_strip(ds, path="broadcast").to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    cb = (frequent_segment_strip(ds, path="cobucket").to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    assert (bc["n_removed"] > 0).any()  # the plan is actually exercised
+    assert bc.equals(cb)
+
+
+def test_auto_routes_cobucket_past_cap(ray_session):
+    """auto must pick the co-bucket plan when the frequent set exceeds
+    the broadcast cap — and still strip correctly."""
+    seg = " ".join(f"g{i}" for i in range(16))
+    docs = [f"{seg} u{j}" for j in range(4)]
+    ds = ray.data.from_arrow(pa.table(
+        {"doc_id": list(range(4)), "text": docs}))
+    out = (frequent_segment_strip(ds, k=16, min_df=4,
+                                  broadcast_max_rows=0, path="auto")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(out["clean_text"]) == [f"u{j}" for j in range(4)]
+    assert (out["n_removed"] == 1).all()
