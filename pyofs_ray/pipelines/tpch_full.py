@@ -717,14 +717,23 @@ def q19_bracket_revenue(sf_dir: str) -> ray.data.Dataset:
 
     partials = li.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True)
-    agg = coalesced_int_sum_finish(partials, ("_k",),
-                                   ("rev_s_sum", "n_items"))
-    return agg.map_batches(
-        lambda b: pa.table({
-            "revenue_s": b["rev_s_sum"], "n_items": b["n_items"],
-            "revenue": pc.divide(pc.cast(b["rev_s_sum"], pa.float64()),
-                                 10000.0)}),
-        batch_format="pyarrow")
+    # driver-coalesced SCALAR finish (≤1 partial row per block): always
+    # emits the aggregate's one row — matching SQL's no-GROUP-BY
+    # semantics (SUM NULL / COUNT 0) even when nothing matches, where an
+    # in-pipeline finish would emit a schema-less empty (Ray 2.49 skips
+    # UDFs on all-empty inputs; bit us at sf0.001)
+    import pandas as pd
+
+    pdf = partials.to_pandas()
+    n = int(pdf["n_items"].sum()) if len(pdf) else 0
+    if n == 0:
+        return pd.DataFrame({"revenue_s": np.array([np.nan]),
+                             "n_items": np.array([0], np.int64),
+                             "revenue": np.array([np.nan])})
+    rev = int(pdf["rev_s_sum"].sum())
+    return pd.DataFrame({"revenue_s": np.array([rev], np.int64),
+                         "n_items": np.array([n], np.int64),
+                         "revenue": np.array([rev / 10000.0])})
 
 
 Q19_SQL = """
@@ -789,25 +798,27 @@ def q20_excess_suppliers(sf_dir: str) -> ray.data.Dataset:
     s_name = dict(zip(sk, supp["s_name"].to_pylist()))
     s_nat = dict(zip(sk, supp["s_nationkey"].to_pylist()))
 
-    def finish(t: pa.Table) -> pa.Table:
-        g = t.group_by(["l_suppkey", "l_partkey"]).aggregate(
-            [("q_total_sum", "sum"), ("q_97_sum", "sum")])
-        tot = g["q_total_sum_sum"].to_numpy(zero_copy_only=False).astype(
-            np.int64)
-        q97 = g["q_97_sum_sum"].to_numpy(zero_copy_only=False).astype(
-            np.int64)
-        sup = g["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # driver-coalesced finish ((supplier × part)-bounded partials): a
+    # TYPED possibly-empty result — an in-pipeline finish over an
+    # all-empty partial stream loses its schema (Ray 2.49 quirk; bit us
+    # at sf0.001 where no small-part lineitem exists)
+    import pandas as pd
+
+    pdf = partials.to_pandas()
+    keep: list[int] = []
+    if len(pdf):
+        g = pdf.groupby(["l_suppkey", "l_partkey"], as_index=False)[
+            ["q_total_sum", "q_97_sum"]].sum()
+        sup = g["l_suppkey"].to_numpy().astype(np.int64)
+        tot = g["q_total_sum"].to_numpy().astype(np.int64)
+        q97 = g["q_97_sum"].to_numpy().astype(np.int64)
         excess = np.unique(sup[2 * q97 > tot])
         keep = [s for s in excess.tolist() if region_of[s_nat[s]] == 2]
-        return pa.table({
-            "s_suppkey": pa.array(keep, pa.int64()),
-            "s_name": pa.array([s_name[s] for s in keep]),
-            "n_name": pa.array([names[s_nat[s]] for s in keep]),
-        })
-
-    return partials.repartition(1).map_batches(finish,
-                                               batch_format="pyarrow",
-                                               batch_size=None)
+    return pd.DataFrame({
+        "s_suppkey": np.array(keep, np.int64),
+        "s_name": pd.Series([s_name[s] for s in keep], dtype=object),
+        "n_name": pd.Series([names[s_nat[s]] for s in keep],
+                            dtype=object)})
 
 
 Q20_SQL = """
