@@ -156,7 +156,7 @@ BENCH_QUERIES = [
     "ann_topk_lsh", "segment_dedup_strip", "host_distinct_tokens_hll",
     "events_ntile_shards", "events_user_tier_asof",
     "cell_agg_incremental", "events_ntile_by_type",
-    "minhash_pairs_incremental",
+    "minhash_pairs_incremental", "tile_pyramid_incremental",
 ]
 
 

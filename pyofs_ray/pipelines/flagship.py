@@ -103,6 +103,49 @@ def tile_pyramid(sf_dir: str, z_base: int = geom.BASE_ZOOM, z_min: int = 0,
     return build_pyramid(base, z_base=z_base, z_min=z_min)
 
 
+def tile_pyramid_incremental(sf_dir: str, z_base: int = geom.BASE_ZOOM,
+                             z_min: int = 0) -> ray.data.Dataset:
+    """Incremental maintenance COMPOSED through the whole pyramid (A7 ×
+    the `cell_agg_incremental` shape): the stored pyramid's integer sums
+    merge with a new shard's pyramid partials per (cell_id, z, x, y) in
+    ONE key-bounded exchange, and ``agg_value`` derives AFTER the merge
+    — every level of the view stays bit-identical to a full rebuild
+    (shares `tile_pyramid`'s oracle), because pyramid tiles are sums of
+    decomposable partials at every zoom. Even/odd ``page_key`` shards
+    stand in for committed-vs-new partitions, as in
+    `cell_agg_incremental`."""
+    from ..stages.agg import add_mean_column, bucketed_group_agg
+
+    ds = geocoded_pages(sf_dir, z_base).select_columns(
+        ["cell_id", "n_chars", "page_key"])
+
+    def part(b: pa.Table, parity: int) -> pa.Table:
+        keep = pc.equal(
+            pc.bit_wise_and(b["page_key"].cast(pa.int64()),
+                            pa.scalar(1, pa.int64())),
+            pa.scalar(parity, pa.int64()))
+        return b.filter(keep).drop_columns(["page_key"])
+
+    def pyr_side(parity: int) -> ray.data.Dataset:
+        side = ds.map_batches(lambda b, p=parity: part(b, p),
+                              batch_format="pyarrow", zero_copy_batch=True)
+        base = two_stage_cell_agg(side, keys=("cell_id",),
+                                  int_sum_cols=("n_chars",))
+        return build_pyramid(base, z_base=z_base, z_min=z_min).select_columns(
+            ["cell_id", "z", "x", "y", "n_chars_sum", "doc_count"])
+
+    state = pyr_side(0).materialize()   # the committed pyramid view
+    merged = bucketed_group_agg(
+        state.union(pyr_side(1)), keys=["cell_id"],
+        aggs=[("z", "max", "z"), ("x", "max", "x"), ("y", "max", "y"),
+              ("n_chars_sum", "sum", "n_chars_sum"),
+              ("doc_count", "sum", "doc_count")])
+    return merged.map_batches(
+        lambda b: add_mean_column(b, "n_chars_sum", "doc_count",
+                                  "agg_value"),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def polygon_cell_agg(sf_dir: str, zoom: int = geom.BASE_ZOOM, replicate: int = 1,
                      override_num_blocks: int | None = None) -> ray.data.Dataset:
     """PIP inner join → per-(polygon, cell) doc_count / n_chars_sum — the

@@ -100,6 +100,12 @@ FROM pages GROUP BY 1, 2, 3, 4""")
 
 register("tile_pyramid", flagship.tile_pyramid, _pyramid_oracle())
 
+# r5: incremental maintenance composed through the pyramid — stored
+# per-level sums merged with the delta shard's pyramid partials;
+# shares tile_pyramid's oracle verbatim
+register("tile_pyramid_incremental", flagship.tile_pyramid_incremental,
+         _pyramid_oracle())
+
 # r5: incremental view maintenance — stored even-day aggregate merged
 # with the odd-day delta's partials; bit-identical to the full
 # recompute, so it shares cell_agg's oracle verbatim

@@ -617,3 +617,20 @@ def test_cell_agg_incremental_equals_full(ray_session):
     assert inc.equals(full)
     par = geocoded_pages(SF_SMOKE).to_pandas()["page_key"] % 2
     assert 0 < par.sum() < len(par), "fixture must hit both partitions"
+
+
+def test_tile_pyramid_incremental_equals_full(ray_session):
+    """r5: pyramid incremental maintenance must equal the full rebuild
+    at every level, with both shards non-empty."""
+    from pyofs_ray.pipelines.flagship import (tile_pyramid,
+                                              tile_pyramid_incremental)
+
+    cols = ["cell_id", "z", "x", "y", "n_chars_sum", "doc_count",
+            "agg_value"]
+    inc = (tile_pyramid_incremental(SF_SMOKE).to_pandas()[cols]
+           .sort_values("cell_id").reset_index(drop=True))
+    full = (tile_pyramid(SF_SMOKE).to_pandas()[cols]
+            .sort_values("cell_id").reset_index(drop=True))
+    assert len(inc) == len(full) > 0
+    for c in cols:
+        assert (inc[c].to_numpy() == full[c].to_numpy()).all(), c
