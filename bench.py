@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "events_ntile_shards", "events_user_tier_asof",
     "cell_agg_incremental", "events_ntile_by_type",
     "minhash_pairs_incremental", "tile_pyramid_incremental",
+    "event_value_winsor_mean",
 ]
 
 

@@ -590,6 +590,86 @@ def event_value_quantiles(sf_dir: str, qs=(0.5, 0.95),
                                            batch_size=None)
 
 
+WINSOR_P_LO, WINSOR_P_HI = 5, 95
+
+
+def event_value_winsor_mean(sf_dir: str, p_lo: int = WINSOR_P_LO,
+                            p_hi: int = WINSOR_P_HI) -> "pd.DataFrame":
+    """Exact per-type WINSORIZED mean (clamp at the p_lo/p_hi DISC
+    percentiles, then average) — the robust-mean companion of
+    `event_value_trimmed_mean` (which drops the tails; winsorizing clamps
+    them, the standard treatment when row counts must be preserved).
+
+    Everything derives from the value histogram in ONE streaming
+    execution: per-batch (type, cent) count partials coalesce on the
+    driver (value-bounded, the `events_percent_rank` shape); the DISC
+    bounds are exact integer ranks ⌈n·p/100⌉ read off the cumulative
+    counts (verified identical to DuckDB's PERCENTILE_DISC for all
+    tested n — no float q·n, whose 0.05·20 = 1.0000…2 would round the
+    rank wrong), and the winsorized sum is Σ clamp(v)·cnt over the
+    histogram — the corpus is never rescanned for the clamp.
+    ``winsor_mean`` is ONE IEEE division of exact int64s."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b["value"]),
+                             pc.is_valid(b["event_type"])))
+        t = pa.table({"et": b["event_type"], "c": _cents(b["value"])})
+        g = t.group_by(["et", "c"]).aggregate([("c", "count")])
+        return pa.table({"et": g["et"], "c": g["c"],
+                         "n": g["c_count"].cast(pa.int64())})
+
+    hist = (ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+            .groupby(["et", "c"], as_index=False)["n"].sum()
+            .sort_values(["et", "c"]))
+
+    out = {"event_type": [], "n": [], "wsum_c": [], "winsor_mean": []}
+    for et, g in hist.groupby("et", sort=True):
+        vals = g["c"].to_numpy().astype(np.int64)
+        cnt = g["n"].to_numpy().astype(np.int64)
+        cum = cnt.cumsum()
+        n = int(cum[-1])
+        r_lo = max(1, -(-n * p_lo // 100))   # ⌈n·p/100⌉, pure ints
+        r_hi = max(1, -(-n * p_hi // 100))
+        lo = int(vals[np.searchsorted(cum, r_lo)])
+        hi = int(vals[np.searchsorted(cum, r_hi)])
+        clamped = np.clip(vals, lo, hi)
+        s = int((clamped * cnt).sum())
+        out["event_type"].append(et)
+        out["n"].append(n)
+        out["wsum_c"].append(s)
+        out["winsor_mean"].append(float(s) / float(n * 100))
+    return pd.DataFrame({
+        "event_type": out["event_type"],
+        "n": np.array(out["n"], np.int64),
+        "wsum_c": np.array(out["wsum_c"], np.int64),
+        "winsor_mean": np.array(out["winsor_mean"], np.float64)})
+
+
+def event_value_winsor_mean_sql(p_lo: int = WINSOR_P_LO,
+                                p_hi: int = WINSOR_P_HI) -> str:
+    return f"""
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+b AS (
+  SELECT event_type,
+         PERCENTILE_DISC({p_lo / 100}) WITHIN GROUP (ORDER BY c) AS lo,
+         PERCENTILE_DISC({p_hi / 100}) WITHIN GROUP (ORDER BY c) AS hi
+  FROM v GROUP BY 1
+)
+SELECT v.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(LEAST(GREATEST(v.c, b.lo), b.hi)) AS BIGINT) AS wsum_c,
+       CAST(SUM(LEAST(GREATEST(v.c, b.lo), b.hi)) AS DOUBLE)
+         / CAST(COUNT(*) * 100 AS BIGINT) AS winsor_mean
+FROM v JOIN b USING (event_type)
+GROUP BY 1
+"""
+
+
 # --------------------------- approximate grouped quantiles (HDR sketch)
 QSKETCH_BITS = 5  # 32 sub-buckets per octave → ≤ 2⁻⁵ ≈ 3.1% relative error
 

@@ -2772,6 +2772,12 @@ register("events_ntile_by_type", relational.events_ntile_by_type,
 register("events_user_tier_asof", relational.events_user_tier_asof,
          relational.EVENTS_USER_TIER_ASOF_SQL)
 
+# r5: winsorized mean (clamp at exact DISC percentiles) — the
+# count-preserving robust-mean companion of the trimmed mean; fully
+# histogram-derived, one streaming execution
+register("event_value_winsor_mean", relational.event_value_winsor_mean,
+         relational.event_value_winsor_mean_sql())
+
 register("event_value_trimmed_mean", relational.event_value_trimmed_mean,
          relational.event_value_trimmed_mean_sql())
 

@@ -406,3 +406,22 @@ def test_events_ntile_by_type_equidepth(ray_session):
         want = [w for w in want if w > 0]
         assert sizes.to_list() == want, et
         assert (np.diff(g["shard"].to_numpy()) >= 0).all(), et
+
+
+def test_event_value_winsor_mean_properties(ray_session):
+    """r5: winsorized mean — clamp preserves counts, bounds are the DISC
+    percentiles, and the clamped mean sits between min and max."""
+    import numpy as np
+
+    from pyofs_ray.pipelines.relational import (event_value_trimmed_mean,
+                                                event_value_winsor_mean)
+
+    w = event_value_winsor_mean(SF_SMOKE)
+    t = event_value_trimmed_mean(SF_SMOKE)
+    assert len(w) > 0
+    # winsorizing PRESERVES n (trimming drops rows)
+    assert (w["n"].to_numpy() >= t["kept_n"].to_numpy()).all()
+    assert w["winsor_mean"].notna().all()
+    # exactness invariant: mean == wsum / (n*100) bitwise
+    got = w["wsum_c"].to_numpy() / (w["n"].to_numpy() * 100.0)
+    assert np.array_equal(got, w["winsor_mean"].to_numpy())
